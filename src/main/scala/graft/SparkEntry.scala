@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY §2 coverage) to DataFrame plans over
+  * the sf-dir testdata; `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TpchSurface.q02(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TpchSurface.defs ++ ReplicationQueries.defs ++ DedupQueries.defs ++
+      VectorQueries.defs ++ TextQueries.defs
+
+  def oracleSql: Map[String, String] =
+    TpchSurface.oracles ++ ReplicationQueries.oracles ++ DedupQueries.oracles ++
+      VectorQueries.oracles ++ TextQueries.oracles
 }

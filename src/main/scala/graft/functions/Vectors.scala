@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-vector primitives (`Array[Float]` columns) for similarity
+  * search: dot product, norms, cosine — as codegen'd higher-order functions.
+  *
+  * Scale shape: brute-force top-k is a map-side cross score + per-query
+  * top-k (no full sort); the IVF path prunes candidates by a cluster-id
+  * column so only same-cell pairs are scored.
+  */
+object Vectors {
+
+  /** Dot product of two float-array columns, accumulated in double.
+    * `zip_with` + `aggregate` keeps it inside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
+
+  /** Cosine similarity; 0 for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val nn = l2Norm(a) * l2Norm(b)
+    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
+  }
+
+  /** Integer dot product over quantized (Long) vectors — bit-exact across
+    * engines, used by the oracle-checked similarity queries. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Integer squared L2 distance over quantized (Long) vectors. */
+  def l2SqLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Squared euclidean distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast(DoubleType) - y.cast(DoubleType)
+        diff * diff
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH bucket for a vector: sign bits of dot products
+    * with `planes` pseudo-random unit directions derived deterministically
+    * from md5 (seed, dim) — reproducible across engines, no RNG state. */
+  def hyperplaneBucket(a: Column, planes: Int, dim: Int): Column = {
+    // plane p, component i = (hash32(p:i) / 2^31) - 1.0  in [-1, 1)
+    def comp(p: Int, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes("UTF-8")).take(4)
+      val u = java.nio.ByteBuffer.wrap(hex).getInt.toLong & 0xFFFFFFFFL
+      u.toDouble / 2147483648.0 - 1.0
+    }
+    val bits = (0 until planes).map { p =>
+      val d = (0 until dim).map(i => element_at(a, i + 1).cast(DoubleType) * lit(comp(p, i)))
+        .reduce(_ + _)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis pipeline over `documents`: language-ID, quality scoring,
+  * token statistics, fingerprinting. All pure map-side projections (the only
+  * shuffles are the final small aggregations), integer arithmetic throughout
+  * for oracle exactness.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private object Sql {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val words = s"string_split($norm, ' ')"
+    def markerCount(markers: Seq[String]) =
+      s"len(list_filter($words, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
+  }
+
+  /** Language-ID: stopword-profile voting (argmax over per-language marker
+    * hits, ties to the alphabetically-first code). */
+  def q40(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val scores = Text.langScores(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("actual_lang") +:
+        scores.map { case (code, c) => c.cast(LongType).as(s"s_$code") }): _*)
+    val codes = Text.LangMarkers.map(_._1)
+    val pred = codes.foldRight(lit(codes.last)) { (code, rest) =>
+      val isMax = codes.filter(_ != code)
+        .map(o => col(s"s_$code") >= col(s"s_$o")).reduce(_ && _)
+      when(isMax, lit(code)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("pred_lang"), col("actual_lang"),
+        (col("pred_lang") === col("actual_lang")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q40Sql: String = {
+    val scoreCols = Text.LangMarkers
+      .map { case (code, ms) => s"CAST(${Sql.markerCount(ms)} AS BIGINT) AS s_$code" }
+      .mkString(",\n        ")
+    val codes = Text.LangMarkers.map(_._1)
+    val pred = codes.dropRight(1).foldRight(s"'${codes.last}'") { (code, rest) =>
+      val cond = codes.filter(_ != code).map(o => s"s_$code >= s_$o").mkString(" AND ")
+      s"CASE WHEN $cond THEN '$code' ELSE $rest END"
+    }
+    s"""
+    SELECT doc_id, pred_lang, actual_lang, pred_lang = actual_lang AS correct FROM (
+      SELECT doc_id, lang AS actual_lang, $pred AS pred_lang FROM (
+        SELECT doc_id, lang, $scoreCols FROM documents))
+    ORDER BY doc_id"""
+  }
+
+  /** Quality scoring: token count, stopword permille, chars-per-token
+    * permille, punctuation count; `passed` is the corpus filter verdict.
+    * Integer arithmetic (floor of scaled ratios) for engine exactness. */
+  def q41(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val t = docs.select(col("doc_id"),
+      Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      Text.stopwordCount(col("text")).cast(LongType).as("n_stop"),
+      Text.punctCount(col("text")).cast(LongType).as("n_punct"),
+      length(Text.normalize(col("text"))).cast(LongType).as("n_norm_chars"))
+    t.select(col("doc_id"), col("n_tokens"), col("n_punct"),
+        floor(col("n_stop") * 1000d / col("n_tokens")).cast(LongType).as("stop_permille"),
+        floor(col("n_norm_chars") * 1000d / col("n_tokens")).cast(LongType).as("chars_per_token_permille"))
+      .withColumn("passed",
+        col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+          col("stop_permille") <= 600)
+      .orderBy(col("doc_id"))
+  }
+
+  val q41Sql: String = s"""
+    SELECT doc_id, n_tokens, n_punct,
+      CAST(floor(n_stop * 1000.0 / n_tokens) AS BIGINT) AS stop_permille,
+      CAST(floor(n_norm_chars * 1000.0 / n_tokens) AS BIGINT) AS chars_per_token_permille,
+      (n_tokens >= 10 AND n_tokens <= 1000
+        AND CAST(floor(n_stop * 1000.0 / n_tokens) AS BIGINT) <= 600) AS passed
+    FROM (
+      SELECT doc_id,
+        CAST(len(${Sql.words}) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(${Sql.words}, t -> t IN (${Text.StopWords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS n_stop,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+        CAST(length(${Sql.norm}) AS BIGINT) AS n_norm_chars
+      FROM documents)
+    ORDER BY doc_id"""
+
+  /** Token statistics per source: corpus composition report (docs, tokens,
+    * subword proxy count, char bounds). */
+  def q42(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .select(col("source"), col("n_chars"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        Text.subwordCount(col("text")).cast(LongType).as("n_subwords"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_subwords")).as("sum_subwords"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q42Sql: String = s"""
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(sum(n_subwords) AS BIGINT) AS sum_subwords,
+      min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM (
+      SELECT source, n_chars,
+        CAST(len(${Sql.words}) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]{1,4}'))
+           + len(regexp_extract_all(text, '[0-9]{1,3}'))
+           + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords
+      FROM documents)
+    GROUP BY source ORDER BY source"""
+
+  /** Document fingerprints: md5 of normalized text + rolling polynomial
+    * hash (Rabin-Karp family, mod 1e9+7). */
+  def q43(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        Text.md5Fingerprint(col("text")).as("md5_fp"),
+        Text.rollingFingerprint(col("text")).as("rolling_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q43Sql: String = s"""
+    SELECT doc_id, md5(${Sql.norm}) AS md5_fp,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(${Sql.norm}, ''), ch -> CAST(ord(ch) AS BIGINT))),
+        (acc, code) -> (acc * 131 + code) % 1000000007) AS rolling_fp
+    FROM documents ORDER BY doc_id"""
+
+  val defs: Map[String, Q] = Map(
+    "q40_language_id" -> (q40 _),
+    "q41_quality_score" -> (q41 _),
+    "q42_token_stats" -> (q42 _),
+    "q43_fingerprints" -> (q43 _))
+
+  val oracles: Map[String, String] = Map(
+    "q40_language_id" -> q40Sql,
+    "q41_quality_score" -> q41Sql,
+    "q42_token_stats" -> q42Sql,
+    "q43_fingerprints" -> q43Sql)
+}

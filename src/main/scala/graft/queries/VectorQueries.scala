@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Cross-engine exactness: scores use integer-quantized components
+  * (`floor(x * 1e6)` per element) so ranking is bit-exact in any engine —
+  * no float-summation-order hazards. The float-precision cosine path
+  * (`Vectors.cosine`) is the production API and is covered by ScalaTest
+  * rather than the SQL oracle.
+  *
+  * Scale shape: queries are broadcast (small side), candidates stream
+  * map-side; per-query top-k via window over the broadcast key — no
+  * all-pairs shuffle. The IVF variant prunes candidates to the same
+  * cluster cell before scoring.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def quantized(c: org.apache.spark.sql.Column) =
+    transform(c, x => floor(x.cast(DoubleType) * 1000000d).cast(LongType))
+
+  private val qVecSql = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))"
+
+  /** Brute-force max-inner-product top-1: 10 query vectors against the full
+    * corpus; deterministic rank (score desc, id asc). */
+  def q30(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
+    val scored = emb.filter(col("vec_id") >= 10).as("c")
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.dotLong(col("qv_q"), col("qv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"))
+  }
+
+  val q30Sql: String = s"""
+    WITH q AS (SELECT vec_id AS query_id, $qVecSql AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, $qVecSql AS cv FROM embeddings WHERE vec_id >= 10),
+    scored AS (SELECT query_id, neighbor_id, CAST($dotSql AS BIGINT) AS score FROM q CROSS JOIN c),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+               FROM scored)
+    SELECT query_id, neighbor_id, score FROM ranked WHERE rk = 1 ORDER BY query_id"""
+
+  /** IVF-style pruned nearest neighbor: the `label` column is the cluster
+    * cell; search only same-cell candidates by quantized L2 distance. At
+    * scale this is the coarse-quantizer path: a partition-pruned scan
+    * instead of the full corpus. */
+  def q31(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("qv"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label"), col("qv").as("qv_q"))
+    val scored = emb.filter(col("vec_id") >= 10)
+      .join(broadcast(queries), Seq("label"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        Vectors.l2SqLong(col("qv_q"), col("qv")).as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("query_id"), col("label"), col("neighbor_id"), col("dist"))
+      .orderBy(col("query_id"))
+  }
+
+  val q31Sql: String = s"""
+    WITH q AS (SELECT vec_id AS query_id, label, $qVecSql AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, label, $qVecSql AS cv FROM embeddings WHERE vec_id >= 10),
+    scored AS (SELECT query_id, q.label AS label, neighbor_id,
+        CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS BIGINT) AS dist
+      FROM q JOIN c ON q.label = c.label),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rk
+               FROM scored)
+    SELECT query_id, label, neighbor_id, dist FROM ranked WHERE rk = 1 ORDER BY query_id"""
+
+  /** Centroid distances per cluster: mean quantized vector per label
+    * (element-wise aggregate), then each label's mean L2-to-centroid —
+    * the IVF training/assignment statistics step, exact in integer space. */
+  def q32(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("qv"))
+    // element-wise sum via explode + groupBy (dim, label): scales to any dim
+    val byElem = emb.select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      // integer centroid: floor(sum/n)
+      .withColumn("cent", floor(col("sx") / col("n")).cast(LongType))
+    byElem.groupBy(col("label"))
+      .agg(count(lit(1)).as("dim"),
+        sum(col("cent")).as("centroid_sum"),
+        max(col("n")).as("n_vectors"))
+      .orderBy(col("label"))
+  }
+
+  val q32Sql: String = """
+    WITH qemb AS (SELECT label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv FROM embeddings),
+    elems AS (SELECT label, unnest(range(1, len(qv)+1)) AS pos1, unnest(qv) AS x FROM qemb),
+    agg AS (SELECT label, pos1, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cent,
+        count(*) AS n FROM elems GROUP BY label, pos1)
+    SELECT label, count(*) AS dim, CAST(sum(cent) AS BIGINT) AS centroid_sum, max(n) AS n_vectors
+    FROM agg GROUP BY label ORDER BY label"""
+
+  val defs: Map[String, Q] = Map(
+    "q30_knn_bruteforce_mips" -> (q30 _),
+    "q31_ivf_label_pruned_ann" -> (q31 _),
+    "q32_cluster_centroids" -> (q32 _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_knn_bruteforce_mips" -> q30Sql,
+    "q31_ivf_label_pruned_ann" -> q31Sql,
+    "q32_cluster_centroids" -> q32Sql)
+}

@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusFnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): Any =
+    Seq(input).toDF("t").select(c.as("r")).collect()(0).get(0)
+
+  test("tokens + shingles") {
+    assert(one(Text.tokens(col("t")), "The  quick Brown fox") ==
+      Seq("the", "quick", "brown", "fox"))
+    assert(one(Text.shingles(col("t"), 3), "a b c d") == Seq("a b c", "b c d"))
+    assert(one(Text.shingles(col("t"), 3), "a b") == Seq("a b")) // degenerate
+  }
+
+  test("minhash signature is stable and sensitive") {
+    val df = Seq(
+      ("d1", "the quick brown fox jumps over the lazy dog"),
+      ("d2", "the quick brown fox jumps over the lazy cat"),
+      ("d3", "entirely different content with no overlap here")).toDF("id", "t")
+    val sig = df.select(col("id"),
+      Hashing.minhashSignature(Text.shingles(col("t"), 3), 8).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sig("d1").size == 8)
+    // near-dups share most mins; disjoint docs share none of the 8
+    val shared12 = sig("d1").zip(sig("d2")).count { case (a, b) => a == b }
+    val shared13 = sig("d1").zip(sig("d3")).count { case (a, b) => a == b }
+    assert(shared12 > shared13)
+  }
+
+  test("jaccard") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Hashing.jaccard(col("x"), col("y"))).as[Double].collect()(0)
+    assert(math.abs(j - 0.5) < 1e-9)
+  }
+
+  test("simhash near-dup has small hamming distance") {
+    val df = Seq(
+      ("d1", "the quick brown fox jumps over the lazy dog today"),
+      ("d2", "the quick brown fox jumps over the lazy dog tonight"),
+      ("d3", "completely unrelated words appear in this sentence instead")).toDF("id", "t")
+    val sh = df.select(col("id"),
+      Hashing.simhash(array_distinct(Text.tokens(col("t"))), 16).as("s"))
+      .as[(String, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh("d1"), sh("d2")) < ham(sh("d1"), sh("d3")))
+  }
+
+  test("cosine of identical and orthogonal vectors") {
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(Vectors.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-9)
+    assert(math.abs(got(1)) < 1e-9)
+  }
+
+  test("rolling fingerprint: equal for equal normalized text, differs otherwise") {
+    val df = Seq(("A  b\tC", "a b c", "a b d")).toDF("x", "y", "z")
+    val r = df.select(
+      Text.rollingFingerprint(col("x")).as("x"),
+      Text.rollingFingerprint(col("y")).as("y"),
+      Text.rollingFingerprint(col("z")).as("z")).collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+
+  test("langid picks the language with most markers") {
+    val scores = Text.langScores(col("t"))
+    val df = Seq("el que la de los por es una cosa").toDF("t")
+    val vals = df.select(scores.map { case (c, s) => s.as(c) }: _*).collect()(0)
+    val best = Text.LangMarkers.map(_._1).zipWithIndex.maxBy { case (_, i) => vals.getInt(i) }._1
+    assert(best == "es")
+  }
+}
