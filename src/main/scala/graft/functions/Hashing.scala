@@ -7,28 +7,65 @@ import org.apache.spark.sql.types._
 /** Hash-family primitives for near-duplicate detection at corpus scale:
   * MinHash signatures, LSH band keys, SimHash.
   *
-  * Design: every hash is derived from `md5(seed || value)` hex, so the exact
-  * same signatures are computable by any SQL engine (oracle parity) and the
-  * whole pipeline stays in Catalyst codegen — no UDFs, no driver loops. At
-  * 100 TB each doc's signature is computed map-side in one projection; only
-  * the (band_key, doc_id) pairs shuffle.
+  * Design for scale AND cross-engine exactness:
+  *  - exactly ONE md5 per token (the only string hash); everything above it
+  *    — shingle hashes, the k minhash "permutations", simhash bit votes —
+  *    is integer arithmetic mod a >2^32 prime, so signatures cost integer
+  *    ops, not repeated digests, and any SQL engine reproduces them
+  *    bit-for-bit (higher-order lambdas are interpreted in Spark, so
+  *    per-element work must be cheap);
+  *  - signatures are map-side projections; only (band_key, doc_id) pairs
+  *    shuffle, and pairwise work happens strictly inside LSH buckets.
   */
 object Hashing {
 
-  /** 32-bit unsigned hash of a string under a seed: first 8 hex chars of
-    * md5(seed || ":" || s), as a Long in [0, 2^32). */
-  def seededHash32(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 8), 16, 10).cast(LongType)
+  /** Prime just above 2^32 — the modulus of the integer hash universe. */
+  val P: Long = 4294967311L
 
-  /** MinHash signature: array of k minima of seeded hashes over the shingle
-    * array. One pass over shingles per doc; k seeded permutation estimates. */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleArr, s => seededHash32(s, seed)))
+  /** Multipliers (< 2^28, so a*h < 2^61 never overflows a Long) and offsets
+    * for the k universal-hash "permutations" h_i(x) = (a_i*x + b_i) mod P. */
+  val MinhashA: Seq[Long] = Seq(15485863L, 32452843L, 49979687L, 67867967L,
+    86028121L, 104395301L, 122949823L, 141650939L, 160481183L, 179424673L,
+    198491317L, 217645177L, 236887691L, 256203161L, 268435019L, 275604541L)
+  val MinhashB: Seq[Long] = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L,
+    37L, 41L, 43L, 47L, 53L, 59L, 61L, 67L)
+
+  /** Shingle-combine multipliers. */
+  val C1 = 1000003L
+  val C2 = 8191L
+
+  /** 32-bit string hash: first 8 hex chars of md5, as Long in [0, 2^32). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** Combine three consecutive token hashes into a 3-gram shingle hash.
+    * Mod-P after each product so intermediates stay < 3*2^33. */
+  def shingleHash(h1: Column, h2: Column, h3: Column): Column =
+    pmod((h1 * C1) % P + (h2 * C2) % P + h3, lit(P))
+
+  /** Distinct 3-gram shingle hashes from a token-hash array; degenerate docs
+    * (< 3 tokens) fall back to the provided whole-doc hash. */
+  def shingleHashes(tokenHashes: Column, wholeDocHash: Column): Column =
+    when(size(tokenHashes) < 3, array(wholeDocHash))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(tokenHashes) - 2),
+        i => shingleHash(
+          element_at(tokenHashes, i),
+          element_at(tokenHashes, i + 1),
+          element_at(tokenHashes, i + 2)))))
+
+  /** MinHash signature: k minima of (a_i*s + b_i) mod P over the shingle-hash
+    * array. One integer pass per permutation. */
+  def minhashSignature(shingleHashArr: Column, k: Int): Column = {
+    require(k <= MinhashA.size)
+    array((0 until k).map { i =>
+      array_min(transform(shingleHashArr,
+        s => (s * MinhashA(i) + MinhashB(i)) % P))
     }: _*)
+  }
 
   /** LSH band keys: signature array (length k = bands * rowsPerBand) folded
-    * into `bands` strings "band:h1-h2-..". Docs sharing any band key are
+    * into `bands` strings "b{i}-h1-h2-..". Docs sharing any band key are
     * near-dup candidates. */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
@@ -37,16 +74,14 @@ object Hashing {
           element_at(signature, b * rowsPerBand + r + 1).cast(StringType))): _*)
     }: _*)
 
-  /** SimHash over a token/shingle array: for each of `bits` positions, sum
-    * +1/-1 votes of each element's seeded bit, emit the sign bitmap as Long.
-    * bits <= 62 to stay in signed-Long range. */
-  def simhash(tokenArr: Column, bits: Int): Column = {
-    require(bits <= 62)
-    // For each bit b: sum over tokens of (2*bit(token,b) - 1); >0 -> bit set.
+  /** SimHash over a shingle-hash array: bit b of the fingerprint is the
+    * majority vote of bit b across elements. bits <= 32 (the hash width). */
+  def simhash(shingleHashArr: Column, bits: Int): Column = {
+    require(bits <= 32)
     val terms = (0 until bits).map { b =>
-      val vote = aggregate(tokenArr, lit(0L),
-        (acc, t) => acc + (pmod(seededHash32(t, b), lit(2L)) * 2L - 1L))
-      when(vote > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+      val vote = aggregate(shingleHashArr, lit(0L),
+        (acc, s) => acc + (shiftright(s, b).bitwiseAND(lit(1L)) * 2L - 1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }
     terms.reduce(_ + _)
   }

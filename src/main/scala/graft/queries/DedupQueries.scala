@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
 /** Training-data deduplication over the `documents` corpus: exact,
   * MinHash+LSH, SimHash — the standard large-corpus near-dup stack.
   *
-  * Scale shape: signatures are map-side projections; only (band_key, doc_id)
-  * pairs shuffle, and pairwise work happens strictly inside LSH buckets —
-  * never all-pairs. At 100 TB the band join is the single shuffle and is
-  * key-salted by construction (band keys are high-cardinality).
+  * Pipeline shape (see Hashing's scaladoc): one md5 per token, integer
+  * arithmetic above it. Signature tables are tiny relative to the corpus
+  * (a few longs per doc) and are cached so self-joins and verification
+  * stages read materialized signatures — the persist-the-sketch pattern
+  * used at scale. Pairwise work happens strictly inside LSH buckets; never
+  * all-pairs.
   */
 object DedupQueries {
 
@@ -23,35 +25,43 @@ object DedupQueries {
   private val RowsPerBand = 2
   private val SimBits = 32
 
-  // Signature tables are tiny relative to the corpus (a few longs per doc):
-  // cache them so self-joins and downstream verification stages read the
-  // materialized signatures instead of re-deriving shingles+hashes on every
-  // branch of the plan — the same persist-the-sketch pattern used at scale.
   private val memo = scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
   private def memoized(spark: SparkSession, d: String, key: String)(mk: => DataFrame): DataFrame =
     memo.getOrElseUpdate((System.identityHashCode(spark), d, key), mk.cache())
 
-  /** doc_id + distinct word-3-gram shingles, cached. */
-  def shingleDf(spark: SparkSession, d: String): DataFrame =
-    memoized(spark, d, "shingles") {
-      Tables.documents(spark, d)
-        .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
-    }
-
   /** DuckDB fragments mirroring graft.functions.Text/Hashing exactly. */
   private object Sql {
+    val P = Hashing.P
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     val words = s"string_split($norm, ' ')"
-    // word 3-gram shingles, distinct; degenerate docs fall back to [norm]
-    val shingles = s"""(CASE WHEN len($words) < 3 THEN [$norm]
-      ELSE list_distinct(list_transform(range(1, len($words) - 1),
-        i -> $words[i] || ' ' || $words[i+1] || ' ' || $words[i+2])) END)"""
-    def seededHash(seed: String, v: String) =
-      s"CAST('0x' || substring(md5($seed || ':' || $v), 1, 8) AS BIGINT)"
-    def minhash(seed: Int) =
-      s"list_aggregate(list_transform(shingles, s -> ${seedExpr(seed, "s")}), 'min')"
-    def seedExpr(seed: Int, v: String) = seededHash(seed.toString, v)
+    def hash32(v: String) = s"CAST('0x' || substring(md5($v), 1, 8) AS BIGINT)"
+    // token-hash list and whole-doc hash
+    val th = s"list_transform($words, w -> ${hash32("w")})"
+    // distinct 3-gram shingle hashes with degenerate fallback
+    val shingleHashes = s"""(CASE WHEN len(th) < 3 THEN [nh]
+      ELSE list_distinct(list_transform(range(1, len(th) - 1),
+        i -> ((th[i] * ${Hashing.C1}) % $P + (th[i+1] * ${Hashing.C2}) % $P + th[i+2]) % $P)) END)"""
+    val docBase = s"SELECT doc_id, $th AS th, ${hash32(norm)} AS nh FROM documents"
+    val shBase = s"SELECT doc_id, $shingleHashes AS sh FROM ($docBase)"
+    def minhash(i: Int) =
+      s"list_aggregate(list_transform(sh, s -> (s * ${Hashing.MinhashA(i)} + ${Hashing.MinhashB(i)}) % $P), 'min')"
   }
+
+  /** doc_id + token hashes + whole-doc hash (one md5 per token), cached. */
+  def tokenHashDf(spark: SparkSession, d: String): DataFrame =
+    memoized(spark, d, "tokenhash") {
+      Tables.documents(spark, d).select(
+        col("doc_id"),
+        transform(Text.tokens(col("text")), w => Hashing.hash32(w)).as("th"),
+        Hashing.hash32(Text.normalize(col("text"))).as("nh"))
+    }
+
+  /** doc_id + distinct 3-gram shingle hashes, cached. */
+  def shingleHashDf(spark: SparkSession, d: String): DataFrame =
+    memoized(spark, d, "shinglehash") {
+      tokenHashDf(spark, d).select(col("doc_id"),
+        Hashing.shingleHashes(col("th"), col("nh")).as("sh"))
+    }
 
   /** Exact dedup: group by md5 fingerprint of normalized text, survivor =
     * min doc_id (hash-groupBy; one shuffle on the 128-bit fingerprint). */
@@ -69,11 +79,10 @@ object DedupQueries {
     FROM (SELECT doc_id, md5(${Sql.norm}) AS fp FROM documents)
     GROUP BY fp ORDER BY canonical_id"""
 
-  /** MinHash signatures: k seeded-min hashes over distinct word-3-gram
-    * shingles. Entirely map-side. */
+  /** MinHash signatures (map-side integer passes over the shingle hashes). */
   def minhashDf(spark: SparkSession, d: String): DataFrame =
     memoized(spark, d, "minhash") {
-      shingleDf(spark, d)
+      shingleHashDf(spark, d)
         .select(col("doc_id"), Hashing.minhashSignature(col("sh"), K).as("sig"))
     }
 
@@ -86,7 +95,7 @@ object DedupQueries {
     val mhs = (0 until K).map(i => s"${Sql.minhash(i)} AS mh$i").mkString(",\n      ")
     s"""
     SELECT doc_id, $mhs
-    FROM (SELECT doc_id, ${Sql.shingles} AS shingles FROM documents)
+    FROM (${Sql.shBase})
     ORDER BY doc_id"""
   }
 
@@ -118,10 +127,10 @@ object DedupQueries {
     ORDER BY doc_a, doc_b"""
   }
 
-  /** Verified near-dups: exact 3-gram Jaccard >= 0.5 on LSH candidates only
-    * (never all-pairs). Jaccard is a single int division — exact. */
+  /** Verified near-dups: exact shingle-hash Jaccard >= 0.5 on LSH candidates
+    * only (never all-pairs). Jaccard is a single int division — exact. */
   def q23(spark: SparkSession, d: String): DataFrame = {
-    val sh = shingleDf(spark, d)
+    val sh = shingleHashDf(spark, d)
     val pairs = lshPairsDf(spark, d)
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -134,7 +143,7 @@ object DedupQueries {
 
   val q23Sql: String = s"""
     WITH pairs AS (${q22Sql.replace("ORDER BY doc_a, doc_b", "")}),
-    sh AS (SELECT doc_id, ${Sql.shingles} AS sh FROM documents),
+    sh AS (${Sql.shBase}),
     scored AS (
       SELECT doc_a, doc_b,
         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -143,13 +152,11 @@ object DedupQueries {
     SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
     ORDER BY doc_a, doc_b"""
 
-  /** SimHash signatures: bitwise majority vote of seeded shingle hashes. */
-  /** SimHash over 3-gram shingles (not unigram tokens: a small shared
-    * vocabulary would make every doc's token-set near-identical and the
-    * fingerprint non-discriminative). */
+  /** SimHash (32-bit) over shingle hashes: bit b of the fingerprint is the
+    * majority vote of bit b across the doc's shingle hashes. */
   def simhashDf(spark: SparkSession, d: String): DataFrame =
     memoized(spark, d, "simhash") {
-      shingleDf(spark, d)
+      shingleHashDf(spark, d)
         .select(col("doc_id"), Hashing.simhash(col("sh"), SimBits).as("simhash"))
     }
 
@@ -158,17 +165,17 @@ object DedupQueries {
 
   val q24Sql: String = {
     val bits = (0 until SimBits).map { b =>
-      s"""(CASE WHEN list_sum(list_transform(toks,
-         t -> 2 * (${Sql.seedExpr(b, "t")} % 2) - 1)) > 0 THEN ${1L << b} ELSE 0 END)"""
+      s"""(CASE WHEN list_sum(list_transform(sh,
+         s -> 2 * ((s >> $b) & 1) - 1)) > 0 THEN ${1L << b} ELSE 0 END)"""
     }.mkString(" +\n      ")
     s"""
     SELECT doc_id, CAST($bits AS BIGINT) AS simhash
-    FROM (SELECT doc_id, ${Sql.shingles} AS toks FROM documents)
+    FROM (${Sql.shBase})
     ORDER BY doc_id"""
   }
 
-  /** SimHash near-dup pairs: candidates share one of 4 4-bit bands, verified
-    * by Hamming distance <= 2 — the banded-bits variant of LSH. */
+  /** SimHash near-dup pairs: candidates share one of 4 8-bit bands, verified
+    * by Hamming distance <= 3 — the banded-bits variant of LSH. */
   def q25(spark: SparkSession, d: String): DataFrame = {
     val sh = simhashDf(spark, d)
     val banded = sh.select(col("doc_id"), col("simhash"),

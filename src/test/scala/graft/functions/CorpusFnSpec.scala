@@ -16,13 +16,18 @@ class CorpusFnSpec extends SparkSpec {
     assert(one(Text.shingles(col("t"), 3), "a b") == Seq("a b")) // degenerate
   }
 
+  private def shingleHashes(t: org.apache.spark.sql.Column) =
+    Hashing.shingleHashes(
+      transform(Text.tokens(t), w => Hashing.hash32(w)),
+      Hashing.hash32(Text.normalize(t)))
+
   test("minhash signature is stable and sensitive") {
     val df = Seq(
       ("d1", "the quick brown fox jumps over the lazy dog"),
       ("d2", "the quick brown fox jumps over the lazy cat"),
       ("d3", "entirely different content with no overlap here")).toDF("id", "t")
     val sig = df.select(col("id"),
-      Hashing.minhashSignature(Text.shingles(col("t"), 3), 8).as("sig"))
+      Hashing.minhashSignature(shingleHashes(col("t")), 8).as("sig"))
       .as[(String, Seq[Long])].collect().toMap
     assert(sig("d1").size == 8)
     // near-dups share most mins; disjoint docs share none of the 8
@@ -43,7 +48,7 @@ class CorpusFnSpec extends SparkSpec {
       ("d2", "the quick brown fox jumps over the lazy dog tonight"),
       ("d3", "completely unrelated words appear in this sentence instead")).toDF("id", "t")
     val sh = df.select(col("id"),
-      Hashing.simhash(array_distinct(Text.tokens(col("t"))), 16).as("s"))
+      Hashing.simhash(shingleHashes(col("t")), 32).as("s"))
       .as[(String, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sh("d1"), sh("d2")) < ham(sh("d1"), sh("d3")))
