@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.functions.Converters
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declarative per-resource schema: the Spark analog of
+  * `Webhookdb::Replicator::Column` (`lib/webhookdb/replicator/column.rb:380-411`).
+  *
+  * The reference keeps each converter twice (Ruby proc + SQL string, the
+  * "IsomorphicProc"); here `convert` is ONE Catalyst expression used by
+  * streaming ingest, batch backfill AND schema-evolution re-derivation
+  * (`Pipeline.backfillColumn`) — the single-expression-layer design win
+  * (SURVEY §7.1).
+  *
+  * @param dataKey   JSON dig path into the resource (nested = Seq of keys),
+  *                  `column.rb:493-509`
+  * @param eventKey  when the payload arrived event-wrapped, dig this path out
+  *                  of the event envelope instead (precedence enrichment >
+  *                  event > resource, `column.rb:457-465`)
+  * @param defaulter applied when the dug value is null, BEFORE the converter
+  *                  (`column.rb:466-467`)
+  * @param skipNil   never overwrite an existing row value with null (E20,
+  *                  `column.rb:362-366`)
+  * @param setOnce   insert-only column (`coalesce(tgt, src)` on update, U3)
+  */
+final case class ColumnSpec(
+    name: String,
+    dataType: DataType,
+    dataKey: Seq[String],
+    eventKey: Seq[String] = Nil,
+    fromEnrichment: Boolean = false,
+    convert: Column => Column = identity,
+    defaulter: Option[Column => Column] = None,
+    skipNil: Boolean = false,
+    setOnce: Boolean = false,
+    /** Escape hatch for values derived from several resource fields (e.g.
+      * compound keys, E16): a function of the whole resource JSON column.
+      * When set, dataKey/eventKey digs are skipped (converter still runs). */
+    resourceExpr: Option[Column => Column] = None)
+
+object ColumnSpec {
+  def apply(name: String, dataType: DataType): ColumnSpec =
+    ColumnSpec(name, dataType, Seq(name))
+  /** JSONPath for a dig; bracket-quote keys that aren't identifiers
+    * (e.g. `georss:point`). */
+  def path(keys: Seq[String]): String =
+    "$" + keys.map { k =>
+      if (k.matches("[A-Za-z0-9_]+")) s".$k" else s"['$k']"
+    }.mkString
+}
+
+/** Declarative pipeline descriptor — the Spark analog of the replicator
+  * `Descriptor` registry entry + schema (`lib/webhookdb/replicator.rb:28-145`,
+  * `base.rb:508-528`).
+  *
+  * @param resourcePath  when `eventPred` holds, the resource lives at this
+  *                      path inside the envelope (e.g. Stripe `data.object`,
+  *                      `stripe_v1_mixin.rb:6-10`)
+  * @param updateWhere   U2 event-time monotonicity; default "data changed"
+  *                      (`base.rb:861-879`)
+  */
+final case class ReplicatorSpec(
+    name: String,
+    remoteKeyCol: String,
+    columns: Seq[ColumnSpec],
+    timestampCol: Option[String] = None,
+    updateWhere: (String => Column, String => Column) => Column =
+      (t, s) => !(t("data") <=> s("data")),
+    eventPred: Column => Column = _ => lit(false),
+    resourcePath: Seq[String] = Nil,
+    partitioned: Boolean = false,
+    dependsOn: Option[String] = None) {
+
+  /** Full output schema: declared columns + partition hash (U5, optional) +
+    * `data` (scrubbed resource JSON, always last — `base.rb:344-369`). */
+  def outputColumns: Seq[String] =
+    columns.map(_.name) ++
+      (if (partitioned) Seq("part_hash") else Nil) :+ "data"
+
+  def mergeSpec: MergeSpec = MergeSpec(
+    keyCols = (if (partitioned) Seq("part_hash") else Nil) :+ remoteKeyCol,
+    orderCol = Projection.IngestSeqCol,
+    updateWhere = updateWhere,
+    coalesceOnUpdate = columns.filter(_.setOnce).map(_.name),
+    skipNilCols = columns.filter(_.skipNil).map(_.name))
+}
+
+/** The projection engine: raw webhook body -> wide typed row
+  * (`base.rb:747-760` unwrap + `:909-916` prepare-for-insert).
+  * Pure Catalyst expressions; used identically for streaming microbatches
+  * and batch backfills.
+  */
+object Projection {
+
+  /** Ingest-order column added by sources; drives last-wins dedup (U4). */
+  val IngestSeqCol = "__ingest_seq"
+
+  private def dig(json: Column, keys: Seq[String]): Column =
+    get_json_object(json, ColumnSpec.path(keys))
+
+  /** Resolve one ColumnSpec against (resource, event, enrichment) JSON
+    * columns: dig with source precedence -> defaulter on null -> converter
+    * -> cast. */
+  def resolve(spec: ColumnSpec, resource: Column, event: Column,
+              enrichment: Column): Column = {
+    val raw = spec.resourceExpr match {
+      case Some(f) => f(resource)
+      case None =>
+        if (spec.fromEnrichment) dig(enrichment, spec.dataKey)
+        else if (spec.eventKey.nonEmpty)
+          when(event.isNotNull, dig(event, spec.eventKey))
+            .otherwise(dig(resource, spec.dataKey))
+        else dig(resource, spec.dataKey)
+    }
+    val defaulted = spec.defaulter.fold(raw)(d => d(raw))
+    spec.convert(defaulted).try_cast(spec.dataType).as(spec.name)
+  }
+
+  /** Project a batch of webhook requests (`body` JSON string column, optional
+    * `enrichment`, plus [[IngestSeqCol]]) into the replicator's wide schema.
+    * Rows whose resource is null (U6 skip routing) are dropped. */
+  def project(spec: ReplicatorSpec, webhooks: DataFrame): DataFrame = {
+    val body = col("body")
+    val hasEnrichment = webhooks.columns.contains("enrichment")
+    val enrichment = if (hasEnrichment) col("enrichment") else lit(null).cast(StringType)
+    val isEvent = spec.eventPred(body)
+    val resource =
+      if (spec.resourcePath.isEmpty) body
+      else when(isEvent, dig(body, spec.resourcePath)).otherwise(body)
+    val event = when(isEvent, body).otherwise(lit(null).cast(StringType))
+
+    val cols = spec.columns.map(c => resolve(c, resource, event, enrichment)) ++
+      (if (spec.partitioned) Seq(Converters.str2inthash(
+        resolve(spec.columns.find(_.name == spec.remoteKeyCol).get,
+          resource, event, enrichment)).as("part_hash"))
+       else Nil) ++
+      Seq(Converters.scrubJsonNulls(resource).as("data"),
+        col(IngestSeqCol))
+    webhooks.select(cols: _*).filter(col(spec.remoteKeyCol).isNotNull)
+  }
+}
+
+/** End-to-end upsert pipeline: unwrap -> project -> dedup -> merge — shared
+  * by streaming `foreachBatch` and batch backfill (SURVEY §7.1 pillar 3/4).
+  */
+object Pipeline {
+
+  /** Apply one batch of webhook payloads to the current snapshot. */
+  def upsertBatch(spec: ReplicatorSpec, target: DataFrame,
+                  webhooks: DataFrame): DataFrame = {
+    val projected = Projection.project(spec, webhooks)
+    Merge.upsert(target.withColumn(Projection.IngestSeqCol, lit(-1L)),
+        projected, spec.mergeSpec)
+      .drop(Projection.IngestSeqCol)
+  }
+
+  /** Changed-row side output of a batch (U7 rowupsert notifications). */
+  def changedBatch(spec: ReplicatorSpec, target: DataFrame,
+                   webhooks: DataFrame): DataFrame =
+    Merge.changedRows(target.withColumn(Projection.IngestSeqCol, lit(-1L)),
+        Projection.project(spec, webhooks), spec.mergeSpec)
+      .drop(Projection.IngestSeqCol)
+
+  /** Empty snapshot with the replicator's schema. */
+  def emptyTarget(spec: ReplicatorSpec, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val fields = spec.columns.map(c => StructField(c.name, c.dataType)) ++
+      (if (spec.partitioned) Seq(StructField("part_hash", IntegerType)) else Nil) :+
+      StructField("data", StringType)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields))
+  }
+
+  /** Schema evolution (§1.3): re-derive a (new) column for already-stored
+    * rows from the persisted `data` JSON using the SAME ColumnSpec expression
+    * as ingest — the reference needs chunked SQL UPDATEs with a second SQL
+    * converter implementation (`base.rb:575-643`); here it is one projection.
+    */
+  def backfillColumn(stored: DataFrame, spec: ColumnSpec,
+                     dataCol: String = "data"): DataFrame = {
+    val enrichmentCol =
+      if (stored.columns.contains("enrichment")) col("enrichment")
+      else lit(null).cast(StringType)
+    stored.withColumn(spec.name,
+      Projection.resolve(spec, col(dataCol), lit(null).cast(StringType), enrichmentCol))
+  }
+}

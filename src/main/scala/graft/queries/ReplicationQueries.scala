@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Converters
-import graft.operators.{Merge, MergeSpec, Reconcile}
+import graft.operators.{ColumnSpec, Merge, MergeSpec, Pipeline, Projection, Reconcile, ReplicatorSpec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -223,6 +223,79 @@ object ReplicationQueries {
       count(DISTINCT user_id || '-' || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS n_active_days
     FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** S1+U6+§2.2 — the full replicator ingest pipeline under oracle: events
+    * rendered as webhook payloads (half event-wrapped, Stripe style), run
+    * through unwrap -> ColumnSpec projection (digs, converters, casts) ->
+    * merge into an empty snapshot. The oracle recomputes the final table
+    * directly from the source columns — engine JSON round-tripping must be
+    * value-neutral. */
+  def q18(spark: SparkSession, d: String): DataFrame = {
+    val mapping = Map("click" -> "engage", "view" -> "engage",
+      "purchase" -> "convert", "signup" -> "convert")
+    val spec = ReplicatorSpec(
+      name = "measurement_v1",
+      remoteKeyCol = "measure_id",
+      columns = Seq(
+        ColumnSpec("measure_id", StringType, Seq("id")),
+        ColumnSpec("user_id", LongType, Seq("user")),
+        ColumnSpec("category", StringType, Seq("type"),
+          convert = c => Converters.mapLookup(c, mapping)),
+        ColumnSpec("created", TimestampType, Seq("created_ms"),
+          convert = c => timestamp_millis(Converters.toI(c))),
+        ColumnSpec("amount", DecimalType(12, 2), Seq("amount"))),
+      timestampCol = Some("created"),
+      eventPred = body => get_json_object(body, "$.object") === "event",
+      resourcePath = Seq("data", "object"))
+    val e = Tables.events(spark, d)
+    val plain = to_json(struct(
+      concat(lit("ev-"), col("event_id")).as("id"),
+      col("user_id").as("user"),
+      col("event_type").as("type"),
+      unix_millis(col("ts")).as("created_ms"),
+      col("value").as("amount")))
+    val body = when(col("event_id") % 2 === 1,
+      concat(lit("""{"object":"event","data":{"object":"""), plain, lit("}}")))
+      .otherwise(plain)
+    val webhooks = e.select(body.as("body"), col("event_id").as(Projection.IngestSeqCol))
+    Pipeline.upsertBatch(spec, Pipeline.emptyTarget(spec, spark), webhooks)
+      .select(col("measure_id"), col("user_id"), col("category"),
+        unix_millis(col("created")).as("ts_ms"),
+        col("amount").cast("double").as("amount"),
+        date_format(col("created"), "yyyy-MM-dd").as("day"))
+      .orderBy(col("measure_id"))
+  }
+
+  val q18Sql: String = """
+    SELECT 'ev-' || event_id AS measure_id, user_id,
+      CASE event_type WHEN 'click' THEN 'engage' WHEN 'view' THEN 'engage'
+        WHEN 'purchase' THEN 'convert' WHEN 'signup' THEN 'convert'
+        ELSE event_type END AS category,
+      epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+      CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS amount,
+      strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+    FROM events ORDER BY measure_id"""
+
+  /** §1.3 schema evolution — a column added after the fact is re-derived
+    * from the stored `data` JSON with the SAME ColumnSpec expression used at
+    * ingest (the reference needs a second SQL converter implementation and
+    * chunked UPDATEs, `base.rb:575-643`). */
+  def q19(spark: SparkSession, d: String): DataFrame = {
+    val stored = Tables.events(spark, d)
+      .select(col("event_id"), col("props").as("data"))
+    val kInt = ColumnSpec("k_int", LongType, Seq("k"), convert = Converters.toI)
+    val kBucket = ColumnSpec("k_bucket", LongType, Seq("k"),
+      convert = c => pmod(Converters.toI(c), lit(10)))
+    Pipeline.backfillColumn(Pipeline.backfillColumn(stored, kInt), kBucket)
+      .select(col("event_id"), col("k_int"), col("k_bucket"))
+      .orderBy(col("event_id"))
+  }
+
+  val q19Sql: String = """
+    SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events ORDER BY event_id"""
+
   val defs: Map[String, Q] = Map(
     "q10_upsert_monotonic" -> (q10 _),
     "q11_upsert_setonce_skipnil" -> (q11 _),
@@ -231,7 +304,9 @@ object ReplicationQueries {
     "q14_incremental_scan" -> (q14 _),
     "q15_json_converters" -> (q15 _),
     "q16_str2inthash_partition" -> (q16 _),
-    "q17_compound_key_days" -> (q17 _))
+    "q17_compound_key_days" -> (q17 _),
+    "q18_replicator_pipeline" -> (q18 _),
+    "q19_schema_evolution_backfill" -> (q19 _))
 
   val oracles: Map[String, String] = Map(
     "q10_upsert_monotonic" -> q10Sql,
@@ -241,5 +316,7 @@ object ReplicationQueries {
     "q14_incremental_scan" -> q14Sql,
     "q15_json_converters" -> q15Sql,
     "q16_str2inthash_partition" -> q16Sql,
-    "q17_compound_key_days" -> q17Sql)
+    "q17_compound_key_days" -> q17Sql,
+    "q18_replicator_pipeline" -> q18Sql,
+    "q19_schema_evolution_backfill" -> q19Sql)
 }

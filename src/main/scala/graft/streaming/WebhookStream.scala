@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.operators.{Pipeline, Projection, ReplicatorSpec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Structured Streaming ingest (S1, §3.1): a landed-webhook log (JSON files /
+  * any streaming source) drives `foreachBatch(Pipeline.upsertBatch)` into a
+  * versioned parquet snapshot store.
+  *
+  * Streaming semantics preserved (SURVEY §2.11): at-least-once ingest with
+  * exactly-once effect via the idempotent merge; out-of-order data handled by
+  * `updateWhere` monotonicity, NOT watermark drops — no state store needed,
+  * the snapshot itself is the state.
+  */
+object WebhookStream {
+
+  /** Schema of a landed webhook request (`webhook_request.rb:3-23`). */
+  val requestSchema: StructType = StructType(Seq(
+    StructField("body", StringType),
+    StructField("headers", MapType(StringType, StringType)),
+    StructField("path", StringType),
+    StructField("method", StringType),
+    StructField(Projection.IngestSeqCol, LongType)))
+
+  /** Start ingesting `sourceDir` (json-lines files of webhook requests) into
+    * a [[SnapshotStore]] at `snapshotDir`. */
+  def start(spark: SparkSession, spec: ReplicatorSpec, sourceDir: String,
+            snapshotDir: String, checkpointDir: String): StreamingQuery = {
+    val store = new SnapshotStore(snapshotDir)
+    spark.readStream
+      .schema(requestSchema)
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sparkB = batch.sparkSession
+        val target = store.readOr(Pipeline.emptyTarget(spec, sparkB))
+        val merged = Pipeline.upsertBatch(spec, target, batch)
+        store.write(merged, batchId)
+        ()
+      }
+      .start()
+  }
+}
+
+/** Versioned parquet snapshot with an atomic LATEST pointer — the minimal
+  * local stand-in for a transactional table format: each microbatch writes
+  * `v{batchId}` and flips the pointer, so readers never see a partial merge
+  * and replayed batches (failure recovery) are idempotent overwrites.
+  */
+final class SnapshotStore(dir: String) {
+  private val pointer = Paths.get(dir, "LATEST")
+  Files.createDirectories(Paths.get(dir))
+
+  def latestVersion: Option[String] =
+    if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+
+  def readOr(empty: => DataFrame): DataFrame = latestVersion match {
+    case Some(v) => org.apache.spark.sql.SparkSession.active.read.parquet(s"$dir/$v")
+    case None => empty
+  }
+
+  def write(df: DataFrame, batchId: Long): Unit = {
+    val v = s"v$batchId"
+    df.write.mode("overwrite").parquet(s"$dir/$v")
+    Files.writeString(pointer, v,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+}

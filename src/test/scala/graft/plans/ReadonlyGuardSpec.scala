@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** §3.3 SQL surface: SELECT-only enforcement at plan level + row cap. */
+class ReadonlyGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def setup(): Unit =
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .createOrReplaceTempView("guard_t")
+
+  test("select passes, rows and headers returned") {
+    setup()
+    val r = ReadonlyGuard.run(spark, "SELECT id, v FROM guard_t ORDER BY id")
+    assert(r.headers == Seq("id", "v"))
+    assert(r.df.count() == 3)
+    assert(!r.maxRowsReached)
+  }
+
+  test("row cap truncates and reports max_rows_reached") {
+    setup()
+    val r = ReadonlyGuard.run(spark, "SELECT id FROM guard_t", maxRows = 2)
+    assert(r.df.count() == 2)
+    assert(r.maxRowsReached)
+  }
+
+  test("writes and DDL are rejected at plan level") {
+    setup()
+    for (bad <- Seq(
+      "DROP TABLE guard_t",
+      "CREATE TABLE nope (id INT) USING parquet",
+      "INSERT INTO guard_t VALUES (9, 'x')",
+      "CREATE OR REPLACE VIEW v AS SELECT 1",
+      "SET spark.sql.shuffle.partitions=1",
+      "TRUNCATE TABLE guard_t"))
+      assertThrows[ReadonlyGuard.RejectedSql](ReadonlyGuard.run(spark, bad))
+  }
+
+  test("CTEs and subqueries still pass") {
+    setup()
+    val r = ReadonlyGuard.run(spark,
+      "WITH x AS (SELECT id FROM guard_t WHERE id > 1) SELECT count(*) AS n FROM x")
+    assert(r.df.collect()(0).getLong(0) == 2)
+  }
+
+  test("saved queries validate on save and run capped; views are validated") {
+    setup()
+    val sq = new SavedQueries(spark)
+    sq.save("q1", "SELECT id FROM guard_t")
+    assert(sq.run("q1").df.count() == 3)
+    assertThrows[ReadonlyGuard.RejectedSql](sq.save("evil", "DROP TABLE guard_t"))
+    sq.createOrReplaceView("my_view", "SELECT id * 2 AS id2 FROM guard_t")
+    assert(sq.runView("my_view").count() == 3)
+    assertThrows[IllegalArgumentException](
+      sq.createOrReplaceView("bad name!", "SELECT 1"))
+  }
+}
