@@ -19,7 +19,7 @@ object Reconcile {
       .withColumn("__present", lit(true)))
     current.join(present, Seq(keyCol), "left")
       .withColumn(statusCol,
-        when(scope && col("__present").isNull && col(statusCol) =!= cancelledValue,
+        when(scope && col("__present").isNull && !(col(statusCol) <=> cancelledValue),
           lit(cancelledValue)).otherwise(col(statusCol)))
       .drop("__present")
   }

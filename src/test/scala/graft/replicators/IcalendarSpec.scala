@@ -1,0 +1,213 @@
+package graft.replicators
+
+import graft.SparkSpec
+import graft.operators.Rrule
+import graft.sources.Ics
+import java.time.{DayOfWeek, Instant, LocalDateTime, ZoneOffset}
+
+/** ICS parsing (S6), RRULE expansion (G1), tz semantics (E17), implicit end
+  * (E18), exception identity stealing and reconciliation (R1/R2) — the
+  * contract surface of the reference's icalendar specs. */
+class IcalendarSpec extends SparkSpec {
+
+  private val now = Instant.parse("2024-06-01T00:00:00Z")
+
+  // ---- parser ----
+
+  test("unfolds continuation lines and parses params + escapes") {
+    val feed =
+      """BEGIN:VCALENDAR
+        |BEGIN:VEVENT
+        |UID:ev1
+        |SUMMARY:Line one
+        |  continued here
+        |DTSTART;TZID=America/New_York:20240101T100000
+        |DESCRIPTION:a\nb\,c
+        |CATEGORIES:work,meeting
+        |CATEGORIES:extra
+        |BEGIN:VALARM
+        |TRIGGER:-PT15M
+        |END:VALARM
+        |STATUS:CONFIRMED
+        |END:VEVENT
+        |END:VCALENDAR""".stripMargin
+    val events = Ics.parseFeed(feed)
+    assert(events.size == 1)
+    val h = events.head
+    assert(h("SUMMARY").head.v == "Line onecontinued here")
+    assert(h("DTSTART").head.params("TZID") == "America/New_York")
+    assert(h("DESCRIPTION").head.v == "a\nb,c")
+    assert(h("CATEGORIES").map(_.v) == Seq("work,meeting", "extra")) // array key
+    assert(!h.contains("TRIGGER")) // nested component content skipped
+    assert(h("STATUS").head.v == "CONFIRMED")
+  }
+
+  // ---- rrule ----
+
+  private def expand(start: String, rule: String,
+                     ex: Seq[String] = Nil, rd: Seq[String] = Nil) = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
+    Rrule.occurrences(
+      LocalDateTime.parse(start, fmt), Rrule.parse(rule), ZoneOffset.UTC,
+      rdates = rd.map(LocalDateTime.parse(_, fmt)),
+      exdates = ex.map(LocalDateTime.parse(_, fmt)),
+      cutoff = LocalDateTime.parse("20300101T000000", fmt))
+  }
+
+  test("weekly count with exdate") {
+    val got = expand("20240101T100000", "FREQ=WEEKLY;COUNT=5",
+      ex = Seq("20240115T100000"))
+    assert(got.map(_.toString) == Seq(
+      "2024-01-01T10:00", "2024-01-08T10:00", "2024-01-22T10:00", "2024-01-29T10:00"))
+  }
+
+  test("weekly byday spans the week in order") {
+    val got = expand("20240101T090000", "FREQ=WEEKLY;BYDAY=MO,WE;COUNT=4")
+    assert(got.map(_.toString) == Seq(
+      "2024-01-01T09:00", "2024-01-03T09:00", "2024-01-08T09:00", "2024-01-10T09:00"))
+  }
+
+  test("monthly day-31 skips short months; until is inclusive") {
+    val got = expand("20240131T120000", "FREQ=MONTHLY;UNTIL=20240601T120000")
+    assert(got.map(_.toString) == Seq(
+      "2024-01-31T12:00", "2024-03-31T12:00", "2024-05-31T12:00"))
+  }
+
+  test("monthly nth weekday and yearly") {
+    val got = expand("20240109T080000", "FREQ=MONTHLY;BYDAY=2TU;COUNT=3")
+    assert(got.map(_.toString) == Seq(
+      "2024-01-09T08:00", "2024-02-13T08:00", "2024-03-12T08:00"))
+    val yearly = expand("20240229T100000", "FREQ=YEARLY;COUNT=3")
+    // Feb 29 only exists in leap years (skipped otherwise); the 2030 test
+    // cutoff bounds enumeration before the third leap year
+    assert(yearly.map(_.toString) == Seq(
+      "2024-02-29T10:00", "2028-02-29T10:00"))
+  }
+
+  test("rdate merges and sorts; ambiguous WEEKLY+BYMONTHDAY sanitized") {
+    val got = expand("20240101T100000", "FREQ=WEEKLY;COUNT=2",
+      rd = Seq("20240103T100000"))
+    assert(got.map(_.toString) == Seq(
+      "2024-01-01T10:00", "2024-01-03T10:00", "2024-01-08T10:00"))
+    val r = Rrule.parse("FREQ=WEEKLY;BYMONTHDAY=4;COUNT=2")
+    assert(r.byMonthDay.isEmpty) // dropped per sanitization
+    assert(r.wkst == DayOfWeek.MONDAY)
+  }
+
+  // ---- end-to-end expansion ----
+
+  private val fixtureFeed =
+    """BEGIN:VCALENDAR
+      |BEGIN:VEVENT
+      |UID:ev1
+      |DTSTART;TZID=America/New_York:20240101T100000
+      |DTEND;TZID=America/New_York:20240101T110000
+      |RRULE:FREQ=WEEKLY;COUNT=5
+      |EXDATE;TZID=America/New_York:20240115T100000
+      |LAST-MODIFIED:20240101T000000Z
+      |STATUS:CONFIRMED
+      |GEO:45.5;-122.6
+      |CATEGORIES:work,meeting
+      |END:VEVENT
+      |BEGIN:VEVENT
+      |UID:solo
+      |DTSTART:20240301
+      |END:VEVENT
+      |BEGIN:VEVENT
+      |UID:durev
+      |DTSTART:20240401T120000Z
+      |DURATION:PT1H30M
+      |END:VEVENT
+      |END:VCALENDAR""".stripMargin
+
+  test("feed expansion: recurrence projection, tz conversion, implicit ends") {
+    val rows = IcalendarEvents.expandFeed("cal-123", fixtureFeed, now)
+    val rec = rows.filter(_.recurring_event_id.contains("ev1"))
+    assert(rec.size == 4) // 5 minus the EXDATE
+    assert(rec.map(_.compound_identity) ==
+      Seq("cal-123-ev1-0", "cal-123-ev1-1", "cal-123-ev1-2", "cal-123-ev1-3"))
+    // 10:00 America/New_York = 15:00 UTC in January
+    assert(rec.head.start_at.get.toInstant == Instant.parse("2024-01-01T15:00:00Z"))
+    assert(rec.head.end_at.get.toInstant == Instant.parse("2024-01-01T16:00:00Z"))
+    assert(rec.head.categories == Seq("work", "meeting"))
+    assert(rec.head.geo_lat.contains(45.5) && rec.head.geo_lng.contains(-122.6))
+    assert(!rec.head.missing_timezone)
+
+    val solo = rows.find(_.uid == "solo").get
+    assert(solo.start_date.get.toString == "2024-03-01")
+    assert(solo.end_date.get.toString == "2024-03-02") // +1 day default
+    assert(solo.start_at.isEmpty)
+
+    val durev = rows.find(_.uid == "durev").get
+    assert(durev.end_at.get.toInstant == Instant.parse("2024-04-01T13:30:00Z"))
+  }
+
+  test("RECURRENCE-ID exception steals occurrence identity, bumps last-modified") {
+    val feed = fixtureFeed.replace("END:VCALENDAR",
+      """BEGIN:VEVENT
+        |UID:ev1
+        |RECURRENCE-ID;TZID=America/New_York:20240108T100000
+        |DTSTART;TZID=America/New_York:20240108T140000
+        |DTEND;TZID=America/New_York:20240108T150000
+        |LAST-MODIFIED:20240102T000000Z
+        |STATUS:CONFIRMED
+        |END:VEVENT
+        |END:VCALENDAR""".stripMargin)
+    val rows = IcalendarEvents.expandFeed("cal-123", feed, now)
+    val stolen = rows.filter(_.compound_identity == "cal-123-ev1-1")
+    assert(stolen.size == 2) // original + exception sharing the identity
+    val exception = stolen.find(_.start_at.exists(
+      _.toInstant == Instant.parse("2024-01-08T19:00:00Z"))).get
+    // +1s over the ORIGINAL's last-modified so the exception wins the merge
+    val original = stolen.find(_ != exception).get
+    assert(exception.last_modified_at.get.toInstant ==
+      original.last_modified_at.get.toInstant.plusSeconds(1))
+    assert(exception.recurring_event_sequence == original.recurring_event_sequence)
+  }
+
+  test("out-of-rrule exception extends the sequence") {
+    val feed = fixtureFeed.replace("END:VCALENDAR",
+      """BEGIN:VEVENT
+        |UID:ev1
+        |RECURRENCE-ID;TZID=America/New_York:20241225T100000
+        |DTSTART;TZID=America/New_York:20241225T100000
+        |END:VEVENT
+        |END:VCALENDAR""".stripMargin)
+    val rows = IcalendarEvents.expandFeed("cal-123", feed, now)
+    val ext = rows.find(_.start_at.exists(
+      _.toInstant == Instant.parse("2024-12-25T15:00:00Z"))).get
+    assert(ext.recurring_event_sequence.contains(4)) // extends 0..3
+    assert(ext.uid == "ev1-4")
+  }
+
+  test("distributed expansion + reconciliation (R1 cancel-missing, R2 stale seq)") {
+    import spark.implicits._
+    val feeds = Seq(("cal-123", fixtureFeed)).toDS()
+    val rows = IcalendarEvents.expandDataset(feeds, now)
+    assert(rows.count() == 6)
+
+    val current = rows.toDF()
+    // next sync: the series shrank to 2 occurrences; solo and durev vanished
+    val shrunkFeed =
+      """BEGIN:VCALENDAR
+        |BEGIN:VEVENT
+        |UID:ev1
+        |DTSTART;TZID=America/New_York:20240101T100000
+        |DTEND;TZID=America/New_York:20240101T110000
+        |RRULE:FREQ=WEEKLY;COUNT=2
+        |LAST-MODIFIED:20240101T000000Z
+        |STATUS:CONFIRMED
+        |END:VEVENT
+        |END:VCALENDAR""".stripMargin
+    val shrunk = IcalendarEvents.expandFeed("cal-123", shrunkFeed, now)
+    val upsertedDs = shrunk.toDS().toDF()
+    val after = IcalendarEvents.reconcile(current, upsertedDs, "cal-123")
+    val byId = after.collect().map(r =>
+      r.getAs[String]("compound_identity") -> r.getAs[String]("status")).toMap
+    assert(byId("cal-123-ev1-0") == "CONFIRMED")  // still present
+    assert(byId("cal-123-solo") == "CANCELLED")   // missing from feed
+    assert(byId("cal-123-durev") == "CANCELLED")
+    assert(!byId.contains("cal-123-ev1-3"))       // stale sequence deleted
+    assert(!byId.contains("cal-123-ev1-2"))
+  }
+}
