@@ -17,9 +17,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchSurface.defs ++ ReplicationQueries.defs ++ DedupQueries.defs ++
-      VectorQueries.defs ++ TextQueries.defs
+      VectorQueries.defs ++ TextQueries.defs ++ ExtraQueries.defs
 
   def oracleSql: Map[String, String] =
     TpchSurface.oracles ++ ReplicationQueries.oracles ++ DedupQueries.oracles ++
-      VectorQueries.oracles ++ TextQueries.oracles
+      VectorQueries.oracles ++ TextQueries.oracles ++ ExtraQueries.oracles
 }

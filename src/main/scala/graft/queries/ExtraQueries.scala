@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Additional SQL-surface + pipeline coverage: CUBE grouping sets, exact
+  * percentiles, generator (explode) aggregation, top-k ANN, and the
+  * multimodal binary feature path under oracle. */
+object ExtraQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private val dec2 = DecimalType(12, 2)
+
+  /** CUBE over (segment x order status): all four grouping sets in one
+    * pass (map-side partial aggregation handles the fan-out). */
+  def q08(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d).select(col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(dec2).as("price"))
+    val c = Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).cast("double").as("sum_price"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("segment"), col("status"))
+  }
+
+  val q08Sql: String = """
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      coalesce(o_orderstatus, 'ALL') AS status,
+      count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    ORDER BY segment, status"""
+
+  /** Exact interpolated percentiles per event type (both engines use the
+    * p*(n-1) linear-interpolation definition over exact doubles). */
+  def q09(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .select(col("event_type"), col("value").cast(dec2).cast("double").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(v, 0.5)").as("median_value"),
+        expr("percentile(v, 0.9)").as("p90_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q09Sql: String = """
+    SELECT event_type, count(*) AS n,
+      quantile_cont(v, 0.5) AS median_value,
+      quantile_cont(v, 0.9) AS p90_value
+    FROM (SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v FROM events)
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** Generator surface (G3/G4): explode tokens -> global top-20 vocabulary.
+    * The explode is map-side; one shuffle aggregates counts. */
+  def q26(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  val q26Sql: String = """
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+          FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 20"""
+
+  /** Top-3 neighbors per query vector (rank windows over the broadcast-join
+    * scores — the k>1 ANN surface). */
+  def q33(spark: SparkSession, d: String): DataFrame = {
+    val quantized = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => floor(x.cast("double") * 1000000d).cast(LongType))
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
+    val scored = emb.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.Vectors.dotLong(col("qv_q"), col("qv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q33Sql: String = """
+    WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS cv
+          FROM embeddings WHERE vec_id >= 5),
+    scored AS (SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS BIGINT) AS score
+      FROM q CROSS JOIN c),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+               FROM scored)
+    SELECT query_id, rk, neighbor_id, score FROM ranked WHERE rk <= 3
+    ORDER BY query_id, rk"""
+
+  /** Multimodal plumbing under oracle: text payload -> binary media column
+    * -> partition-wise executor feature extraction (REAL mapPartitions with
+    * per-partition digest reuse) -> (size, md5). The oracle recomputes from
+    * the source text — byte-level identity across the binary path. */
+  def q50(spark: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.asMedia(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      "text", "text/plain")
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("md5_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q50Sql: String = """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS md5_hex
+    FROM documents ORDER BY doc_id"""
+
+  val defs: Map[String, Q] = Map(
+    "q08_cube_segment_status" -> (q08 _),
+    "q09_percentiles" -> (q09 _),
+    "q26_token_vocabulary" -> (q26 _),
+    "q33_ann_top3" -> (q33 _),
+    "q50_multimodal_features" -> (q50 _))
+
+  val oracles: Map[String, String] = Map(
+    "q08_cube_segment_status" -> q08Sql,
+    "q09_percentiles" -> q09Sql,
+    "q26_token_vocabulary" -> q26Sql,
+    "q33_ann_top3" -> q33Sql,
+    "q50_multimodal_features" -> q50Sql)
+}
