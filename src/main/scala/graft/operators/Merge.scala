@@ -65,7 +65,12 @@ object Merge {
     val src = dedupLastWins(source, spec)
     val t = target.select(cols.map(c => col(c).as(s"t_$c")): _*)
     val s = src.select(cols.map(c => col(c).as(s"s_$c")): _*)
-    val joinCond = spec.keyCols.map(k => col(s"t_$k") <=> col(s"s_$k")).reduce(_ && _)
+    // plain equality, not null-safe: keys are non-null by contract (the
+    // projection drops null remote keys), and === lets the join reuse the
+    // dedup window's hash partitioning instead of inserting a second
+    // exchange per side (null-safe keys defeat alias-aware partitioning
+    // propagation).
+    val joinCond = spec.keyCols.map(k => col(s"t_$k") === col(s"s_$k")).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
 
     val tc: String => Column = c => col(s"t_$c")

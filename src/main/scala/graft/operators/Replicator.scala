@@ -120,25 +120,66 @@ object Projection {
 
   /** Project a batch of webhook requests (`body` JSON string column, optional
     * `enrichment`, plus [[IngestSeqCol]]) into the replicator's wide schema.
-    * Rows whose resource is null (U6 skip routing) are dropped. */
+    * Rows whose resource is null (U6 skip routing) are dropped.
+    *
+    * Parse discipline (matters at scale): the resource/event JSON strings are
+    * materialized ONCE as intermediate columns, and every top-level
+    * single-key dig comes out of ONE `json_tuple` pass — not one full JSON
+    * parse per projected column. Nested paths and event-envelope digs fall
+    * back to `get_json_object` against the materialized strings. */
   def project(spec: ReplicatorSpec, webhooks: DataFrame): DataFrame = {
     val body = col("body")
     val hasEnrichment = webhooks.columns.contains("enrichment")
     val enrichment = if (hasEnrichment) col("enrichment") else lit(null).cast(StringType)
     val isEvent = spec.eventPred(body)
-    val resource =
+    val resourceExprCol =
       if (spec.resourcePath.isEmpty) body
       else when(isEvent, dig(body, spec.resourcePath)).otherwise(body)
-    val event = when(isEvent, body).otherwise(lit(null).cast(StringType))
+    val eventExprCol = when(isEvent, body).otherwise(lit(null).cast(StringType))
 
-    val cols = spec.columns.map(c => resolve(c, resource, event, enrichment)) ++
-      (if (spec.partitioned) Seq(Converters.str2inthash(
-        resolve(spec.columns.find(_.name == spec.remoteKeyCol).get,
-          resource, event, enrichment)).as("part_hash"))
-       else Nil) ++
-      Seq(Converters.scrubJsonNulls(resource).as("data"),
-        col(IngestSeqCol))
-    webhooks.select(cols: _*).filter(col(spec.remoteKeyCol).isNotNull)
+    val staged = webhooks
+      .withColumn("__resource", resourceExprCol)
+      .withColumn("__event", eventExprCol)
+
+    // one json_tuple pass over all distinct top-level resource keys
+    val topKeys = spec.columns
+      .filter(c => c.resourceExpr.isEmpty && !c.fromEnrichment && c.dataKey.size == 1)
+      .map(_.dataKey.head).distinct
+    val jtAliases = topKeys.map(k => s"__jt_$k")
+    val tupled =
+      if (topKeys.isEmpty) staged
+      else staged.select(col("*") +:
+        Seq(json_tuple(col("__resource"), topKeys: _*).as(jtAliases)): _*)
+
+    def rawFor(c: ColumnSpec): Column = c.resourceExpr match {
+      case Some(f) => f(col("__resource"))
+      case None =>
+        val fromResource =
+          if (!c.fromEnrichment && c.dataKey.size == 1 && topKeys.contains(c.dataKey.head))
+            col(s"__jt_${c.dataKey.head}")
+          else if (c.fromEnrichment) dig(enrichment, c.dataKey)
+          else dig(col("__resource"), c.dataKey)
+        if (c.eventKey.nonEmpty)
+          when(col("__event").isNotNull, dig(col("__event"), c.eventKey))
+            .otherwise(fromResource)
+        else fromResource
+    }
+    def resolved(c: ColumnSpec): Column = {
+      val defaulted = c.defaulter.fold(rawFor(c))(d => d(rawFor(c)))
+      c.convert(defaulted).try_cast(c.dataType).as(c.name)
+    }
+
+    val projected = tupled.select(
+      spec.columns.map(resolved) ++ Seq(
+        Converters.scrubJsonNulls(col("__resource")).as("data"),
+        col(IngestSeqCol)): _*)
+    val withPart =
+      if (spec.partitioned)
+        projected.withColumn("part_hash", Converters.str2inthash(col(spec.remoteKeyCol)))
+          .select((spec.columns.map(c => col(c.name)) :+ col("part_hash") :+
+            col("data") :+ col(IngestSeqCol)): _*)
+      else projected
+    withPart.filter(col(spec.remoteKeyCol).isNotNull)
   }
 }
 
