@@ -97,6 +97,16 @@ object Converters {
     transform(c, x => coalesce(element_at(m, x), x))
   }
 
+  /** E9 — `converter_int_or_sequence_from_regex` (`column.rb:143-152`): the
+    * regex capture when present, else a unique surrogate from a sequence.
+    * Documented divergence from the reference's per-integration DB sequence:
+    * cluster-safe uniqueness comes from `monotonically_increasing_id`
+    * offset by `seqBase` — ids are unique and stable within a batch but not
+    * densely consecutive across batches (callers persist the next base). */
+  def intOrSequenceFromRegex(c: Column, pattern: String, seqBase: Long): Column =
+    coalesce(fromRegex(c, pattern, LongType),
+      lit(seqBase) + monotonically_increasing_id())
+
   /** E16 — compound remote keys like `"{parent_id}-{uid}"`
     * (`icalendar_event_v1.rb:26-32`, `transistor_episode_stats_v1.rb:32-36`). */
   def compoundKey(cols: Column*): Column = concat_ws("-", cols: _*)

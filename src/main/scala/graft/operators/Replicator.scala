@@ -204,6 +204,20 @@ object Pipeline {
         Projection.project(spec, webhooks), spec.mergeSpec)
       .drop(Projection.IngestSeqCol)
 
+  /** Snapshot AND changed rows from ONE merge (cached), for consumers that
+    * need both — e.g. the dependency cascade, which writes the snapshot and
+    * fans the changed rows out to children. */
+  def applyBatch(spec: ReplicatorSpec, target: DataFrame,
+                 webhooks: DataFrame): (DataFrame, DataFrame) = {
+    val merged = Merge.mergeBatch(
+      target.withColumn(Projection.IngestSeqCol, lit(-1L)),
+      Projection.project(spec, webhooks), spec.mergeSpec).cache()
+    val snapshot = merged.drop("__change").drop(Projection.IngestSeqCol)
+    val changed = merged.filter(col("__change") =!= "keep")
+      .drop("__change").drop(Projection.IngestSeqCol)
+    (snapshot, changed)
+  }
+
   /** Empty snapshot with the replicator's schema. */
   def emptyTarget(spec: ReplicatorSpec, spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val fields = spec.columns.map(c => StructField(c.name, c.dataType)) ++

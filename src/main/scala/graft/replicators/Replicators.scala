@@ -12,8 +12,25 @@ import org.apache.spark.sql.types._
 object Replicators {
 
   val registry: Map[String, ReplicatorSpec] = Seq(
-    stripeChargeV1, transistorEpisodeStatsV1, atomSingleFeedV1
+    stripeChargeV1, stripeCustomerV1, stripeRefundV1,
+    transistorEpisodeStatsV1, atomSingleFeedV1,
+    twilioSmsV1, githubIssueV1, intercomContactV1, emailOctopusContactV1
   ).map(r => r.name -> r).toMap
+
+  /** Stripe family shared shape (`stripe_v1_mixin.rb:6-10`): event envelope
+    * unwrap at `data.object`; `updated` takes the envelope's `created`;
+    * monotonic update on `updated`. */
+  private def stripeSpec(name: String, cols: Seq[ColumnSpec]): ReplicatorSpec =
+    ReplicatorSpec(
+      name = name,
+      remoteKeyCol = "stripe_id",
+      columns = ColumnSpec("stripe_id", StringType, Seq("id")) +: cols :+
+        ColumnSpec("updated", TimestampType, Seq("created"), eventKey = Seq("created"),
+          convert = Converters.unixTs),
+      timestampCol = Some("updated"),
+      updateWhere = (t, s) => t("updated") < s("updated"),
+      eventPred = body => get_json_object(body, "$.object") === "event",
+      resourcePath = Seq("data", "object"))
 
   /** `stripe_charge_v1` (`lib/webhookdb/replicator/stripe_charge_v1.rb:23-60`):
     * event-wrapped unwrap at `data.object` (`stripe_v1_mixin.rb:6-10`),
@@ -39,6 +56,108 @@ object Replicators {
     updateWhere = (t, s) => t("updated") < s("updated"),
     eventPred = body => get_json_object(body, "$.object") === "event",
     resourcePath = Seq("data", "object"))
+
+  /** `stripe_customer_v1` (`lib/webhookdb/replicator/stripe_customer_v1.rb`). */
+  lazy val stripeCustomerV1: ReplicatorSpec = stripeSpec("stripe_customer_v1", Seq(
+    ColumnSpec("balance", LongType, Seq("balance")),
+    ColumnSpec("created", TimestampType, Seq("created"), eventKey = Seq("created"),
+      convert = Converters.unixTs),
+    ColumnSpec("email", StringType, Seq("email")),
+    ColumnSpec("name", StringType, Seq("name")),
+    ColumnSpec("phone", StringType, Seq("phone"))))
+
+  /** `stripe_refund_v1` (`lib/webhookdb/replicator/stripe_refund_v1.rb`). */
+  lazy val stripeRefundV1: ReplicatorSpec = stripeSpec("stripe_refund_v1", Seq(
+    ColumnSpec("amount", LongType, Seq("amount")),
+    ColumnSpec("balance_transaction", StringType, Seq("balance_transaction")),
+    ColumnSpec("charge", StringType, Seq("charge")),
+    ColumnSpec("created", TimestampType, Seq("created"), convert = Converters.unixTs),
+    ColumnSpec("payment_intent", StringType, Seq("payment_intent")),
+    ColumnSpec("receipt_number", StringType, Seq("receipt_number")),
+    ColumnSpec("status", StringType, Seq("status"))))
+
+  /** `twilio_sms_v1` (`lib/webhookdb/replicator/twilio_sms_v1.rb`): RFC2822
+    * timestamps via free-form parse, watermark `date_updated`. */
+  lazy val twilioSmsV1: ReplicatorSpec = ReplicatorSpec(
+    name = "twilio_sms_v1",
+    remoteKeyCol = "twilio_id",
+    columns = Seq(
+      ColumnSpec("twilio_id", StringType, Seq("sid")),
+      ColumnSpec("date_created", TimestampType, Seq("date_created"), convert = Converters.parseTime),
+      ColumnSpec("date_sent", TimestampType, Seq("date_sent"), convert = Converters.parseTime),
+      ColumnSpec("date_updated", TimestampType, Seq("date_updated"), convert = Converters.parseTime),
+      ColumnSpec("direction", StringType, Seq("direction")),
+      ColumnSpec("from", StringType, Seq("from")),
+      ColumnSpec("status", StringType, Seq("status")),
+      ColumnSpec("to", StringType, Seq("to"))),
+    timestampCol = Some("date_updated"),
+    updateWhere = (t, s) => t("date_updated") < s("date_updated"))
+
+  /** `github_issue_v1` (`lib/webhookdb/replicator/github_issue_v1.rb`):
+    * nested digs, BIGINT array plucks from label/assignee objects. */
+  lazy val githubIssueV1: ReplicatorSpec = ReplicatorSpec(
+    name = "github_issue_v1",
+    remoteKeyCol = "github_id",
+    columns = Seq(
+      ColumnSpec("github_id", LongType, Seq("id")),
+      ColumnSpec("node_id", StringType, Seq("node_id")),
+      ColumnSpec("number", LongType, Seq("number")),
+      ColumnSpec("state", StringType, Seq("state")),
+      ColumnSpec("user_id", LongType, Seq("user", "id")),
+      ColumnSpec("closed_by_id", LongType, Seq("closed_by", "id")),
+      ColumnSpec("assignee_ids", ArrayType(LongType), Seq("assignees"),
+        convert = c => Converters.arrayPluck(c, "id", LongType)),
+      ColumnSpec("milestone_number", LongType, Seq("milestone", "number")),
+      ColumnSpec("label_ids", ArrayType(LongType), Seq("labels"),
+        convert = c => Converters.arrayPluck(c, "id", LongType)),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("closed_at", TimestampType, Seq("closed_at"), convert = Converters.parseTime),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"), convert = Converters.parseTime)),
+    timestampCol = Some("updated_at"),
+    updateWhere = (t, s) => t("updated_at") < s("updated_at"))
+
+  /** `intercom_contact_v1` (`lib/webhookdb/replicator/intercom_contact_v1.rb`):
+    * delete/archive webhooks carry partial payloads — skip-nil keeps the
+    * existing values while stamping deleted_at/archived_at. */
+  lazy val intercomContactV1: ReplicatorSpec = ReplicatorSpec(
+    name = "intercom_contact_v1",
+    remoteKeyCol = "intercom_id",
+    columns = Seq(
+      ColumnSpec("intercom_id", StringType, Seq("id")),
+      ColumnSpec("external_id", StringType, Seq("external_id"), skipNil = true),
+      ColumnSpec("email", StringType, Seq("email"), skipNil = true),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"),
+        convert = Converters.unixTs, skipNil = true),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"),
+        convert = Converters.unixTs, skipNil = true),
+      ColumnSpec("deleted_at", TimestampType, Seq("deleted_at"),
+        convert = Converters.unixTs, skipNil = true),
+      ColumnSpec("archived_at", TimestampType, Seq("archived_at"),
+        convert = Converters.unixTs, skipNil = true)),
+    timestampCol = Some("updated_at"))
+
+  /** `email_octopus_contact_v1`
+    * (`lib/webhookdb/replicator/email_octopus_contact_v1.rb`): compound
+    * remote key `{list_id}-{id}`, set-once created_at via skip-nil, row
+    * timestamp defaulter. */
+  lazy val emailOctopusContactV1: ReplicatorSpec = ReplicatorSpec(
+    name = "email_octopus_contact_v1",
+    remoteKeyCol = "compound_identity",
+    columns = Seq(
+      ColumnSpec("compound_identity", StringType, Seq("id"),
+        resourceExpr = Some(r => Converters.compoundKey(
+          get_json_object(r, "$.list_id"), get_json_object(r, "$.id")))),
+      ColumnSpec("email_octopus_id", StringType, Seq("id")),
+      ColumnSpec("email_octopus_list_id", StringType, Seq("list_id")),
+      ColumnSpec("email_address", StringType, Seq("email_address")),
+      ColumnSpec("status", StringType, Seq("status")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"),
+        convert = Converters.parseTime, skipNil = true),
+      ColumnSpec("deleted_at", TimestampType, Seq("deleted_at"),
+        convert = Converters.parseTime),
+      ColumnSpec("row_updated_at", TimestampType, Seq("row_updated_at"),
+        defaulter = Some(Converters.defaultNow))),
+    timestampCol = Some("row_updated_at"))
 
   /** `transistor_episode_stats_v1`
     * (`lib/webhookdb/replicator/transistor_episode_stats_v1.rb:23-67`):

@@ -1,0 +1,90 @@
+package graft.replicators
+
+import graft.SparkSpec
+import graft.operators.{Pipeline, Projection}
+
+/** Per-replicator golden-row checks across the registry (the reference's
+  * "a replicator" shared example applied to each descriptor). */
+class RegistryContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def webhookDf(bodies: String*) =
+    bodies.zipWithIndex.map { case (b, i) => (b, i.toLong) }
+      .toDF("body", Projection.IngestSeqCol)
+
+  private def ingest(spec: graft.operators.ReplicatorSpec, bodies: String*) =
+    Pipeline.upsertBatch(spec, Pipeline.emptyTarget(spec, spark), webhookDf(bodies: _*))
+
+  test("every registry entry has a remote key column and distinct names") {
+    Replicators.registry.values.foreach { spec =>
+      assert(spec.columns.exists(_.name == spec.remoteKeyCol), spec.name)
+      val names = spec.columns.map(_.name)
+      assert(names.distinct == names, s"${spec.name} duplicate columns")
+      spec.timestampCol.foreach(t => assert(names.contains(t), s"${spec.name} ts col"))
+    }
+    assert(Replicators.registry.size >= 9)
+  }
+
+  test("twilio_sms_v1 parses RFC3339-ish timestamps and keys on sid") {
+    val row = ingest(Replicators.twilioSmsV1,
+      """{"sid":"SM1","date_created":"2024-01-01T10:00:00Z","date_sent":null,
+         |"date_updated":"2024-01-02T10:00:00Z","direction":"outbound-api",
+         |"from":"+15551234","to":"+15559876","status":"sent"}""".stripMargin.replaceAll("\n", ""))
+      .collect()(0)
+    assert(row.getAs[String]("twilio_id") == "SM1")
+    assert(row.getAs[java.sql.Timestamp]("date_updated").getTime ==
+      java.time.Instant.parse("2024-01-02T10:00:00Z").toEpochMilli)
+    assert(row.getAs[java.sql.Timestamp]("date_sent") == null)
+  }
+
+  test("github_issue_v1 digs nested ids and plucks label/assignee arrays") {
+    val row = ingest(Replicators.githubIssueV1,
+      """{"id":101,"node_id":"N1","number":7,"state":"open",
+         |"user":{"id":42,"login":"x"},"closed_by":null,
+         |"assignees":[{"id":1},{"id":2}],"labels":[{"id":10,"name":"bug"}],
+         |"milestone":{"number":3},
+         |"created_at":"2024-01-01T00:00:00Z","closed_at":null,
+         |"updated_at":"2024-01-05T00:00:00Z"}""".stripMargin.replaceAll("\n", ""))
+      .collect()(0)
+    assert(row.getAs[Long]("github_id") == 101L)
+    assert(row.getAs[Long]("user_id") == 42L)
+    assert(row.getAs[scala.collection.Seq[Long]]("assignee_ids").toSeq == Seq(1L, 2L))
+    assert(row.getAs[scala.collection.Seq[Long]]("label_ids").toSeq == Seq(10L))
+    assert(row.getAs[Long]("milestone_number") == 3L)
+  }
+
+  test("intercom_contact_v1: partial delete webhook stamps deleted_at, keeps fields") {
+    val spec = Replicators.intercomContactV1
+    val full = """{"id":"c1","external_id":"u9","email":"a@b.co","created_at":1700000000,"updated_at":1700000000}"""
+    val del = """{"id":"c1","deleted_at":1700001000}"""
+    val t1 = ingest(spec, full)
+    val t2 = Pipeline.upsertBatch(spec, t1, webhookDf(del))
+    val row = t2.collect()(0)
+    assert(row.getAs[String]("email") == "a@b.co")       // skip-nil kept it
+    assert(row.getAs[String]("external_id") == "u9")
+    assert(row.getAs[java.sql.Timestamp]("deleted_at").getTime == 1700001000000L)
+  }
+
+  test("email_octopus_contact_v1 compound key + row_updated_at defaulter") {
+    val row = ingest(Replicators.emailOctopusContactV1,
+      """{"id":"m1","list_id":"l1","email_address":"a@b.co","status":"SUBSCRIBED",
+         |"created_at":"2024-01-01T00:00:00Z"}""".stripMargin.replaceAll("\n", ""))
+      .collect()(0)
+    assert(row.getAs[String]("compound_identity") == "l1-m1")
+    assert(row.getAs[java.sql.Timestamp]("row_updated_at") != null) // defaulted now
+  }
+
+  test("stripe_customer_v1 and stripe_refund_v1 share the envelope unwrap") {
+    val cust = """{"id":"cus_1","object":"customer","balance":5,"created":1700000000,"email":"c@x.co","name":"C","phone":null}"""
+    val wrapped = s"""{"object":"event","created":1700009999,"data":{"object":$cust}}"""
+    val row = ingest(Replicators.stripeCustomerV1, wrapped).collect()(0)
+    assert(row.getAs[String]("stripe_id") == "cus_1")
+    assert(row.getAs[Long]("balance") == 5L)
+    assert(row.getAs[java.sql.Timestamp]("updated").getTime == 1700009999000L)
+
+    val refund = """{"id":"re_1","object":"refund","amount":100,"charge":"ch_1","created":1700000000,"status":"succeeded","balance_transaction":null,"payment_intent":null,"receipt_number":null}"""
+    val r = ingest(Replicators.stripeRefundV1, refund).collect()(0)
+    assert(r.getAs[String]("charge") == "ch_1")
+    assert(r.getAs[Long]("amount") == 100L)
+  }
+}
