@@ -59,10 +59,12 @@ object Merge {
     */
   def mergeBatch(target: DataFrame, source: DataFrame, spec: MergeSpec): DataFrame = {
     val cols = target.columns.toSeq
-    require(source.columns.toSeq == cols,
+    require(source.columns.toSet == cols.toSet,
       s"schema mismatch: ${cols.mkString(",")} vs ${source.columns.mkString(",")}")
 
-    val src = dedupLastWins(source, spec)
+    // column ORDER is normalized to the target's (upstream joins may have
+    // reordered either side)
+    val src = dedupLastWins(source.select(cols.map(col): _*), spec)
     val t = target.select(cols.map(c => col(c).as(s"t_$c")): _*)
     val s = src.select(cols.map(c => col(c).as(s"s_$c")): _*)
     // plain equality, not null-safe: keys are non-null by contract (the

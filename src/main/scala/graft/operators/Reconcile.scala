@@ -21,7 +21,7 @@ object Reconcile {
       .withColumn(statusCol,
         when(scope && col("__present").isNull && !(col(statusCol) <=> cancelledValue),
           lit(cancelledValue)).otherwise(col(statusCol)))
-      .drop("__present")
+      .select(current.columns.map(col): _*) // preserve the input column order
   }
 
   /** R2 — stale-sequence delete (`icalendar_calendar_v1.rb:445-450`): drop

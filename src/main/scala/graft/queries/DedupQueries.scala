@@ -47,14 +47,13 @@ object DedupQueries {
       s"list_aggregate(list_transform(sh, s -> (s * ${Hashing.MinhashA(i)} + ${Hashing.MinhashB(i)}) % $P), 'min')"
   }
 
-  /** doc_id + token hashes + whole-doc hash (one md5 per token), cached. */
+  /** doc_id + token hashes + whole-doc hash (one md5 per token); consumed
+    * once by shingleHashDf, so not cached itself. */
   def tokenHashDf(spark: SparkSession, d: String): DataFrame =
-    memoized(spark, d, "tokenhash") {
-      Tables.documents(spark, d).select(
-        col("doc_id"),
-        transform(Text.tokens(col("text")), w => Hashing.hash32(w)).as("th"),
-        Hashing.hash32(Text.normalize(col("text"))).as("nh"))
-    }
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      transform(Text.tokens(col("text")), w => Hashing.hash32(w)).as("th"),
+      Hashing.hash32(Text.normalize(col("text"))).as("nh"))
 
   /** doc_id + distinct 3-gram shingle hashes, cached. */
   def shingleHashDf(spark: SparkSession, d: String): DataFrame =
