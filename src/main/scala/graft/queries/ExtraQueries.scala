@@ -127,17 +127,48 @@ object ExtraQueries {
     SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS md5_hex
     FROM documents ORDER BY doc_id"""
 
+  /** Exact distinct cardinalities per event type (count-distinct shuffle
+    * surface). */
+  def q27(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id"), col("event_id")).as("n_user_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val q27Sql: String = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+      count(DISTINCT (user_id, event_id)) AS n_user_events
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Sketch surface: HyperLogLog distinct + quantile sketch. Estimates are
+    * engine-specific, so this query has NO SQL oracle (driver records a
+    * rows-only check); the estimates are asserted against exact counts in
+    * ScalaTest instead. */
+  def q28(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q08_cube_segment_status" -> (q08 _),
     "q09_percentiles" -> (q09 _),
     "q26_token_vocabulary" -> (q26 _),
     "q33_ann_top3" -> (q33 _),
-    "q50_multimodal_features" -> (q50 _))
+    "q50_multimodal_features" -> (q50 _),
+    "q27_distinct_counts" -> (q27 _),
+    "q28_sketches" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
     "q08_cube_segment_status" -> q08Sql,
     "q09_percentiles" -> q09Sql,
     "q26_token_vocabulary" -> q26Sql,
     "q33_ann_top3" -> q33Sql,
-    "q50_multimodal_features" -> q50Sql)
+    "q50_multimodal_features" -> q50Sql,
+    "q27_distinct_counts" -> q27Sql)
 }
