@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster assignment: connected components over the near-dup
+  * pair graph, via min-label propagation to a fixpoint. Each doc ends up
+  * labeled with the smallest doc id reachable through dup pairs — the
+  * canonical representative used to drop all-but-one copy of a dup group.
+  *
+  * Scale shape: each iteration is one join + one aggregation on the edge
+  * list (edges ~ near-dup pairs, tiny relative to the corpus); iteration
+  * count is the graph diameter (near-dup clusters are shallow — a handful
+  * of rounds). Labels are checkpointed per round to keep plans flat.
+  */
+object DupClusters {
+
+  /** pairs: (doc_a, doc_b) with doc_a < doc_b. Returns (doc_id, cluster_id)
+    * for every doc appearing in a pair; cluster_id = min id in component. */
+  def assign(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    var labels = edges.select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"))
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

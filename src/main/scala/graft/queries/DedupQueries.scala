@@ -151,6 +151,25 @@ object DedupQueries {
     SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
     ORDER BY doc_a, doc_b"""
 
+  /** Duplicate clusters: connected components over the verified near-dup
+    * pairs (min-label propagation; oracle = recursive-CTE transitive
+    * closure). The canonical-representative step of corpus dedup. */
+  def q29(spark: SparkSession, d: String): DataFrame = {
+    val pairs = q23(spark, d).select(col("doc_a"), col("doc_b"))
+    graft.operators.DupClusters.assign(pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  val q29Sql: String = s"""
+    WITH RECURSIVE dup_pairs AS (${q23Sql.replace("ORDER BY doc_a, doc_b", "")}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+              UNION ALL SELECT doc_b, doc_a FROM dup_pairs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+    SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id"""
+
   /** SimHash (32-bit) over shingle hashes: bit b of the fingerprint is the
     * majority vote of bit b across the doc's shingle hashes. */
   def simhashDf(spark: SparkSession, d: String): DataFrame =
@@ -209,7 +228,8 @@ object DedupQueries {
     "q22_lsh_candidate_pairs" -> (q22 _),
     "q23_jaccard_near_dups" -> (q23 _),
     "q24_simhash" -> (q24 _),
-    "q25_simhash_near_dups" -> (q25 _))
+    "q25_simhash_near_dups" -> (q25 _),
+    "q29_dup_clusters" -> (q29 _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20Sql,
@@ -217,5 +237,6 @@ object DedupQueries {
     "q22_lsh_candidate_pairs" -> q22Sql,
     "q23_jaccard_near_dups" -> q23Sql,
     "q24_simhash" -> q24Sql,
-    "q25_simhash_near_dups" -> q25Sql)
+    "q25_simhash_near_dups" -> q25Sql,
+    "q29_dup_clusters" -> q29Sql)
 }

@@ -14,7 +14,9 @@ object Replicators {
   val registry: Map[String, ReplicatorSpec] = Seq(
     stripeChargeV1, stripeCustomerV1, stripeRefundV1,
     transistorEpisodeStatsV1, atomSingleFeedV1,
-    twilioSmsV1, githubIssueV1, intercomContactV1, emailOctopusContactV1
+    twilioSmsV1, githubIssueV1, githubReleaseV1, intercomContactV1,
+    emailOctopusContactV1, frontMessageV1, increaseAccountV1,
+    convertkitSubscriberV1
   ).map(r => r.name -> r).toMap
 
   /** Stripe family shared shape (`stripe_v1_mixin.rb:6-10`): event envelope
@@ -158,6 +160,68 @@ object Replicators {
       ColumnSpec("row_updated_at", TimestampType, Seq("row_updated_at"),
         defaulter = Some(Converters.defaultNow))),
     timestampCol = Some("row_updated_at"))
+
+  /** `github_release_v1` (`lib/webhookdb/replicator/github_release_v1.rb`):
+    * row_updated_at defaulter, nested author dig. */
+  lazy val githubReleaseV1: ReplicatorSpec = ReplicatorSpec(
+    name = "github_release_v1",
+    remoteKeyCol = "github_id",
+    columns = Seq(
+      ColumnSpec("github_id", LongType, Seq("id")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("published_at", TimestampType, Seq("published_at"), convert = Converters.parseTime),
+      ColumnSpec("row_updated_at", TimestampType, Seq("row_updated_at"),
+        defaulter = Some(Converters.defaultNow)),
+      ColumnSpec("node_id", StringType, Seq("node_id")),
+      ColumnSpec("tag_name", StringType, Seq("tag_name")),
+      ColumnSpec("author_id", LongType, Seq("author", "id"))),
+    timestampCol = Some("row_updated_at"))
+
+  /** `front_message_v1` (`lib/webhookdb/replicator/front_message_v1.rb`):
+    * the resource lives at `payload.target.data` inside the delivery
+    * envelope; the conversation id comes from the EVENT envelope. */
+  lazy val frontMessageV1: ReplicatorSpec = ReplicatorSpec(
+    name = "front_message_v1",
+    remoteKeyCol = "front_id",
+    columns = Seq(
+      ColumnSpec("front_id", StringType, Seq("id")),
+      ColumnSpec("type", StringType, Seq("type")),
+      ColumnSpec("front_conversation_id", StringType, Seq("conversation", "id"),
+        eventKey = Seq("payload", "conversation", "id")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"),
+        convert = Converters.unixTs)),
+    timestampCol = Some("created_at"),
+    eventPred = body => get_json_object(body, "$.payload.target.data.id").isNotNull,
+    resourcePath = Seq("payload", "target", "data"))
+
+  /** `increase_account_v1` (`lib/webhookdb/replicator/increase_account_v1.rb`). */
+  lazy val increaseAccountV1: ReplicatorSpec = ReplicatorSpec(
+    name = "increase_account_v1",
+    remoteKeyCol = "increase_id",
+    columns = Seq(
+      ColumnSpec("increase_id", StringType, Seq("id")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"), convert = Converters.parseTime),
+      ColumnSpec("name", StringType, Seq("name")),
+      ColumnSpec("entity_id", StringType, Seq("entity_id")),
+      ColumnSpec("status", StringType, Seq("status")),
+      ColumnSpec("interest_accrued", DecimalType(24, 10), Seq("interest_accrued"))),
+    timestampCol = Some("updated_at"))
+
+  /** `convertkit_subscriber_v1`
+    * (`lib/webhookdb/replicator/convertkit_subscriber_v1.rb:121-132`):
+    * nested custom-field dig (`fields.last_name`). */
+  lazy val convertkitSubscriberV1: ReplicatorSpec = ReplicatorSpec(
+    name = "convertkit_subscriber_v1",
+    remoteKeyCol = "convertkit_id",
+    columns = Seq(
+      ColumnSpec("convertkit_id", LongType, Seq("id")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("email_address", StringType, Seq("email_address")),
+      ColumnSpec("first_name", StringType, Seq("first_name")),
+      ColumnSpec("last_name", StringType, Seq("fields", "last_name")),
+      ColumnSpec("state", StringType, Seq("state"))),
+    timestampCol = Some("created_at"))
 
   /** `transistor_episode_stats_v1`
     * (`lib/webhookdb/replicator/transistor_episode_stats_v1.rb:23-67`):

@@ -22,7 +22,7 @@ class RegistryContractSpec extends SparkSpec {
       assert(names.distinct == names, s"${spec.name} duplicate columns")
       spec.timestampCol.foreach(t => assert(names.contains(t), s"${spec.name} ts col"))
     }
-    assert(Replicators.registry.size >= 9)
+    assert(Replicators.registry.size >= 13)
   }
 
   test("twilio_sms_v1 parses RFC3339-ish timestamps and keys on sid") {
@@ -72,6 +72,24 @@ class RegistryContractSpec extends SparkSpec {
       .collect()(0)
     assert(row.getAs[String]("compound_identity") == "l1-m1")
     assert(row.getAs[java.sql.Timestamp]("row_updated_at") != null) // defaulted now
+  }
+
+  test("front_message_v1 unwraps payload.target.data with event-envelope digs") {
+    val body = """{"payload":{"conversation":{"id":"cnv_1"},"target":{"data":
+      |{"id":"msg_1","type":"email","created_at":1700000000}}}}""".stripMargin.replaceAll("\n", "")
+    val row = ingest(Replicators.frontMessageV1, body).collect()(0)
+    assert(row.getAs[String]("front_id") == "msg_1")
+    assert(row.getAs[String]("front_conversation_id") == "cnv_1")
+    assert(row.getAs[java.sql.Timestamp]("created_at").getTime == 1700000000000L)
+  }
+
+  test("convertkit_subscriber_v1 digs nested custom fields") {
+    val row = ingest(Replicators.convertkitSubscriberV1,
+      """{"id":9,"created_at":"2024-01-01T00:00:00Z","email_address":"a@b.co",
+        |"first_name":"A","fields":{"last_name":"B"},"state":"active"}""".stripMargin.replaceAll("\n", ""))
+      .collect()(0)
+    assert(row.getAs[Long]("convertkit_id") == 9L)
+    assert(row.getAs[String]("last_name") == "B")
   }
 
   test("stripe_customer_v1 and stripe_refund_v1 share the envelope unwrap") {
