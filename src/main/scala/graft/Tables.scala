@@ -12,6 +12,18 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a table across the cluster before per-row-expensive work
+    * (hashing, JSON parsing, text analysis). The driver testdata ships one
+    * parquet row group per file, so the scan itself is a single task; a
+    * cheap round-robin exchange buys full parallelism for the expensive
+    * projection above it. On production multi-file/multi-row-group tables
+    * the scan already parallelizes and this is a no-op choice — use it only
+    * when compute-per-row dominates. */
+  def parallel(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    df.repartition(spark.sparkContext.defaultParallelism)
+  }
+
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")

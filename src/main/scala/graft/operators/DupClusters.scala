@@ -24,7 +24,7 @@ object DupClusters {
     var labels = edges.select(col("u").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -33,14 +33,15 @@ object DupClusters {
         .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"))
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("cluster_id")).as("n_min"))
+      // localCheckpoint truncates the per-round lineage so each iteration
+      // costs one constant-size join, not a replay of all prior rounds
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

@@ -50,7 +50,7 @@ object DedupQueries {
   /** doc_id + token hashes + whole-doc hash (one md5 per token); consumed
     * once by shingleHashDf, so not cached itself. */
   def tokenHashDf(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d).select(
+    Tables.parallel(Tables.documents(spark, d)).select(
       col("doc_id"),
       transform(Text.tokens(col("text")), w => Hashing.hash32(w)).as("th"),
       Hashing.hash32(Text.normalize(col("text"))).as("nh"))

@@ -116,7 +116,7 @@ object ExtraQueries {
     * the source text — byte-level identity across the binary path. */
   def q50(spark: SparkSession, d: String): DataFrame = {
     val media = Multimodal.asMedia(
-      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      Tables.parallel(Tables.documents(spark, d)).select(col("doc_id"), col("text")),
       "text", "text/plain")
     Multimodal.extractFeatures(media).toDF()
       .select(col("doc_id"), col("n_bytes"), col("md5_hex"))

@@ -256,7 +256,8 @@ object ReplicationQueries {
     val body = when(col("event_id") % 2 === 1,
       concat(lit("""{"object":"event","data":{"object":"""), plain, lit("}}")))
       .otherwise(plain)
-    val webhooks = e.select(body.as("body"), col("event_id").as(Projection.IngestSeqCol))
+    val webhooks = Tables.parallel(
+      e.select(body.as("body"), col("event_id").as(Projection.IngestSeqCol)))
     Pipeline.upsertBatch(spec, Pipeline.emptyTarget(spec, spark), webhooks)
       .select(col("measure_id"), col("user_id"), col("category"),
         unix_millis(col("created")).as("ts_ms"),
