@@ -71,13 +71,17 @@ final case class ReplicatorSpec(
     eventPred: Column => Column = _ => lit(false),
     resourcePath: Seq[String] = Nil,
     partitioned: Boolean = false,
+    /** store the fetched enrichment JSON alongside the row (the reference's
+      * `enrichment jsonb` column, `base.rb:460-465`). */
+    usesEnrichment: Boolean = false,
     dependsOn: Option[String] = None) {
 
   /** Full output schema: declared columns + partition hash (U5, optional) +
     * `data` (scrubbed resource JSON, always last — `base.rb:344-369`). */
   def outputColumns: Seq[String] =
     columns.map(_.name) ++
-      (if (partitioned) Seq("part_hash") else Nil) :+ "data"
+      (if (partitioned) Seq("part_hash") else Nil) ++
+      (if (usesEnrichment) Seq("enrichment") else Nil) :+ "data"
 
   def mergeSpec: MergeSpec = MergeSpec(
     keyCols = (if (partitioned) Seq("part_hash") else Nil) :+ remoteKeyCol,
@@ -169,15 +173,19 @@ object Projection {
       c.convert(defaulted).try_cast(c.dataType).as(c.name)
     }
 
+    val enrichOut =
+      if (spec.usesEnrichment)
+        Seq(Converters.scrubJsonNulls(enrichment).as("enrichment")) else Nil
     val projected = tupled.select(
-      spec.columns.map(resolved) ++ Seq(
+      spec.columns.map(resolved) ++ enrichOut ++ Seq(
         Converters.scrubJsonNulls(col("__resource")).as("data"),
         col(IngestSeqCol)): _*)
     val withPart =
       if (spec.partitioned)
         projected.withColumn("part_hash", Converters.str2inthash(col(spec.remoteKeyCol)))
-          .select((spec.columns.map(c => col(c.name)) :+ col("part_hash") :+
-            col("data") :+ col(IngestSeqCol)): _*)
+          .select((spec.columns.map(c => col(c.name)) :+ col("part_hash")) ++
+            enrichOut.map(_ => col("enrichment")) ++
+            Seq(col("data"), col(IngestSeqCol)): _*)
       else projected
     withPart.filter(col(spec.remoteKeyCol).isNotNull)
   }
@@ -221,7 +229,8 @@ object Pipeline {
   /** Empty snapshot with the replicator's schema. */
   def emptyTarget(spec: ReplicatorSpec, spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val fields = spec.columns.map(c => StructField(c.name, c.dataType)) ++
-      (if (spec.partitioned) Seq(StructField("part_hash", IntegerType)) else Nil) :+
+      (if (spec.partitioned) Seq(StructField("part_hash", IntegerType)) else Nil) ++
+      (if (spec.usesEnrichment) Seq(StructField("enrichment", StringType)) else Nil) :+
       StructField("data", StringType)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(fields))

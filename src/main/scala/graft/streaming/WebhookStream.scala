@@ -46,6 +46,38 @@ object WebhookStream {
       }
       .start()
   }
+
+  /** The at-scale variant: stream into a hash-partitioned table
+    * (`operators.PartitionedStore`) — each microbatch merges into ONLY the
+    * buckets it touches instead of rewriting the snapshot. This is the
+    * layout for very large replica tables (U5). */
+  def startPartitioned(spark: SparkSession, spec: ReplicatorSpec, sourceDir: String,
+                       tableDir: String, checkpointDir: String,
+                       buckets: Int): StreamingQuery = {
+    import graft.operators.{Merge, PartitionedStore, Projection => P}
+    val initialized = new java.util.concurrent.atomic.AtomicBoolean(
+      Option(new java.io.File(tableDir).list()).exists(_.nonEmpty))
+    spark.readStream
+      .schema(requestSchema)
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sparkB = batch.sparkSession
+        // the ingest seq column stays in the stored table: it is the merge
+        // order for subsequent microbatches
+        val projected = P.project(spec, batch)
+        if (initialized.compareAndSet(false, true))
+          PartitionedStore.write(Merge.dedupLastWins(projected, spec.mergeSpec),
+            tableDir, spec.remoteKeyCol, buckets)
+        else
+          PartitionedStore.mergeInto(sparkB, tableDir, projected,
+            spec.mergeSpec, spec.remoteKeyCol, buckets)
+        ()
+      }
+      .start()
+  }
 }
 
 /** Versioned parquet snapshot with an atomic LATEST pointer — the minimal
