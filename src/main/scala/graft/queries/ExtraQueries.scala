@@ -155,6 +155,39 @@ object ExtraQueries {
       .orderBy(col("event_type"))
   }
 
+  /** As-of join surface: each purchase event gets the latest strictly
+    * preceding click of the same user (sessionization lookup). One shuffle
+    * on user_id via the union+window composition in `operators.AsofJoin`. */
+  def q34(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(spark, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ts_ms"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms"))
+    graft.operators.AsofJoin.asof(purchases, clicks,
+        keyCols = Seq("user_id"), leftTs = "ts_ms", rightTs = "ts_ms",
+        payload = Seq("ts_ms"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("asof_ts_ms"),
+        (col("ts_ms") - col("asof_ts_ms")).as("gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val q34Sql: String = """
+    WITH base AS (SELECT event_id, user_id, event_type,
+        epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events)
+    SELECT p.event_id, p.user_id, p.ts_ms,
+      (SELECT max(c.ts_ms) FROM base c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts_ms < p.ts_ms) AS asof_ts_ms,
+      p.ts_ms - (SELECT max(c.ts_ms) FROM base c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts_ms < p.ts_ms) AS gap_ms
+    FROM base p WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id"""
+
   val defs: Map[String, Q] = Map(
     "q08_cube_segment_status" -> (q08 _),
     "q09_percentiles" -> (q09 _),
@@ -162,7 +195,8 @@ object ExtraQueries {
     "q33_ann_top3" -> (q33 _),
     "q50_multimodal_features" -> (q50 _),
     "q27_distinct_counts" -> (q27 _),
-    "q28_sketches" -> (q28 _))
+    "q28_sketches" -> (q28 _),
+    "q34_asof_click_purchase" -> (q34 _))
 
   val oracles: Map[String, String] = Map(
     "q08_cube_segment_status" -> q08Sql,
@@ -170,5 +204,6 @@ object ExtraQueries {
     "q26_token_vocabulary" -> q26Sql,
     "q33_ann_top3" -> q33Sql,
     "q50_multimodal_features" -> q50Sql,
-    "q27_distinct_counts" -> q27Sql)
+    "q27_distinct_counts" -> q27Sql,
+    "q34_asof_click_purchase" -> q34Sql)
 }
