@@ -188,6 +188,88 @@ object ExtraQueries {
     FROM base p WHERE p.event_type = 'purchase'
     ORDER BY p.event_id"""
 
+  /** G2 under oracle: per-brand price-list JSON documents are built from
+    * `part`, run through the real nested-expansion operator
+    * (`AwsPricing.expand` — from_json + three explodes), and the oracle
+    * recomputes the flat rate rows straight from the table. */
+  def q35(spark: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(spark, d).filter(col("p_partkey") <= 200)
+    val products = parts.groupBy(col("p_brand")).agg(
+      map_from_entries(collect_list(struct(
+        concat(lit("SKU-"), col("p_partkey")).as("k"),
+        struct(concat(lit("SKU-"), col("p_partkey")).as("sku"),
+          col("p_type").as("productFamily"),
+          map(lit("size"), col("p_size").cast("string")).as("attributes")).as("v"))))
+        .as("products"),
+      map_from_entries(collect_list(struct(
+        concat(lit("SKU-"), col("p_partkey")).as("k"),
+        map(lit(concat(lit("SKU-"), col("p_partkey"), lit(".T1"))),
+          struct(lit("T1").as("offerTermCode"),
+            concat(lit("SKU-"), col("p_partkey")).as("sku"),
+            lit("2024-01-01").as("effectiveDate"),
+            map(lit(concat(lit("SKU-"), col("p_partkey"), lit(".T1.R1"))),
+              struct(concat(lit("SKU-"), col("p_partkey"), lit(".T1.R1")).as("rateCode"),
+                lit("per unit").as("description"),
+                lit("0").as("beginRange"), lit("Inf").as("endRange"),
+                lit("Units").as("unit"),
+                map(lit("USD"), col("p_retailprice").cast("decimal(12,2)").cast("string"))
+                  .as("pricePerUnit"),
+                array().cast("array<string>").as("appliesTo"))).as("priceDimensions")))
+          .as("v")))).as("by_sku"))
+      .select(col("p_brand"),
+        to_json(struct(lit("2024-06-01T00:00:00Z").as("publicationDate"),
+          lit("1").as("version"), col("products"),
+          struct(col("by_sku").as("OnDemand")).as("terms"))).as("json"))
+    graft.replicators.AwsPricing.expand(products.select(col("json")))
+      .select(col("rate_code"), col("sku"), col("product_family"),
+        col("price_per_unit_currency"),
+        col("price_per_unit_amount").cast("double").as("price_per_unit_amount"),
+        col("term_type"))
+      .orderBy(col("rate_code"))
+  }
+
+  val q35Sql: String = """
+    SELECT 'SKU-' || p_partkey || '.T1.R1' AS rate_code,
+      'SKU-' || p_partkey AS sku,
+      p_type AS product_family,
+      'USD' AS price_per_unit_currency,
+      CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_per_unit_amount,
+      'OnDemand' AS term_type
+    FROM part WHERE p_partkey <= 200
+    ORDER BY rate_code"""
+
+  /** Gap-based sessionization: a session starts when a user's inter-event
+    * gap exceeds 30 minutes; per-user session ids via a running sum of
+    * session-start flags — two window passes, one shuffle. */
+  def q36(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val flagged = e.withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .withColumn("is_start",
+        (col("prev_ts").isNull || (col("ts_ms") - col("prev_ts") > 1800000L)).cast("int"))
+    flagged.withColumn("session_idx",
+        sum(col("is_start")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q36Sql: String = """
+    WITH base AS (SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+    flagged AS (SELECT *,
+        CASE WHEN lag(ts_ms) OVER w IS NULL
+          OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_start
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+    sess AS (SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM flagged)
+    SELECT user_id, session_idx, count(*) AS n_events,
+      min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
+    FROM sess GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx"""
+
   val defs: Map[String, Q] = Map(
     "q08_cube_segment_status" -> (q08 _),
     "q09_percentiles" -> (q09 _),
@@ -196,7 +278,9 @@ object ExtraQueries {
     "q50_multimodal_features" -> (q50 _),
     "q27_distinct_counts" -> (q27 _),
     "q28_sketches" -> (q28 _),
-    "q34_asof_click_purchase" -> (q34 _))
+    "q34_asof_click_purchase" -> (q34 _),
+    "q35_pricing_expand" -> (q35 _),
+    "q36_sessionization" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
     "q08_cube_segment_status" -> q08Sql,
@@ -205,5 +289,7 @@ object ExtraQueries {
     "q33_ann_top3" -> q33Sql,
     "q50_multimodal_features" -> q50Sql,
     "q27_distinct_counts" -> q27Sql,
-    "q34_asof_click_purchase" -> q34Sql)
+    "q34_asof_click_purchase" -> q34Sql,
+    "q35_pricing_expand" -> q35Sql,
+    "q36_sessionization" -> q36Sql)
 }
