@@ -16,8 +16,15 @@ object Replicators {
     transistorEpisodeStatsV1, atomSingleFeedV1,
     twilioSmsV1, githubIssueV1, githubReleaseV1, intercomContactV1,
     emailOctopusContactV1, frontMessageV1, increaseAccountV1,
-    convertkitSubscriberV1
+    convertkitSubscriberV1, stripeChargeV1Partitioned
   ).map(r => r.name -> r).toMap
+
+  /** Partitioned variant (U5 — the reference ships
+    * `icalendar_event_v1_partitioned`; here the same mechanism on the stripe
+    * schema): the conflict target gains the str2inthash partition column so
+    * merges prune to touched hash partitions. */
+  lazy val stripeChargeV1Partitioned: ReplicatorSpec =
+    stripeChargeV1.copy(name = "stripe_charge_v1_partitioned", partitioned = true)
 
   /** Stripe family shared shape (`stripe_v1_mixin.rb:6-10`): event envelope
     * unwrap at `data.object`; `updated` takes the envelope's `created`;

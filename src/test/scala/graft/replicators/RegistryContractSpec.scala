@@ -22,7 +22,7 @@ class RegistryContractSpec extends SparkSpec {
       assert(names.distinct == names, s"${spec.name} duplicate columns")
       spec.timestampCol.foreach(t => assert(names.contains(t), s"${spec.name} ts col"))
     }
-    assert(Replicators.registry.size >= 13)
+    assert(Replicators.registry.size >= 14)
   }
 
   test("twilio_sms_v1 parses RFC3339-ish timestamps and keys on sid") {
@@ -72,6 +72,21 @@ class RegistryContractSpec extends SparkSpec {
       .collect()(0)
     assert(row.getAs[String]("compound_identity") == "l1-m1")
     assert(row.getAs[java.sql.Timestamp]("row_updated_at") != null) // defaulted now
+  }
+
+  test("partitioned variant adds part_hash and keys the merge on it (U5)") {
+    val spec = Replicators.stripeChargeV1Partitioned
+    val body = """{"id":"ch_9","object":"charge","amount":1,"created":1700000000,"status":"ok"}"""
+    val out = ingest(spec, body)
+    val row = out.collect()(0)
+    assert(out.columns.contains("part_hash"))
+    val expected = graft.functions.expressions.Str2IntHash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ch_9"))
+    assert(row.getAs[Int]("part_hash") == expected)
+    assert(spec.mergeSpec.keyCols == Seq("part_hash", "stripe_id"))
+    // idempotent under the partitioned conflict target
+    val again = Pipeline.upsertBatch(spec, out, webhookDf(body))
+    assert(again.count() == 1)
   }
 
   test("front_message_v1 unwraps payload.target.data with event-envelope digs") {
