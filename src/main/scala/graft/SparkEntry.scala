@@ -16,10 +16,10 @@ object SparkEntry {
     TpchSurface.q02(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchSurface.defs ++ ReplicationQueries.defs ++ DedupQueries.defs ++
+    TpchSurface.defs ++ TpchSurface2.defs ++ ReplicationQueries.defs ++ DedupQueries.defs ++
       VectorQueries.defs ++ TextQueries.defs ++ ExtraQueries.defs
 
   def oracleSql: Map[String, String] =
-    TpchSurface.oracles ++ ReplicationQueries.oracles ++ DedupQueries.oracles ++
+    TpchSurface.oracles ++ TpchSurface2.oracles ++ ReplicationQueries.oracles ++ DedupQueries.oracles ++
       VectorQueries.oracles ++ TextQueries.oracles ++ ExtraQueries.oracles
 }

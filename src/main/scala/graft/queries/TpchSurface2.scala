@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second wave of SQL-surface coverage (TPC-H Q7/Q12/Q14/Q18/Q22 shapes):
+  * conditional aggregation, IN-subqueries with HAVING, anti-join with a
+  * scalar-subquery threshold, year-bucketed multi-join volumes. */
+object TpchSurface2 {
+
+  type Q = (SparkSession, String) => DataFrame
+  private val dec2 = DecimalType(12, 2)
+  private val dec3 = DecimalType(5, 3)
+
+  /** Q7 shape: shipping volume between two nation pairs by year. */
+  def q60(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey"),
+      col("l_shipdate"),
+      (col("l_extendedprice").cast(dec2) * (lit(1).cast(dec3) - col("l_discount").cast(dec3)))
+        .as("volume"))
+    val s = Tables.supplier(spark, d).select(col("s_suppkey"), col("s_nationkey"))
+    val n1 = Tables.nation(spark, d).select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, d).select(col("c_custkey"), col("c_nationkey"))
+    val n2 = Tables.nation(spark, d).select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") < col("cust_nation")) // unordered pair, kept once
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(col("volume")).cast("double").as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q60Sql: String = """
+    SELECT supp_nation, cust_nation, l_year,
+      CAST(sum(volume) AS DOUBLE) AS revenue, count(*) AS n
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,3)) - CAST(l_discount AS DECIMAL(5,3))) AS volume
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name < n2.n_name)
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** Q12 shape: late-shipment priority classification (conditional sums). */
+  def q61(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+    val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q61Sql: String = """
+    SELECT l_linestatus,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  /** Q14 shape: promo revenue share (ratio of conditional decimal sums,
+    * emitted as numerator/denominator to stay division-free and exact). */
+  def q62(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(dec2) * (lit(1).cast(dec3) - col("l_discount").cast(dec3)))
+          .as("rev"))
+    val p = Tables.part(spark, d).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), col("rev"))
+          .otherwise(lit(0).cast(dec2))).cast("double").as("promo_revenue"),
+        sum(col("rev")).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q62Sql: String = """
+    SELECT
+      CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+      CAST(sum(rev) AS DOUBLE) AS total_revenue,
+      count(*) AS n_items
+    FROM (
+      SELECT l_partkey,
+        CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,3)) - CAST(l_discount AS DECIMAL(5,3))) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
+    JOIN part ON l_partkey = p_partkey"""
+
+  /** Q18 shape: large-volume orders (IN-subquery over a HAVING group). */
+  def q63(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    val bigOrders = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec2)).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val o = Tables.orders(spark, d)
+    o.join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(dec2).cast("double").as("total_price"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q63Sql: String = """
+    SELECT o_orderkey, o_custkey,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+      CAST(total_qty AS DOUBLE) AS total_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    ORDER BY o_orderkey"""
+
+  /** Q22 shape: well-funded "inactive" customers — acctbal above the global
+    * positive average (scalar subquery) with no completed ('F') orders
+    * (anti-join on a filtered subquery). */
+  def q64(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").cast(dec2).as("bal"))
+    val avgBal = c.filter(col("bal") > 0)
+      .agg((sum(col("bal")) / count(lit(1))).as("avg_bal"))
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("bal") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("bal")).cast("double").as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q64Sql: String = """
+    SELECT c_mktsegment, count(*) AS n_customers,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) / count(*)
+        FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  val defs: Map[String, Q] = Map(
+    "q60_volume_by_nation_pair" -> (q60 _),
+    "q61_priority_classification" -> (q61 _),
+    "q62_promo_revenue" -> (q62 _),
+    "q63_large_orders" -> (q63 _),
+    "q64_rich_inactive_customers" -> (q64 _))
+
+  val oracles: Map[String, String] = Map(
+    "q60_volume_by_nation_pair" -> q60Sql,
+    "q61_priority_classification" -> q61Sql,
+    "q62_promo_revenue" -> q62Sql,
+    "q63_large_orders" -> q63Sql,
+    "q64_rich_inactive_customers" -> q64Sql)
+}
