@@ -222,6 +222,32 @@ object DedupQueries {
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY doc_a, doc_b"""
 
+  /** The dedup capstone: the surviving corpus after near-dup
+    * canonicalization — every doc except cluster members that are not their
+    * cluster's canonical (min-id) representative. */
+  def q38(spark: SparkSession, d: String): DataFrame = {
+    val clusters = graft.operators.DupClusters.assign(
+      q23(spark, d).select(col("doc_a"), col("doc_b")))
+    val losers = clusters.filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, d).select(col("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val q38Sql: String = s"""
+    WITH RECURSIVE dup_pairs AS (${q23Sql.replace("ORDER BY doc_a, doc_b", "")}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+              UNION ALL SELECT doc_b, doc_a FROM dup_pairs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+    clusters AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id)
+    ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
     "q20_dedup_exact" -> (q20 _),
     "q21_minhash_signatures" -> (q21 _),
@@ -229,7 +255,8 @@ object DedupQueries {
     "q23_jaccard_near_dups" -> (q23 _),
     "q24_simhash" -> (q24 _),
     "q25_simhash_near_dups" -> (q25 _),
-    "q29_dup_clusters" -> (q29 _))
+    "q29_dup_clusters" -> (q29 _),
+    "q38_dedup_survivors" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20Sql,
@@ -238,5 +265,6 @@ object DedupQueries {
     "q23_jaccard_near_dups" -> q23Sql,
     "q24_simhash" -> q24Sql,
     "q25_simhash_near_dups" -> q25Sql,
-    "q29_dup_clusters" -> q29Sql)
+    "q29_dup_clusters" -> q29Sql,
+    "q38_dedup_survivors" -> q38Sql)
 }

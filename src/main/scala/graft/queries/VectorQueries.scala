@@ -114,13 +114,45 @@ object VectorQueries {
     SELECT label, count(*) AS dim, CAST(sum(cent) AS BIGINT) AS centroid_sum, max(n) AS n_vectors
     FROM agg GROUP BY label ORDER BY label"""
 
+  /** Embedding-cosine near-dup candidates: top-50 most similar within-cell
+    * pairs (IVF-pruned — never all-pairs). Cosine is computed from exact
+    * integer dot/norms so the double is bit-identical across engines; no
+    * true near-dups exist in this corpus (max cos ~0.5), so the contract is
+    * the ranked candidate list a dedup pass would verify. */
+  def q37(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("qv"))
+    val a = emb.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"))
+    val b = emb.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"))
+    a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .select(col("label"), col("va"), col("vb"),
+        (Vectors.dotLong(col("qa"), col("qb")).cast(DoubleType) /
+          (sqrt(Vectors.dotLong(col("qa"), col("qa")).cast(DoubleType)) *
+            sqrt(Vectors.dotLong(col("qb"), col("qb")).cast(DoubleType))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("va"), col("vb"))
+      .limit(50)
+  }
+
+  val q37Sql: String = s"""
+    WITH q AS (SELECT vec_id, label, $qVecSql AS qv FROM embeddings),
+    pairs AS (SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+        CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS DOUBLE) /
+        (sqrt(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*a.qv[i])) AS DOUBLE)) *
+         sqrt(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> b.qv[i]*b.qv[i])) AS DOUBLE))) AS cosine
+      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT label, va, vb, cosine FROM pairs
+    ORDER BY cosine DESC, va, vb LIMIT 50"""
+
   val defs: Map[String, Q] = Map(
     "q30_knn_bruteforce_mips" -> (q30 _),
     "q31_ivf_label_pruned_ann" -> (q31 _),
-    "q32_cluster_centroids" -> (q32 _))
+    "q32_cluster_centroids" -> (q32 _),
+    "q37_embedding_cosine_pairs" -> (q37 _))
 
   val oracles: Map[String, String] = Map(
     "q30_knn_bruteforce_mips" -> q30Sql,
     "q31_ivf_label_pruned_ann" -> q31Sql,
-    "q32_cluster_centroids" -> q32Sql)
+    "q32_cluster_centroids" -> q32Sql,
+    "q37_embedding_cosine_pairs" -> q37Sql)
 }
