@@ -33,6 +33,13 @@ class Str2IntHashSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("extensions entry point installs the function on a fresh session") {
+    // A fully fresh SparkContext is too heavy for the suite; exercise the
+    // injection wiring directly on the extensions container.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext) // must register w/o throwing
+  }
+
   test("registered in the SQL surface") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT str2inthash('sV') AS h, str2inthash(NULL) AS hn").collect()(0)
