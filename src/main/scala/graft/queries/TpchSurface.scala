@@ -38,9 +38,16 @@ object TpchSurface {
       .agg(
         sum(col("qty")).cast("double").as("sum_qty"),
         sum(col("price")).cast("double").as("sum_base_price"),
-        sum(col("price") * (lit(1).cast(dec3) - col("disc"))).cast("double").as("sum_disc_price"),
-        sum(col("price") * (lit(1).cast(dec3) - col("disc")) * (lit(1).cast(dec3) + col("tax")))
-          .cast("double").as("sum_charge"),
+        // per-row rounding to money scale BEFORE the sum: a scale-8 decimal
+        // total overflows the 53-bit double mantissa at large SF, and the
+        // engines' decimal->double casts then disagree by 1 ulp; scale-2
+        // per-row values keep the cast exact on both sides. Spark's decimal
+        // down-cast rounds HALF_UP, matching the oracle's explicit round()
+        // (the oracle engine's CAST rounds half-down instead)
+        sum((col("price") * (lit(1).cast(dec3) - col("disc"))).cast(DecimalType(18, 2)))
+          .cast("double").as("sum_disc_price"),
+        sum((col("price") * (lit(1).cast(dec3) - col("disc")) * (lit(1).cast(dec3) + col("tax")))
+          .cast(DecimalType(18, 2))).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -49,8 +56,8 @@ object TpchSurface {
     SELECT l_returnflag, l_linestatus,
       CAST(sum(qty) AS DOUBLE) AS sum_qty,
       CAST(sum(price) AS DOUBLE) AS sum_base_price,
-      CAST(sum(price * (CAST(1 AS DECIMAL(5,3)) - disc)) AS DOUBLE) AS sum_disc_price,
-      CAST(sum(price * (CAST(1 AS DECIMAL(5,3)) - disc) * (CAST(1 AS DECIMAL(5,3)) + tax)) AS DOUBLE) AS sum_charge,
+      CAST(sum(round(price * (CAST(1 AS DECIMAL(5,3)) - disc), 2)) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(round(price * (CAST(1 AS DECIMAL(5,3)) - disc) * (CAST(1 AS DECIMAL(5,3)) + tax), 2)) AS DOUBLE) AS sum_charge,
       count(*) AS count_order
     FROM (
       SELECT l_returnflag, l_linestatus,
