@@ -16,7 +16,8 @@ object Replicators {
     transistorEpisodeStatsV1, atomSingleFeedV1,
     twilioSmsV1, githubIssueV1, githubReleaseV1, intercomContactV1,
     emailOctopusContactV1, frontMessageV1, increaseAccountV1,
-    convertkitSubscriberV1, stripeChargeV1Partitioned
+    convertkitSubscriberV1, stripeChargeV1Partitioned,
+    githubPullV1, increaseTransactionV1, emailOctopusEventV1, sponsySlotV1
   ).map(r => r.name -> r).toMap
 
   /** Partitioned variant (U5 — the reference ships
@@ -229,6 +230,75 @@ object Replicators {
       ColumnSpec("last_name", StringType, Seq("fields", "last_name")),
       ColumnSpec("state", StringType, Seq("state"))),
     timestampCol = Some("created_at"))
+
+  /** `github_pull_v1` (`lib/webhookdb/replicator/github_pull_v1.rb`). */
+  lazy val githubPullV1: ReplicatorSpec = ReplicatorSpec(
+    name = "github_pull_v1",
+    remoteKeyCol = "github_id",
+    columns = Seq(
+      ColumnSpec("github_id", LongType, Seq("id")),
+      ColumnSpec("number", LongType, Seq("number")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"), convert = Converters.parseTime),
+      ColumnSpec("closed_at", TimestampType, Seq("closed_at"), convert = Converters.parseTime),
+      ColumnSpec("merged_at", TimestampType, Seq("merged_at"), convert = Converters.parseTime),
+      ColumnSpec("state", StringType, Seq("state")),
+      ColumnSpec("user_id", LongType, Seq("user", "id")),
+      ColumnSpec("node_id", StringType, Seq("node_id"))),
+    timestampCol = Some("updated_at"),
+    updateWhere = (t, s) => t("updated_at") < s("updated_at"))
+
+  /** `increase_transaction_v1`
+    * (`lib/webhookdb/replicator/increase_transaction_v1.rb`): legacy `date`
+    * column derived from created_at. */
+  lazy val increaseTransactionV1: ReplicatorSpec = ReplicatorSpec(
+    name = "increase_transaction_v1",
+    remoteKeyCol = "increase_id",
+    columns = Seq(
+      ColumnSpec("increase_id", StringType, Seq("id")),
+      ColumnSpec("account_id", StringType, Seq("account_id")),
+      ColumnSpec("amount", LongType, Seq("amount")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"), convert = Converters.parseTime),
+      ColumnSpec("date", DateType, Seq("created_at"),
+        convert = c => Converters.toUtcDate(Converters.parseTime(c))),
+      ColumnSpec("route_id", StringType, Seq("route_id"))),
+    timestampCol = Some("updated_at"))
+
+  /** `email_octopus_event_v1`
+    * (`lib/webhookdb/replicator/email_octopus_event_v1.rb:21-45`): synthetic
+    * md5 remote key over (occurred_at, type, contact, campaign). */
+  lazy val emailOctopusEventV1: ReplicatorSpec = ReplicatorSpec(
+    name = "email_octopus_event_v1",
+    remoteKeyCol = "unique_id",
+    columns = Seq(
+      ColumnSpec("unique_id", StringType, Seq("unique_id"),
+        resourceExpr = Some(r => md5(concat(
+          get_json_object(r, "$.occurred_at"),
+          get_json_object(r, "$.event_type"),
+          get_json_object(r, "$.contact.id"),
+          coalesce(get_json_object(r, "$.campaign_id"), lit("missing")))))),
+      ColumnSpec("email_octopus_contact_id", StringType, Seq("contact", "id")),
+      ColumnSpec("contact_email_address", StringType, Seq("contact", "email_address")),
+      ColumnSpec("email_octopus_campaign_id", StringType, Seq("campaign_id")),
+      ColumnSpec("event_type", StringType, Seq("event_type")),
+      ColumnSpec("occurred_at", TimestampType, Seq("occurred_at"),
+        convert = Converters.parseTime)),
+    timestampCol = Some("occurred_at"))
+
+  /** `sponsy_slot_v1` (`lib/webhookdb/replicator/sponsy_slot_v1.rb:23-32`). */
+  lazy val sponsySlotV1: ReplicatorSpec = ReplicatorSpec(
+    name = "sponsy_slot_v1",
+    remoteKeyCol = "sponsy_id",
+    columns = Seq(
+      ColumnSpec("sponsy_id", StringType, Seq("id")),
+      ColumnSpec("publication_id", StringType, Seq("publication_id")),
+      ColumnSpec("date", DateType, Seq("date"), convert = Converters.parseDate),
+      ColumnSpec("notes", StringType, Seq("notes")),
+      ColumnSpec("created_at", TimestampType, Seq("createdAt"), convert = Converters.parseTime),
+      ColumnSpec("updated_at", TimestampType, Seq("updatedAt"), convert = Converters.parseTime)),
+    timestampCol = Some("updated_at"),
+    updateWhere = (t, s) => t("updated_at") < s("updated_at"))
 
   /** `transistor_episode_stats_v1`
     * (`lib/webhookdb/replicator/transistor_episode_stats_v1.rb:23-67`):

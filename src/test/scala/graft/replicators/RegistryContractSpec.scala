@@ -22,7 +22,7 @@ class RegistryContractSpec extends SparkSpec {
       assert(names.distinct == names, s"${spec.name} duplicate columns")
       spec.timestampCol.foreach(t => assert(names.contains(t), s"${spec.name} ts col"))
     }
-    assert(Replicators.registry.size >= 14)
+    assert(Replicators.registry.size >= 18)
   }
 
   test("twilio_sms_v1 parses RFC3339-ish timestamps and keys on sid") {
@@ -87,6 +87,25 @@ class RegistryContractSpec extends SparkSpec {
     // idempotent under the partitioned conflict target
     val again = Pipeline.upsertBatch(spec, out, webhookDf(body))
     assert(again.count() == 1)
+  }
+
+  test("email_octopus_event_v1 derives its md5 remote key from four fields") {
+    val body = """{"occurred_at":"2024-01-01T00:00:00Z","event_type":"opened",
+      |"contact":{"id":"c1","email_address":"a@b.co"},"campaign_id":"camp1"}""".stripMargin.replaceAll("\n", "")
+    val row = ingest(Replicators.emailOctopusEventV1, body).collect()(0)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("2024-01-01T00:00:00Zopenedc1camp1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getAs[String]("unique_id") == expected)
+    assert(row.getAs[String]("contact_email_address") == "a@b.co")
+  }
+
+  test("increase_transaction_v1 derives the legacy date column from created_at") {
+    val row = ingest(Replicators.increaseTransactionV1,
+      """{"id":"txn_1","account_id":"acc_1","amount":-250,"created_at":"2024-03-05T23:30:00Z","updated_at":"2024-03-06T00:00:00Z","route_id":null}""")
+      .collect()(0)
+    assert(row.getAs[java.sql.Date]("date").toString == "2024-03-05") // UTC date
+    assert(row.getAs[Long]("amount") == -250L)
   }
 
   test("front_message_v1 unwraps payload.target.data with event-envelope digs") {
