@@ -154,11 +154,14 @@ object DedupQueries {
   /** Duplicate clusters: connected components over the verified near-dup
     * pairs (min-label propagation; oracle = recursive-CTE transitive
     * closure). The canonical-representative step of corpus dedup. */
-  def q29(spark: SparkSession, d: String): DataFrame = {
-    val pairs = q23(spark, d).select(col("doc_a"), col("doc_b"))
-    graft.operators.DupClusters.assign(pairs)
-      .orderBy(col("doc_id"))
-  }
+  def clustersDf(spark: SparkSession, d: String): DataFrame =
+    memoized(spark, d, "clusters") {
+      graft.operators.DupClusters.assign(
+        q23(spark, d).select(col("doc_a"), col("doc_b")))
+    }
+
+  def q29(spark: SparkSession, d: String): DataFrame =
+    clustersDf(spark, d).orderBy(col("doc_id"))
 
   val q29Sql: String = s"""
     WITH RECURSIVE dup_pairs AS (${q23Sql.replace("ORDER BY doc_a, doc_b", "")}),
@@ -226,9 +229,7 @@ object DedupQueries {
     * canonicalization — every doc except cluster members that are not their
     * cluster's canonical (min-id) representative. */
   def q38(spark: SparkSession, d: String): DataFrame = {
-    val clusters = graft.operators.DupClusters.assign(
-      q23(spark, d).select(col("doc_a"), col("doc_b")))
-    val losers = clusters.filter(col("cluster_id") =!= col("doc_id"))
+    val losers = clustersDf(spark, d).filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"))
     Tables.documents(spark, d).select(col("doc_id"))
       .join(losers, Seq("doc_id"), "left_anti")

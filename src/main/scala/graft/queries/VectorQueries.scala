@@ -120,16 +120,18 @@ object VectorQueries {
     * true near-dups exist in this corpus (max cos ~0.5), so the contract is
     * the ranked candidate list a dedup pass would verify. */
   def q37(spark: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(spark, d)
+    // norms precomputed once per vector (map-side), not once per pair
+    val emb = Tables.parallel(Tables.embeddings(spark, d))
       .select(col("vec_id"), col("label"), quantized(col("embedding")).as("qv"))
-    val a = emb.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"))
-    val b = emb.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"))
+      .withColumn("norm", sqrt(Vectors.dotLong(col("qv"), col("qv")).cast(DoubleType)))
+    val a = emb.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"),
+      col("norm").as("na"))
+    val b = emb.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"),
+      col("norm").as("nb"))
     a.join(b, Seq("label")).filter(col("va") < col("vb"))
       .select(col("label"), col("va"), col("vb"),
         (Vectors.dotLong(col("qa"), col("qb")).cast(DoubleType) /
-          (sqrt(Vectors.dotLong(col("qa"), col("qa")).cast(DoubleType)) *
-            sqrt(Vectors.dotLong(col("qb"), col("qb")).cast(DoubleType))))
-          .as("cosine"))
+          (col("na") * col("nb"))).as("cosine"))
       .orderBy(col("cosine").desc, col("va"), col("vb"))
       .limit(50)
   }
