@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Text
+import graft.functions.{Converters, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -139,15 +139,74 @@ object TextQueries {
         (acc, code) -> (acc * 131 + code) % 1000000007) AS rolling_fp
     FROM documents ORDER BY doc_id"""
 
+  /** Deterministic stratified sampling + source mixing: each language
+    * stratum keeps a hash-based percentage (reproducible across runs and
+    * engines — the sampling decision is a pure function of the row, the
+    * pattern for corpus mixing weights). */
+  def q44(spark: SparkSession, d: String): DataFrame = {
+    val rates = Map("en" -> 60, "de" -> 40, "fr" -> 40, "es" -> 20, "zh" -> 20)
+    val rate = coalesce(
+      element_at(map(rates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("lang")), lit(10))
+    val bucket = pmod(Converters.str2inthash(concat(lit("sample:"), col("doc_id"))), lit(100))
+    Tables.documents(spark, d)
+      .withColumn("sampled", bucket < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sampled").cast("long")).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val q44Sql: String = """
+    SELECT lang, count(*) AS n_docs,
+      CAST(sum(CASE WHEN ((CAST('0x' || substring(md5('sample:' || doc_id), 2, 8) AS BIGINT) - 2147483648) % 100 + 100) % 100 <
+        (CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 WHEN 'fr' THEN 40
+                   WHEN 'es' THEN 20 WHEN 'zh' THEN 20 ELSE 10 END)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** Context-length packing: per source (ordered by doc id) documents pack
+    * greedily into ~2048-token bins via a running token sum — the
+    * sequence-packing step of a pretraining pipeline, as one window pass. */
+  def q45(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / 2048d).cast(LongType))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  val q45Sql: String = s"""
+    WITH toks AS (SELECT doc_id, source, CAST(len(${Sql.words}) AS BIGINT) AS n_tokens FROM documents),
+    packed AS (SELECT *,
+        CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+      FROM toks)
+    SELECT source, pack_id, count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id
+    ORDER BY source, pack_id"""
+
   val defs: Map[String, Q] = Map(
     "q40_language_id" -> (q40 _),
     "q41_quality_score" -> (q41 _),
     "q42_token_stats" -> (q42 _),
-    "q43_fingerprints" -> (q43 _))
+    "q43_fingerprints" -> (q43 _),
+    "q44_stratified_sample" -> (q44 _),
+    "q45_sequence_packing" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
     "q40_language_id" -> q40Sql,
     "q41_quality_score" -> q41Sql,
     "q42_token_stats" -> q42Sql,
-    "q43_fingerprints" -> q43Sql)
+    "q43_fingerprints" -> q43Sql,
+    "q44_stratified_sample" -> q44Sql,
+    "q45_sequence_packing" -> q45Sql)
 }
