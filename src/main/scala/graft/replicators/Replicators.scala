@@ -17,8 +17,89 @@ object Replicators {
     twilioSmsV1, githubIssueV1, githubReleaseV1, intercomContactV1,
     emailOctopusContactV1, frontMessageV1, increaseAccountV1,
     convertkitSubscriberV1, stripeChargeV1Partitioned,
-    githubPullV1, increaseTransactionV1, emailOctopusEventV1, sponsySlotV1
+    githubPullV1, increaseTransactionV1, emailOctopusEventV1, sponsySlotV1,
+    frontConversationV1, convertkitTagV1, githubIssueCommentV1,
+    increaseAchTransferV1, emailOctopusCampaignV1
   ).map(r => r.name -> r).toMap
+
+  /** `front_conversation_v1` (`lib/webhookdb/replicator/front_conversation_v1.rb`). */
+  lazy val frontConversationV1: ReplicatorSpec = ReplicatorSpec(
+    name = "front_conversation_v1",
+    remoteKeyCol = "front_id",
+    columns = Seq(
+      ColumnSpec("front_id", StringType, Seq("id")),
+      ColumnSpec("subject", StringType, Seq("subject")),
+      ColumnSpec("status", StringType, Seq("status")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"),
+        convert = Converters.unixTs)),
+    timestampCol = Some("created_at"),
+    eventPred = body => get_json_object(body, "$.payload.target.data.id").isNotNull,
+    resourcePath = Seq("payload", "target", "data"))
+
+  /** `convertkit_tag_v1` (`lib/webhookdb/replicator/convertkit_tag_v1.rb`):
+    * subscription count comes from an enrichment fetch. */
+  lazy val convertkitTagV1: ReplicatorSpec = ReplicatorSpec(
+    name = "convertkit_tag_v1",
+    remoteKeyCol = "convertkit_id",
+    columns = Seq(
+      ColumnSpec("convertkit_id", LongType, Seq("id")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"),
+        convert = Converters.parseTime),
+      ColumnSpec("name", StringType, Seq("name")),
+      ColumnSpec("total_subscriptions", LongType, Seq("total_subscriptions"),
+        fromEnrichment = true)),
+    timestampCol = Some("created_at"),
+    usesEnrichment = true)
+
+  /** `github_issue_comment_v1`
+    * (`lib/webhookdb/replicator/github_issue_comment_v1.rb`). */
+  lazy val githubIssueCommentV1: ReplicatorSpec = ReplicatorSpec(
+    name = "github_issue_comment_v1",
+    remoteKeyCol = "github_id",
+    columns = Seq(
+      ColumnSpec("github_id", LongType, Seq("id")),
+      ColumnSpec("issue_id", LongType, Seq("issue", "id")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"), convert = Converters.parseTime),
+      ColumnSpec("user_id", LongType, Seq("user", "id")),
+      ColumnSpec("node_id", StringType, Seq("node_id"))),
+    timestampCol = Some("updated_at"),
+    updateWhere = (t, s) => t("updated_at") < s("updated_at"))
+
+  /** `increase_ach_transfer_v1`
+    * (`lib/webhookdb/replicator/increase_ach_transfer_v1.rb`). */
+  lazy val increaseAchTransferV1: ReplicatorSpec = ReplicatorSpec(
+    name = "increase_ach_transfer_v1",
+    remoteKeyCol = "increase_id",
+    columns = Seq(
+      ColumnSpec("increase_id", StringType, Seq("id")),
+      ColumnSpec("account_number", StringType, Seq("account_number")),
+      ColumnSpec("account_id", StringType, Seq("account_id")),
+      ColumnSpec("amount", LongType, Seq("amount")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"), convert = Converters.parseTime),
+      ColumnSpec("routing_number", StringType, Seq("routing_number")),
+      ColumnSpec("status", StringType, Seq("status")),
+      ColumnSpec("transaction_id", StringType, Seq("transaction_id"))),
+    timestampCol = Some("updated_at"))
+
+  /** `email_octopus_campaign_v1`
+    * (`lib/webhookdb/replicator/email_octopus_campaign_v1.rb`). */
+  lazy val emailOctopusCampaignV1: ReplicatorSpec = ReplicatorSpec(
+    name = "email_octopus_campaign_v1",
+    remoteKeyCol = "email_octopus_id",
+    columns = Seq(
+      ColumnSpec("email_octopus_id", StringType, Seq("id")),
+      ColumnSpec("name", StringType, Seq("name")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("sent_at", TimestampType, Seq("sent_at"), convert = Converters.parseTime),
+      ColumnSpec("status", StringType, Seq("status")),
+      ColumnSpec("from_name", StringType, Seq("from", "name")),
+      ColumnSpec("from_email_address", StringType, Seq("from", "email_address")),
+      ColumnSpec("subject", StringType, Seq("subject")),
+      ColumnSpec("row_updated_at", TimestampType, Seq("row_updated_at"),
+        defaulter = Some(Converters.defaultNow))),
+    timestampCol = Some("row_updated_at"))
 
   /** Partitioned variant (U5 — the reference ships
     * `icalendar_event_v1_partitioned`; here the same mechanism on the stripe

@@ -22,7 +22,7 @@ class RegistryContractSpec extends SparkSpec {
       assert(names.distinct == names, s"${spec.name} duplicate columns")
       spec.timestampCol.foreach(t => assert(names.contains(t), s"${spec.name} ts col"))
     }
-    assert(Replicators.registry.size >= 18)
+    assert(Replicators.registry.size >= 23)
   }
 
   test("twilio_sms_v1 parses RFC3339-ish timestamps and keys on sid") {
@@ -106,6 +106,29 @@ class RegistryContractSpec extends SparkSpec {
       .collect()(0)
     assert(row.getAs[java.sql.Date]("date").toString == "2024-03-05") // UTC date
     assert(row.getAs[Long]("amount") == -250L)
+  }
+
+  test("convertkit_tag_v1 stores enrichment-sourced subscription counts") {
+    val spec = Replicators.convertkitTagV1
+    val enriched = graft.sources.Enrichment.withEnrichment(
+      webhookDf("""{"id":5,"created_at":"2024-01-01T00:00:00Z","name":"vip"}"""),
+      () => _ => Some("""{"total_subscriptions":42}"""))
+    val row = Pipeline.upsertBatch(spec, Pipeline.emptyTarget(spec, spark), enriched)
+      .collect()(0)
+    assert(row.getAs[Long]("total_subscriptions") == 42L)
+    assert(row.getAs[String]("enrichment").contains("42"))
+  }
+
+  test("github_issue_comment_v1 and increase_ach_transfer_v1 golden rows") {
+    val c = ingest(Replicators.githubIssueCommentV1,
+      """{"id":7,"issue":{"id":101},"created_at":"2024-01-01T00:00:00Z","updated_at":"2024-01-02T00:00:00Z","user":{"id":42},"node_id":"N7"}""")
+      .collect()(0)
+    assert(c.getAs[Long]("issue_id") == 101L)
+    val a = ingest(Replicators.increaseAchTransferV1,
+      """{"id":"ach_1","account_number":"123","account_id":"acc_1","amount":5000,"created_at":"2024-01-01T00:00:00Z","updated_at":"2024-01-01T00:00:00Z","routing_number":"021000021","status":"submitted","transaction_id":"txn_9"}""")
+      .collect()(0)
+    assert(a.getAs[Long]("amount") == 5000L)
+    assert(a.getAs[String]("routing_number") == "021000021")
   }
 
   test("front_message_v1 unwraps payload.target.data with event-envelope digs") {
