@@ -71,6 +71,72 @@ object SyncTarget {
     SyncResult(pages, rows, committed, truncated)
   }
 
+  /** I6 — parallel page delivery with the min-inflight ordered commit
+    * (`sync_target.rb:555-598`): pages post concurrently, but the
+    * committed watermark only advances to just below the EARLIEST page
+    * still in flight — a crash never skips an undelivered page, at the cost
+    * of re-sending completed later pages (idempotent on the consumer's
+    * merge). */
+  def syncParallel(table: DataFrame, tsCol: String, lastSyncedAt: Timestamp,
+                   now: Timestamp, pageSize: Int, sink: PageSink,
+                   parallelism: Int): SyncResult = {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val scan = table
+      .filter(col(tsCol) >= lit(lastSyncedAt) && col(tsCol) <= lit(now))
+      .orderBy(col(tsCol))
+    val tsIdx = scan.schema.fieldIndex(tsCol)
+
+    // ordered-commit bookkeeping: the watermark is the last ts of the
+    // longest contiguous prefix of COMPLETED pages (pages may finish out of
+    // order; an undelivered earlier page blocks later ones from committing)
+    val completedPages = new java.util.concurrent.ConcurrentHashMap[Long, Timestamp]()
+    val commitLock = new Object
+    var nextToCommit = 0L
+    val committed = new java.util.concurrent.atomic.AtomicReference[Option[Timestamp]](None)
+    def advance(): Unit = commitLock.synchronized {
+      var ts = Option.empty[Timestamp]
+      while (completedPages.containsKey(nextToCommit)) {
+        ts = Some(completedPages.remove(nextToCommit))
+        nextToCommit += 1
+      }
+      ts.foreach(t => committed.set(Some(t)))
+    }
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val pool = Executors.newFixedThreadPool(parallelism.max(1))
+    var pages = 0L
+    var rows = 0L
+    try {
+      val it = scan.toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val futures = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
+      def submit(): Unit = {
+        val page = buf.toSeq
+        val idx = pages
+        val pageLastTs = page.last.getAs[Timestamp](tsIdx)
+        pages += 1
+        rows += page.size
+        buf.clear()
+        futures += pool.submit(new Runnable {
+          def run(): Unit =
+            try {
+              sink.writePage(page, idx)
+              completedPages.put(idx, pageLastTs)
+              advance()
+            } catch { case t: Throwable => failure.compareAndSet(null, t) }
+        })
+      }
+      while (it.hasNext && failure.get() == null) {
+        buf += it.next()
+        if (buf.size >= pageSize) submit()
+      }
+      if (buf.nonEmpty && failure.get() == null) submit()
+      futures.foreach(f => try f.get() catch { case _: Exception => () })
+      SyncResult(pages, rows, committed.get(), truncated = failure.get() != null)
+    } finally {
+      pool.shutdown(); pool.awaitTermination(60, TimeUnit.SECONDS); ()
+    }
+  }
+
   /** I7 — due-scheduling scan (`sync_target.rb:98-106`, index-friendly form):
     * targets whose `last_synced_at` is NULL or older than now - period. */
   def dueForSync(targets: DataFrame, lastSyncedCol: String, periodSecCol: String,

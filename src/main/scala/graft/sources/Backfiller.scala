@@ -69,6 +69,47 @@ object Backfiller {
       .toDF("body", Projection.IngestSeqCol)
   }
 
+  /** S12 — parallel backfill pool (`base.rb:1134-1166`): replicator-chosen
+    * thread parallelism across independent backfillers (e.g. one per parent
+    * row), fail-fast on the first error; successful pages from other
+    * backfillers are kept (they land idempotently via the merge). */
+  def runParallel(spark: SparkSession, fetchers: Seq[PageFetcher],
+                  parallelism: Int, maxAttempts: Int = 3,
+                  backoff: Int => Unit = _ => ()): DataFrame = {
+    import java.util.concurrent.{Executors, TimeUnit}
+    import scala.jdk.CollectionConverters._
+    val pool = Executors.newFixedThreadPool(parallelism.max(1))
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    try {
+      val tasks = fetchers.map { f =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            if (failure.get() == null) { // fail-fast: skip queued work after an error
+              try {
+                val items = Seq.newBuilder[String]
+                var token: Option[String] = None
+                var done = false
+                while (!done && failure.get() == null) {
+                  fetchWithRetry(f, token, maxAttempts, backoff) match {
+                    case Some((pageItems, next)) =>
+                      items ++= pageItems; token = next; done = next.isEmpty
+                    case None => done = true
+                  }
+                }
+                results.add(items.result())
+              } catch { case t: Throwable => failure.compareAndSet(null, t) }
+            }
+        })
+      }
+      tasks.foreach(_.get())
+      Option(failure.get()).foreach(t => throw t)
+      toWebhookDf(spark, results.asScala.toSeq.flatten)
+    } finally {
+      pool.shutdown(); pool.awaitTermination(60, TimeUnit.SECONDS); ()
+    }
+  }
+
   /** I2 — incremental watermark: resume token for the next run. The caller
     * persists it per integration (`last_backfilled_at`, `base.rb:1101-1131`). */
   def incrementalStart(table: DataFrame, tsCol: String): Option[java.sql.Timestamp] =

@@ -62,6 +62,34 @@ class SyncTargetSpec extends SparkSpec {
     assert(sink.delivered == 4)
   }
 
+  test("parallel delivery: watermark only advances over the completed prefix (I6)") {
+    // page 1 (middle) fails; pages 0 and 2 deliver. The watermark must stop
+    // at the end of page 0 — page 2's completion cannot commit past the hole.
+    val delivered = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    val sink = new SyncTarget.PageSink {
+      def writePage(page: Seq[Row], idx: Long): Unit = {
+        if (idx == 1) { Thread.sleep(50); throw new RuntimeException("boom") }
+        delivered.add(idx)
+      }
+    }
+    val r = SyncTarget.syncParallel(table, "updated",
+      ts("2024-01-01 00:00:00"), ts("2024-01-09 00:00:00"),
+      pageSize = 3, sink, parallelism = 3)
+    assert(r.truncated) // failure reported
+    assert(r.committedThrough.contains(ts("2024-01-03 00:00:00"))) // end of page 0
+    assert(delivered.contains(0L) && delivered.contains(2L))
+  }
+
+  test("parallel delivery commits everything when all pages succeed") {
+    val sink = new Collecting
+    val r = SyncTarget.syncParallel(table, "updated",
+      ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00"),
+      pageSize = 4, sink, parallelism = 4)
+    assert(!r.truncated)
+    assert(r.committedThrough.contains(ts("2024-01-10 00:00:00")))
+    assert(sink.pages.flatten.map(_.getLong(0)).sorted == (1L to 10L))
+  }
+
   test("due scheduling + rows needing sync filters") {
     val targets = Seq(
       ("t1", Some(ts("2024-01-01 00:00:00")), 600L),

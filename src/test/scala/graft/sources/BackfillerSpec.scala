@@ -66,6 +66,26 @@ class BackfillerSpec extends SparkSpec {
     assert(calls == 2)      // no retry of the fatal page
   }
 
+  test("parallel backfill pool: all fetchers land; failures fail fast (S12)") {
+    def fetcher(prefix: String, pages: Int) = new Backfiller.PageFetcher {
+      def fetchPage(token: Option[String]) = {
+        val n = token.map(_.toInt).getOrElse(0)
+        (Seq(item(s"$prefix-$n", n)), if (n + 1 < pages) Some((n + 1).toString) else None)
+      }
+    }
+    val df = Backfiller.runParallel(spark,
+      Seq(fetcher("a", 3), fetcher("b", 2), fetcher("c", 1)), parallelism = 3)
+    assert(df.count() == 6)
+
+    val bad = new Backfiller.PageFetcher {
+      def fetchPage(token: Option[String]) = throw new RuntimeException("500")
+    }
+    assertThrows[RuntimeException] {
+      Backfiller.runParallel(spark, Seq(fetcher("a", 2), bad), parallelism = 2,
+        maxAttempts = 1)
+    }
+  }
+
   test("per-parent incremental watermarks (S8) via grouped max") {
     import spark.implicits._
     val stats = Seq(
