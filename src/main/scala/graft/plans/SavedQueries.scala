@@ -34,4 +34,9 @@ final class SavedQueries(spark: SparkSession) {
   }
 
   def runView(name: String): DataFrame = spark.table(name)
+
+  /** The `db tables` listing (`api/db.rb:76-88`): user-visible tables/views
+    * in the session catalog. */
+  def listTables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
 }

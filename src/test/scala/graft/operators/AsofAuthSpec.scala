@@ -20,6 +20,16 @@ class AsofAuthSpec extends SparkSpec {
     assert(got(2) == ((3L, None)))       // no earlier right row
   }
 
+  test("asof join carries multiple payload columns consistently") {
+    val left = Seq((1L, "u1", 100L)).toDF("id", "k", "ts")
+    val right = Seq(("u1", 50L, "v1", 10L), ("u1", 90L, "v2", 20L))
+      .toDF("k", "ts", "name", "amount")
+    val got = AsofJoin.asof(left, right, Seq("k"), "ts", "ts", Seq("name", "amount"))
+      .select("asof_name", "asof_amount").collect()(0)
+    // both payload columns must come from the SAME (latest) right row
+    assert(got.getString(0) == "v2" && got.getLong(1) == 20L)
+  }
+
   test("signed-header verification: accept, tamper, stale, malformed") {
     val body = """{"id":"ch_1"}"""
     val secret = "whsec_test"

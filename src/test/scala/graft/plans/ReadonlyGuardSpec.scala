@@ -54,5 +54,6 @@ class ReadonlyGuardSpec extends SparkSpec {
     assert(sq.runView("my_view").count() == 3)
     assertThrows[IllegalArgumentException](
       sq.createOrReplaceView("bad name!", "SELECT 1"))
+    assert(sq.listTables().contains("my_view")) // the `db tables` surface
   }
 }

@@ -94,6 +94,34 @@ class IcalendarSpec extends SparkSpec {
     assert(r.wkst == DayOfWeek.MONDAY)
   }
 
+  test("WKST=SU changes which week an interval-2 BYDAY rule lands in") {
+    // start Tue 2024-01-02; weeks anchored on Sunday: with WKST=SU the next
+    // eligible week starts Sun Jan 14, so WE occurrences are Jan 3, 17, 31
+    val su = expand("20240102T090000", "FREQ=WEEKLY;INTERVAL=2;BYDAY=TU,WE;WKST=SU;COUNT=4")
+    assert(su.map(_.toString) == Seq(
+      "2024-01-02T09:00", "2024-01-03T09:00", "2024-01-16T09:00", "2024-01-17T09:00"))
+  }
+
+  test("folded lines longer than 75 octets and multi-param properties parse") {
+    val longDesc = "x" * 60
+    val feed = s"""BEGIN:VCALENDAR
+      |BEGIN:VEVENT
+      |UID:long1
+      |DESCRIPTION:$longDesc
+      | $longDesc
+      | tail
+      |ATTENDEE;CN="Doe, J";ROLE=REQ-PARTICIPANT:mailto:j@x.co
+      |DTSTART:20240301T000000Z
+      |END:VEVENT
+      |END:VCALENDAR""".stripMargin
+    val h = Ics.parseFeed(feed).head
+    assert(h("DESCRIPTION").head.v == longDesc + longDesc + "tail")
+    val att = h("ATTENDEE").head
+    assert(att.v == "mailto:j@x.co")
+    assert(att.params("CN") == "Doe, J") // quoted param with comma
+    assert(att.params("ROLE") == "REQ-PARTICIPANT")
+  }
+
   // ---- end-to-end expansion ----
 
   private val fixtureFeed =
