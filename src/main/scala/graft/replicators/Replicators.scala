@@ -19,8 +19,122 @@ object Replicators {
     convertkitSubscriberV1, stripeChargeV1Partitioned,
     githubPullV1, increaseTransactionV1, emailOctopusEventV1, sponsySlotV1,
     frontConversationV1, convertkitTagV1, githubIssueCommentV1,
-    increaseAchTransferV1, emailOctopusCampaignV1
+    increaseAchTransferV1, emailOctopusCampaignV1,
+    sponsyCustomerV1, sponsyStatusV1, convertkitBroadcastV1,
+    emailOctopusListV1, githubRepositoryEventV1, increaseAccountNumberV1,
+    transistorShowV1
   ).map(r => r.name -> r).toMap
+
+  /** Sponsy family shared shape (`sponsy_v1_mixin.rb`): id key + ISO
+    * timestamps, monotonic on updated_at. */
+  private def sponsySpec(name: String, cols: Seq[ColumnSpec]): ReplicatorSpec =
+    ReplicatorSpec(
+      name = name,
+      remoteKeyCol = "sponsy_id",
+      columns = (ColumnSpec("sponsy_id", StringType, Seq("id")) +: cols) ++ Seq(
+        ColumnSpec("created_at", TimestampType, Seq("createdAt"), convert = Converters.parseTime),
+        ColumnSpec("updated_at", TimestampType, Seq("updatedAt"), convert = Converters.parseTime)),
+      timestampCol = Some("updated_at"),
+      updateWhere = (t, s) => t("updated_at") < s("updated_at"))
+
+  /** `sponsy_customer_v1` (`lib/webhookdb/replicator/sponsy_customer_v1.rb`). */
+  lazy val sponsyCustomerV1: ReplicatorSpec = sponsySpec("sponsy_customer_v1", Seq(
+    ColumnSpec("name", StringType, Seq("name")),
+    ColumnSpec("logo", StringType, Seq("logo")),
+    ColumnSpec("notes", StringType, Seq("notes")),
+    ColumnSpec("portal_text", StringType, Seq("portalText")),
+    ColumnSpec("portal_id", StringType, Seq("portalId"))))
+
+  /** `sponsy_status_v1` (`lib/webhookdb/replicator/sponsy_status_v1.rb`). */
+  lazy val sponsyStatusV1: ReplicatorSpec = sponsySpec("sponsy_status_v1", Seq(
+    ColumnSpec("publication_id", StringType, Seq("publication_id")),
+    ColumnSpec("name", StringType, Seq("name")),
+    ColumnSpec("slug", StringType, Seq("slug")),
+    ColumnSpec("color", StringType, Seq("color")),
+    ColumnSpec("order", LongType, Seq("order"))))
+
+  /** `convertkit_broadcast_v1`
+    * (`lib/webhookdb/replicator/convertkit_broadcast_v1.rb`): the stats
+    * block comes entirely from an enrichment fetch. */
+  lazy val convertkitBroadcastV1: ReplicatorSpec = ReplicatorSpec(
+    name = "convertkit_broadcast_v1",
+    remoteKeyCol = "convertkit_id",
+    columns = Seq(
+      ColumnSpec("convertkit_id", LongType, Seq("id")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("subject", StringType, Seq("subject")),
+      ColumnSpec("click_rate", DecimalType(10, 4), Seq("click_rate"), fromEnrichment = true),
+      ColumnSpec("open_rate", DecimalType(10, 4), Seq("open_rate"), fromEnrichment = true),
+      ColumnSpec("recipients", LongType, Seq("recipients"), fromEnrichment = true),
+      ColumnSpec("status", StringType, Seq("status"), fromEnrichment = true),
+      ColumnSpec("total_clicks", LongType, Seq("total_clicks"), fromEnrichment = true),
+      ColumnSpec("unsubscribes", LongType, Seq("unsubscribes"), fromEnrichment = true)),
+    timestampCol = Some("created_at"),
+    usesEnrichment = true)
+
+  /** `email_octopus_list_v1` (`lib/webhookdb/replicator/email_octopus_list_v1.rb`):
+    * nested counts block. */
+  lazy val emailOctopusListV1: ReplicatorSpec = ReplicatorSpec(
+    name = "email_octopus_list_v1",
+    remoteKeyCol = "email_octopus_id",
+    columns = Seq(
+      ColumnSpec("email_octopus_id", StringType, Seq("id")),
+      ColumnSpec("name", StringType, Seq("name")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("pending", LongType, Seq("counts", "pending")),
+      ColumnSpec("subscribed", LongType, Seq("counts", "subscribed")),
+      ColumnSpec("unsubscribed", LongType, Seq("counts", "unsubscribed")),
+      ColumnSpec("row_updated_at", TimestampType, Seq("row_updated_at"),
+        defaulter = Some(Converters.defaultNow))),
+    timestampCol = Some("row_updated_at"))
+
+  /** `github_repository_event_v1`
+    * (`lib/webhookdb/replicator/github_repository_event_v1.rb`). */
+  lazy val githubRepositoryEventV1: ReplicatorSpec = ReplicatorSpec(
+    name = "github_repository_event_v1",
+    remoteKeyCol = "github_id",
+    columns = Seq(
+      ColumnSpec("github_id", StringType, Seq("id")),
+      ColumnSpec("type", StringType, Seq("type")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("actor_id", LongType, Seq("actor", "id")),
+      ColumnSpec("row_updated_at", TimestampType, Seq("row_updated_at"),
+        defaulter = Some(Converters.defaultNow))),
+    timestampCol = Some("row_updated_at"))
+
+  /** `increase_account_number_v1`
+    * (`lib/webhookdb/replicator/increase_account_number_v1.rb`). */
+  lazy val increaseAccountNumberV1: ReplicatorSpec = ReplicatorSpec(
+    name = "increase_account_number_v1",
+    remoteKeyCol = "increase_id",
+    columns = Seq(
+      ColumnSpec("increase_id", StringType, Seq("id")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"), convert = Converters.parseTime),
+      ColumnSpec("account_id", StringType, Seq("account_id")),
+      ColumnSpec("account_number", StringType, Seq("account_number")),
+      ColumnSpec("name", StringType, Seq("name")),
+      ColumnSpec("routing_number", StringType, Seq("routing_number")),
+      ColumnSpec("status", StringType, Seq("status"))),
+    timestampCol = Some("updated_at"))
+
+  /** `transistor_show_v1` (`lib/webhookdb/replicator/transistor_show_v1.rb`):
+    * JSON:API shape — fields nested under `attributes`. */
+  lazy val transistorShowV1: ReplicatorSpec = ReplicatorSpec(
+    name = "transistor_show_v1",
+    remoteKeyCol = "transistor_id",
+    columns = Seq(
+      ColumnSpec("transistor_id", StringType, Seq("id")),
+      ColumnSpec("author", StringType, Seq("attributes", "author")),
+      ColumnSpec("created_at", TimestampType, Seq("attributes", "created_at"),
+        convert = Converters.parseTime),
+      ColumnSpec("description", StringType, Seq("attributes", "description")),
+      ColumnSpec("title", StringType, Seq("attributes", "title")),
+      ColumnSpec("updated_at", TimestampType, Seq("attributes", "updated_at"),
+        convert = Converters.parseTime),
+      ColumnSpec("website", StringType, Seq("attributes", "website"))),
+    timestampCol = Some("updated_at"),
+    updateWhere = (t, s) => t("updated_at") < s("updated_at"))
 
   /** `front_conversation_v1` (`lib/webhookdb/replicator/front_conversation_v1.rb`). */
   lazy val frontConversationV1: ReplicatorSpec = ReplicatorSpec(

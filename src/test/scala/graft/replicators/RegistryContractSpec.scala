@@ -22,7 +22,7 @@ class RegistryContractSpec extends SparkSpec {
       assert(names.distinct == names, s"${spec.name} duplicate columns")
       spec.timestampCol.foreach(t => assert(names.contains(t), s"${spec.name} ts col"))
     }
-    assert(Replicators.registry.size >= 23)
+    assert(Replicators.registry.size >= 30)
   }
 
   test("twilio_sms_v1 parses RFC3339-ish timestamps and keys on sid") {
@@ -129,6 +129,23 @@ class RegistryContractSpec extends SparkSpec {
       .collect()(0)
     assert(a.getAs[Long]("amount") == 5000L)
     assert(a.getAs[String]("routing_number") == "021000021")
+  }
+
+  test("transistor_show_v1 digs the JSON:API attributes block") {
+    val row = ingest(Replicators.transistorShowV1,
+      """{"id":"show-1","type":"show","attributes":{"author":"A","title":"T","description":"D","created_at":"2024-01-01T00:00:00Z","updated_at":"2024-01-02T00:00:00Z","website":"https://x"}}""")
+      .collect()(0)
+    assert(row.getAs[String]("title") == "T")
+    assert(row.getAs[java.sql.Timestamp]("updated_at").getTime ==
+      java.time.Instant.parse("2024-01-02T00:00:00Z").toEpochMilli)
+  }
+
+  test("email_octopus_list_v1 reads nested count fields") {
+    val row = ingest(Replicators.emailOctopusListV1,
+      """{"id":"l1","name":"News","created_at":"2024-01-01T00:00:00Z","counts":{"pending":1,"subscribed":20,"unsubscribed":3}}""")
+      .collect()(0)
+    assert(row.getAs[Long]("subscribed") == 20L)
+    assert(row.getAs[Long]("pending") == 1L)
   }
 
   test("front_message_v1 unwraps payload.target.data with event-envelope digs") {
