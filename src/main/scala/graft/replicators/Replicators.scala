@@ -22,8 +22,63 @@ object Replicators {
     increaseAchTransferV1, emailOctopusCampaignV1,
     sponsyCustomerV1, sponsyStatusV1, convertkitBroadcastV1,
     emailOctopusListV1, githubRepositoryEventV1, increaseAccountNumberV1,
-    transistorShowV1
+    transistorShowV1,
+    stripeCouponV1, stripeDisputeV1, stripeInvoiceV1, stripePayoutV1,
+    stripePriceV1, stripeProductV1, stripeSubscriptionV1
   ).map(r => r.name -> r).toMap
+
+  private def ts(name: String, key: String = null) =
+    ColumnSpec(name, TimestampType, Seq(Option(key).getOrElse(name)),
+      convert = Converters.unixTs)
+  private def txt(name: String) = ColumnSpec(name, StringType, Seq(name))
+  private def int(name: String) = ColumnSpec(name, LongType, Seq(name))
+
+  /** `stripe_coupon_v1` (`lib/webhookdb/replicator/stripe_coupon_v1.rb`). */
+  lazy val stripeCouponV1: ReplicatorSpec = stripeSpec("stripe_coupon_v1", Seq(
+    txt("amount_off"), ts("created"), txt("duration"), int("max_redemptions"),
+    txt("name"), ColumnSpec("percent_off", DecimalType(10, 4), Seq("percent_off")),
+    int("times_redeemed")))
+
+  /** `stripe_dispute_v1` (`lib/webhookdb/replicator/stripe_dispute_v1.rb`):
+    * evidence block digs. */
+  lazy val stripeDisputeV1: ReplicatorSpec = stripeSpec("stripe_dispute_v1", Seq(
+    int("amount"), txt("charge"),
+    ColumnSpec("cancellation_policy", StringType, Seq("evidence", "cancellation_policy")),
+    ts("created"), txt("is_charge_refundable"),
+    ColumnSpec("receipt", StringType, Seq("evidence", "receipt")),
+    ColumnSpec("refund_policy", StringType, Seq("evidence", "refund_policy")),
+    txt("status")))
+
+  /** `stripe_invoice_v1` (`lib/webhookdb/replicator/stripe_invoice_v1.rb`). */
+  lazy val stripeInvoiceV1: ReplicatorSpec = stripeSpec("stripe_invoice_v1", Seq(
+    int("amount_due"), int("amount_paid"), int("amount_remaining"),
+    txt("charge"), ts("created"), txt("customer"), txt("customer_email"),
+    txt("customer_name"), txt("number"),
+    ts("period_start"), ts("period_end"), txt("status")))
+
+  /** `stripe_payout_v1` (`lib/webhookdb/replicator/stripe_payout_v1.rb`). */
+  lazy val stripePayoutV1: ReplicatorSpec = stripeSpec("stripe_payout_v1", Seq(
+    int("amount"), ts("arrival_date"), txt("balance_transaction"), ts("created"),
+    txt("destination"), txt("failure_balance_transaction"), txt("original_payout"),
+    txt("reversed_by"), txt("statement_descriptor"), txt("status")))
+
+  /** `stripe_price_v1` (`lib/webhookdb/replicator/stripe_price_v1.rb`). */
+  lazy val stripePriceV1: ReplicatorSpec = stripeSpec("stripe_price_v1", Seq(
+    ts("created"),
+    ColumnSpec("interval", StringType, Seq("recurring", "interval")),
+    txt("product"), txt("type"), txt("unit_amount")))
+
+  /** `stripe_product_v1` (`lib/webhookdb/replicator/stripe_product_v1.rb`). */
+  lazy val stripeProductV1: ReplicatorSpec = stripeSpec("stripe_product_v1", Seq(
+    ts("created"), txt("name"), txt("package_dimensions"),
+    txt("statement_descriptor"), txt("unit_label")))
+
+  /** `stripe_subscription_v1` (`lib/webhookdb/replicator/stripe_subscription_v1.rb`). */
+  lazy val stripeSubscriptionV1: ReplicatorSpec = stripeSpec("stripe_subscription_v1", Seq(
+    ts("billing_cycle_anchor"), ts("cancel_at"), ts("canceled_at"), ts("created"),
+    ts("current_period_end"), ts("current_period_start"), txt("customer"),
+    txt("default_payment_method"), txt("discount"), ts("ended_at"),
+    txt("latest_invoice"), txt("schedule"), txt("status")))
 
   /** Sponsy family shared shape (`sponsy_v1_mixin.rb`): id key + ISO
     * timestamps, monotonic on updated_at. */

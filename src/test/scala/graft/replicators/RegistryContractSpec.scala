@@ -22,7 +22,7 @@ class RegistryContractSpec extends SparkSpec {
       assert(names.distinct == names, s"${spec.name} duplicate columns")
       spec.timestampCol.foreach(t => assert(names.contains(t), s"${spec.name} ts col"))
     }
-    assert(Replicators.registry.size >= 30)
+    assert(Replicators.registry.size >= 37)
   }
 
   test("twilio_sms_v1 parses RFC3339-ish timestamps and keys on sid") {
@@ -164,6 +164,19 @@ class RegistryContractSpec extends SparkSpec {
       .collect()(0)
     assert(row.getAs[Long]("convertkit_id") == 9L)
     assert(row.getAs[String]("last_name") == "B")
+  }
+
+  test("stripe family: invoice and subscription golden rows through the shared unwrap") {
+    val inv = """{"id":"in_1","object":"invoice","amount_due":1000,"amount_paid":400,"amount_remaining":600,"charge":"ch_1","created":1700000000,"customer":"cus_1","customer_email":"a@b.co","customer_name":"A","number":"INV-1","period_start":1699000000,"period_end":1700000000,"status":"open"}"""
+    val r1 = ingest(Replicators.stripeInvoiceV1,
+      s"""{"object":"event","created":1700000001,"data":{"object":$inv}}""").collect()(0)
+    assert(r1.getAs[Long]("amount_remaining") == 600L)
+    assert(r1.getAs[java.sql.Timestamp]("period_start").getTime == 1699000000000L)
+
+    val sub = """{"id":"sub_1","object":"subscription","billing_cycle_anchor":1700000000,"cancel_at":null,"canceled_at":null,"created":1700000000,"current_period_end":1702592000,"current_period_start":1700000000,"customer":"cus_1","default_payment_method":"pm_1","discount":null,"ended_at":null,"latest_invoice":"in_1","schedule":null,"status":"active"}"""
+    val r2 = ingest(Replicators.stripeSubscriptionV1, sub).collect()(0)
+    assert(r2.getAs[String]("status") == "active")
+    assert(r2.getAs[java.sql.Timestamp]("cancel_at") == null)
   }
 
   test("stripe_customer_v1 and stripe_refund_v1 share the envelope unwrap") {
