@@ -24,8 +24,118 @@ object Replicators {
     emailOctopusListV1, githubRepositoryEventV1, increaseAccountNumberV1,
     transistorShowV1,
     stripeCouponV1, stripeDisputeV1, stripeInvoiceV1, stripePayoutV1,
-    stripePriceV1, stripeProductV1, stripeSubscriptionV1
+    stripePriceV1, stripeProductV1, stripeSubscriptionV1,
+    increaseEventV1, shopifyOrderV1, shopifyCustomerV1, signalwireMessageV1,
+    intercomConversationV1, transistorEpisodeV1
   ).map(r => r.name -> r).toMap
+
+  /** `increase_event_v1` (`lib/webhookdb/replicator/increase_event_v1.rb`). */
+  lazy val increaseEventV1: ReplicatorSpec = ReplicatorSpec(
+    name = "increase_event_v1",
+    remoteKeyCol = "increase_id",
+    columns = Seq(
+      ColumnSpec("increase_id", StringType, Seq("id")),
+      ColumnSpec("associated_object_id", StringType, Seq("associated_object_id")),
+      ColumnSpec("associated_object_type", StringType, Seq("associated_object_type")),
+      ColumnSpec("category", StringType, Seq("category")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime)),
+    timestampCol = Some("created_at"))
+
+  /** `shopify_order_v1` (`lib/webhookdb/replicator/shopify_order_v1.rb`,
+    * representative columns). */
+  lazy val shopifyOrderV1: ReplicatorSpec = ReplicatorSpec(
+    name = "shopify_order_v1",
+    remoteKeyCol = "shopify_id",
+    columns = Seq(
+      ColumnSpec("shopify_id", StringType, Seq("id")),
+      ColumnSpec("app_id", StringType, Seq("app_id")),
+      ColumnSpec("cancelled_at", TimestampType, Seq("cancelled_at"), convert = Converters.parseTime),
+      ColumnSpec("closed_at", TimestampType, Seq("closed_at"), convert = Converters.parseTime),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("customer_id", StringType, Seq("customer", "id")),
+      ColumnSpec("email", StringType, Seq("email")),
+      ColumnSpec("order_number", LongType, Seq("order_number")),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"), convert = Converters.parseTime)),
+    timestampCol = Some("updated_at"),
+    updateWhere = (t, s) => t("updated_at") < s("updated_at"))
+
+  /** `shopify_customer_v1` (`lib/webhookdb/replicator/shopify_customer_v1.rb`). */
+  lazy val shopifyCustomerV1: ReplicatorSpec = ReplicatorSpec(
+    name = "shopify_customer_v1",
+    remoteKeyCol = "shopify_id",
+    columns = Seq(
+      ColumnSpec("shopify_id", StringType, Seq("id")),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"), convert = Converters.parseTime),
+      ColumnSpec("email", StringType, Seq("email")),
+      ColumnSpec("first_name", StringType, Seq("first_name")),
+      ColumnSpec("last_name", StringType, Seq("last_name")),
+      ColumnSpec("last_order_id", StringType, Seq("last_order_id")),
+      ColumnSpec("phone", StringType, Seq("phone")),
+      ColumnSpec("state", StringType, Seq("state")),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"), convert = Converters.parseTime)),
+    timestampCol = Some("updated_at"),
+    updateWhere = (t, s) => t("updated_at") < s("updated_at"))
+
+  /** `signalwire_message_v1` (`lib/webhookdb/replicator/signalwire_message_v1.rb`):
+    * twilio-compatible shape keyed on sid. */
+  lazy val signalwireMessageV1: ReplicatorSpec = ReplicatorSpec(
+    name = "signalwire_message_v1",
+    remoteKeyCol = "signalwire_id",
+    columns = Seq(
+      ColumnSpec("signalwire_id", StringType, Seq("sid")),
+      ColumnSpec("date_created", TimestampType, Seq("date_created"), convert = Converters.parseTime),
+      ColumnSpec("date_sent", TimestampType, Seq("date_sent"), convert = Converters.parseTime),
+      ColumnSpec("date_updated", TimestampType, Seq("date_updated"), convert = Converters.parseTime),
+      ColumnSpec("direction", StringType, Seq("direction")),
+      ColumnSpec("from", StringType, Seq("from")),
+      ColumnSpec("status", StringType, Seq("status")),
+      ColumnSpec("to", StringType, Seq("to"))),
+    timestampCol = Some("date_updated"),
+    updateWhere = (t, s) => t("date_updated") < s("date_updated"))
+
+  /** `intercom_conversation_v1`
+    * (`lib/webhookdb/replicator/intercom_conversation_v1.rb`). */
+  lazy val intercomConversationV1: ReplicatorSpec = ReplicatorSpec(
+    name = "intercom_conversation_v1",
+    remoteKeyCol = "intercom_id",
+    columns = Seq(
+      ColumnSpec("intercom_id", StringType, Seq("id")),
+      ColumnSpec("title", StringType, Seq("title"), skipNil = true),
+      ColumnSpec("state", StringType, Seq("state"), skipNil = true),
+      ColumnSpec("open", BooleanType, Seq("open"), skipNil = true),
+      ColumnSpec("read", BooleanType, Seq("read"), skipNil = true),
+      ColumnSpec("created_at", TimestampType, Seq("created_at"),
+        convert = Converters.unixTs, skipNil = true),
+      ColumnSpec("updated_at", TimestampType, Seq("updated_at"),
+        convert = Converters.unixTs, skipNil = true),
+      ColumnSpec("deleted_at", TimestampType, Seq("deleted_at"),
+        convert = Converters.unixTs, skipNil = true)),
+    timestampCol = Some("updated_at"))
+
+  /** `transistor_episode_v1` (`lib/webhookdb/replicator/transistor_episode_v1.rb`,
+    * representative columns — JSON:API attributes). */
+  lazy val transistorEpisodeV1: ReplicatorSpec = ReplicatorSpec(
+    name = "transistor_episode_v1",
+    remoteKeyCol = "transistor_id",
+    columns = Seq(
+      ColumnSpec("transistor_id", StringType, Seq("id")),
+      ColumnSpec("author", StringType, Seq("attributes", "author")),
+      ColumnSpec("duration", LongType, Seq("attributes", "duration")),
+      ColumnSpec("keywords", StringType, Seq("attributes", "keywords")),
+      ColumnSpec("number", LongType, Seq("attributes", "number")),
+      ColumnSpec("season", LongType, Seq("attributes", "season")),
+      ColumnSpec("status", StringType, Seq("attributes", "status")),
+      ColumnSpec("title", StringType, Seq("attributes", "title")),
+      ColumnSpec("show_id", StringType, Seq("relationships", "show", "data", "id")),
+      ColumnSpec("created_at", TimestampType, Seq("attributes", "created_at"),
+        convert = Converters.parseTime),
+      ColumnSpec("updated_at", TimestampType, Seq("attributes", "updated_at"),
+        convert = Converters.parseTime),
+      ColumnSpec("published_at", TimestampType, Seq("attributes", "published_at"),
+        convert = Converters.parseTime)),
+    timestampCol = Some("updated_at"),
+    updateWhere = (t, s) => t("updated_at") < s("updated_at"),
+    dependsOn = Some("transistor_show_v1"))
 
   private def ts(name: String, key: String = null) =
     ColumnSpec(name, TimestampType, Seq(Option(key).getOrElse(name)),
