@@ -26,8 +26,82 @@ object Replicators {
     stripeCouponV1, stripeDisputeV1, stripeInvoiceV1, stripePayoutV1,
     stripePriceV1, stripeProductV1, stripeSubscriptionV1,
     increaseEventV1, shopifyOrderV1, shopifyCustomerV1, signalwireMessageV1,
-    intercomConversationV1, transistorEpisodeV1
+    intercomConversationV1, transistorEpisodeV1,
+    increaseAccountTransferV1, increaseCheckTransferV1, increaseWireTransferV1,
+    increaseLimitV1, sponsyPlacementV1, plivoSmsInboundV1, webhookdbCustomerV1
   ).map(r => r.name -> r).toMap
+
+  /** Increase family shared shape: id key + ISO timestamps. */
+  private def increaseSpec(name: String, cols: Seq[ColumnSpec],
+                           tsCol: String = "updated_at"): ReplicatorSpec =
+    ReplicatorSpec(
+      name = name,
+      remoteKeyCol = "increase_id",
+      columns = ColumnSpec("increase_id", StringType, Seq("id")) +: cols,
+      timestampCol = Some(tsCol))
+
+  private def iso(name: String, key: String = null) =
+    ColumnSpec(name, TimestampType, Seq(Option(key).getOrElse(name)),
+      convert = Converters.parseTime)
+
+  /** `increase_account_transfer_v1`. */
+  lazy val increaseAccountTransferV1: ReplicatorSpec =
+    increaseSpec("increase_account_transfer_v1", Seq(
+      int("amount"), txt("account_id"), iso("created_at"), iso("updated_at"),
+      txt("destination_account_id"), txt("destination_transaction_id"),
+      txt("status"), txt("transaction_id")))
+
+  /** `increase_check_transfer_v1`. */
+  lazy val increaseCheckTransferV1: ReplicatorSpec =
+    increaseSpec("increase_check_transfer_v1", Seq(
+      iso("created_at"), iso("updated_at"), txt("account_id"), int("amount"),
+      txt("account_number"), txt("routing_number"), txt("check_number"),
+      txt("status")))
+
+  /** `increase_wire_transfer_v1`: nested approval dig. */
+  lazy val increaseWireTransferV1: ReplicatorSpec =
+    increaseSpec("increase_wire_transfer_v1", Seq(
+      txt("account_number"), txt("account_id"), int("amount"),
+      ColumnSpec("approved_at", TimestampType, Seq("approval", "approved_at"),
+        convert = Converters.parseTime),
+      iso("created_at"), iso("updated_at"), txt("routing_number"),
+      txt("status"), txt("transaction_id")))
+
+  /** `increase_limit_v1`: row timestamp aliased from updated_at. */
+  lazy val increaseLimitV1: ReplicatorSpec =
+    increaseSpec("increase_limit_v1", Seq(
+      txt("interval"), txt("metric"), txt("model_id"), txt("model_type"),
+      ColumnSpec("row_updated_at", TimestampType, Seq("updated_at"),
+        convert = Converters.parseTime),
+      txt("status"), int("value")), tsCol = "row_updated_at")
+
+  /** `sponsy_placement_v1`. */
+  lazy val sponsyPlacementV1: ReplicatorSpec = sponsySpec("sponsy_placement_v1", Seq(
+    ColumnSpec("publication_id", StringType, Seq("publication_id")),
+    txt("name"), txt("slug"), txt("color"), int("order")))
+
+  /** `plivo_sms_inbound_v1`: capitalized payload keys + inserted-at
+    * defaulter. */
+  lazy val plivoSmsInboundV1: ReplicatorSpec = ReplicatorSpec(
+    name = "plivo_sms_inbound_v1",
+    remoteKeyCol = "plivo_message_uuid",
+    columns = Seq(
+      ColumnSpec("plivo_message_uuid", StringType, Seq("MessageUUID")),
+      ColumnSpec("row_inserted_at", TimestampType, Seq("row_inserted_at"),
+        defaulter = Some(Converters.defaultNow), setOnce = true),
+      ColumnSpec("from_number", StringType, Seq("From")),
+      ColumnSpec("to_number", StringType, Seq("To"))),
+    timestampCol = Some("row_inserted_at"))
+
+  /** `webhookdb_customer_v1` (the reference dogfooding its own customers). */
+  lazy val webhookdbCustomerV1: ReplicatorSpec = ReplicatorSpec(
+    name = "webhookdb_customer_v1",
+    remoteKeyCol = "webhookdb_id",
+    columns = Seq(
+      ColumnSpec("webhookdb_id", StringType, Seq("id")),
+      iso("created_at"),
+      ColumnSpec("email", StringType, Seq("email"))),
+    timestampCol = Some("created_at"))
 
   /** `increase_event_v1` (`lib/webhookdb/replicator/increase_event_v1.rb`). */
   lazy val increaseEventV1: ReplicatorSpec = ReplicatorSpec(
