@@ -43,11 +43,13 @@ final case class ColumnSpec(
 object ColumnSpec {
   def apply(name: String, dataType: DataType): ColumnSpec =
     ColumnSpec(name, dataType, Seq(name))
-  /** JSONPath for a dig; bracket-quote keys that aren't identifiers
-    * (e.g. `georss:point`). */
+  /** JSONPath for a dig; numeric keys index arrays, non-identifier keys
+    * bracket-quote (e.g. `georss:point`). */
   def path(keys: Seq[String]): String =
     "$" + keys.map { k =>
-      if (k.matches("[A-Za-z0-9_]+")) s".$k" else s"['$k']"
+      if (k.matches("[0-9]+")) s"[$k]"
+      else if (k.matches("[A-Za-z0-9_]+")) s".$k"
+      else s"['$k']"
     }.mkString
 }
 

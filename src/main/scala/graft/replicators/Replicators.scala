@@ -28,8 +28,68 @@ object Replicators {
     increaseEventV1, shopifyOrderV1, shopifyCustomerV1, signalwireMessageV1,
     intercomConversationV1, transistorEpisodeV1,
     increaseAccountTransferV1, increaseCheckTransferV1, increaseWireTransferV1,
-    increaseLimitV1, sponsyPlacementV1, plivoSmsInboundV1, webhookdbCustomerV1
+    increaseLimitV1, sponsyPlacementV1, plivoSmsInboundV1, webhookdbCustomerV1,
+    stripeInvoiceItemV1, stripeSubscriptionItemV1, postmarkInboundMessageV1,
+    signalwireMediaV1, jotformWebhookV1
   ).map(r => r.name -> r).toMap
+
+  /** `stripe_invoice_item_v1` (`lib/webhookdb/replicator/stripe_invoice_item_v1.rb`). */
+  lazy val stripeInvoiceItemV1: ReplicatorSpec = stripeSpec("stripe_invoice_item_v1", Seq(
+    int("amount"), txt("customer"), ts("date"), txt("description"), txt("invoice"),
+    ColumnSpec("price", StringType, Seq("price", "id")),
+    ColumnSpec("product", StringType, Seq("price", "product")),
+    int("quantity"), txt("subscription"), txt("subscription_item")))
+
+  /** `stripe_subscription_item_v1`
+    * (`lib/webhookdb/replicator/stripe_subscription_item_v1.rb`). */
+  lazy val stripeSubscriptionItemV1: ReplicatorSpec = stripeSpec("stripe_subscription_item_v1", Seq(
+    ts("created"),
+    ColumnSpec("price", StringType, Seq("price", "id")),
+    ColumnSpec("product", StringType, Seq("price", "product")),
+    int("quantity"), txt("subscription")))
+
+  /** `postmark_inbound_message_v1`
+    * (`lib/webhookdb/replicator/postmark_inbound_message_v1.rb`): array-index
+    * dig (`ToFull[0].Email`), capitalized payload keys. */
+  lazy val postmarkInboundMessageV1: ReplicatorSpec = ReplicatorSpec(
+    name = "postmark_inbound_message_v1",
+    remoteKeyCol = "message_id",
+    columns = Seq(
+      ColumnSpec("message_id", StringType, Seq("MessageID")),
+      ColumnSpec("from_email", StringType, Seq("FromFull", "Email")),
+      ColumnSpec("to_email", StringType, Seq("ToFull", "0", "Email")),
+      ColumnSpec("subject", StringType, Seq("Subject")),
+      ColumnSpec("timestamp", TimestampType, Seq("Date"), convert = Converters.parseTime),
+      ColumnSpec("tag", StringType, Seq("Tag"))),
+    timestampCol = Some("timestamp"))
+
+  /** `signalwire_media_v1` (`lib/webhookdb/replicator/signalwire_media_v1.rb`). */
+  lazy val signalwireMediaV1: ReplicatorSpec = ReplicatorSpec(
+    name = "signalwire_media_v1",
+    remoteKeyCol = "signalwire_id",
+    columns = Seq(
+      ColumnSpec("signalwire_id", StringType, Seq("sid")),
+      txt("account_sid"), txt("parent_sid"), txt("content_type"), txt("uri"),
+      iso("date_created"), iso("date_updated")),
+    timestampCol = Some("date_updated"))
+
+  /** `jotform_webhook_v1` (`lib/webhookdb/replicator/jotform_webhook_v1.rb`):
+    * nested rawRequest digs; epoch-millis string timestamps. */
+  lazy val jotformWebhookV1: ReplicatorSpec = {
+    def msTs(name: String, key: String) =
+      ColumnSpec(name, TimestampType, Seq("rawRequest", key),
+        convert = c => timestamp_seconds(floor(Converters.toI(c) / 1000)))
+    ReplicatorSpec(
+      name = "jotform_webhook_v1",
+      remoteKeyCol = "event_id",
+      columns = Seq(
+        ColumnSpec("event_id", StringType, Seq("rawRequest", "event_id")),
+        ColumnSpec("form_id", StringType, Seq("formID")),
+        ColumnSpec("submission_id", StringType, Seq("submissionID")),
+        msTs("submit_date", "submitDate"),
+        msTs("build_date", "buildDate")),
+      timestampCol = Some("submit_date"))
+  }
 
   /** Increase family shared shape: id key + ISO timestamps. */
   private def increaseSpec(name: String, cols: Seq[ColumnSpec],

@@ -22,7 +22,7 @@ class RegistryContractSpec extends SparkSpec {
       assert(names.distinct == names, s"${spec.name} duplicate columns")
       spec.timestampCol.foreach(t => assert(names.contains(t), s"${spec.name} ts col"))
     }
-    assert(Replicators.registry.size >= 50)
+    assert(Replicators.registry.size >= 55)
   }
 
   test("twilio_sms_v1 parses RFC3339-ish timestamps and keys on sid") {
@@ -129,6 +129,17 @@ class RegistryContractSpec extends SparkSpec {
       .collect()(0)
     assert(a.getAs[Long]("amount") == 5000L)
     assert(a.getAs[String]("routing_number") == "021000021")
+  }
+
+  test("postmark array-index dig and jotform epoch-millis timestamps") {
+    val pm = ingest(Replicators.postmarkInboundMessageV1,
+      """{"MessageID":"m1","FromFull":{"Email":"f@x.co"},"ToFull":[{"Email":"t@x.co"},{"Email":"cc@x.co"}],"Subject":"S","Date":"2024-01-01T00:00:00Z","Tag":"tg"}""")
+      .collect()(0)
+    assert(pm.getAs[String]("to_email") == "t@x.co") // ToFull[0].Email
+    val jf = ingest(Replicators.jotformWebhookV1,
+      """{"formID":"f1","submissionID":"s1","rawRequest":{"event_id":"e1","submitDate":"1700000000123","buildDate":"1699990000456"}}""")
+      .collect()(0)
+    assert(jf.getAs[java.sql.Timestamp]("submit_date").getTime == 1700000000000L)
   }
 
   test("transistor_show_v1 digs the JSON:API attributes block") {
