@@ -164,17 +164,68 @@ object TpchSurface2 {
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Set-operation surface: customers with urgent orders INTERSECT those
+    * with finished orders; EXCEPT those with any 5-LOW order. */
+  def q65(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    def custsWhere(c: org.apache.spark.sql.Column) =
+      o.filter(c).select(col("o_custkey")).distinct()
+    custsWhere(col("o_orderpriority") === "1-URGENT")
+      .intersect(custsWhere(col("o_orderstatus") === "F"))
+      .except(custsWhere(col("o_orderpriority") === "5-LOW"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q65Sql: String = """
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    ORDER BY o_custkey"""
+
+  /** Range-predicate join: per order, line items shipped within 30 days of
+    * the order date — an equi key plus an inequality band (the range-join
+    * shape; Spark plans equi-hash + residual filter). */
+  def q66(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-02-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= date_add(col("o_orderdate"), 30))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_fast_lines"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q66Sql: String = """
+    SELECT o_orderkey, count(*) AS n_fast_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'
+    GROUP BY o_orderkey ORDER BY o_orderkey"""
+
   val defs: Map[String, Q] = Map(
     "q60_volume_by_nation_pair" -> (q60 _),
     "q61_priority_classification" -> (q61 _),
     "q62_promo_revenue" -> (q62 _),
     "q63_large_orders" -> (q63 _),
-    "q64_rich_inactive_customers" -> (q64 _))
+    "q64_rich_inactive_customers" -> (q64 _),
+    "q65_set_operations" -> (q65 _),
+    "q66_range_join" -> (q66 _))
 
   val oracles: Map[String, String] = Map(
     "q60_volume_by_nation_pair" -> q60Sql,
     "q61_priority_classification" -> q61Sql,
     "q62_promo_revenue" -> q62Sql,
     "q63_large_orders" -> q63Sql,
-    "q64_rich_inactive_customers" -> q64Sql)
+    "q64_rich_inactive_customers" -> q64Sql,
+    "q65_set_operations" -> q65Sql,
+    "q66_range_join" -> q66Sql)
 }
