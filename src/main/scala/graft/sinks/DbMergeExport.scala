@@ -68,6 +68,27 @@ object DbMergeExport {
     (stmts, binds)
   }
 
+  /** K2 — warehouse-style staged load (`db_adapter/snowflake.rb:81-146`):
+    * upload a page file to a stage, COPY it into a temp table, then the same
+    * update+insert merge. The generator returns the statement sequence a
+    * warehouse session executes around an uploaded file path. */
+  def warehouseStatements(schema: String, table: String, st: StructType,
+                          pkCol: String, stagedFile: String): Seq[String] = {
+    require(st.fieldNames.contains(pkCol), s"missing pk column $pkCol")
+    val t = s"${q(schema)}.${q(table)}"
+    val tmp = s"${q(table)}_staging"
+    val cols = st.fieldNames.map(q)
+    val setClauses = cols.filterNot(_ == pkCol).map(c => s"$c = src.$c").mkString(", ")
+    Seq(
+      s"CREATE TEMP TABLE $tmp LIKE $t",
+      s"PUT file://$stagedFile @%$tmp auto_compress=true",
+      s"COPY INTO $tmp FROM @%$tmp FILE_FORMAT = (TYPE = CSV FIELD_OPTIONALLY_ENCLOSED_BY = '\"')",
+      s"""UPDATE $t AS tgt SET $setClauses FROM $tmp AS src
+         |WHERE tgt.${q(pkCol)} = src.${q(pkCol)}""".stripMargin,
+      s"""INSERT INTO $t SELECT src.* FROM $tmp AS src
+         |WHERE NOT EXISTS (SELECT 1 FROM $t AS tgt WHERE tgt.${q(pkCol)} = src.${q(pkCol)})""".stripMargin)
+  }
+
   /** A PageSink that lands pages as parquet part files — the CSV/COPY
     * staging analog for file-based consumers (also the local test vehicle
     * for the page protocol). */

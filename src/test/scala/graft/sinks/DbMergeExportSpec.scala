@@ -36,6 +36,15 @@ class DbMergeExportSpec extends SparkSpec {
     assert(binds == rows.map(_.toSeq))
   }
 
+  test("warehouse staged-load statements follow put/copy/merge order (K2)") {
+    val stmts = DbMergeExport.warehouseStatements("org1", "t", st, "pk", "/tmp/page0.csv")
+    assert(stmts.head == "CREATE TEMP TABLE t_staging LIKE org1.t")
+    assert(stmts(1).startsWith("PUT file:///tmp/page0.csv"))
+    assert(stmts(2).startsWith("COPY INTO t_staging"))
+    assert(stmts(3).contains("UPDATE org1.t"))
+    assert(stmts(4).contains("NOT EXISTS"))
+  }
+
   test("file page sink lands ordered pages consumable as one dataset") {
     val dir = java.nio.file.Files.createTempDirectory("fps").toString
     val table = (1 to 7).map(i => (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-0$i%d 00:00:00")))
