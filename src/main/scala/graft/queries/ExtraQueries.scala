@@ -270,6 +270,29 @@ object ExtraQueries {
     FROM sess GROUP BY user_id, session_idx
     ORDER BY user_id, session_idx"""
 
+  /** Table profiling (data-quality QA): row count, per-column null and
+    * distinct cardinalities, numeric bounds — one aggregation pass. */
+  def q67(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("props")).as("props_nonnull"),
+      countDistinct(col("event_type")).as("event_type_distinct"),
+      countDistinct(col("user_id")).as("user_id_distinct"),
+      min(col("value").cast(dec2)).cast("double").as("value_min"),
+      max(col("value").cast(dec2)).cast("double").as("value_max"),
+      sum(col("value").cast(dec2)).cast("double").as("value_sum"))
+  }
+
+  val q67Sql: String = """
+    SELECT count(*) AS n_rows,
+      count(props) AS props_nonnull,
+      count(DISTINCT event_type) AS event_type_distinct,
+      count(DISTINCT user_id) AS user_id_distinct,
+      CAST(min(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_min,
+      CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_max,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+    FROM events"""
+
   val defs: Map[String, Q] = Map(
     "q08_cube_segment_status" -> (q08 _),
     "q09_percentiles" -> (q09 _),
@@ -280,7 +303,8 @@ object ExtraQueries {
     "q28_sketches" -> (q28 _),
     "q34_asof_click_purchase" -> (q34 _),
     "q35_pricing_expand" -> (q35 _),
-    "q36_sessionization" -> (q36 _))
+    "q36_sessionization" -> (q36 _),
+    "q67_table_profile" -> (q67 _))
 
   val oracles: Map[String, String] = Map(
     "q08_cube_segment_status" -> q08Sql,
@@ -291,5 +315,6 @@ object ExtraQueries {
     "q27_distinct_counts" -> q27Sql,
     "q34_asof_click_purchase" -> q34Sql,
     "q35_pricing_expand" -> q35Sql,
-    "q36_sessionization" -> q36Sql)
+    "q36_sessionization" -> q36Sql,
+    "q67_table_profile" -> q67Sql)
 }
