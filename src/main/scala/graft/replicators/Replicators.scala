@@ -30,8 +30,83 @@ object Replicators {
     increaseAccountTransferV1, increaseCheckTransferV1, increaseWireTransferV1,
     increaseLimitV1, sponsyPlacementV1, plivoSmsInboundV1, webhookdbCustomerV1,
     stripeInvoiceItemV1, stripeSubscriptionItemV1, postmarkInboundMessageV1,
-    signalwireMediaV1, jotformWebhookV1
+    signalwireMediaV1, jotformWebhookV1,
+    postmarkOutboundMessageEventV1, frontSignalwireMessageChannelAppV1,
+    urlRecorderV1
   ).map(r => r.name -> r).toMap
+
+  /** `postmark_outbound_message_event_v1`
+    * (`lib/webhookdb/replicator/postmark_outbound_message_event_v1.rb`):
+    * synthetic md5 event key; timestamp falls back across the per-record-type
+    * timestamp fields. */
+  lazy val postmarkOutboundMessageEventV1: ReplicatorSpec = ReplicatorSpec(
+    name = "postmark_outbound_message_event_v1",
+    remoteKeyCol = "event_id",
+    columns = Seq(
+      ColumnSpec("event_id", StringType, Seq("event_id"),
+        resourceExpr = Some(r => md5(concat(
+          coalesce(get_json_object(r, "$.MessageID"), lit("")),
+          coalesce(get_json_object(r, "$.RecordType"), lit("")),
+          coalesce(get_json_object(r, "$.ChangedAt"),
+            get_json_object(r, "$.DeliveredAt"),
+            get_json_object(r, "$.ReceivedAt"),
+            get_json_object(r, "$.BouncedAt"), lit("")))))),
+      ColumnSpec("message_id", StringType, Seq("MessageID")),
+      ColumnSpec("record_type", StringType, Seq("RecordType")),
+      ColumnSpec("tag", StringType, Seq("Tag")),
+      ColumnSpec("recipient", StringType, Seq("Recipient")),
+      ColumnSpec("timestamp", TimestampType, Seq("timestamp"),
+        resourceExpr = Some(r => Converters.parseTime(coalesce(
+          get_json_object(r, "$.ChangedAt"),
+          get_json_object(r, "$.DeliveredAt"),
+          get_json_object(r, "$.ReceivedAt"),
+          get_json_object(r, "$.BouncedAt"))))),
+      ColumnSpec("changed_at", TimestampType, Seq("ChangedAt"), convert = Converters.parseTime),
+      ColumnSpec("delivered_at", TimestampType, Seq("DeliveredAt"), convert = Converters.parseTime),
+      ColumnSpec("received_at", TimestampType, Seq("ReceivedAt"), convert = Converters.parseTime),
+      ColumnSpec("bounced_at", TimestampType, Seq("BouncedAt"), convert = Converters.parseTime)),
+    timestampCol = Some("timestamp"))
+
+  /** `front_signalwire_message_channel_app_v1`
+    * (`lib/webhookdb/replicator/front_signalwire_message_channel_app_v1.rb`):
+    * the two-way bridge table (subset of columns; the delivery side is
+    * orchestration). */
+  lazy val frontSignalwireMessageChannelAppV1: ReplicatorSpec = ReplicatorSpec(
+    name = "front_signalwire_message_channel_app_v1",
+    remoteKeyCol = "external_id",
+    columns = Seq(
+      ColumnSpec("external_id", StringType, Seq("external_id")),
+      ColumnSpec("signalwire_sid", StringType, Seq("signalwire_sid"), skipNil = true),
+      ColumnSpec("front_message_id", StringType, Seq("front_message_id"), skipNil = true),
+      ColumnSpec("external_conversation_id", StringType, Seq("external_conversation_id")),
+      ColumnSpec("row_updated_at", TimestampType, Seq("row_updated_at"),
+        defaulter = Some(Converters.defaultNow)),
+      ColumnSpec("direction", StringType, Seq("direction")),
+      ColumnSpec("body", StringType, Seq("body")),
+      ColumnSpec("sender", StringType, Seq("sender"))),
+    timestampCol = Some("row_updated_at"))
+
+  /** `url_recorder_v1` (`lib/webhookdb/replicator/url_recorder_v1.rb`):
+    * sequence-keyed request recorder (E9 surrogate ids). */
+  lazy val urlRecorderV1: ReplicatorSpec = ReplicatorSpec(
+    name = "url_recorder_v1",
+    remoteKeyCol = "unique_id",
+    columns = Seq(
+      ColumnSpec("unique_id", LongType, Seq("unique_id"),
+        resourceExpr = Some(r => coalesce(
+          Converters.toI(get_json_object(r, "$.unique_id")),
+          monotonically_increasing_id()))),
+      ColumnSpec("inserted_at", TimestampType, Seq("inserted_at"),
+        defaulter = Some(Converters.defaultNow)),
+      ColumnSpec("request_method", StringType, Seq("request_method")),
+      ColumnSpec("path", StringType, Seq("path")),
+      ColumnSpec("full_url", StringType, Seq("full_url")),
+      ColumnSpec("user_agent", StringType, Seq("user_agent")),
+      ColumnSpec("ip", StringType, Seq("ip")),
+      ColumnSpec("content_type", StringType, Seq("content_type")),
+      ColumnSpec("parsed_query", StringType, Seq("parsed_query")),
+      ColumnSpec("parsed_body", StringType, Seq("parsed_body"))),
+    timestampCol = Some("inserted_at"))
 
   /** `stripe_invoice_item_v1` (`lib/webhookdb/replicator/stripe_invoice_item_v1.rb`). */
   lazy val stripeInvoiceItemV1: ReplicatorSpec = stripeSpec("stripe_invoice_item_v1", Seq(

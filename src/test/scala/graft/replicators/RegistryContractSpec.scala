@@ -22,7 +22,7 @@ class RegistryContractSpec extends SparkSpec {
       assert(names.distinct == names, s"${spec.name} duplicate columns")
       spec.timestampCol.foreach(t => assert(names.contains(t), s"${spec.name} ts col"))
     }
-    assert(Replicators.registry.size >= 55)
+    assert(Replicators.registry.size >= 58)
   }
 
   test("twilio_sms_v1 parses RFC3339-ish timestamps and keys on sid") {
