@@ -293,6 +293,25 @@ object ExtraQueries {
       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
     FROM events"""
 
+  /** The streaming windowed aggregation (EventAggregates) as a batch plan
+    * under oracle: daily tumbling windows per event type. The same code
+    * serves `readStream` with a watermark. */
+  def q68(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select(col("ts"), col("event_type"), col("value"))
+    graft.streaming.EventAggregates
+      .windowedTypeStats(e, "1 day", "1 day", "1 hour")
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+  }
+
+  val q68Sql: String = """
+    SELECT epoch_ms(date_trunc('day', CAST(ts AS TIMESTAMP))) AS window_start_ms,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
+
   val defs: Map[String, Q] = Map(
     "q08_cube_segment_status" -> (q08 _),
     "q09_percentiles" -> (q09 _),
@@ -304,7 +323,8 @@ object ExtraQueries {
     "q34_asof_click_purchase" -> (q34 _),
     "q35_pricing_expand" -> (q35 _),
     "q36_sessionization" -> (q36 _),
-    "q67_table_profile" -> (q67 _))
+    "q67_table_profile" -> (q67 _),
+    "q68_windowed_event_stats" -> (q68 _))
 
   val oracles: Map[String, String] = Map(
     "q08_cube_segment_status" -> q08Sql,
@@ -316,5 +336,6 @@ object ExtraQueries {
     "q34_asof_click_purchase" -> q34Sql,
     "q35_pricing_expand" -> q35Sql,
     "q36_sessionization" -> q36Sql,
-    "q67_table_profile" -> q67Sql)
+    "q67_table_profile" -> q67Sql,
+    "q68_windowed_event_stats" -> q68Sql)
 }
