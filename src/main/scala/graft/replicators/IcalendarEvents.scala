@@ -277,6 +277,31 @@ object IcalendarEvents {
     feeds.flatMap { case (calId, ics) => expandFeed(calId, ics, now) }
   }
 
+  /** R1+R2 reconciliation across ALL calendars present in `upserted` —
+    * the batch form used when a whole wave of feeds re-syncs in one job
+    * (each calendar's feed is authoritative for that calendar's rows).
+    * Callers that sync a single feed use [[reconcile]]. */
+  def reconcileFeeds(current: DataFrame, upserted: DataFrame): DataFrame = {
+    val synced = broadcast(
+      upserted.select(col("calendar_external_id")).distinct()
+        .withColumn("__synced", lit(true)))
+    val scoped = current.join(synced, Seq("calendar_external_id"), "left")
+    val cancelled = Reconcile.cancelMissing(
+      scoped,
+      upserted.select(col("compound_identity")),
+      keyCol = "compound_identity",
+      statusCol = "status", cancelledValue = "CANCELLED",
+      scope = col("__synced").isNotNull)
+      .select(current.columns.map(col): _*)
+    val maxSeen = upserted
+      .filter(col("recurring_event_sequence").isNotNull)
+      .groupBy(col("recurring_event_id"))
+      .agg(max(col("recurring_event_sequence")).as("max_seq"))
+    Reconcile.deleteStaleSequences(cancelled, maxSeen,
+      groupCol = "recurring_event_id", seqCol = "recurring_event_sequence",
+      maxSeqCol = "max_seq")
+  }
+
   /** R1+R2 post-sync reconciliation for one calendar: rows of `current`
     * (scoped to the calendar) not among the upserted identities and not
     * already cancelled flip to CANCELLED; stale sequence tails are dropped. */

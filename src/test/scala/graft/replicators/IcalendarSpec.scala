@@ -94,6 +94,53 @@ class IcalendarSpec extends SparkSpec {
     assert(r.wkst == DayOfWeek.MONDAY)
   }
 
+  test("MONTHLY BYDAY without ordinal expands every matching weekday") {
+    // RFC 5545: FREQ=MONTHLY;BYDAY=TU is *every* Tuesday of the month
+    val got = expand("20240101T090000", "FREQ=MONTHLY;BYDAY=TU;COUNT=6")
+    assert(got.map(_.toString) == Seq(
+      "2024-01-02T09:00", "2024-01-09T09:00", "2024-01-16T09:00",
+      "2024-01-23T09:00", "2024-01-30T09:00", "2024-02-06T09:00"))
+  }
+
+  test("YEARLY honors BYDAY ordinals within BYMONTH") {
+    // 2nd Sunday of May (`FREQ=YEARLY;BYMONTH=5;BYDAY=2SU`)
+    val got = expand("20240101T090000", "FREQ=YEARLY;BYMONTH=5;BYDAY=2SU;COUNT=3")
+    assert(got.map(_.toString) == Seq(
+      "2024-05-12T09:00", "2025-05-11T09:00", "2026-05-10T09:00"))
+  }
+
+  test("YEARLY honors BYMONTHDAY including negative (month-end)") {
+    val got = expand("20240101T080000", "FREQ=YEARLY;BYMONTH=11;BYMONTHDAY=-1;COUNT=2")
+    assert(got.map(_.toString) == Seq("2024-11-30T08:00", "2025-11-30T08:00"))
+  }
+
+  test("BYSETPOS selects within the period set (last weekday of month)") {
+    val got = expand("20240101T170000",
+      "FREQ=MONTHLY;BYDAY=MO,TU,WE,TH,FR;BYSETPOS=-1;COUNT=3")
+    assert(got.map(_.toString) == Seq(
+      "2024-01-31T17:00", "2024-02-29T17:00", "2024-03-29T17:00"))
+  }
+
+  test("HOURLY and MINUTELY frequencies expand") {
+    val got = expand("20240101T000000", "FREQ=HOURLY;INTERVAL=6;COUNT=4")
+    assert(got.map(_.toString) == Seq(
+      "2024-01-01T00:00", "2024-01-01T06:00", "2024-01-01T12:00", "2024-01-01T18:00"))
+    val mins = expand("20240101T000000", "FREQ=MINUTELY;INTERVAL=30;COUNT=3")
+    assert(mins.map(_.toString) == Seq(
+      "2024-01-01T00:00", "2024-01-01T00:30", "2024-01-01T01:00"))
+  }
+
+  test("YEARLY BYWEEKNO with BYDAY lands on the ISO week's weekday") {
+    val got = expand("20240101T120000", "FREQ=YEARLY;BYWEEKNO=20;BYDAY=MO;COUNT=2")
+    assert(got.map(_.toString) == Seq("2024-05-13T12:00", "2025-05-12T12:00"))
+  }
+
+  test("YEARLY BYDAY over the whole year (nth weekday of year)") {
+    // 20th Monday of the year
+    val got = expand("20240101T100000", "FREQ=YEARLY;BYDAY=20MO;COUNT=2")
+    assert(got.map(_.toString) == Seq("2024-05-13T10:00", "2025-05-19T10:00"))
+  }
+
   test("WKST=SU changes which week an interval-2 BYDAY rule lands in") {
     // start Tue 2024-01-02; weeks anchored on Sunday: with WKST=SU the next
     // eligible week starts Sun Jan 14, so WE occurrences are Jan 3, 17, 31
