@@ -34,15 +34,19 @@ object DupClusters {
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("cluster_id")).as("n_min"))
       // localCheckpoint truncates the per-round lineage so each iteration
-      // costs one constant-size join, not a replay of all prior rounds
+      // costs one constant-size join, not a replay of all prior rounds.
+      // The convergence flag rides along in the checkpointed frame, so the
+      // check is a cheap scan of the materialized partitions — one join job
+      // per round total, not a second join+shuffle for change detection.
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (col("n_min").isNotNull && col("n_min") < col("cluster_id"))
+            .cast("long").as("__changed"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.agg(sum(col("__changed"))).first().getLong(0)
+      labels = next.drop("__changed")
       converged = changed == 0
       iter += 1
     }

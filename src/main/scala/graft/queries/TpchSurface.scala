@@ -69,9 +69,11 @@ object TpchSurface {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
-  /** Revenue by nation (TPC-H Q5 shape): fact table joined to four dims —
-    * every dim is broadcast (nation/region tiny, customer small), so the only
-    * shuffle is the final groupBy. */
+  /** Revenue by nation (TPC-H Q5 shape): fact table joined to four dims.
+    * Only nation/region carry broadcast hints — they are fixed-size (25/5
+    * rows) at any SF. orders/customer scale with the fact table, so they are
+    * left unhinted: AQE broadcasts them while they fit (small SF) and falls
+    * back to shuffle joins at scale instead of OOMing the build side. */
   def q02(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d)
       .select(col("l_orderkey"),
@@ -84,8 +86,8 @@ object TpchSurface {
     val c = Tables.customer(spark, d).select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(spark, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     val r = Tables.region(spark, d).select(col("r_regionkey"), col("r_name"))
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -115,7 +117,8 @@ object TpchSurface {
     val c = Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("price").desc, col("o_orderkey").asc)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer scales with SF — no broadcast hint; AQE picks the strategy
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .withColumn("rank_in_segment", row_number().over(w))
       .filter(col("rank_in_segment") <= 3)
       .select(col("c_mktsegment"), col("rank_in_segment").cast("long").as("rank_in_segment"),

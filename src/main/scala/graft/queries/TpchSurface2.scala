@@ -27,10 +27,12 @@ object TpchSurface2 {
     val c = Tables.customer(spark, d).select(col("c_custkey"), col("c_nationkey"))
     val n2 = Tables.nation(spark, d).select(col("n_nationkey").as("cn_key"),
       col("n_name").as("cust_nation"))
-    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    // only the fixed-size nation dims are hinted; supplier/orders/customer
+    // scale with SF — AQE broadcasts them while small, SMJ at scale
+    li.join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
-      .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
       .filter(col("supp_nation") < col("cust_nation")) // unordered pair, kept once
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -90,8 +92,9 @@ object TpchSurface2 {
       .select(col("l_partkey"),
         (col("l_extendedprice").cast(dec2) * (lit(1).cast(dec3) - col("l_discount").cast(dec3)))
           .as("rev"))
+    // part scales with SF (200k rows/SF) — unhinted, AQE decides
     val p = Tables.part(spark, d).select(col("p_partkey"), col("p_type"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type").startsWith("PROMO"), col("rev"))
           .otherwise(lit(0).cast(dec2))).cast("double").as("promo_revenue"),
