@@ -118,15 +118,38 @@ object Converters {
   def defaultUuid4(c: Column): Column   = coalesce(c, expr("uuid()"))
   def default(c: Column, d: Column): Column = coalesce(c, d)
 
-  /** Year-0 timestamps are re-anchored to UTC (`column.rb:474-484`): postgres
-    * can't store year 0; the reference forces such values to the epoch wall
-    * time in UTC. We map anything before year 1 to NULL-safe epoch clamp. */
-  def clampAncientTs(c: Column): Column =
-    when(year(c) < 1, to_timestamp(lit("0001-01-01 00:00:00"))).otherwise(c)
+  /** E19 — UUIDv7 (time-ordered: 48-bit unix-ms prefix, version 7, random
+    * tail; `column.rb:273-293`). Pure Column expression so it stays inside
+    * codegen; the ms prefix makes ids of later rows sort lexicographically
+    * after earlier ones — the property the reference uses uuid7 for. */
+  def uuid7At(ts: Column): Column = {
+    def randHex(digits: Int): Column =
+      lpad(hex((rand() * pow(lit(16), lit(digits))).cast(LongType)), digits, "0")
+    val hexMs = lpad(hex(unix_millis(ts)), 12, "0")
+    lower(concat_ws("-",
+      substring(hexMs, 1, 8),
+      substring(hexMs, 9, 4),
+      concat(lit("7"), randHex(3)),
+      concat(hex(lit(8) + (rand() * 4).cast(LongType)), randHex(3)),
+      randHex(12)))
+  }
+  def uuid7(): Column = uuid7At(current_timestamp())
+  def defaultUuid7(c: Column): Column = coalesce(c, uuid7())
 
-  /** JSON NUL scrub (`base.rb:793-811`): raw NUL bytes are stripped from the
-    * serialized JSON; backslash-escaped "u0000" sequences (already-escaped
-    * JSON, not raw bytes) are preserved. */
+  /** Year-0 timestamp handling (`column.rb:474-484`): the reference only
+    * re-expresses year-0 Times in UTC because Postgres cannot represent the
+    * zone-shifted form — the INSTANT is preserved. Spark timestamps are
+    * already UTC instants, so the faithful port is the identity: pre-year-1
+    * instants pass through unchanged. */
+  def clampAncientTs(c: Column): Column = c
+
+  /** JSON NUL scrub (`base.rb:793-811`): raw NUL bytes AND the six-char
+    * JSON-escaped backslash-u0000 sequence are stripped from the JSON —
+    * webhook JSON text carries NULs in escaped form — while `\\u0000`
+    * (escaped backslash + literal text, not a NUL) is preserved. The
+    * backslash-pair capture keeps any even run of preceding backslashes. */
   def scrubJsonNulls(c: Column): Column =
-    regexp_replace(c, "\\x00", "")
+    regexp_replace(
+      regexp_replace(c, "(?<!\\\\)((?:\\\\\\\\)*)\\\\u0000", "$1"),
+      "\\x00", "")
 }

@@ -30,33 +30,38 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // ALL payload columns ride in ONE struct carried by a single
+    // last(ignoreNulls): the whole latest right row is adopted atomically,
+    // so null fields of that row stay null and no output mixes values from
+    // different right rows (a per-column last() would resurrect older
+    // non-null values).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(
+        p, right.schema(p).dataType)))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(0)) // left sorts BEFORE right at equal ts -> strict <
-      .withColumns(payload.map(p => s"__p_$p" -> lit(null).cast(
-        right.schema(p).dataType)).toMap)
+      .withColumn("__p", lit(null).cast(payloadType))
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(1))
-      .withColumns(payload.map(p => s"__p_$p" -> col(p)).toMap)
-      .select((keyCols.map(col) ++ Seq(col("__ts"), col("__side")) ++
-        payload.map(p => col(s"__p_$p")) ++
+      .withColumn("__p", struct(payload.map(col): _*))
+      .select((keyCols.map(col) ++ Seq(col("__ts"), col("__side"), col("__p")) ++
         leftCols.filterNot(c => keyCols.contains(c)).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
-    val unioned = l.select((keyCols.map(col) ++ Seq(col("__ts"), col("__side")) ++
-      payload.map(p => col(s"__p_$p")) ++
+    val unioned = l.select((keyCols.map(col) ++
+      Seq(col("__ts"), col("__side"), col("__p")) ++
       leftCols.filterNot(keyCols.contains).map(col)): _*)
       .unionByName(r)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"asof_$p",
-        last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__asof",
+      last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 0)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
+      .select((leftCols.map(col) ++
+        payload.map(p => col("__asof").getField(p).as(s"asof_$p"))): _*)
   }
 }

@@ -7,14 +7,27 @@ import org.apache.spark.sql.functions._
   * `webhook_subscription.rb:36-110`): changed rows (U7 side output of the
   * merge) fan out to one delivery per active subscription; deliveries retry
   * up to `MaxAttempts` with the attempt ledger kept as data.
+  *
+  * Every delivery is stamped with a content-addressed `delivery_id` at
+  * enqueue time; all later bookkeeping joins on that id — never on the
+  * multi-KB payload string (which would shuffle payloads and break if a
+  * transport re-serializes).
   */
 object Notify {
 
   val MaxAttempts = 25 // webhook_subscription.rb:36-38
 
+  /** The delivery transport (K3/K4 seam): POST one payload; return success.
+    * Runs inside executor tasks — implementations must be serializable and
+    * treat errors as `false`/throw (both count as a failed attempt). */
+  trait Transport extends Serializable {
+    def post(url: String, payload: String): Boolean
+  }
+
   /** Build the delivery queue for one upsert batch: changed rows x active
     * subscriptions (broadcast — the subscription table is tiny). Payload is
-    * the rowupsert envelope. */
+    * the rowupsert envelope; `delivery_id` = md5(sub, table, payload) is the
+    * idempotency key (re-enqueueing the same change is a no-op merge). */
   def enqueueDeliveries(changedRows: DataFrame, subscriptions: DataFrame,
                         tableName: String): DataFrame = {
     val subs = broadcast(subscriptions.filter(col("active"))
@@ -24,6 +37,8 @@ object Notify {
       .select(col("payload"))
       .crossJoin(subs)
       .select(
+        md5(concat_ws("|", col("subscription_id"), lit(tableName), col("payload")))
+          .as("delivery_id"),
         col("subscription_id"), col("url"),
         lit(tableName).as("table_name"),
         col("payload"),
@@ -36,17 +51,47 @@ object Notify {
     deliveries.filter(col("delivered_at").isNull && col("attempts") < MaxAttempts)
 
   /** Record an attempt wave: successes stamp delivered_at, failures count up.
-    * `results`: (subscription_id, payload, success). */
+    * `results`: (delivery_id, success) — the id is the ONLY join key. */
   def recordAttempts(deliveries: DataFrame, results: DataFrame): DataFrame = {
-    val r = results.select(col("subscription_id").as("r_sub"),
-      col("payload").as("r_payload"), col("success"))
-    deliveries.join(r,
-        col("subscription_id") === col("r_sub") && col("payload") === col("r_payload"),
-        "left")
+    val r = results.select(col("delivery_id").as("r_id"), col("success"))
+    deliveries.join(r, col("delivery_id") === col("r_id"), "left")
       .withColumn("attempts",
         when(col("success").isNotNull, col("attempts") + 1).otherwise(col("attempts")))
       .withColumn("delivered_at",
         when(col("success") === true, current_timestamp()).otherwise(col("delivered_at")))
-      .drop("r_sub", "r_payload", "success")
+      .drop("r_id", "success")
+  }
+
+  /** One delivery wave: post every pending delivery through `transport`
+    * (distributed — posts run in executor tasks) and fold the outcomes back
+    * into the ledger. */
+  def attemptWave(deliveries: DataFrame, transport: Transport): DataFrame = {
+    val spark = deliveries.sparkSession
+    import spark.implicits._
+    val results = pendingDeliveries(deliveries)
+      .select(col("delivery_id"), col("url"), col("payload"))
+      .as[(String, String, String)]
+      .map { case (id, url, payload) =>
+        val ok = try transport.post(url, payload) catch { case _: Exception => false }
+        (id, ok)
+      }
+      .toDF("delivery_id", "success")
+    recordAttempts(deliveries, results)
+  }
+
+  /** The delivery executor (`webhook_subscription.rb:74-110`): run waves
+    * until everything is delivered or capped, up to `maxWaves`. Backoff
+    * between waves is the scheduler's job (the reference re-enqueues with
+    * sidekiq delay) — callers insert sleeps between invocations if needed.
+    * Each wave's ledger is checkpointed so the loop's plan stays flat. */
+  def deliverAll(deliveries: DataFrame, transport: Transport,
+                 maxWaves: Int = MaxAttempts): DataFrame = {
+    var ledger = deliveries.localCheckpoint(true)
+    var wave = 0
+    while (wave < maxWaves && !pendingDeliveries(ledger).isEmpty) {
+      ledger = attemptWave(ledger, transport).localCheckpoint(true)
+      wave += 1
+    }
+    ledger
   }
 }

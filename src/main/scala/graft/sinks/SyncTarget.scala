@@ -35,8 +35,13 @@ object SyncTarget {
       /** Watermark to persist; None when nothing was delivered. */
       committedThrough: Option[Timestamp],
       /** True when maxPages stopped the run early (soft transaction cap,
-        * `sync_target.rb:59-64` — caller re-enqueues a continuation). */
-      truncated: Boolean)
+        * `sync_target.rb:59-64` — caller re-enqueues a continuation).
+        * NEVER set for delivery failures — see [[failure]]. */
+      truncated: Boolean,
+      /** The sink error that aborted the run, if any: callers alert/retry
+        * with backoff rather than silently re-enqueueing a continuation.
+        * The committed watermark still reflects fully-delivered pages. */
+      failure: Option[Throwable] = None)
 
   /** Run one incremental sync pass. */
   def sync(table: DataFrame, tsCol: String, lastSyncedAt: Timestamp,
@@ -102,9 +107,10 @@ object SyncTarget {
       ts.foreach(t => committed.set(Some(t)))
     }
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val deliveredPages = new java.util.concurrent.atomic.AtomicLong(0)
+    val deliveredRows = new java.util.concurrent.atomic.AtomicLong(0)
     val pool = Executors.newFixedThreadPool(parallelism.max(1))
     var pages = 0L
-    var rows = 0L
     try {
       val it = scan.toLocalIterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -114,12 +120,13 @@ object SyncTarget {
         val idx = pages
         val pageLastTs = page.last.getAs[Timestamp](tsIdx)
         pages += 1
-        rows += page.size
         buf.clear()
         futures += pool.submit(new Runnable {
           def run(): Unit =
             try {
               sink.writePage(page, idx)
+              deliveredPages.incrementAndGet()
+              deliveredRows.addAndGet(page.size.toLong)
               completedPages.put(idx, pageLastTs)
               advance()
             } catch { case t: Throwable => failure.compareAndSet(null, t) }
@@ -131,7 +138,12 @@ object SyncTarget {
       }
       if (buf.nonEmpty && failure.get() == null) submit()
       futures.foreach(f => try f.get() catch { case _: Exception => () })
-      SyncResult(pages, rows, committed.get(), truncated = failure.get() != null)
+      // delivered counts reflect pages that actually completed, not pages
+      // submitted; a sink failure is reported distinctly from the maxPages
+      // soft cap (truncated), so callers can tell "re-enqueue continuation"
+      // from "delivery failed" (`sync_target.rb:59-64` vs error path)
+      SyncResult(deliveredPages.get(), deliveredRows.get(), committed.get(),
+        truncated = false, failure = Option(failure.get()))
     } finally {
       pool.shutdown(); pool.awaitTermination(60, TimeUnit.SECONDS); ()
     }

@@ -26,10 +26,23 @@ object WebhookStream {
     StructField("method", StringType),
     StructField(Projection.IngestSeqCol, LongType)))
 
-  /** Start ingesting `sourceDir` (json-lines files of webhook requests) into
-    * a [[SnapshotStore]] at `snapshotDir`. */
+  /** Default bucket count for partitioned specs routed through [[start]]. */
+  val DefaultBuckets = 32
+
+  /** Start ingesting `sourceDir` (json-lines files of webhook requests).
+    *
+    * Routing (the scale-correct default): a `spec.partitioned` replicator —
+    * the reference marks exactly its very large tables partitioned
+    * (`partitionable_mixin.rb:62-70`) — streams into the hash-partitioned
+    * store where each microbatch rewrites ONLY the buckets it touches
+    * (O(batch)). The plain [[SnapshotStore]] path rewrites the whole
+    * snapshot per microbatch (O(table)) and is reserved for small tables. */
   def start(spark: SparkSession, spec: ReplicatorSpec, sourceDir: String,
-            snapshotDir: String, checkpointDir: String): StreamingQuery = {
+            snapshotDir: String, checkpointDir: String,
+            buckets: Int = DefaultBuckets): StreamingQuery = {
+    if (spec.partitioned)
+      return startPartitioned(spark, spec, sourceDir, snapshotDir,
+        checkpointDir, buckets)
     val store = new SnapshotStore(snapshotDir)
     spark.readStream
       .schema(requestSchema)

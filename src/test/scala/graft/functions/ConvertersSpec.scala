@@ -88,9 +88,26 @@ class ConvertersSpec extends SparkSpec {
     assert(one(Converters.default(lit(null).cast(StringType), lit("d"))) == "d")
   }
 
-  test("NUL scrub strips raw NUL but keeps escaped") {
+  test("NUL scrub strips raw and JSON-escaped NULs, keeps escaped backslashes") {
     val raw = "a" + "\u0000" + "b"
     assert(one(Converters.scrubJsonNulls(lit(raw))) == "ab")
-    assert(one(Converters.scrubJsonNulls(lit("a\\u0000b"))) == "a\\u0000b")
+    // the six-char escape backslash-u0000 IS a NUL in JSON text -> removed
+    // (base.rb:793-811 gsub)
+    assert(one(Converters.scrubJsonNulls(lit("a\\u0000b"))) == "ab")
+    // double backslash + u0000 = escaped backslash + literal text -> preserved
+    assert(one(Converters.scrubJsonNulls(lit("a\\\\u0000b"))) == "a\\\\u0000b")
+    // escaped backslash pair before a real escaped NUL: pair kept, NUL removed
+    assert(one(Converters.scrubJsonNulls(lit("a\\\\\\u0000b"))) == "a\\\\b")
+  }
+
+  test("E19 uuid7 is well-formed and time-ordered") {
+    val early = Converters.uuid7At(lit("2024-01-01 00:00:00").cast(TimestampType))
+    val late = Converters.uuid7At(lit("2024-06-01 00:00:00").cast(TimestampType))
+    val u1 = one(early).toString; val u2 = one(late).toString
+    val re = "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    assert(re.findFirstIn(u1).isDefined, u1)
+    assert(re.findFirstIn(u2).isDefined, u2)
+    assert(u1 < u2) // ms-prefix monotonicity
+    assert(one(Converters.defaultUuid7(lit("keep"))) == "keep")
   }
 }

@@ -30,6 +30,18 @@ class AsofAuthSpec extends SparkSpec {
     assert(got.getString(0) == "v2" && got.getLong(1) == 20L)
   }
 
+  test("null payload fields of the latest right row stay null") {
+    val left = Seq((1L, "u1", 100L)).toDF("id", "k", "ts")
+    val right = Seq(("u1", 50L, Some("old"), Some(10L)),
+      ("u1", 90L, None, Some(20L))) // latest row: name IS NULL
+      .toDF("k", "ts", "name", "amount")
+    val got = AsofJoin.asof(left, right, Seq("k"), "ts", "ts", Seq("name", "amount"))
+      .select("asof_name", "asof_amount").collect()(0)
+    // the latest row is adopted wholesale: its null name must NOT be
+    // backfilled from the older row
+    assert(got.isNullAt(0) && got.getLong(1) == 20L)
+  }
+
   test("signed-header verification: accept, tamper, stale, malformed") {
     val body = """{"id":"ch_1"}"""
     val secret = "whsec_test"

@@ -75,9 +75,13 @@ class SyncTargetSpec extends SparkSpec {
     val r = SyncTarget.syncParallel(table, "updated",
       ts("2024-01-01 00:00:00"), ts("2024-01-09 00:00:00"),
       pageSize = 3, sink, parallelism = 3)
-    assert(r.truncated) // failure reported
+    // a sink error is a FAILURE, not the maxPages soft cap: truncated stays
+    // false (the two answers differ — continuation vs alert/backoff)
+    assert(!r.truncated)
+    assert(r.failure.exists(_.getMessage == "boom"))
     assert(r.committedThrough.contains(ts("2024-01-03 00:00:00"))) // end of page 0
     assert(delivered.contains(0L) && delivered.contains(2L))
+    assert(r.pagesDelivered == 2 && r.rowsDelivered == 6) // failed page not counted
   }
 
   test("parallel delivery commits everything when all pages succeed") {
@@ -85,8 +89,9 @@ class SyncTargetSpec extends SparkSpec {
     val r = SyncTarget.syncParallel(table, "updated",
       ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00"),
       pageSize = 4, sink, parallelism = 4)
-    assert(!r.truncated)
+    assert(!r.truncated && r.failure.isEmpty)
     assert(r.committedThrough.contains(ts("2024-01-10 00:00:00")))
+    assert(r.pagesDelivered == 3 && r.rowsDelivered == 10)
     assert(sink.pages.flatten.map(_.getLong(0)).sorted == (1L to 10L))
   }
 

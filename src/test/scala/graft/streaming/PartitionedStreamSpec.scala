@@ -49,4 +49,28 @@ class PartitionedStreamSpec extends SparkSpec {
     assert(amounts("ch_2") == 2L)   // stale suppressed by update_where
     assert(amounts("ch_99") == 99L) // insert landed in its bucket
   }
+
+  test("start() routes partitioned specs to the bucket-pruned path by default") {
+    val dir = Files.createTempDirectory("proute").toString
+    val src = s"$dir/src"; Files.createDirectories(Paths.get(src))
+    Files.writeString(Paths.get(src, "b1.json"),
+      (1 to 8).map(i => event(charge(s"ch_$i", i, 1000 + i), 1000 + i, i)).mkString("\n"))
+
+    // partitioned spec -> PartitionedStore layout (bucket column, no LATEST)
+    val pSpec = Replicators.stripeChargeV1
+      .copy(name = "stripe_charge_route_p", partitioned = true)
+    WebhookStream.start(spark, pSpec, src, s"$dir/pt", s"$dir/pchk", buckets = 4)
+      .awaitTermination()
+    val pt = PartitionedStore.read(spark, s"$dir/pt")
+    assert(pt.columns.contains(PartitionedStore.BucketCol))
+    assert(pt.count() == 8)
+    assert(!Files.exists(Paths.get(s"$dir/pt", "LATEST")))
+
+    // plain spec -> versioned snapshot with a LATEST pointer (small tables)
+    WebhookStream.start(spark, Replicators.stripeChargeV1, src,
+        s"$dir/st", s"$dir/schk")
+      .awaitTermination()
+    assert(Files.exists(Paths.get(s"$dir/st", "LATEST")))
+    assert(new SnapshotStore(s"$dir/st").readOr(sys.error("missing")).count() == 8)
+  }
 }
