@@ -32,8 +32,148 @@ object Replicators {
     stripeInvoiceItemV1, stripeSubscriptionItemV1, postmarkInboundMessageV1,
     signalwireMediaV1, jotformWebhookV1,
     postmarkOutboundMessageEventV1, frontSignalwireMessageChannelAppV1,
-    urlRecorderV1
+    urlRecorderV1,
+    frontMarketplaceRootV1, intercomMarketplaceRootV1, increaseAppV1,
+    sponsyPublicationV1, awsPricingV1, IcalendarCalendar.spec,
+    icalendarEventV1, icalendarEventV1Partitioned
   ).map(r => r.name -> r).toMap
+
+  /** Auth-root stub descriptors (`front_marketplace_root_v1.rb`,
+    * `intercom_marketplace_root_v1.rb`, `increase_app_v1.rb`): no data of
+    * their own — they anchor OAuth/marketplace credentials and fan child
+    * integrations out through the dependency DAG (S11). The reference's
+    * `build_dependents` side effects map to `DependencyDag` edges; the
+    * schema is the single ignored key column. */
+  private def rootStub(name: String): ReplicatorSpec = ReplicatorSpec(
+    name = name,
+    remoteKeyCol = "ignore_id",
+    columns = Seq(ColumnSpec("ignore_id", LongType, Seq("ignore_id"))))
+
+  lazy val frontMarketplaceRootV1: ReplicatorSpec = rootStub("front_marketplace_root_v1")
+  lazy val intercomMarketplaceRootV1: ReplicatorSpec = rootStub("intercom_marketplace_root_v1")
+
+  /** `increase_app_v1` (`lib/webhookdb/replicator/increase_app_v1.rb`): the
+    * OAuth root that receives every Increase event webhook and dispatches it
+    * to the dependent per-resource replicators (handled by the dependency
+    * DAG routing; the root stores nothing itself). */
+  lazy val increaseAppV1: ReplicatorSpec = rootStub("increase_app_v1")
+
+  /** `sponsy_publication_v1` (`lib/webhookdb/replicator/sponsy_publication_v1.rb`):
+    * the sponsy root (its API key anchors the family) AND a real table; the
+    * three day-array columns are the reference's map-lookup converter
+    * showcase (day name -> 0-based Monday index; name -> 1-based Sunday
+    * index with numeric remap; index -> name). */
+  lazy val sponsyPublicationV1: ReplicatorSpec = {
+    val namesMon = Seq("MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY", "FRIDAY",
+      "SATURDAY", "SUNDAY") // DAYS_OF_WEEK.rotate (column.rb:234-242)
+    def arrLookup(mapping: Map[String, String], elem: DataType)
+        : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => {
+        val m = map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        transform(from_json(c, ArrayType(StringType)),
+          x => coalesce(element_at(m, x), x).try_cast(elem))
+      }
+    val daysMap = namesMon.zipWithIndex.map { case (n, i) => n -> i.toString }.toMap
+    val normMap = namesMon.zipWithIndex.map { case (n, i) => n -> ((i + 1) % 7).toString }.toMap ++
+      (0 to 6).map(i => i.toString -> ((i + 1) % 7).toString).toMap
+    val nameMap = namesMon.zipWithIndex.map { case (n, i) => i.toString -> n }.toMap
+    ReplicatorSpec(
+      name = "sponsy_publication_v1",
+      remoteKeyCol = "sponsy_id",
+      columns = Seq(
+        ColumnSpec("sponsy_id", StringType, Seq("id")),
+        ColumnSpec("name", StringType, Seq("name")),
+        ColumnSpec("slug", StringType, Seq("slug")),
+        ColumnSpec("type", StringType, Seq("type")),
+        ColumnSpec("deleted_at", TimestampType, Seq("deleted_at"),
+          convert = Converters.parseTime),
+        ColumnSpec("days", ArrayType(IntegerType), Seq("days"),
+          convert = arrLookup(daysMap, IntegerType)),
+        ColumnSpec("days_normalized", ArrayType(IntegerType), Seq("days"),
+          convert = arrLookup(normMap, IntegerType)),
+        ColumnSpec("day_names", ArrayType(StringType), Seq("days"),
+          convert = arrLookup(nameMap, StringType)),
+        ColumnSpec("created_at", TimestampType, Seq("createdAt"),
+          convert = Converters.parseTime),
+        ColumnSpec("updated_at", TimestampType, Seq("updatedAt"),
+          convert = Converters.parseTime)),
+      timestampCol = Some("updated_at"),
+      updateWhere = (t, s) => t("updated_at") < s("updated_at"))
+  }
+
+  /** `aws_pricing_v1` descriptor (`lib/webhookdb/replicator/aws_pricing_v1.rb:27-70`):
+    * the rate-card table written by the streaming expansion in
+    * [[AwsPricing]] (S7/G2 — one row per product x term x price dimension;
+    * `rate_code` = `"{sku}.{offerTermCode}.{rateCode}"` remote key). */
+  lazy val awsPricingV1: ReplicatorSpec = ReplicatorSpec(
+    name = "aws_pricing_v1",
+    remoteKeyCol = "rate_code",
+    columns = Seq(
+      ColumnSpec("rate_code", StringType, Seq("rate_code")),
+      ColumnSpec("product_sku", StringType, Seq("product_sku")),
+      ColumnSpec("product_family", StringType, Seq("product_family")),
+      ColumnSpec("product_attributes", StringType, Seq("product_attributes")),
+      ColumnSpec("product_group", StringType, Seq("product_group")),
+      ColumnSpec("product_location", StringType, Seq("product_location")),
+      ColumnSpec("product_region", StringType, Seq("product_region")),
+      ColumnSpec("product_operation", StringType, Seq("product_operation")),
+      ColumnSpec("product_usagetype", StringType, Seq("product_usagetype")),
+      ColumnSpec("publication_date", TimestampType, Seq("publication_date"),
+        convert = Converters.parseTime),
+      ColumnSpec("service_code", StringType, Seq("service_code")),
+      ColumnSpec("version", StringType, Seq("version")),
+      ColumnSpec("term_type", StringType, Seq("term_type")),
+      ColumnSpec("term_code", StringType, Seq("term_code")),
+      ColumnSpec("offer_term_code", StringType, Seq("offer_term_code")),
+      ColumnSpec("effective_date", TimestampType, Seq("effective_date"),
+        convert = Converters.parseTime),
+      ColumnSpec("applies_to", ArrayType(StringType), Seq("applies_to"),
+        convert = c => from_json(c, ArrayType(StringType))),
+      ColumnSpec("begin_range", DecimalType(38, 18), Seq("begin_range")),
+      ColumnSpec("end_range", DecimalType(38, 18), Seq("end_range")),
+      ColumnSpec("unit", StringType, Seq("unit")),
+      ColumnSpec("price_per_unit_raw", StringType, Seq("price_per_unit_raw")),
+      ColumnSpec("price_per_unit_amount", DecimalType(38, 18), Seq("price_per_unit_amount")),
+      ColumnSpec("price_per_unit_currency", StringType, Seq("price_per_unit_currency")),
+      ColumnSpec("description", StringType, Seq("description"))),
+    timestampCol = Some("publication_date"))
+
+  /** `icalendar_event_v1` descriptor (`icalendar_event_v1.rb:26-97`): the
+    * expanded-occurrence table written by [[IcalendarEvents.expandFeed]]
+    * (G1/E16/E17/E18); merge is data-diff conditioned like the reference's
+    * `tgt.data IS DISTINCT FROM excluded.data` (`:227-234`). */
+  lazy val icalendarEventV1: ReplicatorSpec = ReplicatorSpec(
+    name = "icalendar_event_v1",
+    remoteKeyCol = "compound_identity",
+    columns = Seq(
+      ColumnSpec("compound_identity", StringType, Seq("compound_identity")),
+      ColumnSpec("calendar_external_id", StringType, Seq("calendar_external_id")),
+      ColumnSpec("uid", StringType, Seq("uid")),
+      ColumnSpec("status", StringType, Seq("status")),
+      ColumnSpec("start_at", TimestampType, Seq("start_at"), convert = Converters.parseTime),
+      ColumnSpec("end_at", TimestampType, Seq("end_at"), convert = Converters.parseTime),
+      ColumnSpec("start_date", DateType, Seq("start_date"), convert = Converters.parseDate),
+      ColumnSpec("end_date", DateType, Seq("end_date"), convert = Converters.parseDate),
+      ColumnSpec("missing_timezone", BooleanType, Seq("missing_timezone"),
+        defaulter = Some(Converters.defaultFalse)),
+      ColumnSpec("categories", ArrayType(StringType), Seq("categories"),
+        convert = c => from_json(c, ArrayType(StringType))),
+      ColumnSpec("priority", IntegerType, Seq("priority")),
+      ColumnSpec("classification", StringType, Seq("classification")),
+      ColumnSpec("geo_lat", DoubleType, Seq("geo_lat")),
+      ColumnSpec("geo_lng", DoubleType, Seq("geo_lng")),
+      ColumnSpec("recurring_event_id", StringType, Seq("recurring_event_id")),
+      ColumnSpec("recurring_event_sequence", IntegerType, Seq("recurring_event_sequence")),
+      ColumnSpec("last_modified_at", TimestampType, Seq("last_modified_at"),
+        convert = Converters.parseTime)),
+    timestampCol = Some("last_modified_at"))
+
+  /** U5 — the reference's `icalendar_event_v1_partitioned`
+    * (`icalendar_event_v1.rb` + `partitionable_mixin.rb:62-70`): identical
+    * schema, conflict target gains the str2inthash(calendar_external_id)
+    * partition column so merges prune to touched hash partitions. */
+  lazy val icalendarEventV1Partitioned: ReplicatorSpec =
+    icalendarEventV1.copy(name = "icalendar_event_v1_partitioned", partitioned = true)
 
   /** `postmark_outbound_message_event_v1`
     * (`lib/webhookdb/replicator/postmark_outbound_message_event_v1.rb`):

@@ -22,7 +22,10 @@ class RegistryContractSpec extends SparkSpec {
       assert(names.distinct == names, s"${spec.name} duplicate columns")
       spec.timestampCol.foreach(t => assert(names.contains(t), s"${spec.name} ts col"))
     }
-    assert(Replicators.registry.size >= 58)
+    assert(Replicators.registry.size == 66) // every reference descriptor
+                                            // (replicator.rb:153-171) + the
+                                            // stripe partitioned variant;
+                                            // `fake` stays spec-helper-only
   }
 
   test("twilio_sms_v1 parses RFC3339-ish timestamps and keys on sid") {
@@ -202,5 +205,57 @@ class RegistryContractSpec extends SparkSpec {
     val r = ingest(Replicators.stripeRefundV1, refund).collect()(0)
     assert(r.getAs[String]("charge") == "ch_1")
     assert(r.getAs[Long]("amount") == 100L)
+  }
+
+  test("sponsy_publication_v1 maps day arrays three ways (column.rb map lookups)") {
+    val row = ingest(Replicators.sponsyPublicationV1,
+      """{"id":"pub1","name":"N","slug":"n","type":"NEWSLETTER",
+        |"days":["MONDAY","WEDNESDAY","SUNDAY"],
+        |"createdAt":"2024-01-01T00:00:00Z","updatedAt":"2024-01-02T00:00:00Z"}"""
+        .stripMargin.replaceAll("\n", ""))
+      .collect()(0)
+    assert(row.getAs[String]("sponsy_id") == "pub1")
+    // MONDAY-first 0-based; SUNDAY-first 1-based-with-wrap; index->name
+    assert(row.getAs[scala.collection.Seq[Int]]("days").toSeq == Seq(0, 2, 6))
+    assert(row.getAs[scala.collection.Seq[Int]]("days_normalized").toSeq == Seq(1, 3, 0))
+    assert(row.getAs[scala.collection.Seq[String]]("day_names").toSeq ==
+      Seq("MONDAY", "WEDNESDAY", "SUNDAY")) // names pass through unmapped
+  }
+
+  test("auth-root stubs ingest nothing but hold registry identity") {
+    Seq("front_marketplace_root_v1", "intercom_marketplace_root_v1",
+      "increase_app_v1").foreach { n =>
+      val spec = Replicators.registry(n)
+      assert(spec.remoteKeyCol == "ignore_id")
+      assert(spec.columns.size == 1, n)
+    }
+  }
+
+  test("icalendar_event_v1 descriptor round-trips an expanded occurrence row") {
+    val row = ingest(Replicators.icalendarEventV1,
+      """{"compound_identity":"cal1-u1-0","calendar_external_id":"cal1",
+        |"uid":"u1-0","status":"CONFIRMED","start_at":"2024-06-01T10:00:00Z",
+        |"end_at":"2024-06-01T11:00:00Z","missing_timezone":false,
+        |"categories":["work"],"priority":1,"recurring_event_id":"u1",
+        |"recurring_event_sequence":0,
+        |"last_modified_at":"2024-05-01T00:00:00Z"}""".stripMargin.replaceAll("\n", ""))
+      .collect()(0)
+    assert(row.getAs[String]("compound_identity") == "cal1-u1-0")
+    assert(row.getAs[java.sql.Timestamp]("start_at").getTime ==
+      java.time.Instant.parse("2024-06-01T10:00:00Z").toEpochMilli)
+    assert(row.getAs[scala.collection.Seq[String]]("categories").toSeq == Seq("work"))
+    assert(row.getAs[Int]("recurring_event_sequence") == 0)
+    // partitioned variant keys on (part_hash, compound_identity)
+    val part = Replicators.registry("icalendar_event_v1_partitioned")
+    assert(part.partitioned && part.mergeSpec.keyCols ==
+      Seq("part_hash", "compound_identity"))
+  }
+
+  test("aws_pricing_v1 descriptor covers the rate-card schema") {
+    val spec = Replicators.awsPricingV1
+    assert(spec.remoteKeyCol == "rate_code")
+    assert(spec.columns.map(_.name).containsSlice(
+      Seq("term_type", "term_code", "offer_term_code")))
+    assert(spec.columns.size == 24)
   }
 }

@@ -45,6 +45,46 @@ class DbMergeExportSpec extends SparkSpec {
     assert(stmts(4).contains("NOT EXISTS"))
   }
 
+  test("JDBC page sink executes the staged merge against a live embedded DB (K1)") {
+    import java.sql.{DriverManager, Timestamp}
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val tdf = Seq(
+      (1L, "ch_1", 100L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "ch_2", 200L, Timestamp.valueOf("2024-01-02 00:00:00")),
+      (3L, "ch_3", 300L, Timestamp.valueOf("2024-01-03 00:00:00")),
+      (4L, "ch_4", 400L, Timestamp.valueOf("2024-01-04 00:00:00")))
+      .toDF("pk", "stripe_id", "amount", "updated")
+    val sink = new JdbcPageSink.Sink(url, "org1", "charges", st, "pk")
+    val r1 = SyncTarget.sync(tdf, "updated",
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-04 00:00:00"), pageSize = 3, sink)
+    assert(r1.pagesDelivered == 2 && r1.rowsDelivered == 4)
+
+    def readBack(): Map[Long, Long] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT pk, amount FROM org1.charges")
+        Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => r.getLong(1) -> r.getLong(2)).toMap
+      } finally c.close()
+    }
+    assert(readBack() == Map(1L -> 100L, 2L -> 200L, 3L -> 300L, 4L -> 400L))
+
+    // incremental second pass: pk 3 updated + pk 5 inserted; merge keeps the
+    // table keyed (no duplicate pks), untouched rows intact
+    val tdf2 = Seq(
+      (3L, "ch_3", 999L, Timestamp.valueOf("2024-01-05 00:00:00")),
+      (5L, "ch_5", 500L, Timestamp.valueOf("2024-01-06 00:00:00")))
+      .toDF("pk", "stripe_id", "amount", "updated")
+    val r2 = SyncTarget.sync(tdf2, "updated",
+      Timestamp.valueOf("2024-01-04 00:00:00"),
+      Timestamp.valueOf("2024-01-07 00:00:00"), pageSize = 10, sink)
+    assert(r2.rowsDelivered == 2)
+    assert(readBack() == Map(1L -> 100L, 2L -> 200L, 3L -> 999L, 4L -> 400L, 5L -> 500L))
+    sink.close()
+  }
+
   test("file page sink lands ordered pages consumable as one dataset") {
     val dir = java.nio.file.Files.createTempDirectory("fps").toString
     val table = (1 to 7).map(i => (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-0$i%d 00:00:00")))
