@@ -161,15 +161,80 @@ object FeedSinkQueries {
       strftime(CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) - 2, '%Y-%m-%d') AS backfill_start
     FROM events GROUP BY user_id ORDER BY user_id"""
 
+  // ---- q77: dependency-DAG cascade (S11) ----
+
+  private val parentSpec = ReplicatorSpec(
+    name = "customer_root_v1",
+    remoteKeyCol = "cust_id",
+    columns = Seq(
+      ColumnSpec("cust_id", LongType, Seq("id")),
+      ColumnSpec("name", StringType, Seq("name")),
+      ColumnSpec("segment", StringType, Seq("seg"))))
+
+  private val childSpec = ReplicatorSpec(
+    name = "customer_rollup_v1",
+    remoteKeyCol = "rollup_id",
+    columns = Seq(
+      ColumnSpec("rollup_id", LongType, Seq("id")),
+      ColumnSpec("segment", StringType, Seq("seg")),
+      ColumnSpec("flagged", BooleanType, Seq("seg"),
+        convert = c => c === "VIP")),
+    dependsOn = Some("customer_root_v1"))
+
+  /** S11 — parent upsert cascades its CHANGED rows to the dependent table
+    * (`base.rb:1249-1260` via `DependencyDag.cascade`): bootstrap every
+    * customer, then a v2 wave flips k%4=0 customers to the VIP segment;
+    * only those rows re-flow into the child (row-diff suppression). */
+  def q77(spark: SparkSession, d: String): DataFrame = {
+    def parentBatch(vip: Boolean): DataFrame =
+      Tables.parallel(Tables.customer(spark, d).select(
+        concat(lit("""{"id":"""), col("c_custkey"),
+          lit(""","name":""""), col("c_name"),
+          lit("""","seg":""""),
+          when(lit(vip) && col("c_custkey") % 4 === 0, lit("VIP"))
+            .otherwise(col("c_mktsegment")),
+          lit(""""}""")).as("body"),
+        col("c_custkey").cast("long").as(Projection.IngestSeqCol)))
+
+    val snapshots = scala.collection.mutable.Map.empty[String, DataFrame]
+    val store = new graft.operators.DependencyDag.TableStore {
+      def read(spec: ReplicatorSpec): DataFrame =
+        snapshots.getOrElse(spec.name, Pipeline.emptyTarget(spec, spark))
+      def write(spec: ReplicatorSpec, snapshot: DataFrame): Unit =
+        snapshots(spec.name) = snapshot
+    }
+    def childBatchFor(child: ReplicatorSpec, changed: DataFrame): DataFrame =
+      changed.select(
+        to_json(struct(col("cust_id").as("id"), col("segment").as("seg"))).as("body"),
+        col("cust_id").as(Projection.IngestSeqCol))
+
+    val specs = Seq(parentSpec, childSpec)
+    graft.operators.DependencyDag.cascade(specs, "customer_root_v1",
+      parentBatch(vip = false), store, childBatchFor)
+    graft.operators.DependencyDag.cascade(specs, "customer_root_v1",
+      parentBatch(vip = true), store, childBatchFor)
+    snapshots("customer_rollup_v1")
+      .select(col("rollup_id"), col("segment"), col("flagged"))
+      .orderBy(col("rollup_id"))
+  }
+
+  private val q77Sql: String = """
+    SELECT CAST(c_custkey AS BIGINT) AS rollup_id,
+      CASE WHEN c_custkey % 4 = 0 THEN 'VIP' ELSE c_mktsegment END AS segment,
+      c_custkey % 4 = 0 AS flagged
+    FROM customer ORDER BY rollup_id"""
+
   val defs: Map[String, Q] = Map(
     "q73_atom_feed_refetch" -> (q73 _),
     "q74_enrichment_lookup" -> (q74 _),
     "q75_audit_retention" -> (q75 _),
-    "q76_per_parent_watermarks" -> (q76 _))
+    "q76_per_parent_watermarks" -> (q76 _),
+    "q77_dependency_cascade" -> (q77 _))
 
   val oracles: Map[String, String] = Map(
     "q73_atom_feed_refetch" -> q73Sql,
     "q74_enrichment_lookup" -> q74Sql,
     "q75_audit_retention" -> q75Sql,
-    "q76_per_parent_watermarks" -> q76Sql)
+    "q76_per_parent_watermarks" -> q76Sql,
+    "q77_dependency_cascade" -> q77Sql)
 }
