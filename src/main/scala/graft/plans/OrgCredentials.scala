@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import java.security.{MessageDigest, SecureRandom}
+import java.sql.Timestamp
+
+/** Org credential layer (§2.10, `db_builder.rb:326-356`): each org's SQL
+  * surface is guarded by a bearer token; `roll` mints a new one and the old
+  * stops working — the Spark analog of the reference's readonly-role
+  * credential rolling. Only the SHA-256 hash is stored (in a meta-catalog
+  * table); the plaintext is returned exactly once at issue time, like the
+  * reference's one-time connection-string reveal.
+  */
+object OrgCredentials {
+
+  final class Unauthorized(msg: String) extends RuntimeException(msg)
+
+  val MetaDb = "graft_meta"
+  val Table = s"$MetaDb.org_credentials"
+
+  private val rng = new SecureRandom()
+
+  private def sha256(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def newToken(): String = {
+    val bytes = new Array[Byte](24)
+    rng.nextBytes(bytes)
+    "gsk_" + java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+  }
+
+  private def ensureMeta(spark: SparkSession): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $MetaDb")
+
+  /** Issue (or roll) the org's credential; returns the plaintext token. */
+  def issue(spark: SparkSession, orgKey: String): String = {
+    import spark.implicits._
+    ensureMeta(spark)
+    OrgNamespace.provision(spark, orgKey)
+    val token = newToken()
+    val now = new Timestamp(System.currentTimeMillis())
+    // tiny metadata table: materialize on the driver first (Spark refuses to
+    // overwrite a table that its own plan reads), then rewrite atomically
+    val kept =
+      if (spark.catalog.tableExists(Table))
+        spark.table(Table).filter($"org_key" =!= orgKey)
+          .as[(String, String, Timestamp)].collect().toSeq
+      else Nil
+    (kept :+ ((orgKey, sha256(token), now)))
+      .toDF("org_key", "token_hash", "rolled_at")
+      .write.mode(SaveMode.Overwrite).saveAsTable(Table)
+    token
+  }
+
+  /** Roll = reissue; the previous token immediately stops authenticating. */
+  def roll(spark: SparkSession, orgKey: String): String = issue(spark, orgKey)
+
+  def authenticate(spark: SparkSession, orgKey: String, token: String): Boolean =
+    spark.catalog.tableExists(Table) && {
+      import spark.implicits._
+      spark.table(Table)
+        .filter($"org_key" === orgKey && $"token_hash" === sha256(token))
+        .limit(1).count() == 1
+    }
+
+  /** The authenticated SQL-surface entry point: token check, then the
+    * namespace-scoped readonly run. */
+  def runReadonly(spark: SparkSession, orgKey: String, token: String,
+                  sql: String,
+                  maxRows: Int = ReadonlyGuard.DefaultMaxRows): ReadonlyGuard.QueryResult = {
+    if (!authenticate(spark, orgKey, token))
+      throw new Unauthorized(s"invalid credential for org $orgKey")
+    OrgNamespace.runReadonly(spark, orgKey, sql, maxRows)
+  }
+}
