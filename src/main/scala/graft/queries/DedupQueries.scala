@@ -249,7 +249,37 @@ object DedupQueries {
     WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id)
     ORDER BY doc_id"""
 
+  /** Benchmark decontamination — the train/eval n-gram overlap sweep every
+    * training-data pipeline needs: docs whose shingle sets intersect the
+    * held-out "benchmark" docs (doc_id % 50 = 0 plays the eval set) in at
+    * least 3 distinct 3-gram shingles are flagged with their hit count.
+    * Scale shape: explode to (shingle, doc) and join ON THE SHINGLE HASH —
+    * one shuffle keyed by shingle, never doc x doc; the benchmark side is a
+    * distinct-shingle set small enough to broadcast in practice. */
+  def q78(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingleHashDf(spark, d)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    train.join(bench, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared_shingles"))
+      .filter(col("n_shared_shingles") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val q78Sql: String = s"""
+    WITH sh AS (${Sql.shBase}),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 50 <> 0)
+    SELECT doc_id, count(DISTINCT train.s) AS n_shared_shingles
+    FROM train JOIN bench ON train.s = bench.s
+    GROUP BY doc_id HAVING count(DISTINCT train.s) >= 3
+    ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
+    "q78_decontamination" -> (q78 _),
     "q20_dedup_exact" -> (q20 _),
     "q21_minhash_signatures" -> (q21 _),
     "q22_lsh_candidate_pairs" -> (q22 _),
@@ -260,6 +290,7 @@ object DedupQueries {
     "q38_dedup_survivors" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
+    "q78_decontamination" -> q78Sql,
     "q20_dedup_exact" -> q20Sql,
     "q21_minhash_signatures" -> q21Sql,
     "q22_lsh_candidate_pairs" -> q22Sql,
