@@ -288,11 +288,56 @@ object IcsQueries {
     SELECT * FROM a_rows UNION ALL SELECT * FROM b_rows UNION ALL SELECT * FROM d_rows
     ORDER BY compound_identity"""
 
+  /** q79 — the calendar webhook COMMAND protocol + R4 delete cascade
+    * (`icalendar_calendar_v1.rb:114-153`): SYNC commands upsert calendar
+    * rows (with the webcal->https url rewrite, E11); DELETE commands for
+    * k%5=0 drop the calendar row AND its dependent event rows in one pass. */
+  def q79(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Pipeline, Projection}
+    import graft.replicators.IcalendarCalendar
+    val custs = Tables.customer(spark, d).select(col("c_custkey").cast("long").as("k"))
+    val syncs = custs.select(
+      concat(lit("""{"type":"SYNC","external_id":"cal-"""), col("k"),
+        lit("""","ics_url":"webcal://feeds.example/"""), col("k"),
+        lit(""".ics"}""")).as("body"),
+      col("k").as(Projection.IngestSeqCol))
+    val deletes = custs.filter(col("k") % 5 === 0).select(
+      concat(lit("""{"type":"DELETE","external_id":"cal-"""), col("k"),
+        lit(""""}""")).as("body"),
+      (col("k") + 1000000L).as(Projection.IngestSeqCol))
+    val commands = syncs.unionByName(deletes)
+    // two dependent event rows per calendar
+    val events = custs.select(col("k"),
+        concat(lit("cal-"), col("k")).as("calendar_external_id"))
+      .crossJoin(Seq(0, 1).toDF("j"))
+      .select(col("calendar_external_id"),
+        concat(lit("ev-"), col("k"), lit("-"), col("j")).as("uid"))
+    val (cals, evs) = IcalendarCalendar.processCommands(spark,
+      Pipeline.emptyTarget(IcalendarCalendar.spec, spark), events, commands)
+    val counts = evs.groupBy(col("calendar_external_id"))
+      .agg(count(lit(1)).as("n_events"))
+    cals.select(col("external_id"), col("ics_url"))
+      .join(counts, col("external_id") === col("calendar_external_id"), "left")
+      .select(col("external_id"), col("ics_url"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("external_id"))
+  }
+
+  private val q79Sql: String = """
+    SELECT 'cal-' || CAST(c_custkey AS BIGINT) AS external_id,
+      'https://feeds.example/' || CAST(c_custkey AS BIGINT) || '.ics' AS ics_url,
+      CAST(2 AS BIGINT) AS n_events
+    FROM customer WHERE c_custkey % 5 <> 0
+    ORDER BY external_id"""
+
   val defs: Map[String, Q] = Map(
     "q70_ics_expansion" -> (q70 _),
-    "q71_ics_reconcile" -> (q71 _))
+    "q71_ics_reconcile" -> (q71 _),
+    "q79_calendar_commands" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
     "q70_ics_expansion" -> q70Sql,
-    "q71_ics_reconcile" -> q71Sql)
+    "q71_ics_reconcile" -> q71Sql,
+    "q79_calendar_commands" -> q79Sql)
 }
