@@ -75,8 +75,15 @@ object Hashing {
     }: _*)
 
   /** SimHash over a shingle-hash array: bit b of the fingerprint is the
-    * majority vote of bit b across elements. bits <= 32 (the hash width). */
-  def simhash(shingleHashArr: Column, bits: Int): Column = {
+    * majority vote of bit b across elements. bits <= 32 (the hash width).
+    * Native codegen expression — ONE array pass for all bit votes (the
+    * composed-Column form below needs an interpreted aggregate per bit). */
+  def simhash(shingleHashArr: Column, bits: Int): Column =
+    expressions.SimHash32.simhash(shingleHashArr, bits)
+
+  /** The composed-Column reference form, kept as the parity check for the
+    * native expression (same values bit-for-bit). */
+  private[functions] def simhashComposed(shingleHashArr: Column, bits: Int): Column = {
     require(bits <= 32)
     val terms = (0 until bits).map { b =>
       val vote = aggregate(shingleHashArr, lit(0L),

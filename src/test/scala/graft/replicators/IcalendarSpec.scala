@@ -141,6 +141,27 @@ class IcalendarSpec extends SparkSpec {
     assert(got.map(_.toString) == Seq("2024-05-13T10:00", "2025-05-19T10:00"))
   }
 
+  test("MONTHLY negative BYMONTHDAY tracks month length") {
+    val got = expand("20240101T120000", "FREQ=MONTHLY;BYMONTHDAY=-1;COUNT=3")
+    assert(got.map(_.toString) == Seq(
+      "2024-01-31T12:00", "2024-02-29T12:00", "2024-03-31T12:00"))
+  }
+
+  test("DAILY BYMONTH limits to the named months across years") {
+    val got = expand("20241230T080000", "FREQ=DAILY;BYMONTH=1;COUNT=3")
+    assert(got.map(_.toString) == Seq(
+      "2025-01-01T08:00", "2025-01-02T08:00", "2025-01-03T08:00"))
+  }
+
+  test("COUNT applies after BYSETPOS selection, before EXDATE removal") {
+    // first weekday of each month, count 4, exdate on March's
+    val got = expand("20240101T090000",
+      "FREQ=MONTHLY;BYDAY=MO,TU,WE,TH,FR;BYSETPOS=1;COUNT=4",
+      ex = Seq("20240301T090000"))
+    assert(got.map(_.toString) == Seq(
+      "2024-01-01T09:00", "2024-02-01T09:00", "2024-04-01T09:00"))
+  }
+
   test("WKST=SU changes which week an interval-2 BYDAY rule lands in") {
     // start Tue 2024-01-02; weeks anchored on Sunday: with WKST=SU the next
     // eligible week starts Sun Jan 14, so WE occurrences are Jan 3, 17, 31
