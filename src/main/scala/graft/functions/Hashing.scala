@@ -55,8 +55,14 @@ object Hashing {
           element_at(tokenHashes, i + 2)))))
 
   /** MinHash signature: k minima of (a_i*s + b_i) mod P over the shingle-hash
-    * array. One integer pass per permutation. */
-  def minhashSignature(shingleHashArr: Column, k: Int): Column = {
+    * array. Native codegen expression — one pass for all k permutations
+    * (the composed form below pays k interpreted transform+min passes). */
+  def minhashSignature(shingleHashArr: Column, k: Int): Column =
+    expressions.MinhashSig.minhash(shingleHashArr, k)
+
+  /** The composed-Column reference form, kept as the parity check for the
+    * native expression. */
+  private[functions] def minhashComposed(shingleHashArr: Column, k: Int): Column = {
     require(k <= MinhashA.size)
     array((0 until k).map { i =>
       array_min(transform(shingleHashArr,

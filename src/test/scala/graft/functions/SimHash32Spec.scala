@@ -29,6 +29,17 @@ class SimHash32Spec extends SparkSpec {
     }
   }
 
+  test("native minhash signature matches the composed-Column form") {
+    val df = cases.filter(_.nonEmpty).zipWithIndex
+      .map { case (a, i) => (i, a) }.toDF("id", "sh")
+    val both = df.select(col("id"),
+      Hashing.minhashSignature(col("sh"), 8).as("native"),
+      Hashing.minhashComposed(col("sh"), 8).as("composed"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"case ${r.getInt(0)}")
+    }
+  }
+
   test("interpreted eval path agrees with codegen") {
     val df = cases.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "sh")
     val expected = df.select(col("id"), Hashing.simhash(col("sh"), 32).as("h"))
