@@ -312,6 +312,34 @@ object ExtraQueries {
     FROM events
     GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
 
+  /** Pure interval join (NO equi key): count events falling inside each
+    * 5-minute error window. Spark would plan the raw inequality join as
+    * BroadcastNestedLoopJoin; [[graft.operators.RangeJoin.pointInInterval]]
+    * rewrites it to a binned equi-join + residual filter (bin width = the
+    * window span, so each interval lands in at most 2 bins). */
+  def q69(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val points = e.select(unix_micros(col("ts")).as("p_us"))
+    val windows = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("window_id"), unix_micros(col("ts")).as("lo_us"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("hi_us"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, "p_us", windows, "lo_us", "hi_us", 300000000L)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("window_id"))
+  }
+
+  val q69Sql: String = """
+    SELECT w.window_id, count(*) AS n_events
+    FROM (SELECT event_id AS window_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS lo_us,
+            epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS hi_us
+          FROM events WHERE event_type = 'error') w
+    JOIN (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS p_us FROM events) e
+      ON e.p_us >= w.lo_us AND e.p_us <= w.hi_us
+    GROUP BY w.window_id ORDER BY w.window_id"""
+
   val defs: Map[String, Q] = Map(
     "q08_cube_segment_status" -> (q08 _),
     "q09_percentiles" -> (q09 _),
@@ -324,7 +352,8 @@ object ExtraQueries {
     "q35_pricing_expand" -> (q35 _),
     "q36_sessionization" -> (q36 _),
     "q67_table_profile" -> (q67 _),
-    "q68_windowed_event_stats" -> (q68 _))
+    "q68_windowed_event_stats" -> (q68 _),
+    "q69_interval_join" -> (q69 _))
 
   val oracles: Map[String, String] = Map(
     "q08_cube_segment_status" -> q08Sql,
@@ -337,5 +366,6 @@ object ExtraQueries {
     "q35_pricing_expand" -> q35Sql,
     "q36_sessionization" -> q36Sql,
     "q67_table_profile" -> q67Sql,
-    "q68_windowed_event_stats" -> q68Sql)
+    "q68_windowed_event_stats" -> q68Sql,
+    "q69_interval_join" -> q69Sql)
 }
