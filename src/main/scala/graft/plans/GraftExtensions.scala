@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("str2inthash"),
       new ExpressionInfo(classOf[Str2IntHash].getName, "str2inthash"),
       build _))
+    extensions.injectOptimizerRule(_ => new RangeJoinRewrite)
   }
 }

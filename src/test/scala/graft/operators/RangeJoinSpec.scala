@@ -1,8 +1,6 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.functions._
 
 /** Binned interval join: exact parity with the naive non-equi join, exactly-
@@ -52,11 +50,11 @@ class RangeJoinSpec extends SparkSpec {
     val pdf = spark.range(1000).select(col("id").as("p"))
     val idf = spark.range(100).select(col("id").as("iid"),
       (col("id") * 10).as("lo"), (col("id") * 10 + 20).as("hi"))
-    val plan = RangeJoin.pointInInterval(pdf, "p", idf, "lo", "hi", 16L)
-      .queryExecution.executedPlan
-    def all(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(all)
-    assert(!all(plan).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
-      s"nested loop join in plan:\n$plan")
+    val df = RangeJoin.pointInInterval(pdf, "p", idf, "lo", "hi", 16L)
+    df.collect() // finalize AQE so the string shows the real join nodes
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join in plan:\n$plan")
+    assert(plan.contains("Join"), plan)
   }
 
   test("rejects non-positive bin widths") {
