@@ -49,22 +49,27 @@ object Vectors {
       }),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Random-hyperplane LSH bucket for a vector: sign bits of dot products
-    * with `planes` pseudo-random unit directions derived deterministically
-    * from md5 (seed, dim) — reproducible across engines, no RNG state. */
-  def hyperplaneBucket(a: Column, planes: Int, dim: Int): Column = {
-    // plane p, component i = (hash32(p:i) / 2^31) - 1.0  in [-1, 1)
-    def comp(p: Int, i: Int): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$i".getBytes("UTF-8")).take(4)
-      val u = java.nio.ByteBuffer.wrap(hex).getInt.toLong & 0xFFFFFFFFL
-      u.toDouble / 2147483648.0 - 1.0
+  /** Deterministic integer hyperplane matrix for random-hyperplane LSH:
+    * component (p, i) = (md5("p:i") first-4-bytes mod 2048) - 1024. All
+    * integers, no RNG state — the matrix inlines as a literal in any engine
+    * (the DuckDB oracles embed the same constants), so bucket assignment is
+    * bit-exact everywhere. */
+  def hyperplaneMatrix(planes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$i".getBytes("UTF-8")).take(4)
+        val u = java.nio.ByteBuffer.wrap(hex).getInt.toLong & 0xFFFFFFFFL
+        (u % 2048L) - 1024L
+      }
     }
-    val bits = (0 until planes).map { p =>
-      val d = (0 until dim).map(i => element_at(a, i + 1).cast(DoubleType) * lit(comp(p, i)))
-        .reduce(_ + _)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+
+  /** Random-hyperplane LSH bucket of a quantized (Long) vector: bit p set
+    * when the integer dot against plane p is non-negative. Integer
+    * arithmetic end to end — sign decisions never ride on float summation
+    * order. */
+  def hyperplaneBucket(qv: Column, matrix: Seq[Seq[Long]]): Column =
+    matrix.zipWithIndex.map { case (plane, p) =>
+      when(dotLong(qv, typedlit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

@@ -146,13 +146,61 @@ object VectorQueries {
     SELECT label, va, vb, cosine FROM pairs
     ORDER BY cosine DESC, va, vb LIMIT 50"""
 
+  /** LSH-bucketed ANN (the scale path next to IVF q31): 6 random
+    * hyperplanes → 64 buckets; candidates are scored only inside the
+    * query's bucket (~1/64 of the corpus), then top-3 by quantized inner
+    * product. The plane matrix is deterministic integers
+    * ([[Vectors.hyperplaneMatrix]]) inlined into the oracle SQL, so bucket
+    * assignment is bit-exact across engines. At 100 TB the bucket column is
+    * a partition key: a query probes one partition per band instead of
+    * scanning the corpus. */
+  def q39(spark: SparkSession, d: String): DataFrame = {
+    val m = Vectors.hyperplaneMatrix(LshPlanes, 64)
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+      .withColumn("bucket", Vectors.hyperplaneBucket(col("qv"), m))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("bucket"), col("qv").as("qv_q"))
+    val scored = emb.filter(col("vec_id") >= 10)
+      .join(broadcast(queries), Seq("bucket"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.dotLong(col("qv_q"), col("qv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  private val LshPlanes = 6
+
+  private def bucketSql(vecCol: String): String =
+    Vectors.hyperplaneMatrix(LshPlanes, 64).zipWithIndex.map { case (plane, p) =>
+      val planeLit = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> $vecCol[i] * ($planeLit)[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val q39Sql: String = s"""
+    WITH q AS (SELECT vec_id AS query_id, $qVecSql AS qv FROM embeddings WHERE vec_id < 10),
+    qb AS (SELECT query_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+    c AS (SELECT vec_id AS neighbor_id, $qVecSql AS cv FROM embeddings WHERE vec_id >= 10),
+    cb AS (SELECT neighbor_id, cv, ${bucketSql("cv")} AS bucket FROM c),
+    scored AS (SELECT query_id, neighbor_id, CAST($dotSql AS BIGINT) AS score
+      FROM qb JOIN cb ON qb.bucket = cb.bucket),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+               FROM scored)
+    SELECT query_id, neighbor_id, score FROM ranked WHERE rk <= 3
+    ORDER BY query_id, neighbor_id"""
+
   val defs: Map[String, Q] = Map(
+    "q39_lsh_bucket_ann" -> (q39 _),
     "q30_knn_bruteforce_mips" -> (q30 _),
     "q31_ivf_label_pruned_ann" -> (q31 _),
     "q32_cluster_centroids" -> (q32 _),
     "q37_embedding_cosine_pairs" -> (q37 _))
 
   val oracles: Map[String, String] = Map(
+    "q39_lsh_bucket_ann" -> q39Sql,
     "q30_knn_bruteforce_mips" -> q30Sql,
     "q31_ivf_label_pruned_ann" -> q31Sql,
     "q32_cluster_centroids" -> q32Sql,
