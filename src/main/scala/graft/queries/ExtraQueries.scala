@@ -340,7 +340,60 @@ object ExtraQueries {
       ON e.p_us >= w.lo_us AND e.p_us <= w.hi_us
     GROUP BY w.window_id ORDER BY w.window_id"""
 
+  /** Converter surface under oracle (E6/E8/E10/E11/E12/E13/E14/E15): each
+    * converter runs over strings built deterministically from `customer`
+    * columns, so DuckDB can recompute every result with its own string/
+    * regex/date functions — the cross-engine parity check the reference
+    * does against live Postgres (`shared_examples_for_columns.rb:3-30`). */
+  def q85(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Converters
+    val c = Tables.customer(spark, d).select(
+      col("c_custkey").cast("long").as("k"),
+      col("c_name"), col("c_mktsegment"),
+      // phone-shaped multi-part string, derivable in any engine
+      format_string("%d-%d-%d", (col("c_custkey") % 90 + 10).cast("long"),
+        (col("c_custkey") % 900 + 100).cast("long"),
+        (col("c_custkey") % 9000 + 1000).cast("long")).as("phone"))
+    val csv = concat_ws("", col("c_mktsegment"), lit(" , "), col("phone"), lit(", ,"))
+    val jsonArr = concat(lit("[{\"v\":\""), col("c_mktsegment"),
+      lit("\"},{\"v\":\""), col("phone"), lit("\"}]"))
+    val dateStr = format_string("%02d-%02d-2020",
+      (col("k") % 28 + 1).cast("int"), (col("k") % 12 + 1).cast("int"))
+    c.select(
+      col("k"),
+      Converters.fromRegex(col("c_name"), "([0-9]+)$", LongType).as("name_num"),
+      Converters.gsub(col("c_name"), "^Customer#0*", "cust:").as("cust_label"),
+      array_join(Converters.commaSep(csv), "|").as("seg_items"),
+      Converters.arrayElement(col("phone"), "-", 2, DoubleType).as("phone_part"),
+      array_join(Converters.arrayPluck(jsonArr, "v"), "|").as("plucked"),
+      date_format(Converters.strpdate(dateStr, "dd-MM-yyyy"), "yyyy-MM-dd").as("parsed_date"),
+      Converters.mapLookup(col("c_mktsegment"),
+        Map("BUILDING" -> "b2b", "AUTOMOBILE" -> "auto")).as("seg_mapped"))
+      .orderBy(col("k"))
+  }
+
+  val q85Sql: String = """
+    WITH c AS (
+      SELECT *, printf('%d-%d-%d', c_custkey % 90 + 10, c_custkey % 900 + 100,
+        c_custkey % 9000 + 1000) AS phone
+      FROM customer)
+    SELECT CAST(c_custkey AS BIGINT) AS k,
+      CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_num,
+      regexp_replace(c_name, '^Customer#0*', 'cust:') AS cust_label,
+      array_to_string(list_filter(list_transform(string_split(
+        c_mktsegment || ' , ' || phone || ', ,', ','), x -> trim(x)), x -> x <> ''), '|')
+        AS seg_items,
+      CAST(string_split(phone, '-')[3] AS DOUBLE) AS phone_part,
+      c_mktsegment || '|' || phone AS plucked,
+      strftime(strptime(printf('%02d-%02d-2020',
+        CAST(c_custkey % 28 + 1 AS INT), CAST(c_custkey % 12 + 1 AS INT)),
+        '%d-%m-%Y'), '%Y-%m-%d') AS parsed_date,
+      CASE c_mktsegment WHEN 'BUILDING' THEN 'b2b' WHEN 'AUTOMOBILE' THEN 'auto'
+        ELSE c_mktsegment END AS seg_mapped
+    FROM c ORDER BY k"""
+
   val defs: Map[String, Q] = Map(
+    "q85_converter_surface" -> (q85 _),
     "q08_cube_segment_status" -> (q08 _),
     "q09_percentiles" -> (q09 _),
     "q26_token_vocabulary" -> (q26 _),
@@ -356,6 +409,7 @@ object ExtraQueries {
     "q69_interval_join" -> (q69 _))
 
   val oracles: Map[String, String] = Map(
+    "q85_converter_surface" -> q85Sql,
     "q08_cube_segment_status" -> q08Sql,
     "q09_percentiles" -> q09Sql,
     "q26_token_vocabulary" -> q26Sql,
