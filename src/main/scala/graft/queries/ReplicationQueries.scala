@@ -297,7 +297,34 @@ object ReplicationQueries {
       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
     FROM events ORDER BY event_id"""
 
+  /** U7 — the rowupsert side-effect stream: the rows of the q10 merge whose
+    * upsert actually changed the table (insert or monotonic update), i.e.
+    * exactly what `Notify.enqueueDeliveries` fans out. */
+  def q86(spark: SparkSession, d: String): DataFrame = {
+    val base = eventsBase(spark, d)
+    val spec = MergeSpec(
+      keyCols = Seq("user_id"), orderCol = "event_id",
+      updateWhere = (t, s) => s("ts_ms") > t("ts_ms"))
+    val target = Merge.dedupLastWins(base.filter(col("event_id") % 2 === 0), spec)
+    val source = base.filter(col("event_id") % 2 === 1)
+    Merge.changedRows(target, source, spec)
+      .withColumn("v", col("v").cast("double")).orderBy(col("user_id"))
+  }
+
+  val q86Sql: String = s"""
+    WITH base AS ($eventsBaseSql),
+    b1 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM base WHERE event_id % 2 = 0) WHERE rn = 1),
+    b2 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM base WHERE event_id % 2 = 1) WHERE rn = 1)
+    SELECT b2.user_id, b2.event_id, b2.event_type, b2.ts_ms,
+      CAST(b2.v AS DOUBLE) AS v
+    FROM b2 LEFT JOIN b1 ON b1.user_id = b2.user_id
+    WHERE b1.user_id IS NULL OR b2.ts_ms > b1.ts_ms
+    ORDER BY b2.user_id"""
+
   val defs: Map[String, Q] = Map(
+    "q86_changed_rows" -> (q86 _),
     "q10_upsert_monotonic" -> (q10 _),
     "q11_upsert_setonce_skipnil" -> (q11 _),
     "q12_reconcile_cancel_missing" -> (q12 _),
@@ -310,6 +337,7 @@ object ReplicationQueries {
     "q19_schema_evolution_backfill" -> (q19 _))
 
   val oracles: Map[String, String] = Map(
+    "q86_changed_rows" -> q86Sql,
     "q10_upsert_monotonic" -> q10Sql,
     "q11_upsert_setonce_skipnil" -> q11Sql,
     "q12_reconcile_cancel_missing" -> q12Sql,
