@@ -392,7 +392,32 @@ object ExtraQueries {
         ELSE c_mktsegment END AS seg_mapped
     FROM c ORDER BY k"""
 
+  /** E4/E5 under oracle: round-trip timestamps/dates through their string
+    * forms and the tolerant parse converters (`try_cast` semantics — garbage
+    * parses to null, never throws). */
+  def q87(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Converters
+    val e = Tables.events(spark, d).select(col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("iso"),
+      date_format(col("ts"), "yyyy-MM-dd").as("dstr"))
+    e.select(
+      col("event_id"),
+      unix_millis(Converters.parseTime(col("iso"))).as("parsed_ms"),
+      date_format(Converters.parseDate(col("dstr")), "yyyy-MM-dd").as("parsed_date"),
+      Converters.parseTime(concat(lit("not-a-time-"), col("iso"))).isNull.as("garbage_is_null"))
+      .orderBy(col("event_id"))
+  }
+
+  val q87Sql: String = """
+    SELECT event_id,
+      epoch_ms(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+        '%Y-%m-%d %H:%M:%S')) AS parsed_ms,
+      strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS parsed_date,
+      TRUE AS garbage_is_null
+    FROM events ORDER BY event_id"""
+
   val defs: Map[String, Q] = Map(
+    "q87_parse_datetime" -> (q87 _),
     "q85_converter_surface" -> (q85 _),
     "q08_cube_segment_status" -> (q08 _),
     "q09_percentiles" -> (q09 _),
@@ -409,6 +434,7 @@ object ExtraQueries {
     "q69_interval_join" -> (q69 _))
 
   val oracles: Map[String, String] = Map(
+    "q87_parse_datetime" -> q87Sql,
     "q85_converter_surface" -> q85Sql,
     "q08_cube_segment_status" -> q08Sql,
     "q09_percentiles" -> q09Sql,
