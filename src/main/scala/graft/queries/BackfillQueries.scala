@@ -75,6 +75,51 @@ object BackfillQueries {
       CAST(o_totalprice AS DOUBLE) AS total
     FROM orders ORDER BY order_id"""
 
-  val defs: Map[String, Q] = Map("q72_backfill_pagination" -> (q72 _))
-  val oracles: Map[String, String] = Map("q72_backfill_pagination" -> q72Sql)
+  /** S12 — the parallel backfill pool: 8 independent cursor-paginated
+    * shards (one fetcher per shard, like one backfiller per parent row)
+    * drained by a 4-thread pool. Shard completion order is nondeterministic,
+    * but every remote key is unique across shards, so the merged table is
+    * order-independent — exactly why the reference can run backfillers
+    * concurrently against one table. */
+  def q88(spark: SparkSession, d: String): DataFrame = {
+    val source = Tables.orders(spark, d)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        col("o_orderstatus"), col("o_totalprice").cast("double"))
+      .orderBy(col("o_orderkey"))
+      .collect()
+    val shards = source.groupBy(r => (r.getLong(0) % 8).toInt)
+    val fetchers = (0 until 8).map { sh =>
+      val rows = shards.getOrElse(sh, Array.empty)
+      new Backfiller.PageFetcher {
+        def fetchPage(token: Option[String]): (Seq[String], Option[String]) = {
+          val start = token.map(_.toInt).getOrElse(0)
+          val end = math.min(start + 300, rows.length)
+          val page = (start until end).map { i =>
+            val r = rows(i)
+            s"""{"id":${r.getLong(0)},"cust":${r.getLong(1)},""" +
+              s""""status":"${r.getString(2)}","total":${r.getDouble(3)}}"""
+          }
+          (page, if (end < rows.length) Some(end.toString) else None)
+        }
+      }
+    }
+    val webhooks = Backfiller.runParallel(spark, fetchers, parallelism = 4)
+    Pipeline.upsertBatch(spec, Pipeline.emptyTarget(spec, spark), webhooks)
+      .select(col("order_id"), col("cust_id"), col("status"), col("total"))
+      .orderBy(col("order_id"))
+  }
+
+  private val q88Sql: String = """
+    SELECT CAST(o_orderkey AS BIGINT) AS order_id,
+      CAST(o_custkey AS BIGINT) AS cust_id,
+      o_orderstatus AS status,
+      CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders ORDER BY order_id"""
+
+  val defs: Map[String, Q] = Map(
+    "q72_backfill_pagination" -> (q72 _),
+    "q88_parallel_backfill" -> (q88 _))
+  val oracles: Map[String, String] = Map(
+    "q72_backfill_pagination" -> q72Sql,
+    "q88_parallel_backfill" -> q88Sql)
 }
