@@ -32,12 +32,24 @@ object Vectors {
   }
 
   /** Integer dot product over quantized (Long) vectors — bit-exact across
-    * engines, used by the oracle-checked similarity queries. */
+    * engines, used by the oracle-checked similarity queries. Native codegen
+    * kernel ([[graft.functions.expressions.VectorOps]]): one loop per pair
+    * instead of an interpreted lambda per element. */
   def dotLong(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorOps.dotLong(a, b)
+
+  /** The composed-Column form of [[dotLong]], kept as the parity reference
+    * the native kernel is locked against (`VectorOpsSpec`). */
+  def dotLongComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** Integer squared L2 distance over quantized (Long) vectors. */
+  /** Integer squared L2 distance over quantized (Long) vectors (native
+    * codegen kernel; see [[dotLong]]). */
   def l2SqLong(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorOps.l2SqLong(a, b)
+
+  /** Composed parity reference for [[l2SqLong]]. */
+  def l2SqLongComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
   /** Squared euclidean distance. */
