@@ -59,4 +59,50 @@ object ReadonlyGuard {
     QueryResult(spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema), reached)
   }
+
+  /** A failed query mapped to an actionable hint, mirroring the reference's
+    * error helper (`organization.rb:171-191`: UndefinedTable -> "Run
+    * `webhookdb db tables`", InsufficientPrivilege -> "must be read-only"). */
+  final case class QueryError(kind: String, message: String, hint: String)
+
+  val DefaultTimeoutMs: Long = 15000 // readonly statement_timeout, db_builder.rb:66
+
+  /** `run` with the reference's full help envelope: error->hint mapping and
+    * the 15 s statement timeout (enforced by cancelling the query's job
+    * group — the Spark analog of the readonly role's statement_timeout). */
+  def runWithHelp(spark: SparkSession, sql: String,
+                  maxRows: Int = DefaultMaxRows,
+                  timeoutMs: Long = DefaultTimeoutMs): Either[QueryError, QueryResult] = {
+    val group = s"readonly-${java.util.UUID.randomUUID()}"
+    val timer = new java.util.Timer("readonly-timeout", true)
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    spark.sparkContext.setJobGroup(group, sql.take(120), interruptOnCancel = true)
+    timer.schedule(new java.util.TimerTask {
+      def run(): Unit = {
+        timedOut.set(true)
+        spark.sparkContext.cancelJobGroup(group)
+      }
+    }, timeoutMs)
+    try Right(run(spark, sql, maxRows))
+    catch {
+      case e: RejectedSql =>
+        Left(QueryError("rejected", e.getMessage,
+          "Queries must be read-only SELECTs; writes and DDL are not allowed."))
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null && e.getCondition.startsWith("TABLE_OR_VIEW_NOT_FOUND") =>
+        Left(QueryError("undefined_table", e.getMessage,
+          "Run `db tables` to see the tables in your namespace."))
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null && e.getCondition.startsWith("UNRESOLVED_COLUMN") =>
+        Left(QueryError("undefined_column", e.getMessage,
+          "Check the column list with `db tables` / DESCRIBE; names are case-sensitive as stored."))
+      case e: Exception if timedOut.get() =>
+        Left(QueryError("timeout",
+          s"query exceeded the ${timeoutMs / 1000} s readonly statement timeout",
+          "Narrow the query (add filters or LIMIT); the readonly surface caps statement time."))
+    } finally {
+      timer.cancel()
+      spark.sparkContext.clearJobGroup()
+    }
+  }
 }
