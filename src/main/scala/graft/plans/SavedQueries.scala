@@ -8,21 +8,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class SavedQueries(spark: SparkSession) {
 
-  private val store = scala.collection.concurrent.TrieMap.empty[String, String]
+  private final case class Saved(sql: String, isPublic: Boolean)
+  private val store = scala.collection.concurrent.TrieMap.empty[String, Saved]
 
   /** Validate (read-only parse walk, no execution) and store under an
-    * opaque id. */
-  def save(id: String, sql: String): Unit = {
+    * opaque id. `isPublic` marks the query runnable through the public
+    * token path (`saved_query.rb:12-16`, `api/saved_queries.rb:208`). */
+  def save(id: String, sql: String, isPublic: Boolean = false): Unit = {
     ReadonlyGuard.validate(spark, sql)
-    store.put(id, sql)
+    store.put(id, Saved(sql, isPublic))
   }
 
-  def sql(id: String): Option[String] = store.get(id)
+  def sql(id: String): Option[String] = store.get(id).map(_.sql)
+
+  def setPublic(id: String, isPublic: Boolean): Unit =
+    store.updateWith(id)(_.map(_.copy(isPublic = isPublic)))
 
   /** Run a saved query by id under the read-only guard + row cap. */
   def run(id: String, maxRows: Int = ReadonlyGuard.DefaultMaxRows): ReadonlyGuard.QueryResult = {
     val q = store.getOrElse(id, throw new NoSuchElementException(s"no saved query $id"))
-    ReadonlyGuard.run(spark, q, maxRows)
+    ReadonlyGuard.run(spark, q.sql, maxRows)
+  }
+
+  /** The public-token run path: only queries explicitly marked public are
+    * runnable without org auth; everything else is invisible (NoSuchElement,
+    * not a permission error — ids are opaque). */
+  def runPublic(id: String, maxRows: Int = ReadonlyGuard.DefaultMaxRows): ReadonlyGuard.QueryResult = {
+    val q = store.get(id).filter(_.isPublic)
+      .getOrElse(throw new NoSuchElementException(s"no saved query $id"))
+    ReadonlyGuard.run(spark, q.sql, maxRows)
   }
 
   /** Saved view: validated read-only SQL -> CREATE OR REPLACE (temp) VIEW. */

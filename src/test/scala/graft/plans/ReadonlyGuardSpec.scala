@@ -56,4 +56,18 @@ class ReadonlyGuardSpec extends SparkSpec {
       sq.createOrReplaceView("bad name!", "SELECT 1"))
     assert(sq.listTables().contains("my_view")) // the `db tables` surface
   }
+
+  test("public-token run path only sees queries marked public") {
+    setup()
+    val sq = new SavedQueries(spark)
+    sq.save("priv", "SELECT id FROM guard_t")
+    sq.save("pub", "SELECT id FROM guard_t", isPublic = true)
+    assert(sq.runPublic("pub").df.count() == 3)
+    // private ids are invisible through the public path, not "forbidden"
+    assertThrows[NoSuchElementException](sq.runPublic("priv"))
+    sq.setPublic("priv", isPublic = true)
+    assert(sq.runPublic("priv").df.count() == 3)
+    sq.setPublic("pub", isPublic = false)
+    assertThrows[NoSuchElementException](sq.runPublic("pub"))
+  }
 }
