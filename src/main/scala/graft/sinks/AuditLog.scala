@@ -31,6 +31,22 @@ object AuditLog {
           .otherwise(col("body")))
   }
 
+  /** Replay limits (`logged_webhook.rb:21-24`): one replay call may cover at
+    * most 4 hours, reaching back at most 7 days. */
+  val MaxReplayIntervalHours = 4
+  val MaxReplayHistoryDays = 7
+
+  /** Replay a bounded time window, enforcing the reference's limits. */
+  def replayWindow(log: DataFrame, from: Timestamp, to: Timestamp,
+                   now: Timestamp): DataFrame = {
+    require(to.after(from), s"empty replay window: $from..$to")
+    require(to.getTime - from.getTime <= MaxReplayIntervalHours * 3600L * 1000L,
+      s"replay window exceeds $MaxReplayIntervalHours h: $from..$to")
+    require(now.getTime - from.getTime <= MaxReplayHistoryDays * 86400L * 1000L,
+      s"replay window reaches past $MaxReplayHistoryDays d of history: $from")
+    replay(log, col("inserted_at") >= lit(from) && col("inserted_at") < lit(to))
+  }
+
   /** Replay stored requests as an ingest batch: header filtering + fresh
     * ingest sequence (replays are "new" arrivals — the idempotent merge makes
     * them safe). */

@@ -43,4 +43,26 @@ class AuditLogSpec extends SparkSpec {
     assert(headers.contains("whdb-secret"))
     assert(replayed.columns.contains(graft.operators.Projection.IngestSeqCol))
   }
+
+  test("replay windows are bounded: ≤4h per call, ≤7d of history") {
+    val ok = AuditLog.replayWindow(log,
+      Timestamp.valueOf("2024-05-31 00:00:00"),
+      Timestamp.valueOf("2024-05-31 04:00:00"), now)
+    assert(ok.collect().map(_.getAs[String]("body")).toSet == Set("recent-ok"))
+    intercept[IllegalArgumentException] { // > 4h interval
+      AuditLog.replayWindow(log,
+        Timestamp.valueOf("2024-05-31 00:00:00"),
+        Timestamp.valueOf("2024-05-31 04:00:01"), now)
+    }
+    intercept[IllegalArgumentException] { // reaches past 7d of history
+      AuditLog.replayWindow(log,
+        Timestamp.valueOf("2024-05-20 00:00:00"),
+        Timestamp.valueOf("2024-05-20 01:00:00"), now)
+    }
+    intercept[IllegalArgumentException] { // empty window
+      AuditLog.replayWindow(log,
+        Timestamp.valueOf("2024-05-31 02:00:00"),
+        Timestamp.valueOf("2024-05-31 02:00:00"), now)
+    }
+  }
 }
