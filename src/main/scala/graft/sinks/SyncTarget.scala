@@ -149,6 +149,23 @@ object SyncTarget {
     }
   }
 
+  /** Period bounds (`sync_target.rb:46-47`): user-requested sync periods
+    * clamp to [10 min, 24 h]. */
+  val MinPeriodSeconds = 600L
+  val MaxPeriodSeconds = 86400L
+  def clampPeriod(seconds: Long): Long =
+    seconds.max(MinPeriodSeconds).min(MaxPeriodSeconds)
+
+  /** Deterministic scheduler jitter (`sync_target.rb:219-229`): each due
+    * target starts up to min(20 s, period/4) late, keyed by its id — the
+    * distributed, reproducible analog of the reference's random in-process
+    * sleep, so a fleet of targets with the same period doesn't hit consumer
+    * systems on the same tick. */
+  def jitterSeconds(targetId: org.apache.spark.sql.Column,
+                    periodSec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(targetId),
+      greatest(lit(1L), least(lit(20L), (periodSec.cast("long") / 4).cast("long"))))
+
   /** I7 — due-scheduling scan (`sync_target.rb:98-106`, index-friendly form):
     * targets whose `last_synced_at` is NULL or older than now - period. */
   def dueForSync(targets: DataFrame, lastSyncedCol: String, periodSecCol: String,

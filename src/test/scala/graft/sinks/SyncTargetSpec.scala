@@ -1,6 +1,7 @@
 package graft.sinks
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.Row
 import java.sql.Timestamp
 
@@ -109,5 +110,26 @@ class SyncTargetSpec extends SparkSpec {
     val need = SyncTarget.rowsNeedingSync(rows, "last_synced_at",
       ts("2024-01-01 00:30:00")).select("id").as[String].collect().sorted
     assert(need.toSeq == Seq("r1", "r2"))
+  }
+
+  test("period clamps to [10 min, 24 h]; jitter is deterministic and bounded") {
+    assert(SyncTarget.clampPeriod(1) == 600L)
+    assert(SyncTarget.clampPeriod(3600) == 3600L)
+    assert(SyncTarget.clampPeriod(1000000) == 86400L)
+    val targets = (1 to 200).map(i => (s"t$i", 600L)).toDF("id", "period_sec")
+    val jit = targets.select(
+      SyncTarget.jitterSeconds(col("id"), col("period_sec")).as("j"))
+      .as[Long].collect()
+    assert(jit.forall(j => j >= 0 && j < 20)) // min(20, 600/4) = 20
+    assert(jit.distinct.length > 5)           // actually spread, not constant
+    val again = targets.select(
+      SyncTarget.jitterSeconds(col("id"), col("period_sec")).as("j"))
+      .as[Long].collect()
+    assert(jit.toSeq == again.toSeq)          // reproducible
+    // tiny period never divides by zero
+    val tiny = Seq(("x", 2L)).toDF("id", "period_sec").select(
+      SyncTarget.jitterSeconds(col("id"), col("period_sec")).as("j"))
+      .as[Long].collect()
+    assert(tiny.head == 0L)
   }
 }
