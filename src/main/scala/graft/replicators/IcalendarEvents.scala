@@ -31,6 +31,23 @@ object IcalendarEvents {
   val RecurrenceProjectionYears = 5 // icalendar_calendar_v1.rb:17
   val DosCutoffDays = 210           // icalendar_calendar_v1.rb:575
 
+  /** Stale-cancelled cleanup bounds (`icalendar.rb:35-37`,
+    * `icalendar_event_v1.rb:354-358`): CANCELLED rows go stale at 20 days;
+    * each pass scans a 3-day lookback window behind the stale line. */
+  val StaleAtDays = 20
+  val StaleLookbackDays = 3
+
+  /** R3 preset for the icalendar vertical: drop CANCELLED events whose
+    * `updatedAtCol` fell in the [stale+lookback, stale) window before `now`.
+    * The windowed predicate is the file-pruning analog of the reference's
+    * chunked DELETE. */
+  def deleteStaleCancelled(events: DataFrame, updatedAtCol: String,
+                           now: Timestamp): DataFrame =
+    Reconcile.staleRowDelete(events, updatedAtCol,
+      col("status") === "CANCELLED",
+      lit(new Timestamp(now.getTime - (StaleAtDays + StaleLookbackDays) * 86400000L)),
+      lit(new Timestamp(now.getTime - StaleAtDays * 86400000L)))
+
   final case class EventRow(
       compound_identity: String,
       calendar_external_id: String,

@@ -306,4 +306,21 @@ class IcalendarSpec extends SparkSpec {
     assert(!byId.contains("cal-123-ev1-3"))       // stale sequence deleted
     assert(!byId.contains("cal-123-ev1-2"))
   }
+
+  test("stale CANCELLED events delete at 20 days within the 3-day lookback window") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-06-30 00:00:00")
+    def daysAgo(d: Int) =
+      new java.sql.Timestamp(now.getTime - d * 86400000L)
+    val events = Seq(
+      ("e-fresh-cancelled", "CANCELLED", daysAgo(5)),    // not stale yet
+      ("e-stale-cancelled", "CANCELLED", daysAgo(21)),   // in [20, 23) -> delete
+      ("e-stale-confirmed", "CONFIRMED", daysAgo(21)),   // wrong status -> keep
+      ("e-too-old", "CANCELLED", daysAgo(40)))           // behind lookback -> keep
+      .toDF("compound_identity", "status", "last_modified_at")
+    val kept = IcalendarEvents
+      .deleteStaleCancelled(events, "last_modified_at", now)
+      .select("compound_identity").as[String].collect().toSet
+    assert(kept === Set("e-fresh-cancelled", "e-stale-confirmed", "e-too-old"))
+  }
 }
