@@ -105,4 +105,31 @@ object ReadonlyGuard {
       spark.sparkContext.clearJobGroup()
     }
   }
+
+  val DefaultMaxConcurrent = 50 // readonly role connection limit, db_builder.rb:62,131
+
+  /** The per-org readonly connection cap: at most `limit` queries in flight
+    * through one org's SQL surface. The reference enforces this with a PG
+    * role connection limit; here it is an admission gate in front of
+    * [[runWithHelp]] — over-limit calls get a hint, they do not queue (a
+    * queued query would still hold the caller's request slot, which is the
+    * resource the reference's limit protects). */
+  final class QueryGate(limit: Int = DefaultMaxConcurrent) {
+    private val slots = new java.util.concurrent.Semaphore(limit)
+
+    def inFlight: Int = limit - slots.availablePermits()
+
+    /** Admission: run `f` holding one slot, or reject without queueing. */
+    def withSlot[A](f: => Either[QueryError, A]): Either[QueryError, A] =
+      if (!slots.tryAcquire())
+        Left(QueryError("too_many_connections",
+          s"the readonly surface allows $limit concurrent queries",
+          "Wait for running queries to finish or reduce client concurrency."))
+      else try f finally slots.release()
+
+    def run(spark: SparkSession, sql: String,
+            maxRows: Int = DefaultMaxRows,
+            timeoutMs: Long = DefaultTimeoutMs): Either[QueryError, QueryResult] =
+      withSlot(runWithHelp(spark, sql, maxRows, timeoutMs))
+  }
 }
