@@ -32,6 +32,23 @@ object IcalendarCalendar {
     timestampCol = Some("row_updated_at"),
     updateWhere = (_, _) => lit(true))
 
+  /** Feed refresh cadence (`icalendar.rb:23`,
+    * `jobs/icalendar_enqueue_syncs.rb:38`): calendars refetch every 6 h; the
+    * enqueue scan runs every 30 min; each due feed starts up to 1 h late by
+    * a deterministic per-calendar splay (fleet spread without RNG state). */
+  val SyncPeriodHours = 6
+  val EnqueueScanMinutes = 30
+  val MaxSplaySeconds = 3600L
+
+  /** Calendars due for a feed refetch, each with its splay offset. */
+  def dueForRefresh(calendars: DataFrame,
+                    now: java.sql.Timestamp): DataFrame =
+    calendars.filter(col("last_synced_at").isNull ||
+        col("last_synced_at") <=
+          lit(new java.sql.Timestamp(now.getTime - SyncPeriodHours * 3600000L)))
+      .withColumn("start_delay_seconds",
+        pmod(xxhash64(col("external_id")), lit(MaxSplaySeconds)))
+
   /** Route one batch of calendar command webhooks: SYNC commands upsert the
     * calendar row; DELETE commands cascade (R4) — drop the calendar row AND
     * all dependent event rows for that external id. Returns the new

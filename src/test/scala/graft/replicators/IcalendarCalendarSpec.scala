@@ -73,4 +73,24 @@ class IcalendarCalendarSpec extends SparkSpec {
     assert(statuses("cal-1-ev1") == "CONFIRMED")
     assert(statuses("cal-1-ev2") == "CANCELLED")
   }
+
+  test("feeds refetch every 6h with a bounded deterministic splay") {
+    val now = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    def hoursAgo(h: Int) = new java.sql.Timestamp(now.getTime - h * 3600000L)
+    val cals = Seq(
+      ("cal-due", Some(hoursAgo(7))),
+      ("cal-edge", Some(hoursAgo(6))),   // exactly 6h -> due (<=)
+      ("cal-fresh", Some(hoursAgo(1))),
+      ("cal-never", None))               // never fetched -> due
+      .toDF("external_id", "last_synced_at")
+    val due = IcalendarCalendar.dueForRefresh(cals, now)
+    val rows = due.select("external_id", "start_delay_seconds")
+      .as[(String, Long)].collect().toMap
+    assert(rows.keySet == Set("cal-due", "cal-edge", "cal-never"))
+    assert(rows.values.forall(s => s >= 0 && s < IcalendarCalendar.MaxSplaySeconds))
+    // deterministic: same inputs, same splays
+    val again = IcalendarCalendar.dueForRefresh(cals, now)
+      .select("external_id", "start_delay_seconds").as[(String, Long)].collect().toMap
+    assert(rows == again)
+  }
 }
