@@ -45,7 +45,9 @@ object DupClusters {
           (col("n_min").isNotNull && col("n_min") < col("cluster_id"))
             .cast("long").as("__changed"))
         .localCheckpoint(true)
-      val changed = next.agg(sum(col("__changed"))).first().getLong(0)
+      // coalesce: sum over an empty frame (no near-dup pairs) is NULL.
+      val changed =
+        next.agg(coalesce(sum(col("__changed")), lit(0L))).first().getLong(0)
       labels = next.drop("__changed")
       converged = changed == 0
       iter += 1

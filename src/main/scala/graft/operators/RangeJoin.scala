@@ -52,8 +52,13 @@ object RangeJoin {
     val bin = "__graft_bin"
     def binOf(c: Column): Column = floor(c.cast("long") / binWidth).cast("long")
     val p = points.withColumn(bin, binOf(col(pointCol)))
+    // Guard reversed intervals (lo > hi): Spark's sequence() defaults to
+    // step -1 and would fan the row across every bin in between (or build an
+    // enormous array for an extreme pair). A reversed interval matches no
+    // point, so emit no bins: explode(null) generates zero rows.
     val iv = intervals.withColumn(
-      bin, explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
+      bin, explode(when(col(loCol) <= col(hiCol),
+        sequence(binOf(col(loCol)), binOf(col(hiCol))))))
     p.join(iv, Seq(bin))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(bin)

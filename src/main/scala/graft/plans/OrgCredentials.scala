@@ -17,8 +17,14 @@ object OrgCredentials {
 
   val MetaDb = "graft_meta"
   val Table = s"$MetaDb.org_credentials"
+  private val Staged = s"${Table}_staged"
 
   private val rng = new SecureRandom()
+
+  /** Serializes read-modify-write of the credentials table: two concurrent
+    * issues for different orgs must not lose one update. Single-driver lock —
+    * the meta-catalog is driver-owned, like the reference's admin DB conn. */
+  private val writeLock = new Object
 
   private def sha256(s: String): String =
     MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
@@ -30,18 +36,30 @@ object OrgCredentials {
     "gsk_" + java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
   }
 
-  private def ensureMeta(spark: SparkSession): Unit =
+  private def ensureMeta(spark: SparkSession): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $MetaDb")
+    recover(spark)
+  }
+
+  /** Crash recovery: a failed swap can leave the full new contents in the
+    * staged table with the live table dropped — promote it. Never drops data:
+    * if both exist, the live table won (the staged copy is a dead draft). */
+  private def recover(spark: SparkSession): Unit =
+    if (!spark.catalog.tableExists(Table) && spark.catalog.tableExists(Staged))
+      spark.sql(s"ALTER TABLE $Staged RENAME TO ${Table.split('.').last}")
 
   /** Issue (or roll) the org's credential; returns the plaintext token. */
-  def issue(spark: SparkSession, orgKey: String): String = {
+  def issue(spark: SparkSession, orgKey: String): String = writeLock.synchronized {
     import spark.implicits._
     ensureMeta(spark)
     OrgNamespace.provision(spark, orgKey)
     val token = newToken()
     val now = new Timestamp(System.currentTimeMillis())
     // tiny metadata table: materialize on the driver first (Spark refuses to
-    // overwrite a table that its own plan reads), then rewrite atomically
+    // overwrite a table that its own plan reads), write the FULL new contents
+    // to a staged table, then swap. A crash at any point leaves either the
+    // old table intact or the complete new contents recoverable via
+    // [[recover]] — no window where other orgs' credentials are lost.
     val kept =
       if (spark.catalog.tableExists(Table))
         spark.table(Table).filter($"org_key" =!= orgKey)
@@ -49,20 +67,25 @@ object OrgCredentials {
       else Nil
     (kept :+ ((orgKey, sha256(token), now)))
       .toDF("org_key", "token_hash", "rolled_at")
-      .write.mode(SaveMode.Overwrite).saveAsTable(Table)
+      .write.mode(SaveMode.Overwrite).saveAsTable(Staged)
+    spark.sql(s"DROP TABLE IF EXISTS $Table")
+    spark.sql(s"ALTER TABLE $Staged RENAME TO ${Table.split('.').last}")
     token
   }
 
   /** Roll = reissue; the previous token immediately stops authenticating. */
   def roll(spark: SparkSession, orgKey: String): String = issue(spark, orgKey)
 
-  def authenticate(spark: SparkSession, orgKey: String, token: String): Boolean =
+  def authenticate(spark: SparkSession, orgKey: String, token: String): Boolean = {
+    if (!spark.catalog.tableExists(Table) && spark.catalog.tableExists(Staged))
+      recover(spark)
     spark.catalog.tableExists(Table) && {
       import spark.implicits._
       spark.table(Table)
         .filter($"org_key" === orgKey && $"token_hash" === sha256(token))
         .limit(1).count() == 1
     }
+  }
 
   /** The authenticated SQL-surface entry point: token check, then the
     * namespace-scoped readonly run. */

@@ -119,8 +119,13 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               val (pointPlan, ivPlan) = if (pointOnLeft) (l, r) else (r, l)
               val binAlias = Alias(binOf(x), "__graft_bin")()
               val pointSide = Project(pointPlan.output :+ binAlias, pointPlan)
-              val seqExpr = new Sequence(binOf(lo), binOf(hi), None,
+              // Guard reversed intervals (lo > hi): Sequence defaults to step
+              // -1 and would fan the row across every bin in between. A
+              // reversed interval matches no point; null explodes to 0 rows.
+              val rawSeq = new Sequence(binOf(lo), binOf(hi), None,
                 Some(conf.sessionLocalTimeZone))
+              val seqExpr = If(LessThanOrEqual(binOf(lo), binOf(hi)),
+                rawSeq, Literal.create(null, rawSeq.dataType))
               val binSeq = AttributeReference("__graft_bin_seq", LongType, nullable = false)()
               val ivSide = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
                 outer = false, qualifier = None, generatorOutput = Seq(binSeq), child = ivPlan)

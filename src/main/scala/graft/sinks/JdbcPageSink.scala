@@ -67,6 +67,11 @@ object JdbcPageSink {
       st.fields.foreach(f =>
         ddl(conn, s"ALTER TABLE $schema.$table ADD COLUMN ${f.name} ${sqlType(f.dataType)}"))
       ddl(conn, s"CREATE TABLE $schema.${table}_staging (${cols.mkString(", ")})")
+      // Staging must evolve with the target: if a staging table persists from
+      // a run with an older schema, its CREATE above is swallowed and the
+      // per-page INSERT with the new column list would fail.
+      st.fields.foreach(f =>
+        ddl(conn, s"ALTER TABLE $schema.${table}_staging ADD COLUMN ${f.name} ${sqlType(f.dataType)}"))
     }
 
     def mergePage(conn: Connection, schema: String, table: String,

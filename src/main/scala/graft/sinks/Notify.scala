@@ -76,6 +76,10 @@ object Notify {
         (id, ok)
       }
       .toDF("delivery_id", "success")
+      // Eagerly materialize: the map above POSTs. Without pinning the
+      // results, every downstream action (or task retry) would re-run the
+      // side-effecting map — duplicate HTTP deliveries with a real transport.
+      .localCheckpoint(true)
     recordAttempts(deliveries, results)
   }
 

@@ -63,9 +63,15 @@ object Ics {
     }
   }
 
+  // All quantifiers possessive (*+/++): each character class excludes the
+  // delimiter that follows it, so possessiveness cannot change what matches —
+  // it only forbids backtracking. Without it, a hostile feed line (a long run
+  // of `;a=,,,…` with no terminating `:`) triggers exponential backtracking
+  // in java.util.regex — a DoS vector in a parser whose whole point (S6) is
+  // surviving arbitrary external feeds.
   private val LineRe =
-    """(?<name>[-a-zA-Z0-9]+)(?<params>(?:;[-a-zA-Z0-9]+=(?:"[^"]*"|[^";:,]*)(?:,(?:"[^"]*"|[^";:,]*))*)*):(?<value>.*)""".r
-  private val ParamRe = """([-a-zA-Z0-9]+)=("[^"]*"|[^";:,]*)""".r
+    """(?<name>[-a-zA-Z0-9]++)(?<params>(?:;[-a-zA-Z0-9]++=(?:"[^"]*+"|[^";:,]*+)(?:,(?:"[^"]*+"|[^";:,]*+))*+)*+):(?<value>.*)""".r
+  private val ParamRe = """([-a-zA-Z0-9]++)=("[^"]*+"|[^";:,]*+)""".r
 
   /** Parse one unfolded property line into (name, Entry). */
   def parseLine(line: String): Option[(String, Entry)] = line match {

@@ -42,6 +42,24 @@ class IcalendarSpec extends SparkSpec {
     assert(h("STATUS").head.v == "CONFIRMED")
   }
 
+  test("hostile param line parses or fails in linear time (no backtracking DoS)") {
+    // 10 kB of `;a=,,,…` with no terminating colon: the old nested-greedy
+    // LineRe took exponential time here; possessive quantifiers must reject
+    // it in well under 100 ms.
+    val hostile = "X-EVIL" + (";a=" + ",," * 20) * 400 // ~10 kB, no ':'
+    val t0 = System.nanoTime()
+    val parsed = Ics.parseLine(hostile)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(parsed.isEmpty)
+    assert(ms < 100.0, s"hostile line took $ms ms")
+    // a valid line with the same shape still parses
+    val ok = Ics.parseLine("DTSTART;TZID=America/New_York;X-A=1,2,3:20240101T100000")
+    assert(ok.exists { case (n, e) =>
+      n == "DTSTART" && e.v == "20240101T100000" &&
+        e.params("TZID") == "America/New_York" && e.params("X-A") == "1"
+    })
+  }
+
   // ---- rrule ----
 
   private def expand(start: String, rule: String,
