@@ -44,8 +44,8 @@ object Backfiller {
     toWebhookDf(spark, items.result())
   }
 
-  private def fetchWithRetry(fetcher: PageFetcher, token: Option[String],
-                             maxAttempts: Int, backoff: Int => Unit)
+  private[sources] def fetchWithRetry(fetcher: PageFetcher, token: Option[String],
+                                      maxAttempts: Int, backoff: Int => Unit)
       : Option[(Seq[String], Option[String])] = {
     var attempt = 0
     while (true) {
