@@ -8,9 +8,16 @@ import javax.crypto.spec.SecretKeySpec
   * rejects are answered 4xx with a rejection-reason header and still
   * audit-logged (`api/helpers.rb:210-213`).
   *
-  * Two public verification families modeled here:
+  * Public verification families modeled here:
   *  - HMAC signature with timestamp tolerance (Stripe `t=..,v1=..` style);
-  *  - static secret header equality (constant-time).
+  *  - static secret header equality (constant-time);
+  *  - prefixed body HMAC, `sha256=<hex>` (GitHub, `github.rb:18-21`,
+  *    dispatched from `github_repo_v1_mixin.rb:59-68`) and `sha1=<hex>`
+  *    (Intercom, `intercom.rb:15-24`);
+  *  - base64 body HMAC (Shopify, `shopify.rb:31-34`);
+  *  - URL+nonce HMAC over the query-stripped request URL (Plivo V2,
+  *    `plivo.rb:27-51`);
+  *  - HTTP Basic credential equality (Twilio, `twilio_sms_v1.rb`).
   */
 object WebhookAuth {
 
@@ -55,5 +62,84 @@ object WebhookAuth {
       case Some(h) if constantTimeEquals(h, secret) => Accepted
       case Some(_) => Rejected("secret mismatch")
       case None => Rejected("missing secret header")
+    }
+
+  private def hmacRaw(algo: String, secret: String, payload: String): Array[Byte] = {
+    val mac = Mac.getInstance(algo)
+    mac.init(new SecretKeySpec(secret.getBytes("UTF-8"), algo))
+    mac.doFinal(payload.getBytes("UTF-8"))
+  }
+
+  def hmacSha1Hex(secret: String, payload: String): String =
+    hmacRaw("HmacSHA1", secret, payload).map("%02x".format(_)).mkString
+
+  /** GitHub style (`github.rb:18-21`): `X-Hub-Signature-256` carries
+    * `sha256=<hex hmac-sha256(body)>`. Reject reasons mirror
+    * `github_repo_v1_mixin.rb:59-68` — "missing sha256" when the header is
+    * absent, "no secret set" when the integration has none (the reference
+    * answers 409), "invalid sha256" on mismatch. */
+  def verifyGithubSha256(header: Option[String], body: String,
+                         secret: Option[String]): Verdict =
+    header match {
+      case None => Rejected("missing sha256")
+      case Some(h) =>
+        secret match {
+          case None => Rejected("no secret set")
+          case Some(s) =>
+            if (constantTimeEquals("sha256=" + hmacSha256Hex(s, body), h)) Accepted
+            else Rejected("invalid sha256")
+        }
+    }
+
+  /** Intercom style (`intercom.rb:15-24`): `X-Hub-Signature` carries
+    * `sha1=<hex hmac-sha1(body)>`. */
+  def verifyPrefixedSha1(header: Option[String], body: String, secret: String): Verdict =
+    header match {
+      case None => Rejected("missing hmac")
+      case Some(h) =>
+        if (constantTimeEquals("sha1=" + hmacSha1Hex(secret, body), h)) Accepted
+        else Rejected("invalid hmac")
+    }
+
+  /** Shopify style (`shopify.rb:31-34`): `X-Shopify-Hmac-SHA256` carries the
+    * strict-base64 of the raw hmac-sha256(body). */
+  def verifyBase64BodyHmac(header: Option[String], body: String, secret: String): Verdict =
+    header match {
+      case None => Rejected("missing hmac")
+      case Some(h) =>
+        val calc = java.util.Base64.getEncoder.encodeToString(hmacRaw("HmacSHA256", secret, body))
+        if (constantTimeEquals(calc, h)) Accepted else Rejected("invalid hmac")
+    }
+
+  /** Plivo V2 URL signature (`plivo.rb:27-51`): the signed payload is the
+    * request URL with the query string stripped (scheme://host/path), plus a
+    * nonce header; signature is base64 hmac-sha256. Distinct reject reasons
+    * for missing signature vs missing nonce, as in the reference. */
+  def verifyUrlNonceSignature(signature: Option[String], nonce: Option[String],
+                              requestUrl: String, authToken: String): Verdict =
+    (signature, nonce) match {
+      case (None, _) => Rejected("missing signature")
+      case (_, None) => Rejected("missing nonce")
+      case (Some(sig), Some(n)) =>
+        val uri = java.net.URI.create(requestUrl.split("\\?")(0))
+        val canonical = new java.net.URI(
+          uri.getScheme, null, uri.getHost, uri.getPort, uri.getPath, null, null).toString
+        val calc = java.util.Base64.getEncoder
+          .encodeToString(hmacRaw("HmacSHA256", authToken, canonical + n))
+        if (constantTimeEquals(calc, sig)) Accepted else Rejected("invalid signature")
+    }
+
+  /** HTTP Basic credential equality (`twilio_sms_v1.rb`): the Authorization
+    * header's decoded `user:pass` must equal the stored secret. A missing or
+    * non-Basic header gets the "challenge" reason (the reference answers 401
+    * + WWW-Authenticate); a wrong credential gets "invalid". */
+  def verifyBasicAuth(authorization: Option[String], secret: String): Verdict =
+    authorization match {
+      case Some(a) if a.startsWith("Basic ") =>
+        val decoded =
+          try new String(java.util.Base64.getDecoder.decode(a.stripPrefix("Basic ").trim), "UTF-8")
+          catch { case _: IllegalArgumentException => "" }
+        if (constantTimeEquals(decoded, secret)) Accepted else Rejected("invalid")
+      case _ => Rejected("challenge")
     }
 }
