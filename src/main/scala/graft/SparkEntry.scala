@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchSurface.defs ++ TpchSurface2.defs ++ ReplicationQueries.defs ++ DedupQueries.defs ++
       VectorQueries.defs ++ TextQueries.defs ++ ExtraQueries.defs ++ IcsQueries.defs ++
-      BackfillQueries.defs ++ FeedSinkQueries.defs ++ ProtocolQueries.defs
+      BackfillQueries.defs ++ FeedSinkQueries.defs ++ ProtocolQueries.defs ++
+      MultimodalQueries.defs
 
   def oracleSql: Map[String, String] =
     TpchSurface.oracles ++ TpchSurface2.oracles ++ ReplicationQueries.oracles ++ DedupQueries.oracles ++
       VectorQueries.oracles ++ TextQueries.oracles ++ ExtraQueries.oracles ++ IcsQueries.oracles ++
-      BackfillQueries.oracles ++ FeedSinkQueries.oracles ++ ProtocolQueries.oracles
+      BackfillQueries.oracles ++ FeedSinkQueries.oracles ++ ProtocolQueries.oracles ++
+      MultimodalQueries.oracles
 }

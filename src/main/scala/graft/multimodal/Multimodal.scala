@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * batch functions (`mapPartitions`) so decode libraries amortize per
   * partition, not per row.
   *
-  * The decode internals are STUBBED (`decodeStub`) — this container has no
-  * image/audio codecs — but everything Spark-level is real and tested:
-  * the media schema, the binary payload path, partition-wise batching,
-  * deterministic feature extraction over raw bytes, and the frame-sampling
-  * iterator shape.
+  * Decode is REAL for everything the JDK ships a codec for: PNG/JPEG/GIF/BMP
+  * via `javax.imageio.ImageIO` ([[decodeImage]]) and PCM WAV via
+  * `javax.sound.sampled.AudioSystem` ([[decodeWavPcm16]]), plus a
+  * deterministic nearest-neighbor resize ([[resizeNearest]]). Both decode
+  * paths are oracle-gated end to end (q51/q52): deterministic payloads are
+  * encoded on executors, round-tripped through the codec, and the extracted
+  * features hash-compared against DuckDB arithmetic. Only video demux
+  * ([[sampleFrames]]) remains a stub — no container codec and no JDK one.
   */
 object Multimodal {
 
@@ -66,16 +69,52 @@ object Multimodal {
     }
   }
 
-  /** STUB — a real implementation decodes the image and returns pixels.
-    * Deterministic fake: "decodes" to a (width x height) described by the
-    * byte length so downstream plumbing (resize, batch shapes) is testable.
-    */
-  def decodeStub(bytes: Array[Byte]): (Int, Int) = {
+  // ---------------------------------------------------------------- images
+
+  /** REAL image decode: `javax.imageio.ImageIO` reads PNG/JPEG/GIF/BMP with
+    * zero external dependencies. Returns None for payloads no installed
+    * reader understands (text, truncated files) — the tolerate-and-null
+    * posture enrichment uses for missing upstream data. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Deterministic PNG encode (the landing path for synthetic fixtures and
+    * the q51 oracle): pixel (x,y) gets the packed 0xRRGGBB from `rgb`. PNG
+    * is lossless, so decode returns these exact values. */
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic nearest-neighbor resize: target pixel (x,y) samples
+    * source (x*w/tw, y*h/th) — integer floor division, so the result is
+    * bit-identical across JVMs (unlike Graphics2D interpolation, which is
+    * implementation-defined). Returns packed 0xRRGGBB rows. */
+  def resizeNearest(img: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Array[Int]] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    Array.tabulate(th, tw)((y, x) =>
+      img.getRGB(x * w / tw, y * h / th) & 0xFFFFFF)
+  }
+
+  /** Fallback dims for undecodable payloads: a (width x height) derived from
+    * byte length, so downstream plumbing still sees well-formed metadata. */
+  def fallbackDims(bytes: Array[Byte]): (Int, Int) = {
     val n = bytes.length.max(1)
     (n % 640 + 1, n % 480 + 1)
   }
 
-  /** Fill width/height metadata via the (stubbed) decoder — partition-wise. */
+  /** Fill width/height metadata partition-wise: REAL `ImageIO` decode when a
+    * codec claims the payload, byte-length fallback otherwise. */
   def withDecodedDims(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(media.schema.fields.map {
@@ -87,13 +126,135 @@ object Multimodal {
       rows.map { r =>
         val m = r.getStruct(mediaIdx)
         val bytes = m.getAs[Array[Byte]]("bytes")
-        val (w, h) = decodeStub(bytes)
+        val (w, h) = decodeImage(bytes)
+          .map(img => (img.getWidth, img.getHeight))
+          .getOrElse(fallbackDims(bytes))
         val newMedia = Row(bytes, m.getAs[String]("mime"),
           w, h, m.getAs[java.lang.Long]("duration_ms"))
         Row.fromSeq(r.toSeq.updated(mediaIdx, newMedia))
       }
     }
     spark.createDataFrame(encoded, schema)
+  }
+
+  final case class ImageFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      /** Sum of r+g+b over all pixels — the decode-correctness checksum. */
+      px_sum: Long,
+      /** Same sum over a nearest-neighbor thumbnail — resize checksum. */
+      thumb_sum: Long)
+
+  /** Executor-side image decode + feature extraction: one codec pass per
+    * row, batched per partition. Undecodable payloads are dropped (the
+    * media-pipeline convention: quarantine, don't poison the batch). */
+  def decodeImageFeatures(media: DataFrame, idCol: String = "doc_id",
+                          thumbW: Int = 4, thumbH: Int = 3): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        decodeImage(bytes).map { img =>
+          var px = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              px += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          val thumb = resizeNearest(img, thumbW, thumbH)
+          val tSum = thumb.map(_.map(p =>
+            (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong).sum).sum
+          ImageFeatures(id, img.getWidth, img.getHeight, px, tSum)
+        }
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------- audio
+
+  /** Deterministic 16-bit mono PCM WAV encode: canonical 44-byte RIFF header
+    * + little-endian samples. Byte-exact, so the q52 oracle can recompute
+    * every feature from the sample formula. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL WAV decode via `javax.sound.sampled.AudioSystem` — the JDK audio
+    * codec parses the RIFF container and hands back the PCM frames. Returns
+    * (sampleRate, samples) or None for non-WAV payloads. */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+        val raw = in.readAllBytes()
+        val sb = java.nio.ByteBuffer.wrap(raw).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        val out = new Array[Short](sb.remaining())
+        sb.get(out)
+        Some((fmt.getSampleRate.toInt, out))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None
+    }
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      /** Sum of |sample| — the decode-correctness checksum. */
+      sum_abs: Long)
+
+  /** Executor-side WAV decode + feature extraction, mirroring
+    * [[decodeImageFeatures]]: codec per row, batch per partition, drop
+    * undecodable payloads. */
+  def decodeWavFeatures(media: DataFrame, idCol: String = "doc_id"): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        decodeWavPcm16(bytes).map { case (rate, samples) =>
+          var sumAbs = 0L
+          samples.foreach(s => sumAbs += math.abs(s.toLong))
+          AudioFeatures(id, rate, samples.length.toLong,
+            samples.length.toLong * 1000L / rate, sumAbs)
+        }
+      }
+    }
   }
 
   /** STUB frame sampling for video payloads: yields every `stride`-th chunk

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle gates for the REAL multimodal decode paths.
+  *
+  * Both queries land a deterministic payload per document on the executors
+  * (PNG via `ImageIO`, WAV via a canonical RIFF writer), round-trip it
+  * through the actual JDK codec, and emit features the DuckDB oracle
+  * recomputes from the generating formula alone. The Spark side only matches
+  * if the codec encode -> bytes -> decode -> pixel/sample extraction chain is
+  * byte-exact — a stub or a lossy path cannot pass the hash compare.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic image per doc: dims and per-channel pixel values are pure
+    * functions of (doc_id, x, y), all mod-256 so PNG RGB holds them exactly. */
+  private[queries] def pngFor(id: Long): Array[Byte] = {
+    val w = (id % 13 + 4).toInt
+    val h = (id % 11 + 4).toInt
+    Multimodal.encodePng(w, h, (x, y) => {
+      val r = ((id * 31 + x * 7 + y * 3) % 256).toInt
+      val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+      val b = ((id * 23 + x * 13 + y) % 256).toInt
+      (r << 16) | (g << 8) | b
+    })
+  }
+
+  /** Deterministic PCM track per doc: (doc_id % 50) + 20 samples at 8 kHz,
+    * sample i = ((doc_id*7 + i*13) % 2001) - 1000. */
+  private[queries] def wavFor(id: Long): Array[Byte] = {
+    val n = (id % 50 + 20).toInt
+    val samples = Array.tabulate(n)(i => (((id * 7 + i * 13) % 2001) - 1000).toShort)
+    Multimodal.encodeWavPcm16(8000, samples)
+  }
+
+  /** q51 — image decode under oracle: synth PNG -> `ImageIO.read` -> dims +
+    * full-image checksum + nearest-neighbor 4x3 thumbnail checksum. */
+  def q51(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, pngFor(id))))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "image/png")
+    Multimodal.decodeImageFeatures(media, thumbW = 4, thumbH = 3).toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("px_sum"), col("thumb_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle recomputes every pixel from the formula — including the
+    * thumbnail's floor-division source sampling — without touching a codec. */
+  val q51Sql: String = """
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 11) + 4 AS h FROM documents
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        list_transform(range(0, w), x ->
+          ((doc_id*31 + x*7 + y*3) % 256)
+          + ((doc_id*17 + x*5 + y*11) % 256)
+          + ((doc_id*23 + x*13 + y) % 256))))) AS BIGINT) AS px_sum,
+      CAST(list_sum(flatten(list_transform(range(0, 3), ty ->
+        list_transform(range(0, 4), tx ->
+          ((doc_id*31 + ((tx*w)//4)*7 + ((ty*h)//3)*3) % 256)
+          + ((doc_id*17 + ((tx*w)//4)*5 + ((ty*h)//3)*11) % 256)
+          + ((doc_id*23 + ((tx*w)//4)*13 + ((ty*h)//3)) % 256))))) AS BIGINT) AS thumb_sum
+    FROM dims ORDER BY doc_id"""
+
+  /** q52 — audio decode under oracle: synth WAV -> `AudioSystem` -> sample
+    * rate, frame count, duration, |sample| checksum. */
+  def q52(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, wavFor(id))))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "audio/wav")
+    Multimodal.decodeWavFeatures(media).toDF()
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("duration_ms"), col("sum_abs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q52Sql: String = """
+    SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      CAST(n AS BIGINT) AS n_samples,
+      CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+      CAST(list_sum(list_transform(range(0, n), i ->
+        abs(((doc_id*7 + i*13) % 2001) - 1000))) AS BIGINT) AS sum_abs
+    FROM (SELECT doc_id, (doc_id % 50) + 20 AS n FROM documents)
+    ORDER BY doc_id"""
+
+  val defs: Map[String, Q] = Map(
+    "q51_image_decode" -> (q51 _),
+    "q52_audio_decode" -> (q52 _))
+
+  val oracles: Map[String, String] = Map(
+    "q51_image_decode" -> q51Sql,
+    "q52_audio_decode" -> q52Sql)
+}

@@ -26,11 +26,70 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1).n_bytes == 0)
   }
 
-  test("stubbed decode fills metadata dims; frame sampler batches") {
+  test("undecodable payloads fall back to byte-length dims; frame sampler batches") {
     val d = Multimodal.withDecodedDims(mediaDf).select(col("media.width"), col("media.height"))
       .collect()(0)
-    assert(d.getInt(0) == 12 && d.getInt(1) == 12) // 11 bytes -> stub dims
+    assert(d.getInt(0) == 12 && d.getInt(1) == 12) // 11 bytes -> fallback dims
     val frames = Multimodal.sampleFrames("abcdefghij".getBytes, frameSize = 2, stride = 2).toSeq
     assert(frames.map(new String(_)) == Seq("ab", "ef", "ij"))
+  }
+
+  test("PNG encode -> ImageIO decode round-trips pixels exactly") {
+    val png = Multimodal.encodePng(5, 3, (x, y) => (x * 40 << 16) | (y * 80 << 8) | (x + y))
+    val img = Multimodal.decodeImage(png).get
+    assert(img.getWidth == 5 && img.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == ((x * 40 << 16) | (y * 80 << 8) | (x + y)))
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("real decode fills metadata dims for PNG payloads") {
+    val png = Multimodal.encodePng(7, 9, (_, _) => 0x123456)
+    val df = Multimodal.asMedia(
+      Seq((1L, png)).toDF("doc_id", "payload"), "payload", "image/png")
+    val d = Multimodal.withDecodedDims(df).select(col("media.width"), col("media.height"))
+      .collect()(0)
+    assert(d.getInt(0) == 7 && d.getInt(1) == 9)
+  }
+
+  test("nearest-neighbor resize samples with floor division") {
+    // 4x2 source, pixel value encodes its coordinates
+    val png = Multimodal.encodePng(4, 2, (x, y) => x * 16 + y)
+    val img = Multimodal.decodeImage(png).get
+    val thumb = Multimodal.resizeNearest(img, 2, 2)
+    // target (x,y) samples source (x*4/2, y*2/2) = (2x, y)
+    assert(thumb(0)(0) == 0 && thumb(0)(1) == 32)
+    assert(thumb(1)(0) == 1 && thumb(1)(1) == 33)
+  }
+
+  test("image feature extraction matches a hand computation") {
+    val png = Multimodal.encodePng(2, 2, (x, y) => (x << 16) | (y << 8) | 5)
+    val df = Multimodal.asMedia(
+      Seq((7L, png)).toDF("doc_id", "payload"), "payload", "image/png")
+    val f = Multimodal.decodeImageFeatures(df, thumbW = 1, thumbH = 1).collect()(0)
+    assert(f.width == 2 && f.height == 2)
+    // px values: (0,0)=5, (1,0)=1+5, (0,1)=1+5, (1,1)=1+1+5
+    assert(f.px_sum == 5 + 6 + 6 + 7)
+    assert(f.thumb_sum == 5) // 1x1 thumb samples (0,0)
+  }
+
+  test("WAV encode -> AudioSystem decode round-trips samples exactly") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 42)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    val (rate, decoded) = Multimodal.decodeWavPcm16(wav).get
+    assert(rate == 8000)
+    assert(decoded.toSeq == samples.toSeq)
+    assert(Multimodal.decodeWavPcm16("not audio at all".getBytes).isEmpty)
+  }
+
+  test("audio feature extraction: rate, frames, duration, checksum") {
+    val samples = Array.tabulate(4000)(i => (i % 200 - 100).toShort)
+    val wav = Multimodal.encodeWavPcm16(16000, samples)
+    val df = Multimodal.asMedia(
+      Seq((3L, wav)).toDF("doc_id", "payload"), "payload", "audio/wav")
+    val f = Multimodal.decodeWavFeatures(df).collect()(0)
+    assert(f.sample_rate == 16000 && f.n_samples == 4000)
+    assert(f.duration_ms == 250)
+    assert(f.sum_abs == samples.map(s => math.abs(s.toLong)).sum)
   }
 }
