@@ -3,6 +3,8 @@ package graft.operators
 import graft.functions.Converters
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 /** Hash-partitioned snapshot layout (U5, `partitionable_mixin.rb:33-129`,
   * DDL `db_adapter/pg.rb:134-139`): very large replica tables store under
@@ -11,39 +13,175 @@ import org.apache.spark.sql.functions._
   * touches the buckets present in the batch — partition pruning instead of
   * a full-table rewrite, which is the difference between O(batch) and
   * O(table) at 100 TB.
+  *
+  * Commits are ATOMIC across buckets via a manifest pointer flip (the
+  * reference gets the same guarantee from PG transactions, `base.rb:762-785`):
+  * each write lands bucket data under a fresh epoch directory `e<V>/`, then
+  * publishes `_manifest/v<V>.json` mapping every bucket to the epoch that
+  * owns its current data. Readers resolve the highest manifest; a crash
+  * after data write but before manifest publish leaves only an orphan epoch
+  * directory — the visible snapshot is unchanged, never half-old/half-new.
+  * On local/HDFS filesystems the publish is an atomic rename; on object
+  * stores the same protocol maps to a conditional PUT of the next version.
+  * Writer concurrency contract: single writer per table (the reference's
+  * advisory-lock discipline); a version collision fails the late writer.
   */
 object PartitionedStore {
 
   val BucketCol = "part_bucket"
+  private val ManifestDir = "_manifest"
+
+  final case class Manifest(version: Long, buckets: Map[Int, Long]) {
+    def epochDirs: Map[Long, Seq[Int]] =
+      buckets.groupBy(_._2).map { case (e, bs) => e -> bs.keys.toSeq.sorted }
+  }
+
+  // ------------------------------------------------------------- manifest io
+
+  private def render(m: Manifest): String = {
+    val bs = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, e) => s""""$b":$e""" }.mkString(",")
+    s"""{"version":${m.version},"buckets":{$bs}}"""
+  }
+
+  private def parse(s: String): Manifest = {
+    val version = """"version":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"bad manifest: $s"))
+    val buckets = """"(\d+)":(\d+)""".r.findAllMatchIn(
+      s.substring(s.indexOf("\"buckets\""))).map(m =>
+      m.group(1).toInt -> m.group(2).toLong).toMap
+    Manifest(version, buckets)
+  }
+
+  private def manifestName(v: Long): String = f"v$v%012d.json"
+
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Latest committed manifest, or None for a directory with no snapshot
+    * (or a pre-manifest flat layout). */
+  def currentManifest(dir: String): Option[Manifest] = {
+    val md = Paths.get(dir, ManifestDir)
+    if (!Files.isDirectory(md)) return None
+    val latest = listDir(md)
+      .filter(_.getFileName.toString.matches("v\\d{12}\\.json"))
+      .maxByOption(_.getFileName.toString)
+    latest.map(p => parse(new String(Files.readAllBytes(p), "UTF-8")))
+  }
+
+  /** Publish a manifest version: full write to a temp name, then an atomic
+    * rename into place — the commit point. A pre-existing version file means
+    * a concurrent writer won the race; fail rather than clobber. */
+  private def publish(dir: String, m: Manifest): Unit = {
+    val md = Paths.get(dir, ManifestDir)
+    Files.createDirectories(md)
+    val dst = md.resolve(manifestName(m.version))
+    require(!Files.exists(dst),
+      s"concurrent writer: manifest version ${m.version} already committed")
+    val tmp = Files.createTempFile(md, ".tmp-", ".json")
+    Files.write(tmp, render(m).getBytes("UTF-8"))
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Buckets that actually materialized files under an epoch directory
+    * (a merge can leave a touched bucket empty — it must not be flipped). */
+  private def bucketsIn(epochDir: Path): Seq[Int] =
+    if (!Files.isDirectory(epochDir)) Seq.empty
+    else listDir(epochDir)
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith(s"$BucketCol=") =>
+        s.stripPrefix(s"$BucketCol=").toInt }
+      .sorted
+
+  // ------------------------------------------------------------------ api
 
   def withBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(Converters.str2inthash(col(keyCol)), lit(buckets)))
 
-  /** Write a snapshot partitioned by bucket. */
-  def write(df: DataFrame, dir: String, keyCol: String, buckets: Int): Unit =
+  /** Write a full snapshot as epoch v, then commit it. */
+  def write(df: DataFrame, dir: String, keyCol: String, buckets: Int): Unit = {
+    val v = currentManifest(dir).map(_.version + 1).getOrElse(1L)
     withBucket(df, keyCol, buckets)
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(dir)
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$dir/e$v")
+    publish(dir, Manifest(v, bucketsIn(Paths.get(dir, s"e$v")).map(_ -> v).toMap))
+  }
 
-  def read(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(dir)
+  /** Read the committed snapshot: one pruned parquet scan per live epoch
+    * (each restricted to the buckets that epoch still owns), unioned. The
+    * union stays shallow because [[compact]] folds history; every scan keeps
+    * `part_bucket` as a partition column, so bucket filters still prune. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    currentManifest(dir) match {
+      case None => spark.read.parquet(dir) // pre-manifest flat layout
+      case Some(m) => readBuckets(spark, dir, m, m.buckets.keys.toSeq.sorted)
+    }
 
-  /** Merge a batch into the partitioned snapshot, rewriting ONLY the buckets
-    * the batch touches: read prunes on the bucket set, merge runs on the
-    * pruned slice, and the dynamic-overwrite write replaces just those
-    * bucket directories. */
+  private def readBuckets(spark: SparkSession, dir: String, m: Manifest,
+                          buckets: Seq[Int]): DataFrame = {
+    val want = buckets.toSet
+    val perEpoch = m.epochDirs.toSeq.sortBy(_._1).flatMap { case (e, owned) =>
+      val keep = owned.filter(want)
+      if (keep.isEmpty) None
+      else Some(spark.read.option("basePath", s"$dir/e$e")
+        .parquet(keep.map(b => s"$dir/e$e/$BucketCol=$b"): _*))
+    }
+    perEpoch.reduceLeft(_ unionByName _)
+  }
+
+  /** Merge a batch into the snapshot, rewriting ONLY the buckets the batch
+    * touches: read prunes to the touched-bucket set, merge runs on the
+    * pruned slice, the result lands under a new epoch directory, and the
+    * manifest flip commits every touched bucket at once — atomically. */
   def mergeInto(spark: SparkSession, dir: String, batch: DataFrame,
                 spec: MergeSpec, keyCol: String, buckets: Int): Unit = {
+    val m = currentManifest(dir).getOrElse(
+      sys.error(s"no committed snapshot at $dir — write() first"))
     val bucketed = withBucket(batch, keyCol, buckets)
     val touched = bucketed.select(col(BucketCol)).distinct()
       .collect().map(_.getInt(0)).sorted
-    val current = read(spark, dir)
-      .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+    if (touched.isEmpty) return
+    val existing = touched.filter(m.buckets.contains)
+    val current =
+      if (existing.isEmpty) bucketed.limit(0)
+      else readBuckets(spark, dir, m, existing.toSeq)
     val mergeSpec = spec.copy(keyCols = (BucketCol +: spec.keyCols).distinct)
     val merged = Merge.upsert(
       current.select(bucketed.columns.map(col): _*), bucketed, mergeSpec)
-    val conf = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(conf)
-    spark.conf.set(conf, "dynamic")
-    try merged.write.mode("overwrite").partitionBy(BucketCol).parquet(dir)
-    finally prev.foreach(spark.conf.set(conf, _))
+    val v = m.version + 1
+    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$dir/e$v")
+    val landed = bucketsIn(Paths.get(dir, s"e$v"))
+    publish(dir, Manifest(v, m.buckets ++ landed.map(_ -> v)))
+  }
+
+  /** Fold all live epochs into one: a full rewrite that bounds the epoch
+    * union depth (run on the reference's retention cadence, not per batch). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val m = currentManifest(dir).getOrElse(return)
+    if (m.epochDirs.size <= 1) return
+    val v = m.version + 1
+    read(spark, dir).write.mode("overwrite")
+      .partitionBy(BucketCol).parquet(s"$dir/e$v")
+    publish(dir, Manifest(v, bucketsIn(Paths.get(dir, s"e$v")).map(_ -> v).toMap))
+  }
+
+  /** Delete epoch directories no manifest-current bucket references —
+    * crash orphans and compacted-away history. Safe after the readers of
+    * superseded versions have drained (the reference's retention window). */
+  def vacuum(dir: String): Seq[String] = {
+    val live = currentManifest(dir).map(_.epochDirs.keySet).getOrElse(Set.empty)
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val doomed = listDir(root)
+      .filter(p => p.getFileName.toString.matches("e\\d+") &&
+        !live.contains(p.getFileName.toString.stripPrefix("e").toLong))
+    doomed.foreach { p =>
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+    doomed.map(_.getFileName.toString).sorted
   }
 }

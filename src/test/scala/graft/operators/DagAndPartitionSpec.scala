@@ -80,13 +80,12 @@ class DagAndPartitionSpec extends SparkSpec {
     val before = PartitionedStore.read(spark, dir)
     assert(before.select(PartitionedStore.BucketCol).distinct().count() == 8)
 
-    // merge a small batch: only its buckets get rewritten
+    // merge a small batch: only its buckets flip to the new epoch
     val batch = Seq(("key-1", 999L), ("new-key", 1L)).toDF("k", "v")
     val touched = PartitionedStore.withBucket(batch, "k", 8)
       .select(PartitionedStore.BucketCol).distinct().as[Int].collect().toSet
     val untouched = (0 until 8).toSet -- touched
-    val fileBefore = untouched.map(b =>
-      new java.io.File(s"$dir/${PartitionedStore.BucketCol}=$b").lastModified())
+    val manifestBefore = PartitionedStore.currentManifest(dir).get
 
     PartitionedStore.mergeInto(spark, dir, batch,
       MergeSpec(Seq("k"), orderCol = "v"), "k", buckets = 8)
@@ -94,14 +93,56 @@ class DagAndPartitionSpec extends SparkSpec {
     val after = PartitionedStore.read(spark, dir)
     assert(after.count() == 101)
     assert(after.filter(col("k") === "key-1").select("v").as[Long].collect()(0) == 999L)
-    // untouched bucket directories were not rewritten
-    val fileAfter = untouched.map(b =>
-      new java.io.File(s"$dir/${PartitionedStore.BucketCol}=$b").lastModified())
-    assert(fileBefore == fileAfter)
+    // untouched buckets keep their old epoch (their files were not rewritten)
+    val manifestAfter = PartitionedStore.currentManifest(dir).get
+    assert(manifestAfter.version == manifestBefore.version + 1)
+    untouched.foreach(b =>
+      assert(manifestAfter.buckets(b) == manifestBefore.buckets(b)))
+    touched.foreach(b =>
+      assert(manifestAfter.buckets(b) == manifestAfter.version))
     // scanning one bucket prunes partitions at the source
     val pruned = after.filter(col(PartitionedStore.BucketCol) === touched.head)
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") || pruned.count() < 101)
+  }
+
+  test("multi-bucket commit is atomic: uncommitted epochs invisible, vacuum reclaims") {
+    val dir = java.nio.file.Files.createTempDirectory("pstore-atomic").toString
+    val base = (1 to 40).map(i => (s"key-$i", i.toLong)).toDF("k", "v")
+    PartitionedStore.write(base, dir, "k", buckets = 4)
+    val v1 = PartitionedStore.currentManifest(dir).get
+
+    // simulate a crash mid-merge: epoch data fully written, manifest never
+    // published (the only window the protocol leaves open)
+    val orphan = PartitionedStore.withBucket(
+      Seq(("key-1", 777L)).toDF("k", "v"), "k", 4)
+    orphan.write.mode("overwrite")
+      .partitionBy(PartitionedStore.BucketCol).parquet(s"$dir/e${v1.version + 1}")
+
+    // readers still see the committed snapshot, not a half-applied merge
+    val seen = PartitionedStore.read(spark, dir)
+    assert(seen.count() == 40)
+    assert(seen.filter(col("k") === "key-1").select("v").as[Long].collect()(0) == 1L)
+    assert(PartitionedStore.currentManifest(dir).get == v1)
+
+    // the retry reuses the orphaned epoch number, overwrites its data, and
+    // the manifest publish is what makes the merge visible
+    PartitionedStore.mergeInto(spark, dir, Seq(("key-1", 888L)).toDF("k", "v"),
+      MergeSpec(Seq("k"), orderCol = "v"), "k", buckets = 4)
+    val healed = PartitionedStore.read(spark, dir)
+    assert(healed.filter(col("k") === "key-1").select("v").as[Long].collect()(0) == 888L)
+    assert(healed.count() == 40)
+
+    // compact folds live epochs into one; vacuum removes orphaned history
+    PartitionedStore.compact(spark, dir)
+    val compacted = PartitionedStore.currentManifest(dir).get
+    assert(compacted.epochDirs.size == 1)
+    val removed = PartitionedStore.vacuum(dir)
+    assert(removed.nonEmpty)
+    val afterVacuum = PartitionedStore.read(spark, dir)
+    assert(afterVacuum.count() == 40)
+    assert(afterVacuum.filter(col("k") === "key-1")
+      .select("v").as[Long].collect()(0) == 888L)
   }
 
   test("E9 sequence defaulter: captures when present, unique surrogates otherwise") {
