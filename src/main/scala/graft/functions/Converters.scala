@@ -107,6 +107,23 @@ object Converters {
     coalesce(fromRegex(c, pattern, LongType),
       lit(seqBase) + monotonically_increasing_id())
 
+  /** E9, deterministic form — the sink-side sequence: surrogates are
+    * `seqBase + running count of sequence-needing rows` in `orderBy` order,
+    * reproducing the reference's DB-sequence assignment exactly (dense,
+    * insertion-ordered) so replays and oracles get identical ids. The total
+    * order makes this a single-reducer window — correct by contract (a DB
+    * sequence is serial too); use [[intOrSequenceFromRegex]] when only
+    * uniqueness matters and scale does. */
+  def intOrSequenceOrdered(c: Column, pattern: String, seqBase: Long,
+                           orderBy: Column): Column = {
+    val cap = fromRegex(c, pattern, LongType)
+    val run = count(when(cap.isNull, 1))
+      .over(org.apache.spark.sql.expressions.Window.orderBy(orderBy)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
+    coalesce(cap, lit(seqBase - 1) + run)
+  }
+
   /** E16 — compound remote keys like `"{parent_id}-{uid}"`
     * (`icalendar_event_v1.rb:26-32`, `transistor_episode_stats_v1.rb:32-36`). */
   def compoundKey(cols: Column*): Column = concat_ws("-", cols: _*)
@@ -114,6 +131,11 @@ object Converters {
   /** E19 defaulters — applied when the extracted value is null.
     * `column.rb:273-293`. */
   def defaultNow(c: Column): Column     = coalesce(c, current_timestamp())
+  /** E19 with an injected clock: the deterministic form of [[defaultNow]]
+    * used for replay and for the q90 oracle — callers pass the batch's
+    * logical "now" instead of wall-clock, the same seam the reference's
+    * backfill uses when it re-runs a window. */
+  def defaultNowAt(c: Column, clock: Column): Column = coalesce(c, clock)
   def defaultFalse(c: Column): Column   = coalesce(c, lit(false))
   def defaultUuid4(c: Column): Column   = coalesce(c, expr("uuid()"))
   def default(c: Column, d: Column): Column = coalesce(c, d)
