@@ -29,10 +29,25 @@ object Bench {
       once() // untimed per-query warmup
       name -> math.min(once(), once())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness keeps only the last ~2000 chars of output; a full-name
+    // full-precision map for 80 queries overflows that and the JSON line
+    // arrives truncated (unparseable). Print compact keys (the unique qNN
+    // prefix) at ms precision so the line always fits; the full-name map
+    // goes to a sidecar file for human reading.
+    def fmt(v: Double): String = f"$v%.3f"
+    val shortQs = results
+      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = fmt(results.map(_._2).sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}\n"""
+        .getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -37,11 +37,23 @@ object Text {
   }
 
   /** Word n-gram shingles (array of "w1 w2 .. wn" strings), distinct.
-    * The unit of MinHash / Jaccard dedup. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+    * The unit of MinHash / Jaccard dedup.
+    *
+    * PERFORMANCE: this form inlines the tokenizer expression into every
+    * `element_at` inside the transform lambda — Spark's common-subexpression
+    * elimination does not cross higher-order-function boundaries, so the
+    * regex normalize+split re-runs n times PER SHINGLE (measured 35 s for a
+    * 5k-doc corpus). Only use on tiny inputs; in queries, materialize the
+    * token array in a prior projection and call [[shinglesOfTokens]]. */
+  def shingles(c: Column, n: Int): Column =
+    shinglesOfTokens(tokens(c), normalize(c), n)
+
+  /** [[shingles]] over a PRE-MATERIALIZED token-array column (plus the
+    * normalized text for the degenerate short-doc fallback) — the scalable
+    * form: each element access is an O(1) array read. */
+  def shinglesOfTokens(t: Column, norm: Column, n: Int): Column = {
     val count = size(t) - (n - 1)
-    when(count <= 0, array(normalize(c)))
+    when(count <= 0, array(norm))
       .otherwise(array_distinct(transform(
         sequence(lit(1), greatest(count, lit(1))),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.Str2IntHash
+import graft.functions.expressions.{NfcNormalize, Str2IntHash}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Cast, Literal}
 import org.apache.spark.sql.types.StringType
@@ -13,12 +13,16 @@ object GraftFunctions {
 
   /** Register engine functions on a session. Currently:
     * `str2inthash(expr)` — the E7 partition hash as a native codegen'd
-    * expression. */
+    * expression; `nfc_normalize(expr)` — Unicode NFC canonicalization. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "str2inthash",
       exprs => Str2IntHash(Coalesce(Seq(
         Cast(exprs.head, StringType), Literal.create("", StringType)))),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      exprs => NfcNormalize(Cast(exprs.head, StringType)),
       "scala_udf")
   }
 }

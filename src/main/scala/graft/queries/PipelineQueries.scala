@@ -1,0 +1,387 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Pii, Text}
+import graft.functions.expressions.NfcNormalize
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-4 corpus-pipeline operators: PII redaction, Gopher-style repetition
+  * signals, TF-IDF term ranking, corpus-level n-gram dedup, Unicode NFC
+  * canonicalization, and Lloyd's k-means over embeddings. All deterministic
+  * integer/exact arithmetic so the DuckDB oracle hash-matches byte-for-byte.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q46 PII
+
+  /** q46 — PII detection + redaction. The synthetic corpus carries no real
+    * PII, so the query plants it deterministically from customer keys (the
+    * same construction in both engines), then detects and redacts. The
+    * operator under test is [[Pii]]: map-side regex counts + replacement,
+    * zero shuffles beyond the final sort.
+    */
+  def q46(spark: SparkSession, d: String): DataFrame = {
+    val key = col("c_custkey")
+    def s(c: Column): Column = c.cast(StringType)
+    val email = concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com"))
+    val phone = concat(lit("555-"), lpad(s(key * 7 % 1000), 3, "0"),
+      lit("-"), lpad(s(key * 13 % 10000), 4, "0"))
+    val ip = concat(lit("10."), s(key % 256), lit("."), s(key * 3 % 256),
+      lit("."), s(key * 7 % 256))
+    val ssn = concat(lpad(s(key * 3 % 900 + 100), 3, "0"), lit("-"),
+      lpad(s(key % 89 + 10), 2, "0"), lit("-"), lpad(s(key * 11 % 9000 + 1000), 4, "0"))
+    val textCol = when(key % 4 === 0, concat(col("c_name"), lit(" contact pending")))
+      .when(key % 4 === 1, concat(col("c_name"), lit(" email "), email, lit(" tel "), phone))
+      .when(key % 4 === 2, concat(col("c_name"), lit(" last login from "), ip, lit(" ssn "), ssn))
+      .otherwise(concat(col("c_name"), lit(" "), email, lit(" "), ip,
+        lit(" "), phone, lit(" "), ssn))
+    val src = Tables.customer(spark, d).select(col("c_custkey"), textCol.as("contact"))
+    val countCols = Pii.counts(col("contact")).map { case (n, c) => c.as(s"n_$n") }
+    src.select(
+      (col("c_custkey") +: countCols :+
+        Pii.totalCount(col("contact")).as("n_total") :+
+        Pii.redact(col("contact")).as("redacted")): _*)
+      .orderBy(col("c_custkey"))
+  }
+
+  val q46Sql: String = {
+    val email = "lower(replace(c_name, '#', '.')) || '@example.com'"
+    val phone = "'555-' || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0')"
+    val ip = "'10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || " +
+      "CAST(c_custkey * 3 % 256 AS VARCHAR) || '.' || CAST(c_custkey * 7 % 256 AS VARCHAR)"
+    val ssn = "lpad(CAST(c_custkey * 3 % 900 + 100 AS VARCHAR), 3, '0') || '-' || " +
+      "lpad(CAST(c_custkey % 89 + 10 AS VARCHAR), 2, '0') || '-' || " +
+      "lpad(CAST(c_custkey * 11 % 9000 + 1000 AS VARCHAR), 4, '0')"
+    val counts = Pii.Categories
+      .map { case (n, p, _) =>
+        s"CAST(len(regexp_extract_all(contact, '$p')) AS BIGINT) AS n_$n"
+      }
+      .mkString(",\n        ")
+    val redacted = Pii.Categories.foldLeft("contact") { case (acc, (_, p, tok)) =>
+      s"regexp_replace($acc, '$p', '$tok', 'g')"
+    }
+    s"""
+    WITH src AS (
+      SELECT c_custkey,
+        CASE
+          WHEN c_custkey % 4 = 0 THEN c_name || ' contact pending'
+          WHEN c_custkey % 4 = 1 THEN c_name || ' email ' || $email || ' tel ' || $phone
+          WHEN c_custkey % 4 = 2 THEN c_name || ' last login from ' || $ip || ' ssn ' || $ssn
+          ELSE c_name || ' ' || $email || ' ' || $ip || ' ' || $phone || ' ' || $ssn
+        END AS contact
+      FROM customer
+    ), counted AS (
+      SELECT c_custkey, contact,
+        $counts
+      FROM src
+    )
+    SELECT c_custkey,
+      ${Pii.Categories.map { case (n, _, _) => s"n_$n" }.mkString(", ")},
+      CAST(${Pii.Categories.map { case (n, _, _) => s"n_$n" }.mkString(" + ")} AS BIGINT)
+        AS n_total,
+      $redacted AS redacted
+    FROM counted
+    ORDER BY c_custkey"""
+  }
+
+  // --------------------------------------------- q47 repetition signals
+
+  /** q47 — Gopher-style repetition signals, fully map-side: per-document
+    * top-token fraction, top-bigram fraction, and duplicated-token fraction
+    * (permille, floor), computed with array expressions inside whole-stage
+    * codegen. O(n^2) in tokens-per-doc, which is bounded by document length,
+    * not corpus size — the shape survives any corpus scale with zero
+    * shuffles beyond the final sort.
+    */
+  def q47(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val t = Text.tokens(col("text"))
+    val withTok = docs.select(col("doc_id"), t.as("t"), size(t).as("n"))
+    val counts = transform(col("t"), w => size(filter(col("t"), x => x === w)))
+    val bigrams = when(col("n") >= 2,
+      transform(sequence(lit(1), col("n") - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val stage = withTok.select(col("doc_id"), col("n"), counts.as("wc"), bigrams.as("bg"))
+    val bgCounts = transform(col("bg"), w => size(filter(col("bg"), x => x === w)))
+    stage.select(
+      col("doc_id"),
+      col("n").cast(LongType).as("n_tokens"),
+      floor(array_max(col("wc")) * 1000d / col("n")).cast(LongType).as("top_token_permille"),
+      when(col("n") >= 2, floor(array_max(bgCounts) * 1000d / (col("n") - 1)))
+        .otherwise(lit(0)).cast(LongType).as("top_bigram_permille"),
+      floor(size(filter(col("wc"), c => c >= 2)) * 1000d / col("n"))
+        .cast(LongType).as("dup_token_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q47Sql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(${TextSql.norm}, ' ') AS t FROM documents
+    ), stage AS (
+      SELECT doc_id, len(t) AS n,
+        list_transform(t, w -> len(list_filter(t, x -> x = w))) AS wc,
+        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bg
+      FROM toks
+    )
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_tokens,
+      CAST(floor(list_aggregate(wc, 'max') * 1000.0 / n) AS BIGINT) AS top_token_permille,
+      CAST(CASE WHEN n >= 2 THEN floor(
+          list_aggregate(list_transform(bg, w -> len(list_filter(bg, x -> x = w))), 'max')
+            * 1000.0 / (n - 1))
+        ELSE 0 END AS BIGINT) AS top_bigram_permille,
+      CAST(floor(len(list_filter(wc, c -> c >= 2)) * 1000.0 / n) AS BIGINT)
+        AS dup_token_permille
+    FROM stage ORDER BY doc_id"""
+
+  // ------------------------------------------------------ q48 tf-idf terms
+
+  /** q48 — TF-IDF-style term ranking: top-3 terms per document by term
+    * frequency weighted by inverse document frequency (scaled-integer score
+    * so both engines agree exactly). Two aggregations (tf per doc-term, df
+    * per term) + one window — the classic two-shuffle shape; df is tiny
+    * (vocabulary-sized) and broadcasts back onto tf.
+    */
+  def q48(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+    val toks = docs.select(col("doc_id"), explode(col("t")).as("word"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(broadcast(df), Seq("word"))
+      .select(col("doc_id"), col("word"),
+        floor(col("tf") * 1000000d / col("df")).cast(LongType).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= 3)
+      .select("doc_id", "rank", "word", "score")
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q48Sql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(${TextSql.norm}, ' ')) AS word
+      FROM documents WHERE length(${TextSql.norm}) > 0
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+    ), scored AS (
+      SELECT doc_id, word, CAST(floor(tf * 1000000.0 / df) AS BIGINT) AS score
+      FROM tf JOIN df USING (word)
+    ), ranked AS (
+      SELECT doc_id, word, score,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT)
+          AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, word, score FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank"""
+
+  // ------------------------------------------- q49 corpus n-gram dedup
+
+  /** q49 — corpus-level exact n-gram dedup (C4-style): every document's
+    * distinct 8-gram shingles, counted across the corpus; documents whose
+    * duplicated-shingle fraction exceeds 1/2 are dropped. Shuffles only
+    * (shingle) and (doc_id) keys — shingle work never pairs documents.
+    */
+  def q49(spark: SparkSession, d: String): DataFrame = {
+    // Materialize the token array BEFORE shingling (lambda expressions don't
+    // share subexpressions — see Text.shingles) and spread the single-row-
+    // group scan across the cluster for the per-row shingle work.
+    val docs = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"),
+        Text.normalize(col("text")).as("norm"))
+    val sh = docs.select(col("doc_id"),
+      explode(Text.shinglesOfTokens(col("t"), col("norm"), 8)).as("sh"))
+    val counts = sh.groupBy("sh").agg(count(lit(1)).as("n_docs"))
+    sh.join(counts, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("dup_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("dup_shingles"),
+        floor(col("dup_shingles") * 1000d / col("n_shingles")).cast(LongType)
+          .as("dup_permille"))
+      .withColumn("keep", col("dup_permille") <= 500)
+      .orderBy(col("doc_id"))
+  }
+
+  val q49Sql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, ${TextSql.norm} AS norm, string_split(${TextSql.norm}, ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) < 8 THEN [norm]
+             ELSE list_distinct(list_transform(range(1, len(t) - 6),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) END) AS sh
+      FROM toks
+    ), counts AS (
+      SELECT sh, count(*) AS n_docs FROM sh GROUP BY sh
+    )
+    SELECT doc_id,
+      count(*) AS n_shingles,
+      CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+      CAST(floor(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 1000.0 / count(*)) AS BIGINT)
+        AS dup_permille,
+      CAST(floor(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 1000.0 / count(*)) AS BIGINT)
+        <= 500 AS keep
+    FROM sh JOIN counts USING (sh)
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------------------------------------------------- q53 NFC normalize
+
+  /** Decomposed/precomposed probe suffix: NFC must compose e+U+0301 -> é,
+    * i+U+0308 -> ï, a+U+0300 -> à (4 combining marks compose, so length
+    * shrinks by exactly 4) and leave the precomposed U+00E9 untouched. Same
+    * literal flows into both engines. */
+  private val DecomposedSuffix =
+    " cafe\u0301 nai\u0308ve a\u0300 la carte d\u00e9ja\u0300"
+
+  /** q53 — Unicode NFC canonicalization via the native codegen expression
+    * [[NfcNormalize]] (matches DuckDB's `nfc_normalize`). Documents are
+    * ASCII, so each gets a decomposed-accent suffix planted; length shrinks
+    * exactly by the number of combining marks composed.
+    */
+  def q53(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val deco = concat(substring(col("text"), 1, 40), lit(DecomposedSuffix))
+    docs.select(col("doc_id"), deco.as("raw"))
+      .select(
+        col("doc_id"),
+        length(col("raw")).cast(LongType).as("len_before"),
+        length(NfcNormalize.nfcNormalize(col("raw"))).cast(LongType).as("len_after"),
+        NfcNormalize.nfcNormalize(col("raw")).as("normalized"))
+      .withColumn("composed", col("len_before") - col("len_after"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q53Sql: String = s"""
+    WITH src AS (
+      SELECT doc_id, substring(text, 1, 40) || '$DecomposedSuffix' AS raw FROM documents
+    )
+    SELECT doc_id,
+      CAST(length(raw) AS BIGINT) AS len_before,
+      CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_after,
+      nfc_normalize(raw) AS normalized,
+      CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT) AS composed
+    FROM src ORDER BY doc_id"""
+
+  // -------------------------------------------------------- q54 k-means
+
+  private val KmeansK = 4
+  private val KmeansIters = 2
+
+  private def quantized(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000000d).cast(LongType)).as("v"))
+
+  /** Squared L2 distance to a literal centroid — codegen'd zip_with +
+    * aggregate, no UDF. */
+  private def distTo(vec: Column, centroid: Seq[Long]): Column =
+    aggregate(
+      zip_with(vec, typedLit(centroid), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Assign each vector to the nearest centroid (ties -> lowest cluster id),
+    * as (vec_id, v, cluster, dist). Struct comparison is lexicographic, so
+    * `array_min` over (dist, cid) structs is exactly the oracle's
+    * `row_number() OVER (ORDER BY dist, cid) = 1`. */
+  private def assign(vecs: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val candidates = cents.map { case (cid, cv) =>
+      struct(distTo(col("v"), cv).as("dist"), lit(cid).as("cid"))
+    }
+    val best = array_min(array(candidates: _*))
+    vecs.select(col("vec_id"), col("v"),
+      best.getField("cid").as("cluster"), best.getField("dist").as("dist"))
+  }
+
+  /** q54 — Lloyd's k-means over the embedding corpus: k=4 seeds (lowest
+    * vec_ids), two assignment passes with one centroid update between them.
+    * Quantized-integer arithmetic end-to-end so the oracle agrees exactly.
+    *
+    * Scale shape: each round is one posexplode + groupBy(cluster, pos) —
+    * reducer load is k*dim, independent of corpus size. Only the k*dim
+    * centroid scalars ever reach the driver (the standard Lloyd's broadcast
+    * pattern; this is NOT a data collect).
+    */
+  def q54(spark: SparkSession, d: String): DataFrame = {
+    val vecs = quantized(spark, d)
+    var cents: Seq[(Int, Seq[Long])] = vecs
+      .where(col("vec_id") < KmeansK)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+      .sortBy(_._1)
+    var assigned = assign(vecs, cents)
+    for (_ <- 1 until KmeansIters) {
+      val next = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(floor(sum("x") * lit(1.0) / count(lit(1))).cast(LongType).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+        }
+        .toSeq.sortBy(_._1)
+      cents = next
+      assigned = assign(vecs, cents)
+    }
+    assigned.select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+        col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q54Sql: String = {
+    val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    val l2 = "CAST(list_sum(list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS BIGINT)"
+    s"""
+    WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KmeansK),
+    d1 AS (SELECT e.vec_id, c.cid, $l2 AS dist FROM e CROSS JOIN c0 c),
+    a1 AS (SELECT vec_id, cid AS cluster, dist FROM
+      (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+      WHERE rn = 1),
+    el AS (SELECT a1.cluster, unnest(range(1, len(e.v) + 1)) AS pos, unnest(e.v) AS x
+      FROM a1 JOIN e USING (vec_id)),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM
+      (SELECT cluster AS cid, pos, CAST(floor(sum(x) * 1.0 / count(*)) AS BIGINT) AS m
+       FROM el GROUP BY cluster, pos) GROUP BY cid),
+    d2 AS (SELECT e.vec_id, c.cid, $l2 AS dist FROM e CROSS JOIN c1 c),
+    a2 AS (SELECT vec_id, cid AS cluster, dist FROM
+      (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+      WHERE rn = 1)
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM a2 ORDER BY vec_id"""
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q46_pii_redaction" -> (q46 _),
+    "q47_repetition_signals" -> (q47 _),
+    "q48_tfidf_terms" -> (q48 _),
+    "q49_corpus_ngram_dedup" -> (q49 _),
+    "q53_nfc_normalize" -> (q53 _),
+    "q54_kmeans" -> (q54 _))
+
+  val oracles: Map[String, String] = Map(
+    "q46_pii_redaction" -> q46Sql,
+    "q47_repetition_signals" -> q47Sql,
+    "q48_tfidf_terms" -> q48Sql,
+    "q49_corpus_ngram_dedup" -> q49Sql,
+    "q53_nfc_normalize" -> q53Sql,
+    "q54_kmeans" -> q54Sql)
+}
+
+/** Shared SQL fragments for text oracles. */
+private[queries] object TextSql {
+  val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+}

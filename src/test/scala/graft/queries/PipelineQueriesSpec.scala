@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Behavior checks for the round-4 pipeline operators. Value-level equality
+  * is gated by the DuckDB oracle (Verify); these pin the semantics that the
+  * oracle can't see — differential recomputation and internal invariants. */
+class PipelineQueriesSpec extends SparkSpec {
+
+  test("q46: planted PII is fully redacted; redaction and counts agree") {
+    val out = PipelineQueries.q46(spark, sfDir).cache()
+    // Redacted text must carry exactly as many tokens as counted.
+    val bad = out.filter(
+      size(split(col("redacted"), "<EMAIL>", -1)) - 1 =!= col("n_email") ||
+        size(split(col("redacted"), "<IP>", -1)) - 1 =!= col("n_ipv4") ||
+        size(split(col("redacted"), "<PHONE>", -1)) - 1 =!= col("n_phone") ||
+        size(split(col("redacted"), "<SSN>", -1)) - 1 =!= col("n_ssn"))
+      .count()
+    assert(bad == 0)
+    // No raw PII survives redaction.
+    val leaked = out.filter(
+      col("redacted").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
+        col("redacted").rlike("\\d{3}-\\d{2,3}-\\d{4}")).count()
+    assert(leaked == 0)
+    // Planting scheme: key%4==0 rows are clean, key%4==3 rows have all four.
+    assert(out.filter(col("c_custkey") % 4 === 0 && col("n_total") =!= 0).count() == 0)
+    assert(out.filter(col("c_custkey") % 4 === 3 && col("n_total") =!= 4).count() == 0)
+    out.unpersist()
+  }
+
+  test("q47: signals match a brute-force recomputation") {
+    val got = PipelineQueries.q47(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val t = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val n = t.length
+      val wc = t.groupBy(identity).map(_._2.length)
+      val bg = t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topBg: Long = if (n >= 2) bg.groupBy(identity).map(_._2.length).max.toLong else 0L
+      val dup = t.count(w => t.count(_ == w) >= 2)
+      val expect = (n.toLong,
+        math.floor(wc.max * 1000d / n).toLong,
+        if (n >= 2) math.floor(topBg * 1000d / (n - 1)).toLong else 0L,
+        math.floor(dup * 1000d / n).toLong)
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+
+  test("q48: three terms per doc, scores non-increasing, rarity wins") {
+    val out = PipelineQueries.q48(spark, sfDir).cache()
+    val perDoc = out.groupBy("doc_id").agg(count(lit(1)).as("k"),
+      max("rank").as("mx")).filter(col("k") =!= 3 || col("mx") =!= 3).count()
+    assert(perDoc == 0)
+    val disordered = out
+      .withColumn("prev", lag("score", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("rank")))
+      .filter(col("prev").isNotNull && col("prev") < col("score")).count()
+    assert(disordered == 0)
+    out.unpersist()
+  }
+
+  test("q49: dup fraction is consistent and keep matches the threshold") {
+    val out = PipelineQueries.q49(spark, sfDir)
+    val bad = out.filter(
+      col("dup_shingles") > col("n_shingles") ||
+        col("dup_permille") =!= floor(col("dup_shingles") * 1000d / col("n_shingles"))
+          .cast("long") ||
+        col("keep") =!= (col("dup_permille") <= 500)).count()
+    assert(bad == 0)
+  }
+
+  test("q54: every vector sits with its nearest final centroid (differential)") {
+    val out = PipelineQueries.q54(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000d).toLong).toArray))
+      .toMap
+    // Recompute Lloyd's with plain Scala.
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Seq[(Int, Array[Long])] =
+      (0 until 4).map(i => i -> vecs(i.toLong))
+    for (_ <- 0 until 1) {
+      val assigned = vecs.toSeq.map { case (id, v) =>
+        val (cid, _) = cents.map { case (c, cv) => (c, dist(v, cv)) }
+          .minBy { case (c, dd) => (dd, c) }
+        (id, cid, v)
+      }
+      cents = assigned.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val dim = rows.head._3.length
+        cid -> Array.tabulate(dim) { p =>
+          math.floor(rows.map(_._3(p)).sum * 1.0 / rows.size).toLong
+        }
+      }
+    }
+    out.foreach { case (id, cluster, d) =>
+      val (cid, dd) = cents.map { case (c, cv) => (c, dist(vecs(id), cv)) }
+        .minBy { case (c, x) => (x, c) }
+      assert(cluster == cid.toLong && d == dd, s"vec $id")
+    }
+  }
+}
