@@ -238,6 +238,38 @@ object PipelineQueries {
     FROM sh JOIN counts USING (sh)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------------------------------------------- q55 incremental aggregate
+
+  /** q55 — incremental aggregate maintenance
+    * ([[graft.operators.IncrementalAgg]]): the lineitem table arrives as
+    * three disjoint batches; each batch's partial aggregate folds into the
+    * state with combine semantics. The oracle is the DIRECT aggregate over
+    * the whole table — the equivalence under test is fold == recompute.
+    */
+  def q55(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val li = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    val state = (0 until 3)
+      .map(i => IncrementalAgg.partial(
+        li.filter(col("l_orderkey") % 3 === i), keys, "l_quantity"))
+      .reduce((s, p) => IncrementalAgg.merge(s, p, keys))
+    IncrementalAgg.finish(state)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q55Sql: String = """
+    SELECT l_returnflag, l_linestatus,
+      count(*) AS cnt,
+      CAST(sum(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_v,
+      min(l_quantity) AS min_v,
+      max(l_quantity) AS max_v,
+      CAST(sum(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) / count(*) AS avg_v
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
   // ---------------------------------------------------- q53 NFC normalize
 
   /** Decomposed/precomposed probe suffix: NFC must compose e+U+0301 -> é,
@@ -370,7 +402,8 @@ object PipelineQueries {
     "q48_tfidf_terms" -> (q48 _),
     "q49_corpus_ngram_dedup" -> (q49 _),
     "q53_nfc_normalize" -> (q53 _),
-    "q54_kmeans" -> (q54 _))
+    "q54_kmeans" -> (q54 _),
+    "q55_incremental_agg" -> (q55 _))
 
   val oracles: Map[String, String] = Map(
     "q46_pii_redaction" -> q46Sql,
@@ -378,7 +411,8 @@ object PipelineQueries {
     "q48_tfidf_terms" -> q48Sql,
     "q49_corpus_ngram_dedup" -> q49Sql,
     "q53_nfc_normalize" -> q53Sql,
-    "q54_kmeans" -> q54Sql)
+    "q54_kmeans" -> q54Sql,
+    "q55_incremental_agg" -> q55Sql)
 }
 
 /** Shared SQL fragments for text oracles. */
