@@ -238,6 +238,75 @@ object PipelineQueries {
     FROM sh JOIN counts USING (sh)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------ q56/q57 as-of variants
+
+  private def asofBase(spark: SparkSession, d: String) =
+    Tables.events(spark, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ts_ms"))
+
+  /** q56 — tolerance as-of: each purchase matches its latest preceding
+    * click ONLY if it happened within the last hour (attribution with a
+    * staleness bound). Same single-shuffle plan as q34; the tolerance is a
+    * post-window null-out. */
+  def q56(spark: SparkSession, d: String): DataFrame = {
+    val base = asofBase(spark, d)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms"))
+    graft.operators.AsofJoin.asofWithin(purchases, clicks,
+        keyCols = Seq("user_id"), leftTs = "ts_ms", rightTs = "ts_ms",
+        payload = Seq("ts_ms"), tolerance = 3600000L)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("asof_ts_ms"),
+        (col("ts_ms") - col("asof_ts_ms")).as("gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val q56Sql: String = """
+    WITH base AS (SELECT event_id, user_id, event_type,
+        epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events)
+    SELECT p.event_id, p.user_id, p.ts_ms,
+      (SELECT max(c.ts_ms) FROM base c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts_ms < p.ts_ms AND p.ts_ms - c.ts_ms <= 3600000) AS asof_ts_ms,
+      p.ts_ms - (SELECT max(c.ts_ms) FROM base c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts_ms < p.ts_ms AND p.ts_ms - c.ts_ms <= 3600000) AS gap_ms
+    FROM base p WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id"""
+
+  /** q57 — forward as-of: each click matches the EARLIEST strictly-later
+    * purchase of the same user (conversion lookup). */
+  def q57(spark: SparkSession, d: String): DataFrame = {
+    val base = asofBase(spark, d)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"))
+    graft.operators.AsofJoin.asofForward(clicks, purchases,
+        keyCols = Seq("user_id"), leftTs = "ts_ms", rightTs = "ts_ms",
+        payload = Seq("ts_ms"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("asof_ts_ms"),
+        (col("asof_ts_ms") - col("ts_ms")).as("lead_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val q57Sql: String = """
+    WITH base AS (SELECT event_id, user_id, event_type,
+        epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events)
+    SELECT c.event_id, c.user_id, c.ts_ms,
+      (SELECT min(p.ts_ms) FROM base p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts_ms > c.ts_ms) AS asof_ts_ms,
+      (SELECT min(p.ts_ms) FROM base p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts_ms > c.ts_ms) - c.ts_ms AS lead_ms
+    FROM base c WHERE c.event_type = 'click'
+    ORDER BY c.event_id"""
+
   // ---------------------------------------------- q55 incremental aggregate
 
   /** q55 — incremental aggregate maintenance
@@ -403,7 +472,9 @@ object PipelineQueries {
     "q49_corpus_ngram_dedup" -> (q49 _),
     "q53_nfc_normalize" -> (q53 _),
     "q54_kmeans" -> (q54 _),
-    "q55_incremental_agg" -> (q55 _))
+    "q55_incremental_agg" -> (q55 _),
+    "q56_asof_tolerance" -> (q56 _),
+    "q57_asof_forward" -> (q57 _))
 
   val oracles: Map[String, String] = Map(
     "q46_pii_redaction" -> q46Sql,
@@ -412,7 +483,9 @@ object PipelineQueries {
     "q49_corpus_ngram_dedup" -> q49Sql,
     "q53_nfc_normalize" -> q53Sql,
     "q54_kmeans" -> q54Sql,
-    "q55_incremental_agg" -> q55Sql)
+    "q55_incremental_agg" -> q55Sql,
+    "q56_asof_tolerance" -> q56Sql,
+    "q57_asof_forward" -> q57Sql)
 }
 
 /** Shared SQL fragments for text oracles. */
