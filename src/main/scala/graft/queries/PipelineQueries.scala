@@ -238,6 +238,99 @@ object PipelineQueries {
     FROM sh JOIN counts USING (sh)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ----------------------------------------------------------- q58 PQ ANN
+
+  private val PqSub = 4   // subspaces
+  private val PqDim = 16  // dims per subspace (4 x 16 = embedding dim)
+  private val PqK = 4     // codes per subspace codebook
+
+  /** q58 — product-quantization ANN: corpus vectors compress to one code
+    * per subspace (argmin against the subspace codebook), and each query
+    * precomputes a per-subspace distance TABLE to every code; approximate
+    * distance to a candidate is then [[PqSub]] array lookups + adds instead
+    * of a 64-dim float scan — the asymmetric-distance (ADC) pattern that
+    * makes billion-vector search memory-feasible (codes are 4 small ints
+    * per vector ~ 10^-2 of corpus bytes).
+    *
+    * Codebooks here are the seed vectors' subspaces (training is q54's
+    * k-means — PQ composes with it); at scale the candidate set comes from
+    * the IVF prune (q31) rather than the full corpus, and the broadcast
+    * side is the tiny query+table frame, so the scan side never shuffles.
+    */
+  def q58(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = quantized(spark, d)
+    val seeds: Seq[(Int, Seq[Long])] = vecs.where(col("vec_id") < PqK)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    def subOf(v: Seq[Long], s: Int): Seq[Long] = v.slice(s * PqDim, (s + 1) * PqDim)
+    def subCol(s: Int): Column = slice(col("v"), s * PqDim + 1, PqDim)
+
+    val coded = vecs.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id") +: (0 until PqSub).map { s =>
+        val cands = seeds.map { case (cid, sv) =>
+          struct(distTo(subCol(s), subOf(sv, s)).as("dist"), lit(cid).as("cid"))
+        }
+        array_min(array(cands: _*)).getField("cid").as(s"code$s")
+      }: _*)
+    val qtabs = vecs.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id") +: (0 until PqSub).map { s =>
+        array(seeds.map { case (_, sv) => distTo(subCol(s), subOf(sv, s)) }: _*)
+          .as(s"tab$s")
+      }: _*)
+
+    val adc = (0 until PqSub)
+      .map(s => element_at(col(s"tab$s"), col(s"code$s") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    coded.join(broadcast(qtabs))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q58Sql: String = {
+    val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    def subDist(a: String, b: String, s: Int) = {
+      val off = s * PqDim
+      s"CAST(list_sum(list_transform(range(1, ${PqDim + 1}), i -> ($a.v[$off + i] - $b.v[$off + i]) * ($a.v[$off + i] - $b.v[$off + i]))) AS BIGINT)"
+    }
+    val codeCtes = (0 until PqSub).map { s =>
+      s"""d$s AS (SELECT c.vec_id, sd.cid, ${subDist("c", "sd", s)} AS dd
+         FROM corpus c CROSS JOIN seeds sd),
+    code$s AS (SELECT vec_id, cid AS code FROM
+      (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM d$s)
+      WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    val qtabCtes = (0 until PqSub).map { s =>
+      s"""qt$s AS (SELECT q.vec_id AS query_id, sd.cid, ${subDist("q", "sd", s)} AS dd
+         FROM queries q CROSS JOIN seeds sd)"""
+    }.mkString(",\n    ")
+    val qtJoins = (0 until PqSub).map { s =>
+      s"JOIN qt$s ON qt$s.cid = c$s.code" +
+        (if (s == 0) "" else s" AND qt$s.query_id = qt0.query_id")
+    }.mkString("\n      ")
+    val codeJoins = (1 until PqSub).map(s => s"JOIN code$s c$s USING (vec_id)").mkString(" ")
+    s"""
+    WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < $PqK),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+    queries AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    $codeCtes,
+    $qtabCtes,
+    adc AS (
+      SELECT qt0.query_id, c0.vec_id AS neighbor_id,
+        ${(0 until PqSub).map(s => s"qt$s.dd").mkString(" + ")} AS adc_dist
+      FROM code0 c0 $codeJoins
+      $qtJoins
+    ),
+    ranked AS (SELECT query_id, neighbor_id, adc_dist,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+      FROM adc)
+    SELECT query_id, rank, neighbor_id, adc_dist FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank"""
+  }
+
   // ------------------------------------------------ q56/q57 as-of variants
 
   private def asofBase(spark: SparkSession, d: String) =
@@ -474,7 +567,8 @@ object PipelineQueries {
     "q54_kmeans" -> (q54 _),
     "q55_incremental_agg" -> (q55 _),
     "q56_asof_tolerance" -> (q56 _),
-    "q57_asof_forward" -> (q57 _))
+    "q57_asof_forward" -> (q57 _),
+    "q58_pq_ann" -> (q58 _))
 
   val oracles: Map[String, String] = Map(
     "q46_pii_redaction" -> q46Sql,
@@ -485,7 +579,8 @@ object PipelineQueries {
     "q54_kmeans" -> q54Sql,
     "q55_incremental_agg" -> q55Sql,
     "q56_asof_tolerance" -> q56Sql,
-    "q57_asof_forward" -> q57Sql)
+    "q57_asof_forward" -> q57Sql,
+    "q58_pq_ann" -> q58Sql)
 }
 
 /** Shared SQL fragments for text oracles. */
