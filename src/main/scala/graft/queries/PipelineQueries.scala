@@ -238,6 +238,40 @@ object PipelineQueries {
     FROM sh JOIN counts USING (sh)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------------------------------------------------------- q59 z-order
+
+  /** q59 — Z-order (Morton) values ([[graft.operators.ZOrder]]): the bit
+    * interleave that makes a (partkey, suppkey)-clustered layout prunable
+    * on either key. The query materializes the z-value per row (pure
+    * shift/mask integer expression, codegen) plus the coarse z-bucket a
+    * layout rewrite would range-partition on; the clustering itself is
+    * exercised in `ZOrderSpec` (locality measured via partition ids). */
+  def q59(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.ZOrder
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    li.withColumn("z_value", ZOrder.zValue(Seq(col("l_partkey"), col("l_suppkey"))))
+      .withColumn("z_bucket", shiftrightunsigned(col("z_value"), 24))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q59Sql: String = {
+    val dims = Seq("l_partkey", "l_suppkey")
+    def clamp(c: String) = s"least(greatest(CAST($c AS BIGINT), 0), 65535)"
+    val terms = for {
+      (c, dIdx) <- dims.zipWithIndex
+      i <- 0 until 16
+    } yield s"(((${clamp(c)} >> $i) & 1) << ${i * dims.size + dIdx})"
+    val z = terms.mkString(" | ")
+    s"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      CAST($z AS BIGINT) AS z_value,
+      CAST(($z) >> 24 AS BIGINT) AS z_bucket
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber"""
+  }
+
   // ----------------------------------------------------------- q58 PQ ANN
 
   private val PqSub = 4   // subspaces
@@ -568,7 +602,8 @@ object PipelineQueries {
     "q55_incremental_agg" -> (q55 _),
     "q56_asof_tolerance" -> (q56 _),
     "q57_asof_forward" -> (q57 _),
-    "q58_pq_ann" -> (q58 _))
+    "q58_pq_ann" -> (q58 _),
+    "q59_zorder" -> (q59 _))
 
   val oracles: Map[String, String] = Map(
     "q46_pii_redaction" -> q46Sql,
@@ -580,7 +615,8 @@ object PipelineQueries {
     "q55_incremental_agg" -> q55Sql,
     "q56_asof_tolerance" -> q56Sql,
     "q57_asof_forward" -> q57Sql,
-    "q58_pq_ann" -> q58Sql)
+    "q58_pq_ann" -> q58Sql,
+    "q59_zorder" -> q59Sql)
 }
 
 /** Shared SQL fragments for text oracles. */
