@@ -77,7 +77,13 @@ object Multimodal {
     * posture enrichment uses for missing upstream data. */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch {
+      // NonFatal, not just IOException: ImageIO's readers throw
+      // IllegalArgumentException / IndexOutOfBounds / NegativeArraySize on
+      // malformed (or hostile) payloads — a crawled corpus WILL contain
+      // them, and one such row must null out, not kill the task.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Deterministic PNG encode (the landing path for synthetic fixtures and
     * the q51 oracle): pixel (x,y) gets the packed 0xRRGGBB from `rgb`. PNG

@@ -104,9 +104,16 @@ object PartitionedStore {
   /** Write a full snapshot as epoch v, then commit it. */
   def write(df: DataFrame, dir: String, keyCol: String, buckets: Int): Unit = {
     val v = currentManifest(dir).map(_.version + 1).getOrElse(1L)
-    withBucket(df, keyCol, buckets)
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$dir/e$v")
-    publish(dir, Manifest(v, bucketsIn(Paths.get(dir, s"e$v")).map(_ -> v).toMap))
+    val b = withBucket(df, keyCol, buckets)
+    b.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$dir/e$v")
+    val landed = bucketsIn(Paths.get(dir, s"e$v"))
+    // Empty snapshot: a partitioned write of zero rows leaves no parquet
+    // files at all (schema lost). Land one unpartitioned empty file so
+    // read() of the committed-but-empty table still answers with the
+    // right schema instead of crashing.
+    if (landed.isEmpty)
+      b.limit(0).write.mode("overwrite").parquet(s"$dir/e$v")
+    publish(dir, Manifest(v, landed.map(_ -> v).toMap))
   }
 
   /** Read the committed snapshot: one pruned parquet scan per live epoch
@@ -116,6 +123,8 @@ object PartitionedStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     currentManifest(dir) match {
       case None => spark.read.parquet(dir) // pre-manifest flat layout
+      case Some(m) if m.buckets.isEmpty => // committed empty snapshot
+        spark.read.parquet(s"$dir/e${m.version}")
       case Some(m) => readBuckets(spark, dir, m, m.buckets.keys.toSeq.sorted)
     }
 
@@ -170,8 +179,15 @@ object PartitionedStore {
   /** Delete epoch directories no manifest-current bucket references —
     * crash orphans and compacted-away history. Safe after the readers of
     * superseded versions have drained (the reference's retention window). */
+  /** How many superseded manifest versions [[vacuum]] retains (time-travel
+    * / late-reader window; the current version never counts against it). */
+  val ManifestRetention = 10
+
   def vacuum(dir: String): Seq[String] = {
-    val live = currentManifest(dir).map(_.epochDirs.keySet).getOrElse(Set.empty)
+    val current = currentManifest(dir)
+    // the current version's epoch dir stays live even when it owns no
+    // buckets (it carries the schema of a committed empty snapshot)
+    val live = current.map(m => m.epochDirs.keySet + m.version).getOrElse(Set.empty)
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return Seq.empty
     val doomed = listDir(root)
@@ -182,6 +198,25 @@ object PartitionedStore {
       try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally walk.close()
     }
-    doomed.map(_.getFileName.toString).sorted
+    // With a committed manifest: also prune superseded manifest files past
+    // the retention window (a per-microbatch merge cadence would otherwise
+    // grow _manifest forever and slow every currentManifest listing), and
+    // reclaim pre-manifest flat-layout bucket dirs orphaned by the upgrade.
+    val legacy = if (current.isEmpty) Seq.empty
+    else listDir(root).filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+    legacy.foreach { p =>
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+    current.foreach { _ =>
+      val md = Paths.get(dir, ManifestDir)
+      listDir(md)
+        .filter(_.getFileName.toString.matches("v\\d{12}\\.json"))
+        .sortBy(_.getFileName.toString)
+        .dropRight(ManifestRetention + 1)
+        .foreach(Files.delete)
+    }
+    (doomed ++ legacy).map(_.getFileName.toString).sorted
   }
 }

@@ -60,13 +60,23 @@ object ZOrder {
     val stats = keyCols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val statRow = df.agg(stats.head, stats.tail: _*).first()
+    // empty input (or all-null keys): min/max are null — nothing to
+    // normalize, any layout of zero rows is clustered
+    if (statRow.isNullAt(0))
+      return df.withColumn("z_value", lit(0L))
+        .repartitionByRange(partitions, col("z_value"))
     val scaled = keyCols.zipWithIndex.map { case (c, i) =>
       val lo = statRow.getLong(2 * i)
       val hi = statRow.getLong(2 * i + 1)
       val span = math.max(hi - lo, 1L)
-      // integer DIV keeps the scaling exact ((span * full) < 2^63 for any
-      // realistic key range; Column `/` would round through double)
-      expr(s"((CAST(`$c` AS BIGINT) - $lo) * $full) DIV $span")
+      if (span <= Long.MaxValue / full)
+        // integer arithmetic, exact: scale up then divide down
+        expr(s"((CAST(`$c` AS BIGINT) - $lo) * $full) DIV $span")
+      else
+        // huge span (epoch-nanos-scale keys): multiplying first would
+        // overflow — divide the value down instead (still monotone, the
+        // only property the interleave needs)
+        expr(s"(CAST(`$c` AS BIGINT) - $lo) DIV ${span / full + 1}")
     }
     df.withColumn("z_value", zValue(scaled))
       .repartitionByRange(partitions, col("z_value"))

@@ -99,9 +99,13 @@ object PipelineQueries {
     * shuffles beyond the final sort.
     */
   def q47(spark: SparkSession, d: String): DataFrame = {
+    // zero-token docs are excluded on BOTH sides: Spark tokenizes '' to an
+    // empty array while string_split('', ' ') yields [''] — the one input
+    // where the engines' token counts (0 vs 1) could diverge
     val docs = Tables.documents(spark, d)
     val t = Text.tokens(col("text"))
     val withTok = docs.select(col("doc_id"), t.as("t"), size(t).as("n"))
+      .where(col("n") > 0)
     val counts = transform(col("t"), w => size(filter(col("t"), x => x === w)))
     val bigrams = when(col("n") >= 2,
       transform(sequence(lit(1), col("n") - 1),
@@ -123,6 +127,7 @@ object PipelineQueries {
   val q47Sql: String = s"""
     WITH toks AS (
       SELECT doc_id, string_split(${TextSql.norm}, ' ') AS t FROM documents
+      WHERE length(${TextSql.norm}) > 0
     ), stage AS (
       SELECT doc_id, len(t) AS n,
         list_transform(t, w -> len(list_filter(t, x -> x = w))) AS wc,

@@ -30,20 +30,16 @@ object JsonlExport {
   def export(df: DataFrame, dir: String, keyCol: String, shards: Int): Seq[ShardStat] = {
     require(shards > 0, "shards must be positive")
     val payload = df.columns.filterNot(_ == ShardCol)
-    val lines = df
-      .withColumn(ShardCol, pmod(Str2IntHash.str2inthash(col(keyCol)), lit(shards)))
+    df.withColumn(ShardCol, pmod(Str2IntHash.str2inthash(col(keyCol)), lit(shards)))
       .withColumn("__line", to_json(struct(payload.map(col).toSeq: _*)))
-    val stats = lines
-      .groupBy(col(ShardCol))
-      .agg(count(lit(1)).as("rows"),
-        sum(pmod(xxhash64(col("__line")), lit(ChecksumMod))).as("sum_h"))
-      .collect()
-      .map(r => ShardStat(r.getInt(0), r.getLong(1), r.getLong(2) % ChecksumMod))
-      .sortBy(_.shard).toSeq
-    lines
       .repartition(shards, col(ShardCol))
       .select(col(ShardCol), col("__line"))
       .write.mode("overwrite").partitionBy(ShardCol).text(dir)
+    // Stats come from the WRITTEN files, not a second evaluation of the
+    // plan: re-deriving from source would let a non-deterministic column
+    // (or a source that changed between jobs) publish a manifest that
+    // disagrees with the bytes on disk.
+    val stats = verify(df.sparkSession, dir)
     val manifest = stats.map(s =>
       s"""{"shard":${s.shard},"rows":${s.rows},"checksum":${s.checksum}}""")
       .mkString("[", ",", "]")

@@ -127,13 +127,31 @@ object SnowflakeExport {
     * (the `skip_header = 1` + ENCLOSED_BY format above). Null -> empty
     * unquoted cell, the loader's NULL convention. */
   def renderCsv(st: StructType, page: Seq[Row]): String = {
-    def cell(v: Any): String = v match {
+    def quote(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+    // OBJECT-typed cells must land as JSON text (quoted like any string
+    // cell) or the parse_json in the MERGE projection has nothing valid to
+    // parse — and a raw toString would smuggle commas into the CSV row.
+    def json(v: Any): String = v match {
+      case null => "null"
+      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => s"${json(k.toString)}:${json(x)}" }.mkString("{", ",", "}")
+      case seq: scala.collection.Seq[_] => seq.map(json).mkString("[", ",", "]")
+      case r: Row => r.schema.fieldNames.zip(r.toSeq)
+        .map { case (k, x) => s"${json(k)}:${json(x)}" }.mkString("{", ",", "}")
+      case b: Boolean => b.toString
+      case n => n.toString
+    }
+    def cell(v: Any, dt: DataType): String = v match {
       case null => ""
-      case s: String => "\"" + s.replace("\"", "\"\"") + "\""
+      case _ if isObjectType(dt) => quote(json(v))
+      case s: String => quote(s)
       case other => other.toString
     }
     (st.fieldNames.mkString(",") +:
-      page.map(r => r.toSeq.map(cell).mkString(","))).mkString("\n") + "\n"
+      page.map(r => st.fields.indices.map(i =>
+        cell(r.get(i), st.fields(i).dataType)).mkString(","))).mkString("\n") + "\n"
   }
 
   /** A [[SyncTarget.PageSink]] that drives the full Snowflake protocol

@@ -121,12 +121,20 @@ object WebhookAuth {
       case (None, _) => Rejected("missing signature")
       case (_, None) => Rejected("missing nonce")
       case (Some(sig), Some(n)) =>
-        val uri = java.net.URI.create(requestUrl.split("\\?")(0))
-        val canonical = new java.net.URI(
-          uri.getScheme, null, uri.getHost, uri.getPort, uri.getPath, null, null).toString
-        val calc = java.util.Base64.getEncoder
-          .encodeToString(hmacRaw("HmacSHA256", authToken, canonical + n))
-        if (constantTimeEquals(calc, sig)) Accepted else Rejected("invalid signature")
+        // the URL is attacker-influenced (request-target/Host); a parse
+        // failure must be a 4xx verdict like every other family, never an
+        // exception escaping the verifier
+        try {
+          val uri = java.net.URI.create(requestUrl.split("\\?")(0))
+          val canonical = new java.net.URI(
+            uri.getScheme, null, uri.getHost, uri.getPort, uri.getPath, null, null).toString
+          val calc = java.util.Base64.getEncoder
+            .encodeToString(hmacRaw("HmacSHA256", authToken, canonical + n))
+          if (constantTimeEquals(calc, sig)) Accepted else Rejected("invalid signature")
+        } catch {
+          case _: IllegalArgumentException | _: java.net.URISyntaxException =>
+            Rejected("malformed url")
+        }
     }
 
   /** HTTP Basic credential equality (`twilio_sms_v1.rb`): the Authorization

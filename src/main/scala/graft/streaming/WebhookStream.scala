@@ -68,8 +68,12 @@ object WebhookStream {
                        tableDir: String, checkpointDir: String,
                        buckets: Int): StreamingQuery = {
     import graft.operators.{Merge, PartitionedStore, Projection => P}
+    // "initialized" means a COMMITTED snapshot exists (manifest present) —
+    // a non-empty directory is not enough: a crash between epoch-data write
+    // and manifest publish leaves orphan files, and routing the retry to
+    // mergeInto would wedge the stream on "no committed snapshot".
     val initialized = new java.util.concurrent.atomic.AtomicBoolean(
-      Option(new java.io.File(tableDir).list()).exists(_.nonEmpty))
+      graft.operators.PartitionedStore.currentManifest(tableDir).isDefined)
     spark.readStream
       .schema(requestSchema)
       .json(sourceDir)

@@ -145,6 +145,28 @@ class DagAndPartitionSpec extends SparkSpec {
       .select("v").as[Long].collect()(0) == 888L)
   }
 
+  test("empty snapshot commits with schema; vacuum keeps it and prunes manifests") {
+    val dir = java.nio.file.Files.createTempDirectory("pstore-empty").toString
+    val empty = Seq.empty[(String, Long)].toDF("k", "v")
+    PartitionedStore.write(empty, dir, "k", buckets = 4)
+    val seen = PartitionedStore.read(spark, dir)
+    assert(seen.count() == 0)
+    assert(seen.columns.toSet == Set("k", "v", PartitionedStore.BucketCol))
+    // vacuum must not reclaim the schema-bearing epoch of the empty snapshot
+    PartitionedStore.vacuum(dir)
+    assert(PartitionedStore.read(spark, dir).count() == 0)
+    // merging into the empty snapshot works and manifests prune past retention
+    (1 to PartitionedStore.ManifestRetention + 4).foreach { i =>
+      PartitionedStore.mergeInto(spark, dir, Seq((s"key-$i", i.toLong)).toDF("k", "v"),
+        MergeSpec(Seq("k"), orderCol = "v"), "k", buckets = 4)
+    }
+    PartitionedStore.vacuum(dir)
+    val manifests = new java.io.File(s"$dir/_manifest").list().count(_.endsWith(".json"))
+    assert(manifests == PartitionedStore.ManifestRetention + 1)
+    assert(PartitionedStore.read(spark, dir).count() ==
+      PartitionedStore.ManifestRetention + 4)
+  }
+
   test("E9 sequence defaulter: captures when present, unique surrogates otherwise") {
     val df = Seq("ep-7", "none", "other", "ep-9").toDF("s")
       .withColumn("id", Converters.intOrSequenceFromRegex(col("s"), "ep-(\\d+)", 1000000L))

@@ -36,6 +36,12 @@ class ZOrderSpec extends SparkSpec {
     assert(got.toSeq == got.toSeq.sorted)
   }
 
+  test("cluster tolerates an empty input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ZOrder.cluster(empty, Seq("a", "b"), 4).count() == 0)
+  }
+
   test("clustering localizes range filters on both dimensions") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))

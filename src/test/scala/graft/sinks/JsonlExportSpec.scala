@@ -38,6 +38,15 @@ class JsonlExportSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("manifest matches the written bytes even for a non-deterministic plan") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    val nondet = docs.withColumn("salt", rand())
+    val stats = JsonlExport.export(nondet, dir, keyCol = "doc_id", shards = 3)
+    // stats come from the files on disk, so a plan that evaluates
+    // differently per job can never publish a lying manifest
+    assert(JsonlExport.verify(spark, dir) == stats)
+  }
+
   test("shard membership and checksums are identical across re-exports") {
     val d1 = Files.createTempDirectory("jsonl").toString
     val d2 = Files.createTempDirectory("jsonl").toString

@@ -82,6 +82,19 @@ class SnowflakeExportSpec extends AnyFunSuite {
       "3,\n")
   }
 
+  test("csv render: OBJECT cells land as quoted JSON for parse_json") {
+    val withMap = StructType(Seq(
+      StructField("pk", LongType),
+      StructField("data", MapType(StringType, StringType))))
+    val csv = SnowflakeExport.renderCsv(withMap, Seq(
+      Row(1L, Map("k" -> "v", "k2" -> "with,comma")),
+      Row(2L, null)))
+    val lines = csv.split("\n")
+    // one quoted cell (commas inside must not split the row), valid JSON inside
+    assert(lines(1) == "1,\"{\"\"k\"\":\"\"v\"\",\"\"k2\"\":\"\"with,comma\"\"}\"")
+    assert(lines(2) == "2,")
+  }
+
   test("sink drives ensure-schema once then stage+merge per page") {
     val dir = java.nio.file.Files.createTempDirectory("snowspool")
     val ran = scala.collection.mutable.ArrayBuffer[String]()

@@ -82,4 +82,11 @@ class WebhookAuthSpec extends AnyFunSuite {
     assert(verifyBasicAuth(Some(bad), secret) == Rejected("invalid"))
     assert(verifyBasicAuth(Some("Basic %%%not-base64%%%"), secret) == Rejected("invalid"))
   }
+
+  test("plivo: a malformed request URL is a verdict, not an exception") {
+    assert(verifyUrlNonceSignature(Some("sig"), Some("nonce"),
+      "http://h ost/path with spaces", "tok") == Rejected("malformed url"))
+    assert(verifyUrlNonceSignature(Some("sig"), Some("nonce"),
+      "http://host/%zz-bad-escape", "tok") == Rejected("malformed url"))
+  }
 }
