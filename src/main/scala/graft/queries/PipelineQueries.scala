@@ -243,6 +243,67 @@ object PipelineQueries {
     FROM sh JOIN counts USING (sh)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------------------------------------------- q92/q93 layout utilities
+
+  /** q92 — salted join ([[graft.operators.SaltedJoin]]): lineitem keyed
+    * down to 10 hot part-groups (extreme deterministic skew: ~10% of the
+    * table per key) joined to a 10-row dim through the salting fan-out.
+    * The oracle is the PLAIN join — salting must be invisible in results.
+    */
+  def q92(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select((col("l_partkey") % 10).as("grp"), col("l_quantity"))
+    val dim = Tables.region(spark, d).select(col("r_regionkey"), col("r_name"))
+      .unionByName(Tables.nation(spark, d)
+        .filter(col("n_nationkey") >= 20)
+        .select(col("n_nationkey").as("r_regionkey"), col("n_name").as("r_name")))
+      .withColumn("grp", col("r_regionkey") % 10)
+      .select(col("grp"), col("r_name").as("grp_name"))
+    graft.operators.SaltedJoin.join(li, dim, keys = Seq("grp"), salts = 8)
+      .groupBy("grp", "grp_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(22,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("grp"), col("grp_name"))
+  }
+
+  val q92Sql: String = """
+    WITH li AS (SELECT l_partkey % 10 AS grp, l_quantity FROM lineitem),
+    dim AS (
+      SELECT r_regionkey % 10 AS grp, r_name AS grp_name FROM region
+      UNION ALL
+      SELECT n_nationkey % 10 AS grp, n_name AS grp_name FROM nation
+      WHERE n_nationkey >= 20)
+    SELECT grp, grp_name, count(*) AS cnt,
+      CAST(sum(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty
+    FROM li JOIN dim USING (grp)
+    GROUP BY grp, grp_name ORDER BY grp, grp_name"""
+
+  /** q93 — per-key capped sampling: keep at most 5 documents per language,
+    * chosen by a deterministic content-independent hash order (md5 of the
+    * id) — the "cap documents per source/domain" step of corpus curation,
+    * reproducible across runs and engines. One window pass; at scale the
+    * rank pushes down to a per-partition top-k before the shuffle
+    * (WindowGroupLimit). */
+  def q93(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= 5)
+      .select("lang", "rank", "doc_id")
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q93Sql: String = """
+    WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    r AS (SELECT lang, doc_id,
+      CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rank
+      FROM h)
+    SELECT lang, rank, doc_id FROM r WHERE rank <= 5
+    ORDER BY lang, rank"""
+
   // ---------------------------------------------------------- q59 z-order
 
   /** q59 — Z-order (Morton) values ([[graft.operators.ZOrder]]): the bit
@@ -608,7 +669,9 @@ object PipelineQueries {
     "q56_asof_tolerance" -> (q56 _),
     "q57_asof_forward" -> (q57 _),
     "q58_pq_ann" -> (q58 _),
-    "q59_zorder" -> (q59 _))
+    "q59_zorder" -> (q59 _),
+    "q92_salted_join" -> (q92 _),
+    "q93_per_key_cap" -> (q93 _))
 
   val oracles: Map[String, String] = Map(
     "q46_pii_redaction" -> q46Sql,
@@ -621,7 +684,9 @@ object PipelineQueries {
     "q56_asof_tolerance" -> q56Sql,
     "q57_asof_forward" -> q57Sql,
     "q58_pq_ann" -> q58Sql,
-    "q59_zorder" -> q59Sql)
+    "q59_zorder" -> q59Sql,
+    "q92_salted_join" -> q92Sql,
+    "q93_per_key_cap" -> q93Sql)
 }
 
 /** Shared SQL fragments for text oracles. */

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Salted join: result parity with the plain join (salting is layout, not
+  * semantics) and the layout actually spreads a hot key across tasks. */
+class SaltedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parity with the plain join on a skewed key") {
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) 7L else i % 5L, i.toLong))
+      .toDF("k", "v")
+    val dim = Seq((7L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (0L, "z"))
+      .toDF("k", "name")
+    val salted = SaltedJoin.join(big, dim, Seq("k"), salts = 8)
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("k").collect().map(_.toSeq)
+    val plain = big.join(dim, Seq("k"))
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("k").collect().map(_.toSeq)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("the hot key's rows spread across many partitions after the join shuffle") {
+    // broadcast disabled: with a broadcastable dim there is no shuffle and
+    // no skew problem — salting exists for compact-but-not-broadcastable
+    // sides, so the test forces the shuffled path both engines would take
+    // also pin AQE's partition coalescing off: the test data is tiny, and
+    // folding the 8 salt partitions back into one would hide the spread
+    // this test exists to observe (at real scale the partitions are fat
+    // enough that AQE keeps them apart)
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val big = (1 to 20000).map(i => (7L, i.toLong)).toDF("k", "v") // ALL rows hot
+      val dim = Seq((7L, "hot")).toDF("k", "name")
+      val spread = SaltedJoin.join(big.repartition(8), dim, Seq("k"), salts = 8)
+        .withColumn("pid", spark_partition_id())
+        .select("pid").distinct().count()
+      val unsalted = big.repartition(8).join(dim, Seq("k"))
+        .withColumn("pid", spark_partition_id())
+        .select("pid").distinct().count()
+      assert(unsalted == 1L,
+        s"plain join should funnel the hot key into one partition, got $unsalted")
+      assert(spread >= 4L,
+        s"salted join should spread the hot key, got $spread partitions")
+    } finally prev.foreach { case (c, v) =>
+      v.fold(spark.conf.unset(c))(spark.conf.set(c, _)) }
+  }
+}
