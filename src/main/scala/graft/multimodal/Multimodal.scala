@@ -269,4 +269,81 @@ object Multimodal {
   def sampleFrames(bytes: Array[Byte], frameSize: Int, stride: Int): Iterator[Array[Byte]] =
     bytes.grouped(frameSize).zipWithIndex
       .collect { case (chunk, i) if i % stride == 0 => chunk }
+
+  // ------------------------------------------------------- frame container
+
+  /** A REAL (if minimal) video container: magic + frame count + length-
+    * prefixed encoded frames. The JDK has image codecs but no video demuxer,
+    * so the engine ships its own deterministic container for the frame-
+    * sampling path — parsing, striding, and per-frame decode are all real;
+    * only the container format is engine-defined (an MJPEG-style
+    * concatenation, which is exactly what early video pipelines used). */
+  private val ContainerMagic = Array[Byte]('G', 'V', 'I', 'D')
+
+  def encodeFrameContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(ContainerMagic)
+    dos.writeInt(frames.size)
+    frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** None for payloads that are not a well-formed container (wrong magic,
+    * truncated frame, negative length) — tolerate-and-null like the codecs. */
+  def decodeFrameContainer(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      if (!magic.sameElements(ContainerMagic)) return None
+      val n = in.readInt()
+      if (n < 0 || n > (1 << 20)) return None
+      Some((0 until n).map { _ =>
+        val len = in.readInt()
+        if (len < 0 || len > bytes.length) throw new java.io.IOException("bad frame length")
+        val f = new Array[Byte](len)
+        in.readFully(f)
+        f
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  final case class FrameFeatures(doc_id: Long, frame_idx: Long, width: Long,
+                                 height: Long, px_sum: Long)
+
+  /** Frame-sample + decode: parse the container, keep every `stride`-th
+    * frame, decode each through the real image codec, emit per-frame
+    * features. mapPartitions (codec per row, batch per partition) — the
+    * same executor-side shape as the image/audio paths; malformed
+    * containers and undecodable frames drop to no rows. */
+  def videoFrameFeatures(media: DataFrame, stride: Int,
+                         idCol: String = "doc_id"): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeFrameContainer(bytes).toSeq.flatMap { frames =>
+          frames.zipWithIndex
+            .collect { case (f, i) if i % stride == 0 => (f, i) }
+            .flatMap { case (f, i) =>
+              decodeImage(f).map { img =>
+                var sum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val p = img.getRGB(x, y)
+                    sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                    x += 1
+                  }
+                  y += 1
+                }
+                FrameFeatures(id, i.toLong, img.getWidth.toLong,
+                  img.getHeight.toLong, sum)
+              }
+            }
+        }
+      })
+  }
 }

@@ -100,11 +100,60 @@ object MultimodalQueries {
     FROM (SELECT doc_id, (doc_id % 50) + 20 AS n FROM documents)
     ORDER BY doc_id"""
 
+  /** Deterministic 6-frame container per doc: frame f is a PNG whose dims
+    * depend on the doc and whose pixels depend on (doc, frame, x, y). */
+  private[queries] def videoFor(id: Long): Array[Byte] = {
+    val w = (id % 7 + 3).toInt
+    val h = (id % 5 + 3).toInt
+    val frames = (0 until 6).map { f =>
+      Multimodal.encodePng(w, h, (x, y) => {
+        val r = ((id * 31 + f * 19 + x * 7 + y * 3) % 256).toInt
+        val g = ((id * 17 + f * 29 + x * 5 + y * 11) % 256).toInt
+        val b = ((id * 23 + f * 37 + x * 13 + y) % 256).toInt
+        (r << 16) | (g << 8) | b
+      })
+    }
+    Multimodal.encodeFrameContainer(frames)
+  }
+
+  /** q94 — video frame sampling under oracle: container demux (engine's
+    * own MJPEG-style format — the JDK ships no video demuxer) -> every 2nd
+    * frame -> real PNG decode -> per-frame checksum. */
+  def q94(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, videoFor(id))))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "video/x-graft-frames")
+    Multimodal.videoFrameFeatures(media, stride = 2).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("px_sum"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val q94Sql: String = """
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 7) + 3 AS w, (doc_id % 5) + 3 AS h FROM documents
+    ), frames AS (
+      SELECT doc_id, w, h, unnest([0, 2, 4]) AS f FROM dims
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        list_transform(range(0, w), x ->
+          ((doc_id*31 + f*19 + x*7 + y*3) % 256)
+          + ((doc_id*17 + f*29 + x*5 + y*11) % 256)
+          + ((doc_id*23 + f*37 + x*13 + y) % 256))))) AS BIGINT) AS px_sum
+    FROM frames ORDER BY doc_id, frame_idx"""
+
   val defs: Map[String, Q] = Map(
     "q51_image_decode" -> (q51 _),
-    "q52_audio_decode" -> (q52 _))
+    "q52_audio_decode" -> (q52 _),
+    "q94_video_frames" -> (q94 _))
 
   val oracles: Map[String, String] = Map(
     "q51_image_decode" -> q51Sql,
-    "q52_audio_decode" -> q52Sql)
+    "q52_audio_decode" -> q52Sql,
+    "q94_video_frames" -> q94Sql)
 }

@@ -92,4 +92,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f.duration_ms == 250)
     assert(f.sum_abs == samples.map(s => math.abs(s.toLong)).sum)
   }
+
+  test("frame container round-trips and rejects malformed payloads") {
+    val frames = (0 until 4).map(i =>
+      Multimodal.encodePng(3, 2, (x, y) => (i * 50 + x * 10 + y) & 0xFFFFFF))
+    val packed = Multimodal.encodeFrameContainer(frames)
+    val back = Multimodal.decodeFrameContainer(packed)
+    assert(back.isDefined && back.get.size == 4)
+    back.get.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    assert(Multimodal.decodeFrameContainer("not a container".getBytes).isEmpty)
+    assert(Multimodal.decodeFrameContainer(packed.dropRight(5)).isEmpty) // truncated
+    assert(Multimodal.decodeFrameContainer(Array[Byte]('G', 'V', 'I', 'D')).isEmpty)
+  }
+
+  test("frame sampling decodes every stride-th frame with real codecs") {
+    import spark.implicits._
+    val frames = (0 until 6).map(i =>
+      Multimodal.encodePng(2, 2, (x, y) => ((i + 1) << 16) | (x << 8) | y))
+    val df = Multimodal.asMedia(
+      Seq((9L, Multimodal.encodeFrameContainer(frames))).toDF("doc_id", "payload"),
+      "payload", "video/x-graft-frames")
+    val got = Multimodal.videoFrameFeatures(df, stride = 3).collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0L, 3L))
+    // px_sum: 4 pixels, r=(i+1) g=x b=y -> sum = 4(i+1) + 2*1 + 2*1
+    assert(got.map(_.px_sum).toSeq == Seq(4L * 1 + 2 + 2, 4L * 4 + 2 + 2))
+  }
 }
