@@ -123,10 +123,33 @@ object PartitionedStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     currentManifest(dir) match {
       case None => spark.read.parquet(dir) // pre-manifest flat layout
-      case Some(m) if m.buckets.isEmpty => // committed empty snapshot
-        spark.read.parquet(s"$dir/e${m.version}")
-      case Some(m) => readBuckets(spark, dir, m, m.buckets.keys.toSeq.sorted)
+      case Some(m) => readManifest(spark, dir, m)
     }
+
+  /** Time travel: read the snapshot as of a PAST committed version — every
+    * manifest inside the [[ManifestRetention]] window is a complete,
+    * immutable description of its snapshot (epochs are append-only until
+    * [[vacuum]], which honors the same window). */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val p = Paths.get(dir, ManifestDir, manifestName(version))
+    require(Files.exists(p),
+      s"version $version is not committed (or vacuumed past retention) at $dir")
+    readManifest(spark, dir,
+      parse(new String(Files.readAllBytes(p), "UTF-8")))
+  }
+
+  /** Committed versions still readable, oldest first. */
+  def versions(dir: String): Seq[Long] = {
+    val md = Paths.get(dir, ManifestDir)
+    if (!Files.isDirectory(md)) Seq.empty
+    else listDir(md).map(_.getFileName.toString)
+      .filter(_.matches("v\\d{12}\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted
+  }
+
+  private def readManifest(spark: SparkSession, dir: String, m: Manifest): DataFrame =
+    if (m.buckets.isEmpty) spark.read.parquet(s"$dir/e${m.version}") // empty snapshot
+    else readBuckets(spark, dir, m, m.buckets.keys.toSeq.sorted)
 
   private def readBuckets(spark: SparkSession, dir: String, m: Manifest,
                           buckets: Seq[Int]): DataFrame = {
@@ -183,39 +206,45 @@ object PartitionedStore {
     * / late-reader window; the current version never counts against it). */
   val ManifestRetention = 10
 
-  def vacuum(dir: String): Seq[String] = {
+  def vacuum(dir: String, retain: Int = ManifestRetention): Seq[String] = {
     val current = currentManifest(dir)
-    // the current version's epoch dir stays live even when it owns no
-    // buckets (it carries the schema of a committed empty snapshot)
-    val live = current.map(m => m.epochDirs.keySet + m.version).getOrElse(Set.empty)
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return Seq.empty
-    val doomed = listDir(root)
-      .filter(p => p.getFileName.toString.matches("e\\d+") &&
-        !live.contains(p.getFileName.toString.stripPrefix("e").toLong))
-    doomed.foreach { p =>
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
-    // With a committed manifest: also prune superseded manifest files past
-    // the retention window (a per-microbatch merge cadence would otherwise
-    // grow _manifest forever and slow every currentManifest listing), and
-    // reclaim pre-manifest flat-layout bucket dirs orphaned by the upgrade.
-    val legacy = if (current.isEmpty) Seq.empty
-    else listDir(root).filter(_.getFileName.toString.startsWith(s"$BucketCol="))
-    legacy.foreach { p =>
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
+    // 1. Prune superseded manifest files past the retention window first (a
+    //    per-microbatch merge cadence would otherwise grow _manifest forever
+    //    and slow every currentManifest listing).
     current.foreach { _ =>
       val md = Paths.get(dir, ManifestDir)
       listDir(md)
         .filter(_.getFileName.toString.matches("v\\d{12}\\.json"))
         .sortBy(_.getFileName.toString)
-        .dropRight(ManifestRetention + 1)
+        .dropRight(retain + 1)
         .foreach(Files.delete)
+    }
+    // 2. Live epochs = everything ANY retained manifest still references —
+    //    readAt() must keep working for the whole retention window, not
+    //    just the newest version. A version's own epoch stays live even
+    //    when it owns no buckets (the schema of a committed empty snapshot).
+    val live: Set[Long] = {
+      val md = Paths.get(dir, ManifestDir)
+      if (!Files.isDirectory(md)) Set.empty
+      else listDir(md)
+        .filter(_.getFileName.toString.matches("v\\d{12}\\.json"))
+        .map(p => parse(new String(Files.readAllBytes(p), "UTF-8")))
+        .flatMap(m => m.buckets.values.toSet + m.version)
+        .toSet
+    }
+    val doomed = listDir(root)
+      .filter(p => p.getFileName.toString.matches("e\\d+") &&
+        !live.contains(p.getFileName.toString.stripPrefix("e").toLong))
+    // 3. Reclaim pre-manifest flat-layout bucket dirs orphaned by the
+    //    layout upgrade (only once a manifest owns the table).
+    val legacy = if (current.isEmpty) Seq.empty
+    else listDir(root).filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+    (doomed ++ legacy).foreach { p =>
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
     (doomed ++ legacy).map(_.getFileName.toString).sorted
   }

@@ -133,16 +133,45 @@ class DagAndPartitionSpec extends SparkSpec {
     assert(healed.filter(col("k") === "key-1").select("v").as[Long].collect()(0) == 888L)
     assert(healed.count() == 40)
 
-    // compact folds live epochs into one; vacuum removes orphaned history
+    // compact folds live epochs into one; vacuum with zero retention
+    // removes all superseded history (default retention keeps the
+    // time-travel window — see the readAt test)
     PartitionedStore.compact(spark, dir)
     val compacted = PartitionedStore.currentManifest(dir).get
     assert(compacted.epochDirs.size == 1)
-    val removed = PartitionedStore.vacuum(dir)
+    val removed = PartitionedStore.vacuum(dir, retain = 0)
     assert(removed.nonEmpty)
     val afterVacuum = PartitionedStore.read(spark, dir)
     assert(afterVacuum.count() == 40)
     assert(afterVacuum.filter(col("k") === "key-1")
       .select("v").as[Long].collect()(0) == 888L)
+  }
+
+  test("readAt time-travels across retained versions; vacuum honors the window") {
+    val dir = java.nio.file.Files.createTempDirectory("pstore-tt").toString
+    PartitionedStore.write(Seq(("key-1", 1L), ("key-2", 2L)).toDF("k", "v"),
+      dir, "k", buckets = 4)
+    PartitionedStore.mergeInto(spark, dir, Seq(("key-1", 10L)).toDF("k", "v"),
+      MergeSpec(Seq("k"), orderCol = "v"), "k", buckets = 4)
+    PartitionedStore.mergeInto(spark, dir, Seq(("key-3", 30L)).toDF("k", "v"),
+      MergeSpec(Seq("k"), orderCol = "v"), "k", buckets = 4)
+    val vs = PartitionedStore.versions(dir)
+    assert(vs.size == 3)
+    def valueOf(df: org.apache.spark.sql.DataFrame, k: String): Option[Long] =
+      df.filter(col("k") === k).select("v").as[Long].collect().headOption
+    // default vacuum keeps every retained version readable
+    PartitionedStore.vacuum(dir)
+    assert(valueOf(PartitionedStore.readAt(spark, dir, vs(0)), "key-1").contains(1L))
+    assert(valueOf(PartitionedStore.readAt(spark, dir, vs(0)), "key-3").isEmpty)
+    assert(valueOf(PartitionedStore.readAt(spark, dir, vs(1)), "key-1").contains(10L))
+    assert(valueOf(PartitionedStore.readAt(spark, dir, vs(2)), "key-3").contains(30L))
+    // zero-retention vacuum collapses the window; old versions are gone
+    PartitionedStore.vacuum(dir, retain = 0)
+    assert(PartitionedStore.versions(dir) == Seq(vs(2)))
+    intercept[IllegalArgumentException] {
+      PartitionedStore.readAt(spark, dir, vs(0))
+    }
+    assert(valueOf(PartitionedStore.read(spark, dir), "key-1").contains(10L))
   }
 
   test("empty snapshot commits with schema; vacuum keeps it and prunes manifests") {
