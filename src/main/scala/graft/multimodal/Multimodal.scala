@@ -20,6 +20,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default useCache=true backs every read/write stream with a
+  // TEMP FILE — tens of thousands of file creations per partition of codec
+  // work. All payloads here are in-memory byte arrays; cache in memory.
+  // (Object init runs once per JVM, driver and executors alike.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media column schema: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("bytes", BinaryType),
