@@ -188,6 +188,16 @@ object PartitionedStore {
     publish(dir, Manifest(v, m.buckets ++ landed.map(_ -> v)))
   }
 
+  /** Compact only when the live-epoch union depth crosses `maxEpochs` —
+    * the policy a per-microbatch merge cadence needs: merges stay O(batch)
+    * while read fan-out stays bounded, and the full rewrite amortizes over
+    * `maxEpochs` batches. Returns true when a compaction ran. */
+  def maybeCompact(spark: SparkSession, dir: String, maxEpochs: Int = 8): Boolean =
+    currentManifest(dir) match {
+      case Some(m) if m.epochDirs.size > maxEpochs => compact(spark, dir); true
+      case _ => false
+    }
+
   /** Fold all live epochs into one: a full rewrite that bounds the epoch
     * union depth (run on the reference's retention cadence, not per batch). */
   def compact(spark: SparkSession, dir: String): Unit = {
