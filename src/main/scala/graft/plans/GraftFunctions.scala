@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{NfcNormalize, Str2IntHash}
+import graft.functions.expressions.{DotLong, L2SqLong, MinhashSig, NfcNormalize, SimHash32, Str2IntHash}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Cast, Literal}
 import org.apache.spark.sql.types.StringType
@@ -24,5 +24,32 @@ object GraftFunctions {
       "nfc_normalize",
       exprs => NfcNormalize(Cast(exprs.head, StringType)),
       "scala_udf")
+    // corpus sketch + vector kernels (all native codegen expressions):
+    // graft_simhash(hash_array[, bits]), graft_minhash(hash_array, k),
+    // graft_dot(a, b), graft_l2sq(a, b)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHash32(exprs.head,
+        exprs.lift(1).map(litInt(_, "graft_simhash bits")).getOrElse(32)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinhashSig(exprs.head, litInt(exprs(1), "graft_minhash k")),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotLong(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq",
+      exprs => L2SqLong(exprs.head, exprs(1)),
+      "scala_udf")
+  }
+
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 }

@@ -73,6 +73,27 @@ class CorpusFnSpec extends SparkSpec {
     assert(r.getLong(0) != r.getLong(2))
   }
 
+  test("corpus kernels are callable from the SQL surface") {
+    graft.plans.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, typedLit}
+    val row = spark.sql(
+      """SELECT graft_dot(array(1L,2L), array(3L,4L)) AS d,
+        |       graft_l2sq(array(0L,3L), array(4L,7L)) AS l,
+        |       graft_minhash(array(5L,9L), 4) AS mh,
+        |       graft_simhash(array(5L,9L)) AS sh""".stripMargin).collect()(0)
+    assert(row.getLong(0) == 11L)
+    assert(row.getLong(1) == 32L)
+    assert(row.getSeq[Long](2).size == 4)
+    // parity with the Column API forms
+    import spark.implicits._
+    val viaCols = Seq(Seq(5L, 9L)).toDF("h")
+      .select(Hashing.minhashSignature(col("h"), 4).as("mh"),
+        Hashing.simhash(col("h"), 32).as("sh"))
+      .collect()(0)
+    assert(row.getSeq[Long](2) == viaCols.getSeq[Long](0))
+    assert(row.getLong(3) == viaCols.getLong(1))
+  }
+
   test("langid picks the language with most markers") {
     val scores = Text.langScores(col("t"))
     val df = Seq("el que la de los por es una cosa").toDF("t")

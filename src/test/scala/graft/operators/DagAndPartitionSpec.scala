@@ -174,6 +174,22 @@ class DagAndPartitionSpec extends SparkSpec {
     assert(valueOf(PartitionedStore.read(spark, dir), "key-1").contains(10L))
   }
 
+  test("maybeCompact folds only past the epoch-depth threshold") {
+    val dir = java.nio.file.Files.createTempDirectory("pstore-mc").toString
+    PartitionedStore.write(Seq(("key-1", 1L)).toDF("k", "v"), dir, "k", buckets = 2)
+    (2 to 3).foreach(i => PartitionedStore.mergeInto(spark, dir,
+      Seq((s"key-$i", i.toLong)).toDF("k", "v"),
+      MergeSpec(Seq("k"), orderCol = "v"), "k", buckets = 2))
+    // epoch depth is 2 or 3 depending on which buckets the keys hash into
+    val depth = PartitionedStore.currentManifest(dir).get.epochDirs.size
+    assert(depth >= 2)
+    assert(!PartitionedStore.maybeCompact(spark, dir, maxEpochs = 8))
+    assert(PartitionedStore.currentManifest(dir).get.epochDirs.size == depth)
+    assert(PartitionedStore.maybeCompact(spark, dir, maxEpochs = 1))
+    assert(PartitionedStore.currentManifest(dir).get.epochDirs.size == 1)
+    assert(PartitionedStore.read(spark, dir).count() == 3)
+  }
+
   test("empty snapshot commits with schema; vacuum keeps it and prunes manifests") {
     val dir = java.nio.file.Files.createTempDirectory("pstore-empty").toString
     val empty = Seq.empty[(String, Long)].toDF("k", "v")
