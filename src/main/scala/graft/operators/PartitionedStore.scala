@@ -151,6 +151,30 @@ object PartitionedStore {
     if (m.buckets.isEmpty) spark.read.parquet(s"$dir/e${m.version}") // empty snapshot
     else readBuckets(spark, dir, m, m.buckets.keys.toSeq.sorted)
 
+  /** Row-level diff between two committed versions: (keys..., change) with
+    * change in {added, removed, changed} — the audit view time travel
+    * enables ("what did batch N actually do"). One full-outer join on the
+    * key; content comparison is an md5 over the non-key columns in sorted
+    * column order, so column order changes don't read as data changes. */
+  def diff(spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long,
+           keyCols: Seq[String]): DataFrame = {
+    def hashed(v: Long, tag: String): DataFrame = {
+      val df = readAt(spark, dir, v)
+      val payload = df.columns.filterNot(keyCols.contains).sorted
+      df.select(keyCols.map(col) :+
+        md5(to_json(struct(payload.map(col).toSeq: _*))).as(s"__h_$tag"): _*)
+    }
+    val a = hashed(fromVersion, "from")
+    val b = hashed(toVersion, "to")
+    a.join(b, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__h_from").isNull, lit("added"))
+          .when(col("__h_to").isNull, lit("removed"))
+          .when(col("__h_from") =!= col("__h_to"), lit("changed")))
+      .where(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   private def readBuckets(spark: SparkSession, dir: String, m: Manifest,
                           buckets: Seq[Int]): DataFrame = {
     val want = buckets.toSet

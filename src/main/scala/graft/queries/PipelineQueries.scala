@@ -243,6 +243,57 @@ object PipelineQueries {
     FROM sh JOIN counts USING (sh)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------------ q95 doc chunking
+
+  private val ChunkLen = 32
+  private val ChunkStride = 16
+
+  /** q95 — context-window chunking: split each document's token stream into
+    * fixed-length windows with 50% overlap (the standard long-document ->
+    * training-sample step). Pure map-side array slicing — zero shuffles;
+    * each chunk carries its token count and a content fingerprint so
+    * downstream packing/dedup can run without re-tokenizing. The final
+    * (short) window is kept iff it adds tokens the previous window did not
+    * cover. */
+  def q95(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .where(col("n") > 0)
+    // chunk starts: 1, 1+stride, 1+2*stride, ... while start <= n (the
+    // last window may be short); drop a trailing window fully covered by
+    // its predecessor (start + len(prev) > n means prev reached the end).
+    val starts = sequence(lit(1), col("n"), lit(ChunkStride))
+    val chunks = docs
+      .select(col("doc_id"), col("n"), posexplode(starts).as(Seq("idx", "start")))
+      .where(col("idx") === 0 || col("start") + lit(ChunkLen - ChunkStride) <= col("n"))
+    chunks
+      .join(docs.select(col("doc_id"), col("t")), Seq("doc_id"))
+      .select(col("doc_id"), col("idx").cast(LongType).as("chunk_idx"),
+        slice(col("t"), col("start"), lit(ChunkLen)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q95Sql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(${TextSql.norm}, ' ') AS t,
+        len(string_split(${TextSql.norm}, ' ')) AS n
+      FROM documents WHERE length(${TextSql.norm}) > 0
+    ), starts AS (
+      SELECT doc_id, n, t, unnest(range(1, n + 1, $ChunkStride)) AS start
+      FROM toks
+    ), kept AS (
+      SELECT doc_id, n, t, start, (start - 1) // $ChunkStride AS idx FROM starts
+      WHERE start = 1 OR start + ${ChunkLen - ChunkStride} <= n
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+      CAST(len(t[start:least(start + $ChunkLen - 1, n)]) AS BIGINT) AS n_tokens,
+      md5(array_to_string(t[start:least(start + $ChunkLen - 1, n)], ' ')) AS fp
+    FROM kept ORDER BY doc_id, chunk_idx"""
+
   // ---------------------------------------------- q92/q93 layout utilities
 
   /** q92 — salted join ([[graft.operators.SaltedJoin]]): lineitem keyed
@@ -671,7 +722,8 @@ object PipelineQueries {
     "q58_pq_ann" -> (q58 _),
     "q59_zorder" -> (q59 _),
     "q92_salted_join" -> (q92 _),
-    "q93_per_key_cap" -> (q93 _))
+    "q93_per_key_cap" -> (q93 _),
+    "q95_doc_chunking" -> (q95 _))
 
   val oracles: Map[String, String] = Map(
     "q46_pii_redaction" -> q46Sql,
@@ -686,7 +738,8 @@ object PipelineQueries {
     "q58_pq_ann" -> q58Sql,
     "q59_zorder" -> q59Sql,
     "q92_salted_join" -> q92Sql,
-    "q93_per_key_cap" -> q93Sql)
+    "q93_per_key_cap" -> q93Sql,
+    "q95_doc_chunking" -> q95Sql)
 }
 
 /** Shared SQL fragments for text oracles. */

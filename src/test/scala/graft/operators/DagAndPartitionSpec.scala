@@ -165,6 +165,17 @@ class DagAndPartitionSpec extends SparkSpec {
     assert(valueOf(PartitionedStore.readAt(spark, dir, vs(0)), "key-3").isEmpty)
     assert(valueOf(PartitionedStore.readAt(spark, dir, vs(1)), "key-1").contains(10L))
     assert(valueOf(PartitionedStore.readAt(spark, dir, vs(2)), "key-3").contains(30L))
+    // diff between versions: v1->v2 changed key-1; v2->v3 added key-3
+    val d12 = PartitionedStore.diff(spark, dir, vs(0), vs(1), Seq("k"))
+      .as[(String, String)].collect().toSet
+    assert(d12 == Set(("key-1", "changed")))
+    val d13 = PartitionedStore.diff(spark, dir, vs(0), vs(2), Seq("k"))
+      .as[(String, String)].collect().toSet
+    assert(d13 == Set(("key-1", "changed"), ("key-3", "added")))
+    val d31 = PartitionedStore.diff(spark, dir, vs(2), vs(0), Seq("k"))
+      .as[(String, String)].collect().toSet
+    assert(d31 == Set(("key-1", "changed"), ("key-3", "removed")))
+
     // zero-retention vacuum collapses the window; old versions are gone
     PartitionedStore.vacuum(dir, retain = 0)
     assert(PartitionedStore.versions(dir) == Seq(vs(2)))
