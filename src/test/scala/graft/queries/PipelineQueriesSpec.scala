@@ -74,6 +74,32 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("q95: chunks match a plain sliding-window recomputation") {
+    val got = PipelineQueries.q95(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    docs.foreach { case (id, text) =>
+      val t = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val want = Iterator.from(0)
+        .map(i => (i, 1 + i * 16))
+        .takeWhile { case (_, start) => start <= t.length }
+        .filter { case (i, start) => i == 0 || start + 16 <= t.length }
+        .map { case (i, start) =>
+          val chunk = t.slice(start - 1, math.min(start - 1 + 32, t.length))
+          (id, i.toLong) -> (chunk.length.toLong, md5hex(chunk.mkString(" ")))
+        }.toMap
+      want.foreach { case (k, v) => assert(got(k) == v, s"chunk $k") }
+      assert(!got.contains((id, want.size.toLong)), s"doc $id has extra chunks")
+    }
+  }
+
   test("q54: every vector sits with its nearest final centroid (differential)") {
     val out = PipelineQueries.q54(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
