@@ -243,6 +243,81 @@ object PipelineQueries {
     FROM sh JOIN counts USING (sh)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // -------------------------------------------------- q96 semantic dedup
+
+  /** q96 — embedding-cosine near-dup dedup, end-to-end: the corpus has no
+    * natural semantic dups (random vectors), so every 10th vector gets a
+    * deterministically-perturbed variant planted (same construction in both
+    * engines, cosine ~0.9999 to its original); the pipeline then finds
+    * within-label pairs above 0.99, runs min-label connected components
+    * ([[graft.operators.DupClusters]]), and keeps one survivor per cluster.
+    * The scale shape is q37's: label-pruned pairs, norms precomputed
+    * map-side, never an unpruned all-pairs join.
+    */
+  def q96(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Vectors
+    val base = Tables.parallel(Tables.embeddings(spark, d))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000000d).cast(LongType)).as("qv"))
+    // transform's vec_id resolves against the INPUT row (the original id);
+    // the +100000 alias applies only to the output column
+    val variants = base.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+        transform(col("qv"), (x, i) =>
+          x + (col("vec_id") * 7 + i) % 2001 - 1000).as("qv"))
+    val corpus = base.unionByName(variants)
+      .withColumn("norm", sqrt(Vectors.dotLong(col("qv"), col("qv")).cast(DoubleType)))
+    val a = corpus.select(col("label"), col("vec_id").as("va"),
+      col("qv").as("qa"), col("norm").as("na"))
+    val b = corpus.select(col("label"), col("vec_id").as("vb"),
+      col("qv").as("qb"), col("norm").as("nb"))
+    val pairs = a.join(b, Seq("label")).where(col("va") < col("vb"))
+      .where((Vectors.dotLong(col("qa"), col("qb")).cast(DoubleType) /
+        (col("na") * col("nb"))) >= 0.99)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    val clusters = graft.operators.DupClusters.assign(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    corpus.select(col("vec_id")).join(clusters, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q96Sql: String = {
+    val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    val dot = "CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS DOUBLE)"
+    val na = "sqrt(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*a.qv[i])) AS DOUBLE))"
+    val nb = "sqrt(CAST(list_sum(list_transform(range(1, len(b.qv)+1), i -> b.qv[i]*b.qv[i])) AS DOUBLE))"
+    s"""
+    WITH RECURSIVE base AS (SELECT vec_id, label, $qv AS qv FROM embeddings),
+    variants AS (
+      -- alias kept distinct from vec_id: a lateral column alias would
+      -- otherwise capture the lambda's vec_id reference
+      SELECT vec_id + 100000 AS vid, label,
+        list_transform(range(1, len(qv) + 1),
+          i -> qv[i] + (vec_id * 7 + (i - 1)) % 2001 - 1000) AS qv
+      FROM base WHERE vec_id % 10 = 0),
+    corpus AS (SELECT vec_id, label, qv FROM base
+               UNION ALL SELECT vid, label, qv FROM variants),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE $dot / ($na * $nb) >= 0.99),
+    edges AS (SELECT va AS u, vb AS v FROM pairs
+              UNION ALL SELECT vb, va FROM pairs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+    clusters AS (SELECT u AS vec_id, min(r) AS cluster_id FROM reach GROUP BY u)
+    SELECT c.vec_id, COALESCE(cl.cluster_id, c.vec_id) AS cluster_id,
+      c.vec_id = COALESCE(cl.cluster_id, c.vec_id) AS keep
+    FROM corpus c LEFT JOIN clusters cl ON c.vec_id = cl.vec_id
+    ORDER BY c.vec_id"""
+  }
+
   // ------------------------------------------------------ q95 doc chunking
 
   private val ChunkLen = 32
@@ -723,7 +798,8 @@ object PipelineQueries {
     "q59_zorder" -> (q59 _),
     "q92_salted_join" -> (q92 _),
     "q93_per_key_cap" -> (q93 _),
-    "q95_doc_chunking" -> (q95 _))
+    "q95_doc_chunking" -> (q95 _),
+    "q96_semantic_dedup" -> (q96 _))
 
   val oracles: Map[String, String] = Map(
     "q46_pii_redaction" -> q46Sql,
@@ -739,7 +815,8 @@ object PipelineQueries {
     "q59_zorder" -> q59Sql,
     "q92_salted_join" -> q92Sql,
     "q93_per_key_cap" -> q93Sql,
-    "q95_doc_chunking" -> q95Sql)
+    "q95_doc_chunking" -> q95Sql,
+    "q96_semantic_dedup" -> q96Sql)
 }
 
 /** Shared SQL fragments for text oracles. */
