@@ -12,11 +12,15 @@ import org.apache.spark.sql.types._
   * Decode is REAL for everything the JDK ships a codec for: PNG/JPEG/GIF/BMP
   * via `javax.imageio.ImageIO` ([[decodeImage]]) and PCM WAV via
   * `javax.sound.sampled.AudioSystem` ([[decodeWavPcm16]]), plus a
-  * deterministic nearest-neighbor resize ([[resizeNearest]]). Both decode
-  * paths are oracle-gated end to end (q51/q52): deterministic payloads are
-  * encoded on executors, round-tripped through the codec, and the extracted
-  * features hash-compared against DuckDB arithmetic. Only video demux
-  * ([[sampleFrames]]) remains a stub — no container codec and no JDK one.
+  * deterministic nearest-neighbor resize ([[resizeNearest]]). Video frame
+  * sampling is real too, over the engine's own MJPEG-style length-prefixed
+  * container ([[decodeFrameContainer]]/[[videoFrameFeatures]] — the JDK has
+  * image codecs but no demuxer; standard containers plug in behind the same
+  * seam). All three decode paths are oracle-gated end to end (q51/q52/q94):
+  * deterministic payloads are encoded on executors, round-tripped through
+  * the codec, and the extracted features hash-compared against DuckDB
+  * arithmetic. The fixed-size chunker [[sampleFrames]] remains the
+  * container-less fallback.
   */
 object Multimodal {
 
@@ -325,8 +329,9 @@ object Multimodal {
     * containers and undecodable frames drop to no rows. */
   def videoFrameFeatures(media: DataFrame, stride: Int,
                          idCol: String = "doc_id"): Dataset[FrameFeatures] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     import media.sparkSession.implicits._
-    media.select(col(idCol).cast("long"), col("payload"))
+    media.select(col(idCol).cast("long"), col("media.bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decodeFrameContainer(bytes).toSeq.flatMap { frames =>

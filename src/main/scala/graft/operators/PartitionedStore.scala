@@ -160,7 +160,10 @@ object PartitionedStore {
            keyCols: Seq[String]): DataFrame = {
     def hashed(v: Long, tag: String): DataFrame = {
       val df = readAt(spark, dir, v)
-      val payload = df.columns.filterNot(keyCols.contains).sorted
+      // exclude the layout column: rebucketing (different bucket count)
+      // must not read as data change
+      val payload = df.columns
+        .filterNot(c => keyCols.contains(c) || c == BucketCol).sorted
       df.select(keyCols.map(col) :+
         md5(to_json(struct(payload.map(col).toSeq: _*))).as(s"__h_$tag"): _*)
     }

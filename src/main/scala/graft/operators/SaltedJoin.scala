@@ -24,13 +24,17 @@ object SaltedJoin {
   private val SaltCol = "__graft_salt"
 
   /** Inner equi-join of a skewed `big` side with a compact `dim` side.
-    * The salt is a deterministic hash of the whole big-side row, so the
-    * same input always lands the same layout (replayable plans). */
+    * The salt hashes the row PLUS a per-row ordinal: a hot key often means
+    * many byte-identical rows (the viral-document case), and a pure
+    * content hash would send them all to ONE salt, defeating the spread.
+    * The ordinal makes the salt non-deterministic across runs — harmless,
+    * because the salt is layout only and never reaches the result. */
   def join(big: DataFrame, dim: DataFrame, keys: Seq[String], salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val bigCols = big.columns
     val salted = big.withColumn(SaltCol,
-      pmod(xxhash64(bigCols.map(col).toSeq: _*), lit(salts)).cast("int"))
+      pmod(xxhash64((bigCols.map(col) :+ monotonically_increasing_id()).toSeq: _*),
+        lit(salts)).cast("int"))
     val replicated = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, keys :+ SaltCol).drop(SaltCol)

@@ -29,22 +29,46 @@ object GraftFunctions {
     // graft_dot(a, b), graft_l2sq(a, b)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash",
-      exprs => SimHash32(exprs.head,
-        exprs.lift(1).map(litInt(_, "graft_simhash bits")).getOrElse(32)),
+      exprs => {
+        arity("graft_simhash", exprs, min = 1, max = 2)
+        SimHash32(exprs.head,
+          exprs.lift(1).map(litInt(_, "graft_simhash bits")).getOrElse(32))
+      },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
-      exprs => MinhashSig(exprs.head, litInt(exprs(1), "graft_minhash k")),
+      exprs => {
+        arity("graft_minhash", exprs, min = 2, max = 2)
+        MinhashSig(exprs.head, litInt(exprs(1), "graft_minhash k"))
+      },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
-      exprs => DotLong(exprs.head, exprs(1)),
+      exprs => {
+        arity("graft_dot", exprs, min = 2, max = 2)
+        DotLong(exprs.head, exprs(1))
+      },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2sq",
-      exprs => L2SqLong(exprs.head, exprs(1)),
+      exprs => {
+        arity("graft_l2sq", exprs, min = 2, max = 2)
+        L2SqLong(exprs.head, exprs(1))
+      },
       "scala_udf")
   }
+
+  private def arity(name: String,
+                    exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                    min: Int, max: Int): Unit =
+    if (exprs.size < min || exprs.size > max)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> (if (min == max) s"$min" else s"$min to $max"),
+          "actualNum" -> exprs.size.toString,
+          "docroot" -> ""))
 
   private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
                      what: String): Int = e match {

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Execution metrics for one query run — the observability surface an
@@ -9,12 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so per-org cost attribution and regression alarms have numbers instead
   * of plans.
   *
-  * Implementation: a scoped `SparkListener` around one action. Listener
-  * events are JVM-wide, so concurrent queries on the same session would
-  * mix — the measured action runs inside a dedicated job group and tasks
-  * are attributed by stage membership of that run's jobs. For the per-query
-  * admission path (one query per child session, `ReadonlyGuard`) this is
-  * exact.
+  * Attribution is real, not best-effort: the measured action runs inside a
+  * dedicated job group, the listener collects the stage ids of exactly the
+  * jobs carrying that group id, and only task-ends from those stages are
+  * summed — concurrent queries on the same SparkContext (other orgs, other
+  * suites) do not contaminate the numbers.
   */
 object QueryMetrics {
 
@@ -24,16 +23,24 @@ object QueryMetrics {
       memorySpillBytes: Long, diskSpillBytes: Long,
       resultRows: Long, wallMs: Long)
 
+  private val groupCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Run `df.count()` under a metrics listener and return what it cost. */
   def measure(df: DataFrame): Metrics = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
+    val group = s"graft-metrics-${groupCounter.incrementAndGet()}"
+    val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     var input = 0L; var records = 0L
     var sw = 0L; var sr = 0L; var memSpill = 0L; var diskSpill = 0L
     val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          j.stageIds.foreach(s => myStages.add(s))
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) synchronized {
+        if (m != null && myStages.contains(t.stageId)) synchronized {
           input += m.inputMetrics.bytesRead
           records += m.inputMetrics.recordsRead
           sw += m.shuffleWriteMetrics.bytesWritten
@@ -42,12 +49,13 @@ object QueryMetrics {
           diskSpill += m.diskBytesSpilled
         }
       }
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = ()
     }
     sc.addSparkListener(listener)
     val t0 = System.nanoTime()
     try {
-      val rows = df.count()
+      sc.setJobGroup(group, s"QueryMetrics.measure($group)",
+        interruptOnCancel = false)
+      val rows = try df.count() finally sc.clearJobGroup()
       // listener events are posted asynchronously; drain before reading
       org.apache.spark.GraftListenerBridge.drainListeners(sc)
       Metrics(input, records, sw, sr, memSpill, diskSpill, rows,

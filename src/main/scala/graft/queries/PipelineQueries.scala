@@ -339,11 +339,14 @@ object PipelineQueries {
     // last window may be short); drop a trailing window fully covered by
     // its predecessor (start + len(prev) > n means prev reached the end).
     val starts = sequence(lit(1), col("n"), lit(ChunkStride))
+    // the token array rides THROUGH the generator select: no second
+    // tokenization pass and no self-join — the plan stays one scan + one
+    // final sort
     val chunks = docs
-      .select(col("doc_id"), col("n"), posexplode(starts).as(Seq("idx", "start")))
+      .select(col("doc_id"), col("n"), col("t"),
+        posexplode(starts).as(Seq("idx", "start")))
       .where(col("idx") === 0 || col("start") + lit(ChunkLen - ChunkStride) <= col("n"))
     chunks
-      .join(docs.select(col("doc_id"), col("t")), Seq("doc_id"))
       .select(col("doc_id"), col("idx").cast(LongType).as("chunk_idx"),
         slice(col("t"), col("start"), lit(ChunkLen)).as("chunk"))
       .select(col("doc_id"), col("chunk_idx"),

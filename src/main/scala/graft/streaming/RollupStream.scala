@@ -37,9 +37,14 @@ object RollupStream {
         // its rows double-count. With version = batchId the rewrite lands
         // byte-identically and the pointer flip is a no-op.
         val prevPath = java.nio.file.Paths.get(stateDir, s"v${batchId - 1}")
+        // fail loudly if the predecessor snapshot is missing: folding onto
+        // empty state would silently drop all history and serve a
+        // wrong-but-plausible rollup
+        require(batchId == 0 || java.nio.file.Files.exists(prevPath),
+          s"rollup state $prevPath missing for batch $batchId — " +
+            "state dir and checkpoint are out of sync")
         val prev =
-          if (batchId > 0 && java.nio.file.Files.exists(prevPath))
-            spark.read.parquet(prevPath.toString)
+          if (batchId > 0) spark.read.parquet(prevPath.toString)
           else delta.limit(0)
         store.write(IncrementalAgg.merge(prev, delta, keys), batchId)
         ()

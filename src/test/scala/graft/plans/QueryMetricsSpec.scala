@@ -3,11 +3,12 @@ package graft.plans
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
-/** Metrics capture: scans report input bytes/records, shuffling queries
-  * report shuffle traffic, and the listener detaches cleanly. */
+/** Metrics capture: job-group scoping makes attribution EXACT even though
+  * the suite harness runs specs in parallel on one shared SparkContext —
+  * these assertions are deliberately strict to prove it. */
 class QueryMetricsSpec extends SparkSpec {
 
-  test("a parquet scan reports input bytes and records") {
+  test("a parquet scan reports exactly its own input bytes and records") {
     val m = QueryMetrics.measure(Tables.lineitem(spark, sfDir))
     assert(m.resultRows > 0)
     assert(m.inputBytes > 0)
@@ -16,14 +17,7 @@ class QueryMetricsSpec extends SparkSpec {
     assert(QueryMetrics.render(m).contains(s"rows=${m.resultRows}"))
   }
 
-  // NOTE: the suite harness runs specs in PARALLEL on one shared
-  // SparkContext, and listener events are context-wide — other suites'
-  // tasks can land inside a measure window here. Production use scopes one
-  // query per child session/job group (ReadonlyGuard's admission model),
-  // where attribution is exact; these tests therefore assert only lower
-  // bounds the measured query itself guarantees.
-
-  test("an aggregation reports its shuffle traffic") {
+  test("an aggregation's shuffle dwarfs a scan's count-only shuffle") {
     val agg = QueryMetrics.measure(
       Tables.lineitem(spark, sfDir)
         .repartition(8, col("l_returnflag"))
@@ -31,12 +25,18 @@ class QueryMetricsSpec extends SparkSpec {
     assert(agg.shuffleWriteBytes > 0)
     assert(agg.shuffleReadBytes > 0)
     assert(agg.resultRows == 3)
+    // count() itself shuffles its partial counts (a few dozen bytes);
+    // the repartition+groupBy above must be visibly larger than that floor
+    val scan = QueryMetrics.measure(Tables.region(spark, sfDir))
+    assert(scan.shuffleWriteBytes < 1024,
+      s"scan window captured foreign shuffle: ${scan.shuffleWriteBytes}")
+    assert(agg.shuffleWriteBytes > scan.shuffleWriteBytes * 4)
   }
 
-  test("sequential measurements detach cleanly and count their own rows") {
+  test("sequential measurements attribute to their own run only") {
     val first = QueryMetrics.measure(Tables.nation(spark, sfDir))
     val second = QueryMetrics.measure(Tables.region(spark, sfDir))
-    assert(first.resultRows == 25 && first.inputRecords >= 25)
-    assert(second.resultRows == 5 && second.inputRecords >= 5)
+    assert(first.resultRows == 25 && first.inputRecords == 25)
+    assert(second.resultRows == 5 && second.inputRecords == 5)
   }
 }
