@@ -60,6 +60,18 @@ object ReadonlyGuard {
       spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema), reached)
   }
 
+  /** [[run]] plus per-query execution cost ([[QueryMetrics]]) — what a
+    * shared deployment charges back per org: the admission gate is where
+    * every query passes, so it is where attribution belongs. The metrics
+    * action (a scoped count) runs before the capped collect; both see the
+    * same already-validated plan. */
+  def runMetered(spark: SparkSession, sql: String,
+                 maxRows: Int = DefaultMaxRows): (QueryResult, QueryMetrics.Metrics) = {
+    validate(spark, sql)
+    val metrics = QueryMetrics.measure(spark.sql(sql))
+    (run(spark, sql, maxRows), metrics)
+  }
+
   /** A failed query mapped to an actionable hint, mirroring the reference's
     * error helper (`organization.rb:171-191`: UndefinedTable -> "Run
     * `webhookdb db tables`", InsufficientPrivilege -> "must be read-only"). */

@@ -70,4 +70,15 @@ class ReadonlyGuardSpec extends SparkSpec {
     sq.setPublic("pub", isPublic = false)
     assertThrows[NoSuchElementException](sq.runPublic("pub"))
   }
+
+  test("metered run returns the rows and their attributed cost") {
+    setup()
+    val (res, m) = ReadonlyGuard.runMetered(spark, "SELECT * FROM guard_t", maxRows = 2)
+    assert(res.maxRowsReached)
+    assert(res.df.count() == 2)
+    assert(m.resultRows == 3) // cost reflects the full (uncapped) query
+    assert(m.wallMs >= 0)
+    assertThrows[ReadonlyGuard.RejectedSql](
+      ReadonlyGuard.runMetered(spark, "DROP TABLE guard_t"))
+  }
 }
