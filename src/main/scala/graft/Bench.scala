@@ -16,10 +16,13 @@ object Bench {
     // Untimed warmup: absorb JVM/codegen JIT and file-index setup so the
     // timings measure the queries, not first-query initialization.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // One untimed warmup PER QUERY, then best-of-2: per-query codegen/JIT
+    // One untimed warmup PER QUERY, then median-of-3: per-query codegen/JIT
     // (each query compiles its own generated classes on first run) must land
     // before the timed runs, or a heavy query's first-run compile shows up as
-    // a phantom multiple of its steady-state cost.
+    // a phantom multiple of its steady-state cost. Median (not min) of three
+    // timed runs so a single GC pause or scheduler hiccup in either direction
+    // can't swing a query 3-4x between rounds — round-over-round comparisons
+    // need a statistic that is stable when the code didn't change.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -27,14 +30,17 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // untimed per-query warmup
-      name -> math.min(once(), once())
+      name -> Seq(once(), once(), once()).sorted.apply(1)
     }
     // The harness keeps only the last ~2000 chars of output; a full-name
     // full-precision map for 80 queries overflows that and the JSON line
     // arrives truncated (unparseable). Print compact keys (the unique qNN
     // prefix) at ms precision so the line always fits; the full-name map
     // goes to a sidecar file for human reading.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator is locale-sensitive — in comma-decimal
+    // locales it would emit "value":12,345 and break the JSON consumers.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val shortQs = results
       .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")

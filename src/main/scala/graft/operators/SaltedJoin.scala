@@ -24,17 +24,28 @@ object SaltedJoin {
   private val SaltCol = "__graft_salt"
 
   /** Inner equi-join of a skewed `big` side with a compact `dim` side.
-    * The salt hashes the row PLUS a per-row ordinal: a hot key often means
-    * many byte-identical rows (the viral-document case), and a pure
-    * content hash would send them all to ONE salt, defeating the spread.
-    * The ordinal makes the salt non-deterministic across runs — harmless,
-    * because the salt is layout only and never reaches the result. */
-  def join(big: DataFrame, dim: DataFrame, keys: Seq[String], salts: Int): DataFrame = {
+    *
+    * The salt MUST be deterministic per row: a salt derived from partition
+    * content or order (`monotonically_increasing_id`, `rand`) changes when a
+    * fetch-failure re-executes an upstream stage, moving rows across reduce
+    * partitions mid-retry — duplicated or lost join rows at exactly the
+    * scale this operator targets. So the salt is a pure content hash:
+    *   - `rowId` given: `pmod(xxhash64(rowId), salts)` — uniform even for
+    *     byte-identical payloads (the viral-document case), as long as the
+    *     id column is unique.
+    *   - no `rowId`: `pmod(xxhash64(all columns), salts)` — deterministic;
+    *     byte-identical duplicate rows share a salt (correctness-safe: the
+    *     spread degrades, results don't). Pass a unique id to spread those.
+    */
+  def join(big: DataFrame, dim: DataFrame, keys: Seq[String], salts: Int,
+           rowId: Option[String] = None): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val bigCols = big.columns
+    val saltBasis = rowId match {
+      case Some(id) => Seq(col(id))
+      case None     => big.columns.toSeq.map(col)
+    }
     val salted = big.withColumn(SaltCol,
-      pmod(xxhash64((bigCols.map(col) :+ monotonically_increasing_id()).toSeq: _*),
-        lit(salts)).cast("int"))
+      pmod(xxhash64(saltBasis: _*), lit(salts)).cast("int"))
     val replicated = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, keys :+ SaltCol).drop(SaltCol)

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Bits kept per dimension. 16 bits x up to 4 dims stays in a long. */
+  /** Bits kept per dimension. 16 bits x up to 3 dims stays in 63 bits. */
   val BitsPerDim = 16
 
   /** Morton interleave of the low [[BitsPerDim]] bits of each column
@@ -60,23 +60,30 @@ object ZOrder {
     val stats = keyCols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val statRow = df.agg(stats.head, stats.tail: _*).first()
-    // empty input (or all-null keys): min/max are null — nothing to
-    // normalize, any layout of zero rows is clustered
-    if (statRow.isNullAt(0))
+    // empty input, or EVERY key entirely null: min/max are null across the
+    // board — nothing to normalize, any layout is clustered
+    if (keyCols.indices.forall(i => statRow.isNullAt(2 * i)))
       return df.withColumn("z_value", lit(0L))
         .repartitionByRange(partitions, col("z_value"))
     val scaled = keyCols.zipWithIndex.map { case (c, i) =>
-      val lo = statRow.getLong(2 * i)
-      val hi = statRow.getLong(2 * i + 1)
-      val span = math.max(hi - lo, 1L)
-      if (span <= Long.MaxValue / full)
-        // integer arithmetic, exact: scale up then divide down
-        expr(s"((CAST(`$c` AS BIGINT) - $lo) * $full) DIV $span")
-      else
-        // huge span (epoch-nanos-scale keys): multiplying first would
-        // overflow — divide the value down instead (still monotone, the
-        // only property the interleave needs)
-        expr(s"(CAST(`$c` AS BIGINT) - $lo) DIV ${span / full + 1}")
+      if (statRow.isNullAt(2 * i))
+        // this dimension is entirely null: it carries no ordering
+        // information — contribute a constant instead of an NPE, and let
+        // the remaining dimensions own the interleave
+        lit(0L)
+      else {
+        val lo = statRow.getLong(2 * i)
+        val hi = statRow.getLong(2 * i + 1)
+        val span = math.max(hi - lo, 1L)
+        if (span <= Long.MaxValue / full)
+          // integer arithmetic, exact: scale up then divide down
+          expr(s"((CAST(`$c` AS BIGINT) - $lo) * $full) DIV $span")
+        else
+          // huge span (epoch-nanos-scale keys): multiplying first would
+          // overflow — divide the value down instead (still monotone, the
+          // only property the interleave needs)
+          expr(s"(CAST(`$c` AS BIGINT) - $lo) DIV ${span / full + 1}")
+      }
     }
     df.withColumn("z_value", zValue(scaled))
       .repartitionByRange(partitions, col("z_value"))

@@ -25,9 +25,22 @@ object QueryMetrics {
 
   private val groupCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Run `df.count()` under a metrics listener and return what it cost. */
+  /** Run `df.count()` under a metrics listener and return what it cost.
+    * For metering a query you are also serving, prefer [[measureAction]] —
+    * count()'s column-pruned plan can read far fewer bytes than the real
+    * collect, and running both doubles the work. */
   def measure(df: DataFrame): Metrics = {
-    val spark = df.sparkSession
+    val (rows, m) = measureAction(df.sparkSession)(df.count())
+    m.copy(resultRows = rows)
+  }
+
+  /** Run an arbitrary Spark `action` under a metrics listener and return its
+    * result together with what that exact execution cost. This is the real
+    * attribution path: one execution, metered as served — not a side count()
+    * whose pruned plan under-reports input bytes. `resultRows` is 0 (the
+    * action's result is opaque here); callers that know their row count set
+    * it via `copy`. */
+  def measureAction[A](spark: SparkSession)(action: => A): (A, Metrics) = {
     val sc = spark.sparkContext
     val group = s"graft-metrics-${groupCounter.incrementAndGet()}"
     val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
@@ -55,11 +68,11 @@ object QueryMetrics {
     try {
       sc.setJobGroup(group, s"QueryMetrics.measure($group)",
         interruptOnCancel = false)
-      val rows = try df.count() finally sc.clearJobGroup()
+      val result = try action finally sc.clearJobGroup()
       // listener events are posted asynchronously; drain before reading
       org.apache.spark.GraftListenerBridge.drainListeners(sc)
-      Metrics(input, records, sw, sr, memSpill, diskSpill, rows,
-        (System.nanoTime() - t0) / 1000000L)
+      (result, Metrics(input, records, sw, sr, memSpill, diskSpill, 0L,
+        (System.nanoTime() - t0) / 1000000L))
     } finally sc.removeSparkListener(listener)
   }
 

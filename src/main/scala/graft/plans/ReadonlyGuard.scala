@@ -62,14 +62,21 @@ object ReadonlyGuard {
 
   /** [[run]] plus per-query execution cost ([[QueryMetrics]]) — what a
     * shared deployment charges back per org: the admission gate is where
-    * every query passes, so it is where attribution belongs. The metrics
-    * action (a scoped count) runs before the capped collect; both see the
-    * same already-validated plan. */
+    * every query passes, so it is where attribution belongs. The listener
+    * wraps the ACTUAL capped collect — one execution, metered as served —
+    * rather than a side count() whose column-pruned plan could read far
+    * fewer bytes than the query the caller gets back. */
   def runMetered(spark: SparkSession, sql: String,
                  maxRows: Int = DefaultMaxRows): (QueryResult, QueryMetrics.Metrics) = {
     validate(spark, sql)
-    val metrics = QueryMetrics.measure(spark.sql(sql))
-    (run(spark, sql, maxRows), metrics)
+    val df = spark.sql(sql)
+    val (capped, m0) =
+      QueryMetrics.measureAction(spark)(df.limit(maxRows + 1).collect())
+    val reached = capped.length > maxRows
+    val rows = if (reached) capped.take(maxRows) else capped
+    val result = QueryResult(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema), reached)
+    (result, m0.copy(resultRows = rows.length.toLong))
   }
 
   /** A failed query mapped to an actionable hint, mirroring the reference's

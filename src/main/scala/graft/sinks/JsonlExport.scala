@@ -39,19 +39,40 @@ object JsonlExport {
     // plan: re-deriving from source would let a non-deterministic column
     // (or a source that changed between jobs) publish a manifest that
     // disagrees with the bytes on disk.
-    val stats = verify(df.sparkSession, dir)
+    val stats = verify(df.sparkSession, dir, shards)
     val manifest = stats.map(s =>
       s"""{"shard":${s.shard},"rows":${s.rows},"checksum":${s.checksum}}""")
       .mkString("[", ",", "]")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "manifest.json"),
+    // Manifest goes through the SAME filesystem abstraction as the data:
+    // a local java.nio path would break the moment `dir` is an HDFS/object
+    // store URI while Spark's writer happily lands the shards there.
+    val path = new org.apache.hadoop.fs.Path(dir, "manifest.json")
+    val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(
       s"""{"shards":$shards,"key":"$keyCol","stats":$manifest}\n""".getBytes("UTF-8"))
+    finally out.close()
     stats
   }
 
   /** Recompute the manifest stats from an export directory (loader-side
-    * verification): same aggregation over the written lines. */
-  def verify(spark: SparkSession, dir: String): Seq[ShardStat] =
+    * verification): same aggregation over the written lines. A shard whose
+    * hash bucket received zero rows produces NO shard=N directory, so the
+    * declared shard count fills the gaps with explicit zero-row entries —
+    * otherwise a loader cannot tell an intentionally-empty shard from a
+    * missing one. When `shards` is not given it is read from the manifest. */
+  def verify(spark: SparkSession, dir: String, shards: Int = -1): Seq[ShardStat] = {
+    val declared = if (shards > 0) shards else shardsFromManifest(spark, dir)
+    // an entirely-empty export writes no shard=N dirs at all; the glob then
+    // matches nothing and the read throws — that is still a valid export of
+    // zero rows, every shard intentionally empty
+    val present = try readStats(spark, dir) catch {
+      case _: org.apache.spark.sql.AnalysisException => Map.empty[Int, ShardStat]
+    }
+    (0 until declared).map(i => present.getOrElse(i, ShardStat(i, 0L, 0L)))
+  }
+
+  private def readStats(spark: SparkSession, dir: String): Map[Int, ShardStat] =
     spark.read
       .option("basePath", dir)
       .text(s"$dir/$ShardCol=*")
@@ -60,6 +81,17 @@ object JsonlExport {
       .agg(count(lit(1)).as("rows"),
         sum(pmod(xxhash64(col("value")), lit(ChecksumMod))).as("sum_h"))
       .collect()
-      .map(r => ShardStat(r.getInt(0), r.getLong(1), r.getLong(2) % ChecksumMod))
-      .sortBy(_.shard).toSeq
+      .map(r => r.getInt(0) -> ShardStat(r.getInt(0), r.getLong(1), r.getLong(2) % ChecksumMod))
+      .toMap
+
+  private def shardsFromManifest(spark: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir, "manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"shards"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"no shard count in $path"))
+  }
 }

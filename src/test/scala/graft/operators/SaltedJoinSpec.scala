@@ -22,6 +22,19 @@ class SaltedJoinSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("salt is deterministic: recomputing the salted side assigns identical salts") {
+    // a retry-safe salt must be a pure function of row content — recomputing
+    // the same input (as a stage re-execution would) must yield the same
+    // assignment, or rows migrate across reduce partitions mid-retry
+    val big = (1 to 2000).map(i => (7L, i.toLong)).toDF("k", "v")
+    val dim = Seq((7L, "hot")).toDF("k", "name")
+    def run() = SaltedJoin.join(big, dim, Seq("k"), salts = 8, rowId = Some("v"))
+      .groupBy("v").count().orderBy("v").collect().map(_.toSeq).toSeq
+    assert(run() == run())
+    // and each row joined exactly once (no duplication from replication)
+    assert(SaltedJoin.join(big, dim, Seq("k"), salts = 8, rowId = Some("v")).count() == 2000L)
+  }
+
   test("the hot key's rows spread across many partitions after the join shuffle") {
     // broadcast disabled: with a broadcastable dim there is no shuffle and
     // no skew problem — salting exists for compact-but-not-broadcastable

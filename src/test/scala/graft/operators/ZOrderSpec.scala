@@ -42,6 +42,20 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.cluster(empty, Seq("a", "b"), 4).count() == 0)
   }
 
+  test("cluster degrades gracefully when a non-first key column is all null") {
+    import spark.implicits._
+    // dim b carries no ordering information — it must contribute a constant,
+    // not throw; ordering degrades to single-dimension clustering on a
+    val df = (1L to 100L).map(i => (i, Option.empty[java.lang.Long])).toDF("a", "b")
+    val out = ZOrder.cluster(df, Seq("a", "b"), 4)
+    assert(out.count() == 100)
+    // and the fully-null-keys case (both dims null) also survives
+    val allNull = (1L to 10L)
+      .map(_ => (Option.empty[java.lang.Long], Option.empty[java.lang.Long]))
+      .toDF("a", "b")
+    assert(ZOrder.cluster(allNull, Seq("a", "b"), 2).count() == 10)
+  }
+
   test("clustering localizes range filters on both dimensions") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))

@@ -76,9 +76,26 @@ class ReadonlyGuardSpec extends SparkSpec {
     val (res, m) = ReadonlyGuard.runMetered(spark, "SELECT * FROM guard_t", maxRows = 2)
     assert(res.maxRowsReached)
     assert(res.df.count() == 2)
-    assert(m.resultRows == 3) // cost reflects the full (uncapped) query
+    assert(m.resultRows == 2) // cost is the served execution — capped rows
     assert(m.wallMs >= 0)
     assertThrows[ReadonlyGuard.RejectedSql](
       ReadonlyGuard.runMetered(spark, "DROP TABLE guard_t"))
+  }
+
+  test("metered cost is the served collect, not a pruned side count") {
+    // a side count() gets a column-pruned plan that can read ~zero bytes for
+    // a projection-heavy query; metering the actual collect must charge the
+    // real scan. Parquet-backed so inputMetrics.bytesRead is populated.
+    val dir = java.nio.file.Files.createTempDirectory("metered").toString
+    import spark.implicits._
+    (1 to 1000).map(i => (i.toLong, "x" * 200)).toDF("id", "payload")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("metered_t")
+    val (res, m) = ReadonlyGuard.runMetered(
+      spark, "SELECT id, payload FROM metered_t", maxRows = 2000)
+    assert(res.df.count() == 1000)
+    assert(m.resultRows == 1000)
+    assert(m.inputBytes > 10000,
+      s"served collect must charge the real payload scan, got ${m.inputBytes}B")
   }
 }

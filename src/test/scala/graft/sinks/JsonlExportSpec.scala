@@ -47,6 +47,26 @@ class JsonlExportSpec extends SparkSpec {
     assert(JsonlExport.verify(spark, dir) == stats)
   }
 
+  test("zero-row shards appear as explicit zero-count manifest entries") {
+    // 2 rows into 64 shards: most hash buckets get nothing and write no
+    // shard=N dir — the manifest must still declare them, zero-counted, so
+    // a loader can tell intentionally-empty from missing
+    val dir = Files.createTempDirectory("jsonl").toString
+    val tiny = docs.limit(2)
+    val stats = JsonlExport.export(tiny, dir, keyCol = "doc_id", shards = 64)
+    assert(stats.size == 64)
+    assert(stats.map(_.shard) == (0 until 64))
+    assert(stats.map(_.rows).sum == 2)
+    assert(stats.count(_.rows == 0) >= 62)
+    // loader-side verify with no explicit count reads shards from manifest
+    assert(JsonlExport.verify(spark, dir) == stats)
+    // fully-empty export: all shards present, all zero
+    val dir2 = Files.createTempDirectory("jsonl").toString
+    val none = JsonlExport.export(docs.limit(0), dir2, keyCol = "doc_id", shards = 4)
+    assert(none == (0 until 4).map(i => JsonlExport.ShardStat(i, 0L, 0L)))
+    assert(JsonlExport.verify(spark, dir2) == none)
+  }
+
   test("shard membership and checksums are identical across re-exports") {
     val d1 = Files.createTempDirectory("jsonl").toString
     val d2 = Files.createTempDirectory("jsonl").toString
