@@ -142,18 +142,36 @@ object ExtraQueries {
       count(DISTINCT (user_id, event_id)) AS n_user_events
     FROM events GROUP BY event_type ORDER BY event_type"""
 
-  /** Sketch surface: HyperLogLog distinct + quantile sketch. Estimates are
-    * engine-specific, so this query has NO SQL oracle (driver records a
-    * rows-only check); the estimates are asserted against exact counts in
-    * ScalaTest instead. */
+  /** Sketch surface: HyperLogLog distinct + quantile sketch. Raw estimates
+    * are engine-specific (DuckDB's HLL ≠ Spark's), so the ORACLE-VISIBLE
+    * columns are (a) the exact distinct count, recomputable anywhere, and
+    * (b) booleans asserting each sketch landed inside its error envelope —
+    * the oracle emits literal TRUE, so a sketch drifting out of tolerance
+    * hash-fails the gate instead of hiding behind "no oracle".
+    * Envelopes: rsd=0.02 HLL gets 3-sigma = 6%; the rank-error median sketch
+    * must land between the exact p45 and p55 values. */
   def q28(spark: SparkSession, d: String): DataFrame = {
     Tables.events(spark, d)
       .groupBy(col("event_type"))
       .agg(
+        countDistinct(col("user_id")).cast("bigint").as("exact_users"),
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+        expr("percentile(value, array(0.45, 0.55))").as("band"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users").cast("double") - col("exact_users")) <=
+          col("exact_users") * lit(0.06)).as("users_ok"),
+        (col("approx_median") >= element_at(col("band"), 1) &&
+          col("approx_median") <= element_at(col("band"), 2)).as("median_ok"))
       .orderBy(col("event_type"))
   }
+
+  val q28Sql: String = """
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      TRUE AS users_ok, TRUE AS median_ok
+    FROM events GROUP BY event_type ORDER BY event_type"""
 
   /** As-of join surface: each purchase event gets the latest strictly
     * preceding click of the same user (sessionization lookup). One shuffle
@@ -442,6 +460,7 @@ object ExtraQueries {
     "q33_ann_top3" -> q33Sql,
     "q50_multimodal_features" -> q50Sql,
     "q27_distinct_counts" -> q27Sql,
+    "q28_sketches" -> q28Sql,
     "q34_asof_click_purchase" -> q34Sql,
     "q35_pricing_expand" -> q35Sql,
     "q36_sessionization" -> q36Sql,
