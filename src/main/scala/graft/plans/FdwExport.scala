@@ -39,4 +39,59 @@ object FdwExport {
     (Seq(s"CREATE SCHEMA IF NOT EXISTS $viewSchema") ++
       tables.map(createTableDdl) ++
       tables.map(createMatViewDdl(_, viewSchema))).mkString(";\n") + ";"
+
+  // ---- the reference's own postgres_fdw payload ----------------------------
+
+  /** Remote-connection facts the payload embeds (the parsed readonly URL of
+    * `db_builder.rb:366`). */
+  final case class RemoteConn(host: String, port: Int, dbname: String,
+                              user: String, password: String)
+
+  /** One service integration to expose as a materialized view
+    * (`service_integrations` loop, `db_builder.rb:386-391`). */
+  final case class Integration(opaqueId: String, serviceName: String, tableName: String)
+
+  /** `generate_fdw_payload`'s result shape (`db_builder.rb:395-400`). */
+  final case class Payload(fdwSql: String, viewsSql: String, compoundSql: String,
+                           views: Map[String, String])
+
+  /** The postgres_fdw mount payload, statement-for-statement the reference's
+    * `generate_fdw_payload` (`db_builder.rb:358-400`): extension, drop+create
+    * server, user mapping, local schema + IMPORT FOREIGN SCHEMA, view schema,
+    * then one CREATE MATERIALIZED VIEW per integration (sorted by statement
+    * text, as the reference sorts `views.values`). */
+  def fdwPayload(remoteServerName: String, fetchSize: Int, localSchema: String,
+                 viewSchema: String, conn: RemoteConn, orgSchema: String,
+                 integrations: Seq[Integration]): Payload = {
+    val idents = Seq(remoteServerName, localSchema, viewSchema, orgSchema) ++
+      integrations.flatMap(i => Seq(i.serviceName, i.tableName))
+    idents.foreach(i => require(validIdentifier(i), s"invalid identifier: $i"))
+    require(fetchSize > 0, "no arg can be blank")
+    Seq(conn.host, conn.dbname, conn.user, conn.password).foreach(v =>
+      require(v.nonEmpty && !v.contains("'") && !v.contains(";"),
+        "connection fields must be non-blank and quote/semicolon-free"))
+    val fdwSql =
+      s"""CREATE EXTENSION IF NOT EXISTS postgres_fdw;
+         |DROP SERVER IF EXISTS $remoteServerName CASCADE;
+         |CREATE SERVER $remoteServerName
+         |  FOREIGN DATA WRAPPER postgres_fdw
+         |  OPTIONS (host '${conn.host}', port '${conn.port}', dbname '${conn.dbname}', fetch_size '$fetchSize');
+         |
+         |CREATE USER MAPPING FOR CURRENT_USER
+         |  SERVER $remoteServerName
+         |  OPTIONS (user '${conn.user}', password '${conn.password}');
+         |
+         |CREATE SCHEMA IF NOT EXISTS $localSchema;
+         |IMPORT FOREIGN SCHEMA $orgSchema
+         |  FROM SERVER $remoteServerName
+         |  INTO $localSchema;
+         |
+         |CREATE SCHEMA IF NOT EXISTS $viewSchema;
+         |""".stripMargin
+    val views = integrations.map(i => i.opaqueId ->
+      (s"CREATE MATERIALIZED VIEW IF NOT EXISTS $viewSchema.${i.serviceName} " +
+        s"AS SELECT * FROM $localSchema.${i.tableName};")).toMap
+    val viewsSql = views.values.toSeq.sorted.mkString("\n")
+    Payload(fdwSql, viewsSql, s"$fdwSql\n$viewsSql", views)
+  }
 }
