@@ -130,12 +130,14 @@ object PartitionedStore {
     * manifest inside the [[ManifestRetention]] window is a complete,
     * immutable description of its snapshot (epochs are append-only until
     * [[vacuum]], which honors the same window). */
-  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+    readManifest(spark, dir, manifestAt(dir, version))
+
+  private def manifestAt(dir: String, version: Long): Manifest = {
     val p = Paths.get(dir, ManifestDir, manifestName(version))
     require(Files.exists(p),
       s"version $version is not committed (or vacuumed past retention) at $dir")
-    readManifest(spark, dir,
-      parse(new String(Files.readAllBytes(p), "UTF-8")))
+    parse(new String(Files.readAllBytes(p), "UTF-8"))
   }
 
   /** Committed versions still readable, oldest first. */
@@ -155,11 +157,30 @@ object PartitionedStore {
     * change in {added, removed, changed} — the audit view time travel
     * enables ("what did batch N actually do"). One full-outer join on the
     * key; content comparison is an md5 over the non-key columns in sorted
-    * column order, so column order changes don't read as data changes. */
+    * column order, so column order changes don't read as data changes.
+    *
+    * BUCKET-PRUNED: epoch directories are immutable once committed, so a
+    * bucket owned by the SAME epoch in both manifests is byte-identical and
+    * cannot contribute a diff row — only buckets whose owning epoch differs
+    * (or that exist on one side only) are read. For adjacent versions that
+    * is O(buckets the batch touched), not O(table); after a compaction every
+    * bucket changes owner and the compare degrades to the full scan it
+    * genuinely needs. */
   def diff(spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long,
            keyCols: Seq[String]): DataFrame = {
-    def hashed(v: Long, tag: String): DataFrame = {
-      val df = readAt(spark, dir, v)
+    val mFrom = manifestAt(dir, fromVersion)
+    val mTo = manifestAt(dir, toVersion)
+    val changed = (mFrom.buckets.keySet ++ mTo.buckets.keySet)
+      .filter(bkt => mFrom.buckets.get(bkt) != mTo.buckets.get(bkt))
+      .toSeq.sorted
+    def hashed(m: Manifest, tag: String): DataFrame = {
+      val full = readManifest(spark, dir, m)
+      // partition pruning on the layout column restricts each epoch scan to
+      // the changed buckets; the pre-pruned plan reads zero files for an
+      // untouched bucket
+      val df =
+        if (changed.isEmpty) full.where(lit(false))
+        else full.where(col(BucketCol).isin(changed.map(Int.box): _*))
       // exclude the layout column: rebucketing (different bucket count)
       // must not read as data change
       val payload = df.columns
@@ -167,8 +188,8 @@ object PartitionedStore {
       df.select(keyCols.map(col) :+
         md5(to_json(struct(payload.map(col).toSeq: _*))).as(s"__h_$tag"): _*)
     }
-    val a = hashed(fromVersion, "from")
-    val b = hashed(toVersion, "to")
+    val a = hashed(mFrom, "from")
+    val b = hashed(mTo, "to")
     a.join(b, keyCols, "full_outer")
       .withColumn("change",
         when(col("__h_from").isNull, lit("added"))

@@ -185,6 +185,39 @@ class DagAndPartitionSpec extends SparkSpec {
     assert(valueOf(PartitionedStore.read(spark, dir), "key-1").contains(10L))
   }
 
+  test("diff between adjacent versions reads only buckets whose epoch changed") {
+    val dir = java.nio.file.Files.createTempDirectory("pstore-diff").toString
+    val base = (1 to 200).map(i => (s"key-$i", i.toLong)).toDF("k", "v")
+    PartitionedStore.write(base, dir, "k", buckets = 16)
+    // one merge touching a single key -> 1 bucket flips epoch, 15 stay put
+    PartitionedStore.mergeInto(spark, dir, Seq(("key-1", 999L)).toDF("k", "v"),
+      MergeSpec(Seq("k"), orderCol = "v"), "k", buckets = 16)
+    val vs = PartitionedStore.versions(dir)
+
+    val (rows, m) = graft.plans.QueryMetrics.measureAction(spark)(
+      PartitionedStore.diff(spark, dir, vs(0), vs(1), Seq("k")).collect())
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("key-1", "changed")))
+    // pruning proof: both sides together read only the changed bucket's
+    // rows (~200/16 each side), nowhere near the 400 a full two-sided
+    // compare scans
+    assert(m.inputRecords > 0)
+    assert(m.inputRecords < 100,
+      s"diff should read only changed buckets, read ${m.inputRecords} records")
+    val (_, full) = graft.plans.QueryMetrics.measureAction(spark)(
+      (PartitionedStore.readAt(spark, dir, vs(0)).collect(),
+        PartitionedStore.readAt(spark, dir, vs(1)).collect()))
+    assert(full.inputRecords >= 400,
+      s"baseline full scan reads everything, read ${full.inputRecords}")
+
+    // identical versions: zero buckets differ, zero rows read, empty diff
+    val (same, mSame) = graft.plans.QueryMetrics.measureAction(spark)(
+      PartitionedStore.diff(spark, dir, vs(1), vs(1), Seq("k")).collect())
+    assert(same.isEmpty)
+    assert(mSame.inputRecords == 0,
+      s"self-diff must read nothing, read ${mSame.inputRecords}")
+  }
+
   test("maybeCompact folds only past the epoch-depth threshold") {
     val dir = java.nio.file.Files.createTempDirectory("pstore-mc").toString
     PartitionedStore.write(Seq(("key-1", 1L)).toDF("k", "v"), dir, "k", buckets = 2)
