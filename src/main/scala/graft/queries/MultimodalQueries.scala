@@ -147,13 +147,83 @@ object MultimodalQueries {
           + ((doc_id*23 + f*37 + x*13 + y) % 256))))) AS BIGINT) AS px_sum
     FROM frames ORDER BY doc_id, frame_idx"""
 
+  /** Deterministic VBR MP3 per doc: (doc_id % 8) + 5 frames, sample rate by
+    * doc_id % 3, per-frame bitrate/padding by (doc_id + f), payload byte j =
+    * (doc_id*7 + f*31 + j*13) % 251 — every demuxed feature recomputable
+    * from these formulas. Half the docs lead with an ID3v2 tag the demuxer
+    * must skip; features are identical either way. */
+  private[queries] def mp3For(id: Long): Array[Byte] = {
+    val n = (id % 8 + 5).toInt
+    val rateIdx = (id % 3).toInt
+    val frames = (0 until n).map { f =>
+      Multimodal.Mp3FrameSpec(
+        bitrateIdx = ((id + f) % 14 + 1).toInt,
+        rateIdx = rateIdx,
+        padding = ((id + f) % 2).toInt,
+        payloadByte = j => ((id * 7 + f * 31 + j * 13) % 251).toByte)
+    }
+    val id3 = if (id % 2 == 0)
+      Some(Array.tabulate((id % 40 + 10).toInt)(i => ((id + i) % 127).toByte))
+    else None
+    Multimodal.encodeMp3(frames, id3)
+  }
+
+  /** q97 — MP3 demux under oracle: synth VBR MPEG-1 Layer III (ID3v2-tagged
+    * on half the docs) -> pure-JVM frame walk -> rates, frame/sample counts,
+    * duration, and boundary checksums. The non-JDK format next to q51
+    * (PNG/ImageIO) and q52 (WAV/AudioSystem). */
+  def q97(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, mp3For(id))))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "audio/mpeg")
+    Multimodal.decodeMp3Features(media).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_frames"),
+        col("n_samples"), col("duration_ms"), col("total_bytes"),
+        col("head_sum"), col("tail_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle re-derives frame sizes from the Layer III formula and the
+    * payload checksums from the generating arithmetic — no codec, no demux:
+    * only a byte-exact frame walk on the Spark side can match. */
+  val q97Sql: String = """
+    WITH base AS (
+      SELECT doc_id, (doc_id % 8) + 5 AS n,
+        list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INTEGER) + 1) AS rate
+      FROM documents
+    ), frames AS (
+      SELECT doc_id, n, rate, unnest(range(0, n)) AS f FROM base
+    ), sized AS (
+      SELECT doc_id, n, rate, f,
+        (144000 * list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+           CAST((doc_id + f) % 14 AS INTEGER) + 1)) // rate + ((doc_id + f) % 2) AS fsize
+      FROM frames
+    )
+    SELECT doc_id,
+      CAST(rate AS BIGINT) AS sample_rate,
+      CAST(n AS BIGINT) AS n_frames,
+      CAST(n * 1152 AS BIGINT) AS n_samples,
+      CAST((n * 1152 * 1000) // rate AS BIGINT) AS duration_ms,
+      CAST(sum(fsize) AS BIGINT) AS total_bytes,
+      CAST(sum(list_sum(list_transform(range(0, 16), j ->
+        (doc_id*7 + f*31 + j*13) % 251))) AS BIGINT) AS head_sum,
+      CAST(sum((doc_id*7 + f*31 + (fsize - 5)*13) % 251) AS BIGINT) AS tail_sum
+    FROM sized
+    GROUP BY doc_id, n, rate
+    ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
     "q51_image_decode" -> (q51 _),
     "q52_audio_decode" -> (q52 _),
-    "q94_video_frames" -> (q94 _))
+    "q94_video_frames" -> (q94 _),
+    "q97_mp3_demux" -> (q97 _))
 
   val oracles: Map[String, String] = Map(
     "q51_image_decode" -> q51Sql,
     "q52_audio_decode" -> q52Sql,
-    "q94_video_frames" -> q94Sql)
+    "q94_video_frames" -> q94Sql,
+    "q97_mp3_demux" -> q97Sql)
 }

@@ -105,6 +105,64 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeFrameContainer(Array[Byte]('G', 'V', 'I', 'D')).isEmpty)
   }
 
+  test("mp3 encode -> frame walk round-trips frames exactly, ID3v2 skipped") {
+    val specs = Seq(
+      Multimodal.Mp3FrameSpec(1, 0, 0, j => (j % 100).toByte),   // 32kbps@44100
+      Multimodal.Mp3FrameSpec(14, 1, 1, j => (j % 50).toByte),   // 320kbps@48000
+      Multimodal.Mp3FrameSpec(9, 0, 0, j => 7.toByte))           // 128kbps@44100
+    val bare = Multimodal.encodeMp3(specs)
+    val tagged = Multimodal.encodeMp3(specs, Some(Array.fill(33)(0x41.toByte)))
+    for (bytes <- Seq(bare, tagged)) {
+      val frames = Multimodal.decodeMp3Frames(bytes).get
+      assert(frames.map(_.bitrateKbps) == Seq(32, 320, 128))
+      assert(frames.map(_.sampleRate) == Seq(44100, 48000, 44100))
+      // payload lengths follow the Layer III size formula (minus header)
+      assert(frames.map(_.payload.length) == Seq(
+        144000 * 32 / 44100 - 4, 144000 * 320 / 48000 + 1 - 4, 144000 * 128 / 44100 - 4))
+      // boundary-exact: first and last payload bytes of the middle frame
+      assert(frames(1).payload.head == 0)
+      assert((frames(1).payload.last & 0xFF) == (frames(1).payload.length - 1) % 50)
+    }
+  }
+
+  test("mp3 demux rejects garbage, truncation, and reserved header values") {
+    val good = Multimodal.encodeMp3(Seq(Multimodal.Mp3FrameSpec(5, 2, 0, _ => 1.toByte)))
+    assert(Multimodal.decodeMp3Frames(good).isDefined)
+    // garbage
+    assert(Multimodal.decodeMp3Frames("not an mp3".getBytes).isEmpty)
+    assert(Multimodal.decodeMp3Frames(Array.empty[Byte]).isEmpty)
+    // truncated final frame
+    assert(Multimodal.decodeMp3Frames(good.dropRight(1)).isEmpty)
+    // trailing garbage after a valid frame
+    assert(Multimodal.decodeMp3Frames(good ++ Array[Byte](1, 2, 3)).isEmpty)
+    // reserved bitrate index (15) and sample-rate index (3)
+    val badBitrate = good.clone(); badBitrate(2) = (0xF << 4).toByte
+    assert(Multimodal.decodeMp3Frames(badBitrate).isEmpty)
+    val badRate = good.clone(); badRate(2) = ((5 << 4) | (3 << 2)).toByte
+    assert(Multimodal.decodeMp3Frames(badRate).isEmpty)
+    // ID3 tag claiming more bytes than the payload holds
+    val lyingTag = Multimodal.encodeId3v2(Array.fill(10)(1.toByte)).take(10)
+    assert(Multimodal.decodeMp3Frames(lyingTag).isEmpty)
+  }
+
+  test("mp3 features: rates, counts, duration, boundary checksums") {
+    val bytes = Multimodal.encodeMp3(Seq(
+      Multimodal.Mp3FrameSpec(9, 0, 0, j => (j % 251).toByte),
+      Multimodal.Mp3FrameSpec(9, 0, 1, j => (j % 251).toByte)))
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Seq((1L, bytes)).toDF("doc_id", "payload"), "payload", "audio/mpeg")
+    val f = Multimodal.decodeMp3Features(media).collect().head
+    val size0 = 144000 * 128 / 44100
+    assert(f.sample_rate == 44100L)
+    assert(f.n_frames == 2L)
+    assert(f.n_samples == 2L * 1152L)
+    assert(f.duration_ms == 2L * 1152L * 1000L / 44100L)
+    assert(f.total_bytes == size0.toLong * 2 + 1)
+    assert(f.head_sum == 2L * (0 until 16).map(j => (j * 1) % 251).sum) // payload j%251
+    assert(f.tail_sum == ((size0 - 5) % 251).toLong + ((size0 + 1 - 5) % 251).toLong)
+  }
+
   test("frame sampling decodes every stride-th frame with real codecs") {
     import spark.implicits._
     val frames = (0 until 6).map(i =>
