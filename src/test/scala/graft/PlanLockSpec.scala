@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import java.nio.file.{Files, Paths}
+
+/** Plan-level regression lock for the most expensive bench queries: the
+  * NORMALIZED formatted physical plan of each is snapshotted into a golden
+  * file, so an accidental broadcast-hint, lost pushdown, or extra shuffle
+  * fails a test with a plan diff instead of surfacing as a bench mystery a
+  * round later.
+  *
+  * The normalization strips everything that varies run-to-run (expression
+  * ids, codegen ids, plan ids, temp paths, file listings) and keeps what
+  * defines the plan: the operator tree, join strategies, partitioning,
+  * pushed filters, and read schemas.
+  *
+  * To accept an INTENTIONAL plan change, regenerate with:
+  *   GRAFT_UPDATE_PLANS=1 sbt "testOnly graft.PlanLockSpec"
+  * and commit the diff — the review of that diff is the point.
+  */
+class PlanLockSpec extends SparkSpec {
+
+  /** Top-10 by round-4 bench cost (bench_detail.json). */
+  private val locked = Seq(
+    "q30_knn_bruteforce_mips",
+    "q18_replicator_pipeline",
+    "q72_backfill_pagination",
+    "q77_dependency_cascade",
+    "q31_ivf_label_pruned_ann",
+    "q89_distributed_backfill",
+    "q71_ics_reconcile",
+    "q73_atom_feed_refetch",
+    "q81_notify_ledger",
+    "q96_semantic_dedup")
+
+  private val goldenDir = Paths.get("src", "test", "resources", "plans")
+  private val update = sys.env.get("GRAFT_UPDATE_PLANS").contains("1")
+
+  private def normalize(plan: String): String =
+    plan
+      .replace(sfDir, "<SF>")
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\bcodegen id : \\d+", "codegen id : x")
+      .replaceAll("WholeStageCodegen \\(\\d+\\)", "WholeStageCodegen (x)")
+      .replaceAll("Location: [A-Za-z$.]*FileIndex\\([^)]*\\)\\[[^\\]]*\\]?", "Location: <files>")
+      .replaceAll("Location: [A-Za-z$.]*FileIndex[^\\n]*", "Location: <files>")
+      .replaceAll("/tmp/[^\\s,)\\]]+", "<TMP>")
+      .replaceAll("file:[^\\s,)\\]]+", "<PATH>")
+      .replaceAll("\\b\\d+ paths\\b", "N paths")
+      .replaceAll("Subquery:\\d+", "Subquery:x")
+      .replaceAll("subquery#x, \\[id=#x\\]", "subquery")
+      .replaceAll("cachedrdd-\\d+", "cachedrdd-x")
+      .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "<uuid>")
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda@x")
+      .replaceAll("@[0-9a-f]{6,}", "@x")
+      .replaceAll("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}(\\.\\d+)?", "<ts>")
+      .replaceAll("StorageLevel\\([^)]*\\)", "StorageLevel(x)")
+      .replaceAll("(?m)[ \\t]+$", "")
+      .trim + "\n"
+
+  locked.foreach { name =>
+    test(s"physical plan locked: $name") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val got = normalize(
+        df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      val goldenPath = goldenDir.resolve(s"$name.plan.txt")
+      if (update || !Files.exists(goldenPath)) {
+        Files.createDirectories(goldenDir)
+        Files.writeString(goldenPath, got)
+        info(s"wrote golden ${goldenPath}")
+      } else {
+        val want = Files.readString(goldenPath)
+        if (got != want) {
+          val gotL = got.linesIterator.toVector
+          val wantL = want.linesIterator.toVector
+          val firstDiff = gotL.zipAll(wantL, "<<missing>>", "<<missing>>")
+            .indexWhere { case (a, b) => a != b }
+          val ctx = (firstDiff - 2).max(0) to (firstDiff + 6).min(gotL.size.max(wantL.size) - 1)
+          val diff = ctx.map { i =>
+            val g = gotL.lift(i).getOrElse("<<missing>>")
+            val w = wantL.lift(i).getOrElse("<<missing>>")
+            if (g == w) s"  $g" else s"- $w\n+ $g"
+          }.mkString("\n")
+          fail(
+            s"""physical plan of $name changed (first diff at line ${firstDiff + 1}):
+               |$diff
+               |
+               |If intentional: GRAFT_UPDATE_PLANS=1 sbt "testOnly graft.PlanLockSpec"
+               |then review + commit the golden diff.""".stripMargin)
+        }
+      }
+    }
+  }
+}
