@@ -18,8 +18,11 @@ import org.apache.spark.sql.types._
   * image codecs but no demuxer; standard containers plug in behind the same
   * seam). MP3 is demuxed natively ([[decodeMp3Frames]]): ID3v2 skip + the
   * MPEG-1 Layer III frame walk, pure JVM — only the psychoacoustic audio
-  * decode (Huffman/IMDCT) stays behind the codec seam. All four decode
-  * paths are oracle-gated end to end (q51/q52/q94/q97): deterministic
+  * decode (Huffman/IMDCT) stays behind the codec seam. MP4/ISO BMFF is
+  * demuxed natively too ([[decodeMp4]]): the box-tree walk with
+  * skip-by-size, movie/track headers, and mdat extraction — per-sample
+  * codec decode (H.264 etc.) stays behind the seam. All five decode paths
+  * are oracle-gated end to end (q51/q52/q94/q97/q98): deterministic
   * payloads are encoded on executors, round-tripped through the codec, and
   * the extracted features hash-compared against DuckDB arithmetic. The
   * fixed-size chunker [[sampleFrames]] remains the container-less fallback.
@@ -417,6 +420,176 @@ object Multimodal {
           val tailSum = frames.map(f => (f.payload.last & 0xFF).toLong).sum
           Mp3Features(id, rate, frames.size.toLong, nSamples,
             nSamples * 1000L / rate, totalBytes, headSum, tailSum)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- mp4 demux
+
+  /** Parsed ISO BMFF (MP4) structure: the movie header, per-track headers,
+    * and the media payload — what a pipeline filters/samples on. */
+  final case class Mp4Track(trackId: Long, width: Int, height: Int)
+  final case class Mp4Info(brand: String, timescale: Long, duration: Long,
+                           tracks: Seq[Mp4Track], mdat: Array[Byte]) {
+    def durationMs: Long = if (timescale == 0) 0L else duration * 1000L / timescale
+  }
+
+  private def beInt(b: java.nio.ByteBuffer): Long = b.getInt.toLong & 0xFFFFFFFFL
+
+  /** REAL MP4 demux (pure JVM): walk the ISO/IEC 14496-12 box tree —
+    * `[size][type][payload]`, 64-bit largesize and to-end-of-file sizes
+    * included — descending into `moov`/`trak` containers, parsing `ftyp`,
+    * `mvhd` (v0/v1), `tkhd` (v0/v1, 16.16 fixed-point dims), and `mdat`.
+    * Unknown boxes are skipped by size, which is the property that makes a
+    * box demuxer robust to real-world files. Frame-level codec decode
+    * (H.264 etc.) stays behind the codec seam. None for non-BMFF payloads,
+    * truncated boxes, or malformed sizes. */
+  def decodeMp4(bytes: Array[Byte]): Option[Mp4Info] =
+    try {
+      var brand = ""
+      var timescale = 0L
+      var duration = 0L
+      val tracks = Vector.newBuilder[Mp4Track]
+      var mdat: Array[Byte] = Array.empty
+
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        var pos = start
+        while (pos < end) {
+          if (end - pos < 8) throw new java.io.IOException("truncated box header")
+          val bb = java.nio.ByteBuffer.wrap(bytes, pos, end - pos)
+          var size = beInt(bb)
+          val tpe = {
+            val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+          }
+          var headerLen = 8
+          if (size == 1L) { size = bb.getLong; headerLen = 16 }
+          else if (size == 0L) size = (end - pos).toLong // to end of enclosing
+          if (size < headerLen || pos + size > end)
+            throw new java.io.IOException(s"bad box size $size for $tpe")
+          val bodyStart = pos + headerLen
+          val bodyEnd = pos + size.toInt
+          tpe match {
+            case "ftyp" =>
+              if (bodyEnd - bodyStart < 4) throw new java.io.IOException("short ftyp")
+              brand = new String(bytes, bodyStart, 4, "US-ASCII")
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              if (depth > 8) throw new java.io.IOException("box nesting runaway")
+              walk(bodyStart, bodyEnd, depth + 1)
+            case "mvhd" =>
+              val b = java.nio.ByteBuffer.wrap(bytes, bodyStart, bodyEnd - bodyStart)
+              val version = b.get() & 0xFF
+              b.position(b.position() + 3) // flags
+              if (version == 1) {
+                b.position(b.position() + 16) // 64-bit ctime+mtime
+                timescale = beInt(b)
+                duration = b.getLong
+              } else {
+                b.position(b.position() + 8) // 32-bit ctime+mtime
+                timescale = beInt(b)
+                duration = beInt(b)
+              }
+            case "tkhd" =>
+              val b = java.nio.ByteBuffer.wrap(bytes, bodyStart, bodyEnd - bodyStart)
+              val version = b.get() & 0xFF
+              b.position(b.position() + 3)
+              val trackId =
+                if (version == 1) { b.position(b.position() + 16); beInt(b) }
+                else { b.position(b.position() + 8); beInt(b) }
+              // reserved + duration + reserved(8) + layer/altgroup/volume/
+              // reserved(2) + matrix(36), then width/height as 16.16 fixed
+              b.position(b.position() + 4 + (if (version == 1) 8 else 4) + 8 + 8 + 36)
+              val width = (beInt(b) >> 16).toInt
+              val height = (beInt(b) >> 16).toInt
+              tracks += Mp4Track(trackId, width, height)
+            case "mdat" =>
+              mdat = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd)
+            case _ => () // skip-by-size: the demuxer contract
+          }
+          pos = bodyEnd
+        }
+      }
+      walk(0, bytes.length, 0)
+      if (brand.isEmpty || timescale == 0L) None
+      else Some(Mp4Info(brand, timescale, duration, tracks.result(), mdat))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic ISO BMFF encode (fixture generator — the encode seam):
+    * ftyp + moov(mvhd + per-track trak(tkhd)) + mdat, all v0 boxes,
+    * byte-exact per the spec layouts [[decodeMp4]] parses. */
+  def encodeMp4(brand: String, timescale: Long, duration: Long,
+                tracks: Seq[Mp4Track], mdat: Array[Byte]): Array[Byte] = {
+    require(brand.length == 4, "brand must be 4 ascii chars")
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp", (brand + "    " + brand).getBytes("US-ASCII"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0)                   // version 0 + flags
+      b.putInt(0).putInt(0)         // ctime, mtime
+      b.putInt(timescale.toInt).putInt(duration.toInt)
+      b.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      b.put(new Array[Byte](10))    // reserved
+      b.putInt(0x00010000).putInt(0).putInt(0)      // unity matrix rows
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+      b.put(new Array[Byte](24))    // pre_defined
+      b.putInt(tracks.size + 1)     // next_track_ID
+      box("mvhd", b.array())
+    }
+    val traks = tracks.map { t =>
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(7)                   // version 0 + flags (enabled|in-movie|in-preview)
+      b.putInt(0).putInt(0)         // ctime, mtime
+      b.putInt(t.trackId.toInt)
+      b.putInt(0)                   // reserved
+      b.putInt(duration.toInt)
+      b.put(new Array[Byte](8))     // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0) // layer/altgroup/volume/reserved
+      b.putInt(0x00010000).putInt(0).putInt(0)
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+      b.putInt(t.width << 16).putInt(t.height << 16)
+      box("trak", box("tkhd", b.array()))
+    }
+    val moov = box("moov", (mvhd +: traks).reduce(_ ++ _))
+    ftyp ++ moov ++ box("mdat", mdat)
+  }
+
+  final case class Mp4Features(
+      doc_id: Long,
+      brand: String,
+      duration_ms: Long,
+      n_tracks: Long,
+      width_sum: Long,
+      height_sum: Long,
+      mdat_bytes: Long,
+      /** First-16 + last mdat byte sums — verify the payload boundaries. */
+      mdat_head_sum: Long,
+      mdat_tail_byte: Long)
+
+  /** Executor-side MP4 demux + feature extraction, same shape as the other
+    * decode paths: per-row demux, per-partition batch, drop undecodable. */
+  def decodeMp4Features(media: DataFrame, idCol: String = "doc_id"): Dataset[Mp4Features] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        decodeMp4(bytes).map { info =>
+          Mp4Features(id, info.brand, info.durationMs,
+            info.tracks.size.toLong,
+            info.tracks.map(_.width.toLong).sum,
+            info.tracks.map(_.height.toLong).sum,
+            info.mdat.length.toLong,
+            info.mdat.take(16).map(_ & 0xFF).sum.toLong,
+            if (info.mdat.isEmpty) -1L else (info.mdat.last & 0xFF).toLong)
         }
       }
     }

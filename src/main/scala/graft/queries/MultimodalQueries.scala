@@ -215,15 +215,70 @@ object MultimodalQueries {
     GROUP BY doc_id, n, rate
     ORDER BY doc_id"""
 
+  /** Deterministic MP4 per doc: movie timescale/duration, (doc_id % 3) + 1
+    * tracks with formula dims, and an mdat payload byte j =
+    * (doc_id*11 + j*17) % 251. Every demuxed feature recomputable. */
+  private[queries] def mp4For(id: Long): Array[Byte] = {
+    val timescale = 600L * (id % 4 + 1)
+    val duration = id % 5000 + 1000
+    val tracks = (0 until (id % 3 + 1).toInt).map { t =>
+      Multimodal.Mp4Track(t + 1L,
+        (id % 640 + 16 + t).toInt, (id % 480 + 16 + 2 * t).toInt)
+    }
+    val mdat = Array.tabulate((id % 257 + 32).toInt)(j => ((id * 11 + j * 17) % 251).toByte)
+    Multimodal.encodeMp4("isom", timescale, duration, tracks, mdat)
+  }
+
+  /** q98 — MP4 (ISO BMFF) demux under oracle: synth box tree -> pure-JVM
+    * box walk (ftyp/moov/mvhd/trak/tkhd/mdat, skip-by-size for the rest) ->
+    * brand, duration, track dims, mdat boundary checksums. */
+  def q98(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, mp4For(id))))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "video/mp4")
+    Multimodal.decodeMp4Features(media).toDF()
+      .select(col("doc_id"), col("brand"), col("duration_ms"), col("n_tracks"),
+        col("width_sum"), col("height_sum"), col("mdat_bytes"),
+        col("mdat_head_sum"), col("mdat_tail_byte"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q98Sql: String = """
+    WITH base AS (
+      SELECT doc_id,
+        600 * (doc_id % 4 + 1) AS ts,
+        doc_id % 5000 + 1000 AS dur,
+        (doc_id % 3) + 1 AS nt,
+        doc_id % 257 + 32 AS mlen
+      FROM documents
+    )
+    SELECT doc_id, 'isom' AS brand,
+      CAST((dur * 1000) // ts AS BIGINT) AS duration_ms,
+      CAST(nt AS BIGINT) AS n_tracks,
+      CAST(list_sum(list_transform(range(0, nt), t ->
+        doc_id % 640 + 16 + t)) AS BIGINT) AS width_sum,
+      CAST(list_sum(list_transform(range(0, nt), t ->
+        doc_id % 480 + 16 + 2*t)) AS BIGINT) AS height_sum,
+      CAST(mlen AS BIGINT) AS mdat_bytes,
+      CAST(list_sum(list_transform(range(0, 16), j ->
+        (doc_id*11 + j*17) % 251)) AS BIGINT) AS mdat_head_sum,
+      CAST((doc_id*11 + (mlen - 1)*17) % 251 AS BIGINT) AS mdat_tail_byte
+    FROM base ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
     "q51_image_decode" -> (q51 _),
     "q52_audio_decode" -> (q52 _),
     "q94_video_frames" -> (q94 _),
-    "q97_mp3_demux" -> (q97 _))
+    "q97_mp3_demux" -> (q97 _),
+    "q98_mp4_demux" -> (q98 _))
 
   val oracles: Map[String, String] = Map(
     "q51_image_decode" -> q51Sql,
     "q52_audio_decode" -> q52Sql,
     "q94_video_frames" -> q94Sql,
-    "q97_mp3_demux" -> q97Sql)
+    "q97_mp3_demux" -> q97Sql,
+    "q98_mp4_demux" -> q98Sql)
 }

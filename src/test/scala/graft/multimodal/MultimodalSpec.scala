@@ -163,6 +163,45 @@ class MultimodalSpec extends SparkSpec {
     assert(f.tail_sum == ((size0 - 5) % 251).toLong + ((size0 + 1 - 5) % 251).toLong)
   }
 
+  test("mp4 encode -> box walk round-trips the movie structure exactly") {
+    val tracks = Seq(Multimodal.Mp4Track(1, 640, 480), Multimodal.Mp4Track(2, 320, 240))
+    val mdat = Array.tabulate(100)(i => (i % 251).toByte)
+    val bytes = Multimodal.encodeMp4("isom", 600, 3000, tracks, mdat)
+    val info = Multimodal.decodeMp4(bytes).get
+    assert(info.brand == "isom")
+    assert(info.timescale == 600L && info.duration == 3000L)
+    assert(info.durationMs == 5000L)
+    assert(info.tracks == tracks)
+    assert(info.mdat.toSeq == mdat.toSeq)
+    // unknown boxes between the known ones are skipped by size
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val free = box("free", Array.fill(37)(0x55.toByte))
+    val ftypLen = 8 + 12 // size+type header, then brand/minor/compatible
+    val withFree = bytes.take(ftypLen) ++ free ++ bytes.drop(ftypLen) // after ftyp
+    assert(Multimodal.decodeMp4(withFree).get.tracks == tracks)
+  }
+
+  test("mp4 demux rejects garbage, truncation, and bad box sizes") {
+    assert(Multimodal.decodeMp4("not an mp4 file!".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4(Array.empty[Byte]).isEmpty)
+    val good = Multimodal.encodeMp4("isom", 600, 1200,
+      Seq(Multimodal.Mp4Track(1, 64, 48)), Array.fill(10)(1.toByte))
+    assert(Multimodal.decodeMp4(good).isDefined)
+    // truncated mid-box
+    assert(Multimodal.decodeMp4(good.dropRight(5)).isEmpty)
+    // box size larger than the file
+    val badSize = good.clone()
+    badSize(0) = 0x7F.toByte
+    assert(Multimodal.decodeMp4(badSize).isEmpty)
+    // a WAV is not an MP4 even though it parses as RIFF
+    val wav = Multimodal.encodeWavPcm16(8000, Array[Short](1, 2, 3))
+    assert(Multimodal.decodeMp4(wav).isEmpty)
+  }
+
   test("frame sampling decodes every stride-th frame with real codecs") {
     import spark.implicits._
     val frames = (0 until 6).map(i =>
