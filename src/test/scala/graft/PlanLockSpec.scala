@@ -55,13 +55,23 @@ class PlanLockSpec extends SparkSpec {
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda@x")
       .replaceAll("@[0-9a-f]{6,}", "@x")
       .replaceAll("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}(\\.\\d+)?", "<ts>")
+      .replaceAll("RDD\\[\\d+\\]", "RDD[n]")          // global RDD id counter
+      .replaceAll("\\blambda x_\\d+", "lambda x_n")   // global lambda var counter
       .replaceAll("StorageLevel\\([^)]*\\)", "StorageLevel(x)")
       .replaceAll("(?m)[ \\t]+$", "")
       .trim + "\n"
 
+  /** Plans are built in an ISOLATED session: suites run in parallel on one
+    * shared SparkSession, and another suite's temporary conf override (e.g.
+    * a disabled broadcast threshold) mid-flight would otherwise flip join
+    * strategies in the plan being fingerprinted. `newSession` clones the
+    * session state from the builder confs, not the shared session's current
+    * runtime mutations. */
+  private lazy val planSession = spark.newSession()
+
   locked.foreach { name =>
     test(s"physical plan locked: $name") {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = SparkEntry.queries(name)(planSession, sfDir)
       val got = normalize(
         df.queryExecution.explainString(ExplainMode.fromString("formatted")))
       val goldenPath = goldenDir.resolve(s"$name.plan.txt")
