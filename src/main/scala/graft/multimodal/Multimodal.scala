@@ -595,6 +595,199 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------- mkv demux
+
+  /** Parsed Matroska/EBML structure (public spec: RFC 8794 EBML + the
+    * Matroska element registry): segment info, per-track video dims, and
+    * the first cluster's block payload. */
+  final case class MkvTrack(trackNumber: Long, trackType: Long, width: Int, height: Int)
+  final case class MkvInfo(docType: String, timestampScale: Long, duration: Double,
+                           tracks: Seq[MkvTrack], clusterPayload: Array[Byte]) {
+    /** Duration is stored in timestampScale (ns) units. */
+    def durationMs: Long = (duration * timestampScale / 1e6).toLong
+  }
+
+  private object Ebml {
+    // element IDs, stored with their length-marker bytes as the spec writes them
+    val Header = 0x1A45DFA3L; val DocType = 0x4282L
+    val Segment = 0x18538067L
+    val Info = 0x1549A966L; val TimestampScale = 0x2AD7B1L; val Duration = 0x4489L
+    val Tracks = 0x1654AE6BL; val TrackEntry = 0xAEL
+    val TrackNumber = 0xD7L; val TrackType = 0x83L
+    val Video = 0xE0L; val PixelWidth = 0xB0L; val PixelHeight = 0xBAL
+    val Cluster = 0x1F43B675L; val Timestamp = 0xE7L; val SimpleBlock = 0xA3L
+
+    def idLength(firstByte: Int): Int =
+      if ((firstByte & 0x80) != 0) 1
+      else if ((firstByte & 0x40) != 0) 2
+      else if ((firstByte & 0x20) != 0) 3
+      else if ((firstByte & 0x10) != 0) 4
+      else -1
+
+    /** Encode an element ID: its registry value already includes the
+      * length-marker bit, so it serializes as plain big-endian bytes. */
+    def idBytes(id: Long): Array[Byte] = {
+      val n = if (id <= 0xFFL) 1 else if (id <= 0xFFFFL) 2
+        else if (id <= 0xFFFFFFL) 3 else 4
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+
+    /** Size varint: marker bit in the first byte, value with marker STRIPPED
+      * (unlike IDs). Shortest form. */
+    def sizeBytes(v: Long): Array[Byte] = {
+      require(v >= 0, "negative ebml size")
+      var n = 1
+      while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1 // reserve all-ones (unknown size)
+      val out = new Array[Byte](n)
+      var rest = v | (1L << (7 * n)) // set the marker bit
+      var i = n - 1
+      while (i >= 0) { out(i) = (rest & 0xFF).toByte; rest >>= 8; i -= 1 }
+      out
+    }
+  }
+
+  /** Deterministic Matroska encode (fixture generator — the encode seam):
+    * EBML header (DocType) + Segment(Info(TimestampScale, Duration),
+    * Tracks(TrackEntry(Number, Type, Video(PixelWidth, PixelHeight))...),
+    * Cluster(Timestamp, SimpleBlock payload)). */
+  def encodeMkv(timestampScale: Long, duration: Double, tracks: Seq[MkvTrack],
+                clusterPayload: Array[Byte]): Array[Byte] = {
+    import Ebml._
+    def el(id: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeBytes(body.length.toLong) ++ body
+    def uint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && v >= (1L << (8 * n))) n += 1
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+    def float8(v: Double): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putDouble(v).array()
+    val header = el(Header, el(DocType, "matroska".getBytes("US-ASCII")))
+    val info = el(Info,
+      el(TimestampScale, uint(timestampScale)) ++ el(Duration, float8(duration)))
+    val trackEls = tracks.map { t =>
+      el(TrackEntry,
+        el(TrackNumber, uint(t.trackNumber)) ++
+          el(TrackType, uint(t.trackType)) ++
+          el(Video, el(PixelWidth, uint(t.width.toLong)) ++
+            el(PixelHeight, uint(t.height.toLong))))
+    }
+    val cluster = el(Cluster,
+      el(Timestamp, uint(0L)) ++ el(SimpleBlock, clusterPayload))
+    header ++ el(Segment,
+      info ++ el(Tracks, trackEls.foldLeft(Array.empty[Byte])(_ ++ _)) ++ cluster)
+  }
+
+  /** REAL Matroska demux (pure JVM): the RFC 8794 EBML walk — varint
+    * element IDs (marker kept) and sizes (marker stripped), descent into
+    * the known containers, skip-by-size for everything else. Per-sample
+    * codec decode stays behind the codec seam. None for non-EBML payloads,
+    * truncated elements, or malformed varints. */
+  def decodeMkv(bytes: Array[Byte]): Option[MkvInfo] =
+    try {
+      import Ebml._
+      var docType = ""
+      var tsScale = 1000000L // spec default: 1 ms
+      var duration = 0.0
+      var sawDuration = false
+      val tracks = Vector.newBuilder[MkvTrack]
+      var cluster: Array[Byte] = Array.empty
+      // per-TrackEntry accumulation
+      var tNum = 0L; var tType = 0L; var tW = 0; var tH = 0
+
+      def readUint(start: Int, end: Int): Long = {
+        var v = 0L
+        var i = start
+        while (i < end) { v = (v << 8) | (bytes(i) & 0xFF); i += 1 }
+        v
+      }
+
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 8) throw new java.io.IOException("ebml nesting runaway")
+        var pos = start
+        while (pos < end) {
+          val idLen = idLength(bytes(pos) & 0xFF)
+          if (idLen < 0 || pos + idLen > end) throw new java.io.IOException("bad id")
+          val id = readUint(pos, pos + idLen)
+          pos += idLen
+          if (pos >= end) throw new java.io.IOException("missing size")
+          val first = bytes(pos) & 0xFF
+          var sizeLen = 1
+          while (sizeLen <= 8 && (first & (0x80 >> (sizeLen - 1))) == 0) sizeLen += 1
+          if (sizeLen > 8 || pos + sizeLen > end) throw new java.io.IOException("bad size varint")
+          val size = readUint(pos, pos + sizeLen) - (1L << (7 * sizeLen))
+          pos += sizeLen
+          if (size < 0 || pos + size > end) throw new java.io.IOException("truncated element")
+          val bodyEnd = pos + size.toInt
+          id match {
+            case Header | Info | Tracks | Video => walk(pos, bodyEnd, depth + 1)
+            case Segment => walk(pos, bodyEnd, depth + 1)
+            case Cluster => walk(pos, bodyEnd, depth + 1)
+            case TrackEntry =>
+              tNum = 0L; tType = 0L; tW = 0; tH = 0
+              walk(pos, bodyEnd, depth + 1)
+              tracks += MkvTrack(tNum, tType, tW, tH)
+            case DocType => docType = new String(bytes, pos, size.toInt, "US-ASCII")
+            case TimestampScale => tsScale = readUint(pos, bodyEnd)
+            case Duration =>
+              sawDuration = true
+              duration =
+                if (size == 8L) java.nio.ByteBuffer.wrap(bytes, pos, 8).getDouble
+                else if (size == 4L) java.nio.ByteBuffer.wrap(bytes, pos, 4).getFloat.toDouble
+                else throw new java.io.IOException("bad float width")
+            case TrackNumber => tNum = readUint(pos, bodyEnd)
+            case TrackType => tType = readUint(pos, bodyEnd)
+            case PixelWidth => tW = readUint(pos, bodyEnd).toInt
+            case PixelHeight => tH = readUint(pos, bodyEnd).toInt
+            case SimpleBlock =>
+              cluster = java.util.Arrays.copyOfRange(bytes, pos, bodyEnd)
+            case _ => () // skip-by-size: the demuxer contract
+          }
+          pos = bodyEnd
+        }
+      }
+      walk(0, bytes.length, 0)
+      if (docType != "matroska" || !sawDuration) None
+      else Some(MkvInfo(docType, tsScale, duration, tracks.result(), cluster))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  final case class MkvFeatures(
+      doc_id: Long,
+      duration_ms: Long,
+      n_tracks: Long,
+      n_video_tracks: Long,
+      width_sum: Long,
+      height_sum: Long,
+      cluster_bytes: Long,
+      cluster_head_sum: Long,
+      cluster_tail_byte: Long)
+
+  /** Executor-side MKV demux + feature extraction, same shape as the other
+    * decode paths. */
+  def decodeMkvFeatures(media: DataFrame, idCol: String = "doc_id"): Dataset[MkvFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        decodeMkv(bytes).map { info =>
+          MkvFeatures(id, info.durationMs,
+            info.tracks.size.toLong,
+            info.tracks.count(_.trackType == 1L).toLong,
+            info.tracks.map(_.width.toLong).sum,
+            info.tracks.map(_.height.toLong).sum,
+            info.clusterPayload.length.toLong,
+            info.clusterPayload.take(16).map(_ & 0xFF).sum.toLong,
+            if (info.clusterPayload.isEmpty) -1L
+            else (info.clusterPayload.last & 0xFF).toLong)
+        }
+      }
+    }
+  }
+
   /** STUB frame sampling for video payloads: yields every `stride`-th chunk
     * of the payload as a "frame" — the real implementation would demux; the
     * iterator/batch shape is what downstream consumes. */

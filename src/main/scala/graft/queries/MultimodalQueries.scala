@@ -268,17 +268,71 @@ object MultimodalQueries {
       CAST((doc_id*11 + (mlen - 1)*17) % 251 AS BIGINT) AS mdat_tail_byte
     FROM base ORDER BY doc_id"""
 
+  /** Deterministic MKV per doc: 1 ms timestamp scale, formula duration,
+    * (doc_id % 3) + 1 tracks alternating video/audio, cluster payload byte
+    * j = (doc_id*13 + j*19) % 251. */
+  private[queries] def mkvFor(id: Long): Array[Byte] = {
+    val tracks = (0 until (id % 3 + 1).toInt).map { t =>
+      Multimodal.MkvTrack(t + 1L, if (t % 2 == 0) 1L else 2L,
+        (id % 512 + 32 + 3 * t).toInt, (id % 384 + 24 + 5 * t).toInt)
+    }
+    val cluster = Array.tabulate((id % 199 + 24).toInt)(j => ((id * 13 + j * 19) % 251).toByte)
+    Multimodal.encodeMkv(1000000L, (id % 5000 + 1000).toDouble, tracks, cluster)
+  }
+
+  /** q99 — Matroska/EBML demux under oracle: synth element tree -> pure-JVM
+    * varint walk (RFC 8794) -> duration, track dims, cluster boundary
+    * checksums. Completes the container trio next to q97 (MP3) and q98
+    * (ISO BMFF). */
+  def q99(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, mkvFor(id))))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "video/x-matroska")
+    Multimodal.decodeMkvFeatures(media).toDF()
+      .select(col("doc_id"), col("duration_ms"), col("n_tracks"),
+        col("n_video_tracks"), col("width_sum"), col("height_sum"),
+        col("cluster_bytes"), col("cluster_head_sum"), col("cluster_tail_byte"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q99Sql: String = """
+    WITH base AS (
+      SELECT doc_id,
+        doc_id % 5000 + 1000 AS dur_ms,
+        (doc_id % 3) + 1 AS nt,
+        doc_id % 199 + 24 AS clen
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(dur_ms AS BIGINT) AS duration_ms,
+      CAST(nt AS BIGINT) AS n_tracks,
+      CAST((nt + 1) // 2 AS BIGINT) AS n_video_tracks,
+      CAST(list_sum(list_transform(range(0, nt), t ->
+        doc_id % 512 + 32 + 3*t)) AS BIGINT) AS width_sum,
+      CAST(list_sum(list_transform(range(0, nt), t ->
+        doc_id % 384 + 24 + 5*t)) AS BIGINT) AS height_sum,
+      CAST(clen AS BIGINT) AS cluster_bytes,
+      CAST(list_sum(list_transform(range(0, 16), j ->
+        (doc_id*13 + j*19) % 251)) AS BIGINT) AS cluster_head_sum,
+      CAST((doc_id*13 + (clen - 1)*19) % 251 AS BIGINT) AS cluster_tail_byte
+    FROM base ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
     "q51_image_decode" -> (q51 _),
     "q52_audio_decode" -> (q52 _),
     "q94_video_frames" -> (q94 _),
     "q97_mp3_demux" -> (q97 _),
-    "q98_mp4_demux" -> (q98 _))
+    "q98_mp4_demux" -> (q98 _),
+    "q99_mkv_demux" -> (q99 _))
 
   val oracles: Map[String, String] = Map(
     "q51_image_decode" -> q51Sql,
     "q52_audio_decode" -> q52Sql,
     "q94_video_frames" -> q94Sql,
     "q97_mp3_demux" -> q97Sql,
-    "q98_mp4_demux" -> q98Sql)
+    "q98_mp4_demux" -> q98Sql,
+    "q99_mkv_demux" -> q99Sql)
 }

@@ -202,6 +202,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp4(wav).isEmpty)
   }
 
+  test("mkv encode -> ebml walk round-trips the segment structure exactly") {
+    val tracks = Seq(
+      Multimodal.MkvTrack(1, 1, 1920, 1080),
+      Multimodal.MkvTrack(2, 2, 0, 0))
+    val cluster = Array.tabulate(50)(i => (i * 3 % 251).toByte)
+    val bytes = Multimodal.encodeMkv(1000000L, 4321.0, tracks, cluster)
+    val info = Multimodal.decodeMkv(bytes).get
+    assert(info.docType == "matroska")
+    assert(info.timestampScale == 1000000L)
+    assert(info.durationMs == 4321L)
+    assert(info.tracks == tracks)
+    assert(info.clusterPayload.toSeq == cluster.toSeq)
+    // multi-byte size varints parse (a large cluster forces a 2+ byte size)
+    val big = Multimodal.encodeMkv(1000000L, 10.0, tracks, Array.fill(300)(9.toByte))
+    assert(Multimodal.decodeMkv(big).get.clusterPayload.length == 300)
+    // splicing bytes in WITHOUT fixing the enclosing sizes must fail
+    // cleanly (None), never crash — the truncated-element guard
+    val void = Array[Byte](0xEC.toByte, 0x84.toByte, 1, 2, 3, 4)
+    val infoIdx = {
+      val pat = Array[Byte](0x15, 0x49.toByte, 0xA9.toByte, 0x66.toByte)
+      bytes.indices.find(i => i + 4 <= bytes.length &&
+        bytes.slice(i, i + 4).sameElements(pat)).get
+    }
+    val spliced = bytes.take(infoIdx) ++ void ++ bytes.drop(infoIdx)
+    assert(Multimodal.decodeMkv(spliced).isEmpty)
+  }
+
+  test("mkv demux rejects garbage and truncation") {
+    assert(Multimodal.decodeMkv("definitely not ebml".getBytes).isEmpty)
+    assert(Multimodal.decodeMkv(Array.empty[Byte]).isEmpty)
+    val good = Multimodal.encodeMkv(1000000L, 10.0,
+      Seq(Multimodal.MkvTrack(1, 1, 64, 48)), Array.fill(10)(1.toByte))
+    assert(Multimodal.decodeMkv(good).isDefined)
+    assert(Multimodal.decodeMkv(good.dropRight(3)).isEmpty)
+    // an MP4 is not an MKV
+    val mp4 = Multimodal.encodeMp4("isom", 600, 1200,
+      Seq(Multimodal.Mp4Track(1, 64, 48)), Array.fill(10)(1.toByte))
+    assert(Multimodal.decodeMkv(mp4).isEmpty)
+  }
+
   test("frame sampling decodes every stride-th frame with real codecs") {
     import spark.implicits._
     val frames = (0 until 6).map(i =>
