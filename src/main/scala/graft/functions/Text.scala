@@ -119,4 +119,35 @@ object Text {
 
   /** Content-defined document fingerprint: md5 of normalized text. */
   def md5Fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** URL canonicalization for web-corpus dedup (the CommonCrawl-style key:
+    * two crawls of the same page must collide): lowercase scheme/host,
+    * strip a `www.` prefix, drop default ports (80/443), drop the
+    * fragment, drop tracking query params (`utm_*`, `fbclid`, `gclid`)
+    * while PRESERVING the remaining params in their original order (param
+    * reordering changes semantics for some sites — too aggressive for a
+    * dedup key), strip one trailing slash from a non-root path. Pure
+    * `parse_url` + regex Columns — codegen'd, no UDF. */
+  def canonicalizeUrl(c: Column): Column = {
+    val scheme = lower(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    val hostRaw = lower(coalesce(parse_url(c, lit("HOST")), lit("")))
+    val host = regexp_replace(hostRaw, "^www\\.", "")
+    val authority = coalesce(parse_url(c, lit("AUTHORITY")), lit(""))
+    val port = regexp_extract(authority, ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val pathRaw = coalesce(parse_url(c, lit("PATH")), lit(""))
+    val path = when(pathRaw === "/", lit(""))
+      .otherwise(regexp_replace(pathRaw, "/$", ""))
+    val queryRaw = coalesce(parse_url(c, lit("QUERY")), lit(""))
+    val kept = filter(split(queryRaw, "&"),
+      p => !(p.rlike("^(utm_[^=]*|fbclid|gclid)=") || p === ""))
+    val query = array_join(kept, "&")
+    concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+  }
 }

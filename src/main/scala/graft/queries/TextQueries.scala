@@ -194,13 +194,58 @@ object TextQueries {
     FROM packed GROUP BY source, pack_id
     ORDER BY source, pack_id"""
 
+  /** Deterministic noisy URL per doc: mixed-case scheme/host, optional
+    * `WWW.` prefix, default and explicit ports, trailing slashes, tracking
+    * params, fragments — every normalization branch exercised. */
+  private def noisyUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scheme = when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http"))
+    val www = when(id % 3 === 0, lit("WWW.")).otherwise(lit(""))
+    val host = concat(www, lit("Example"), (id % 50).cast("string"), lit(".COM"))
+    val port = when(id % 5 === 0,
+        when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+      .when(id % 5 === 1, lit(":8080"))
+      .otherwise(lit(""))
+    val path = concat(lit("/Docs/Page"), (id % 97).cast("string"),
+      when(id % 7 === 0, lit("/")).otherwise(lit("")))
+    val query = concat(lit("?a="), (id % 11).cast("string"),
+      lit("&utm_source=news&b="), (id % 4).cast("string"),
+      when(id % 6 === 0, lit("&gclid=xyz")).otherwise(lit("")))
+    val frag = when(id % 3 === 1, lit("#Sec2")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** q100 — URL canonicalization under oracle: synth noisy URLs ->
+    * [[Text.canonicalizeUrl]] (real `parse_url` + regex normalization) ->
+    * canonical key + per-host page counts. The oracle rebuilds the
+    * canonical form from the generating formulas WITHOUT parsing, so only
+    * a correct parse-and-normalize chain can match. */
+  def q100(spark: SparkSession, d: String): DataFrame = {
+    val urls = Tables.documents(spark, d)
+      .select(col("doc_id"), noisyUrl(col("doc_id")).as("url"))
+    urls.select(col("doc_id"),
+        graft.functions.Text.canonicalizeUrl(col("url")).as("canonical_url"))
+      .withColumn("host", regexp_extract(col("canonical_url"), "^[a-z]+://([^:/?]+)", 1))
+      .orderBy(col("doc_id"))
+  }
+
+  val q100Sql: String = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+        || '://example' || (doc_id % 50) || '.com'
+        || CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END
+        || '/Docs/Page' || (doc_id % 97)
+        || '?a=' || (doc_id % 11) || '&b=' || (doc_id % 4) AS canonical_url,
+      'example' || (doc_id % 50) || '.com' AS host
+    FROM documents ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
     "q40_language_id" -> (q40 _),
     "q41_quality_score" -> (q41 _),
     "q42_token_stats" -> (q42 _),
     "q43_fingerprints" -> (q43 _),
     "q44_stratified_sample" -> (q44 _),
-    "q45_sequence_packing" -> (q45 _))
+    "q45_sequence_packing" -> (q45 _),
+    "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
     "q40_language_id" -> q40Sql,
@@ -208,5 +253,6 @@ object TextQueries {
     "q42_token_stats" -> q42Sql,
     "q43_fingerprints" -> q43Sql,
     "q44_stratified_sample" -> q44Sql,
-    "q45_sequence_packing" -> q45Sql)
+    "q45_sequence_packing" -> q45Sql,
+    "q100_url_canonicalize" -> q100Sql)
 }

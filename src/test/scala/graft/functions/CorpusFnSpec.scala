@@ -94,6 +94,28 @@ class CorpusFnSpec extends SparkSpec {
     assert(row.getLong(3) == viaCols.getLong(1))
   }
 
+  test("url canonicalization: case, www, ports, tracking params, fragments, slashes") {
+    import spark.implicits._
+    val cases = Seq(
+      // two crawls of the same page -> same key
+      ("HTTPS://WWW.Example.COM:443/a/b?utm_source=x&q=1#top", "https://example.com/a/b?q=1"),
+      ("https://example.com/a/b/?q=1", "https://example.com/a/b?q=1"),
+      // non-default port kept; param order preserved
+      ("http://Example.com:8080/p?b=2&a=1&fbclid=zzz", "http://example.com:8080/p?b=2&a=1"),
+      // default http port dropped; root path collapses; empty query dropped
+      ("http://example.com:80/?utm_campaign=c", "http://example.com"),
+      // path case preserved (URL paths are case-sensitive)
+      ("https://example.com/Docs/Page1", "https://example.com/Docs/Page1"),
+      // gclid stripped mid-query
+      ("http://a.com/p?x=1&gclid=g&y=2", "http://a.com/p?x=1&y=2"))
+    val out = cases.map(_._1).toDF("url")
+      .select(graft.functions.Text.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got == want, s"got $got want $want")
+    }
+  }
+
   test("langid picks the language with most markers") {
     val scores = Text.langScores(col("t"))
     val df = Seq("el que la de los por es una cosa").toDF("t")
