@@ -21,8 +21,9 @@ import org.apache.spark.sql.types._
   * decode (Huffman/IMDCT) stays behind the codec seam. MP4/ISO BMFF is
   * demuxed natively too ([[decodeMp4]]): the box-tree walk with
   * skip-by-size, movie/track headers, and mdat extraction — per-sample
-  * codec decode (H.264 etc.) stays behind the seam. All five decode paths
-  * are oracle-gated end to end (q51/q52/q94/q97/q98): deterministic
+  * codec decode (H.264 etc.) stays behind the seam. So is Matroska
+  * ([[decodeMkv]]): the RFC 8794 EBML varint walk. All six decode paths
+  * are oracle-gated end to end (q51/q52/q94/q97/q98/q99): deterministic
   * payloads are encoded on executors, round-tripped through the codec, and
   * the extracted features hash-compared against DuckDB arithmetic. The
   * fixed-size chunker [[sampleFrames]] remains the container-less fallback.
@@ -525,7 +526,7 @@ object Multimodal {
       bb.putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body)
       bb.array()
     }
-    val ftyp = box("ftyp", (brand + "    " + brand).getBytes("US-ASCII"))
+    val ftyp = box("ftyp", (brand + "\u0000\u0000\u0000\u0000" + brand).getBytes("US-ASCII"))
     val mvhd = {
       val b = java.nio.ByteBuffer.allocate(100)
       b.putInt(0)                   // version 0 + flags

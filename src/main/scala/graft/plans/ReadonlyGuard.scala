@@ -52,12 +52,24 @@ object ReadonlyGuard {
   def run(spark: SparkSession, sql: String,
           maxRows: Int = DefaultMaxRows): QueryResult = {
     validate(spark, sql)
-    val df = spark.sql(sql)
-    val capped = df.limit(maxRows + 1).collect()
+    cappedCollect(spark, spark.sql(sql), maxRows)(collect => collect())._1
+  }
+
+  /** The shared cap-collect-rewrap: fetch maxRows+1 (the sentinel that
+    * distinguishes "exactly maxRows" from "truncated"), rewrap the kept
+    * rows as a DataFrame. `wrap` receives the one real collect so the
+    * metered path can put its listener around that exact execution. */
+  private def cappedCollect[A](spark: SparkSession,
+                               df: org.apache.spark.sql.DataFrame, maxRows: Int)(
+      wrap: (() => Array[org.apache.spark.sql.Row]) => A): (QueryResult, A) = {
+    var capped: Array[org.apache.spark.sql.Row] = null
+    val wrapped = wrap(() => { capped = df.limit(maxRows + 1).collect(); capped })
+    require(capped != null, "wrap must invoke the collect")
     val reached = capped.length > maxRows
     val rows = if (reached) capped.take(maxRows) else capped
-    QueryResult(spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema), reached)
+    (QueryResult(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema), reached),
+      wrapped)
   }
 
   /** [[run]] plus per-query execution cost ([[QueryMetrics]]) — what a
@@ -69,14 +81,9 @@ object ReadonlyGuard {
   def runMetered(spark: SparkSession, sql: String,
                  maxRows: Int = DefaultMaxRows): (QueryResult, QueryMetrics.Metrics) = {
     validate(spark, sql)
-    val df = spark.sql(sql)
-    val (capped, m0) =
-      QueryMetrics.measureAction(spark)(df.limit(maxRows + 1).collect())
-    val reached = capped.length > maxRows
-    val rows = if (reached) capped.take(maxRows) else capped
-    val result = QueryResult(spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema), reached)
-    (result, m0.copy(resultRows = rows.length.toLong))
+    val (result, (_, m0)) = cappedCollect(spark, spark.sql(sql), maxRows)(
+      collect => QueryMetrics.measureAction(spark)(collect()))
+    (result, m0.copy(resultRows = result.df.count()))
   }
 
   /** A failed query mapped to an actionable hint, mirroring the reference's

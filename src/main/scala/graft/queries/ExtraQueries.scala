@@ -148,8 +148,13 @@ object ExtraQueries {
     * (b) booleans asserting each sketch landed inside its error envelope —
     * the oracle emits literal TRUE, so a sketch drifting out of tolerance
     * hash-fails the gate instead of hiding behind "no oracle".
-    * Envelopes: rsd=0.02 HLL gets 3-sigma = 6%; the rank-error median sketch
-    * must land between the exact p45 and p55 values. */
+    * Envelopes: rsd=0.02 HLL gets 3-sigma = 6%; the rank-error median
+    * sketch must land between the exact (interpolated) p45 and p55 values
+    * — valid for groups of ~12+ rows, where any element whose rank is
+    * within the sketch's error of the median lies inside that band. For
+    * smaller groups the interpolated band can contain NO actual element
+    * (n=2 with values {1,100}: band is [23.3, 55.7], the sketch correctly
+    * returns 1), so tiny groups fall back to the [min, max] band. */
   def q28(spark: SparkSession, d: String): DataFrame = {
     Tables.events(spark, d)
       .groupBy(col("event_type"))
@@ -157,14 +162,19 @@ object ExtraQueries {
         countDistinct(col("user_id")).cast("bigint").as("exact_users"),
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
-        expr("percentile(value, array(0.45, 0.55))").as("band"))
+        expr("percentile(value, array(0.45, 0.55))").as("band"),
+        count(lit(1)).as("n"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
       .select(
         col("event_type"),
         col("exact_users"),
         (abs(col("approx_users").cast("double") - col("exact_users")) <=
           col("exact_users") * lit(0.06)).as("users_ok"),
-        (col("approx_median") >= element_at(col("band"), 1) &&
-          col("approx_median") <= element_at(col("band"), 2)).as("median_ok"))
+        (col("approx_median").between(
+            element_at(col("band"), 1), element_at(col("band"), 2)) ||
+          (col("n") < 16 &&
+            col("approx_median").between(col("vmin"), col("vmax")))).as("median_ok"))
       .orderBy(col("event_type"))
   }
 

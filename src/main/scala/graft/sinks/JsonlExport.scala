@@ -64,12 +64,22 @@ object JsonlExport {
   def verify(spark: SparkSession, dir: String, shards: Int = -1): Seq[ShardStat] = {
     val declared = if (shards > 0) shards else shardsFromManifest(spark, dir)
     // an entirely-empty export writes no shard=N dirs at all; the glob then
-    // matches nothing and the read throws — that is still a valid export of
-    // zero rows, every shard intentionally empty
+    // matches nothing and the read throws PATH_NOT_FOUND — that is still a
+    // valid export of zero rows, every shard intentionally empty. Any OTHER
+    // analysis failure propagates: swallowing it would report corruption as
+    // "all shards legitimately empty".
     val present = try readStats(spark, dir) catch {
-      case _: org.apache.spark.sql.AnalysisException => Map.empty[Int, ShardStat]
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null && e.getCondition.startsWith("PATH_NOT_FOUND") =>
+        Map.empty[Int, ShardStat]
     }
-    (0 until declared).map(i => present.getOrElse(i, ShardStat(i, 0L, 0L)))
+    // stray shard dirs BEYOND the declared count (stale data from a larger
+    // prior export, tampering) must surface, not be silently projected away:
+    // a loader reading shard=* would ingest them, so the verification result
+    // has to disagree with the manifest
+    val stray = present.keys.filter(i => i < 0 || i >= declared).toSeq.sorted
+    (0 until declared).map(i => present.getOrElse(i, ShardStat(i, 0L, 0L))) ++
+      stray.map(present)
   }
 
   private def readStats(spark: SparkSession, dir: String): Map[Int, ShardStat] =

@@ -167,6 +167,16 @@ final class SnowflakeEmbedded(conn: Connection) {
                         rows: Vector[Vector[Option[String]]]): Unit = {
     require(rows.forall(_.length == names.length),
       s"staged rows have ${rows.headOption.fold(0)(_.length)} cells, expected ${names.length}")
+    // Snowflake rejects a MERGE whose source matches one target row more
+    // than once ("nondeterministic merge"); a staged page with duplicate
+    // pks must fail here too, not silently land both rows
+    locally {
+      val pkIdx0 = names.indexOf(pk)
+      require(pkIdx0 >= 0, s"pk $pk not in stage projection")
+      val pks = rows.map(_(pkIdx0))
+      require(pks.distinct.length == pks.length,
+        s"nondeterministic merge: staged page contains duplicate $pk values")
+    }
     val types: Map[String, String] = {
       val rs = conn.getMetaData.getColumns(null, schema.toUpperCase, table.toUpperCase, null)
       val m = mutable.Map[String, String]()

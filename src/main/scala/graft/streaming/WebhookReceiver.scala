@@ -83,11 +83,13 @@ object WebhookReceiver {
 
     def audit(opaqueId: String, status: Int, headers: Map[String, String],
               body: String): Unit = auditLock.synchronized {
-      // the reference truncates large bodies for the log table; keep the
-      // full body only for accepted (landed) requests
+      // rejected/unknown bodies are truncated for the log table (the
+      // reference's retention truncation); accepted bodies are already
+      // landed in full, so the audit line may keep them whole for replay
+      val kept = if (status >= 400) body.take(4096) else body
       val line = "{" +
         s""""opaque_id":${jsonStr(opaqueId)},"status":$status,""" +
-        s""""headers":${jsonObj(headers)},"body":${jsonStr(body.take(4096))}}""" + "\n"
+        s""""headers":${jsonObj(headers)},"body":${jsonStr(kept)}}""" + "\n"
       Files.writeString(auditFile, line,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       ()

@@ -75,10 +75,15 @@ class PlanLockSpec extends SparkSpec {
       val got = normalize(
         df.queryExecution.explainString(ExplainMode.fromString("formatted")))
       val goldenPath = goldenDir.resolve(s"$name.plan.txt")
-      if (update || !Files.exists(goldenPath)) {
+      if (update) {
         Files.createDirectories(goldenDir)
         Files.writeString(goldenPath, got)
         info(s"wrote golden ${goldenPath}")
+      } else if (!Files.exists(goldenPath)) {
+        // a silently-rewritten golden would disarm the lock (renamed query,
+        // deleted resource, fresh checkout) — missing goldens FAIL; only the
+        // explicit env flag may (re)write them
+        fail(s"missing golden $goldenPath — run GRAFT_UPDATE_PLANS=1 to (re)create")
       } else {
         val want = Files.readString(goldenPath)
         if (got != want) {

@@ -67,6 +67,20 @@ class JsonlExportSpec extends SparkSpec {
     assert(JsonlExport.verify(spark, dir2) == none)
   }
 
+  test("stray shard dirs beyond the declared count surface in verify") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    val stats = JsonlExport.export(docs.limit(10), dir, keyCol = "doc_id", shards = 2)
+    // simulate stale data from a larger prior export: a shard=7 dir a
+    // loader reading shard=* WOULD ingest
+    val stray = java.nio.file.Paths.get(dir, "shard=7")
+    Files.createDirectories(stray)
+    Files.writeString(stray.resolve("part-stale.txt"), "{\"doc_id\":999}\n")
+    val verified = JsonlExport.verify(spark, dir)
+    assert(verified.size == 3, "the stray shard must appear, not be projected away")
+    assert(verified.map(_.shard).contains(7))
+    assert(verified != stats, "verification must disagree with the manifest")
+  }
+
   test("shard membership and checksums are identical across re-exports") {
     val d1 = Files.createTempDirectory("jsonl").toString
     val d2 = Files.createTempDirectory("jsonl").toString

@@ -115,6 +115,25 @@ class SnowflakeEmbeddedSpec extends AnyFunSuite {
     }
   }
 
+  test("a staged page with duplicate pks is a nondeterministic merge, rejected") {
+    withDb { (conn, exec) =>
+      val dir = java.nio.file.Files.createTempDirectory("snowlive")
+      sinkTo(exec, dir).writePage(Seq(Row(1L, "keep", null, null)), 0L)
+      // Snowflake raises on a MERGE whose source matches one target row
+      // twice; the embedded executor must refuse too, not land both rows
+      val dup = dir.resolve("dup.csv")
+      java.nio.file.Files.write(dup,
+        "pk,name,data,at\n5,\"a\",,\n5,\"b\",,\n".getBytes("UTF-8"))
+      val stmts = SnowflakeExport.mergeFromStageStatements(
+        "whdb", "orders", st, "pk", dup.toAbsolutePath.toString, "dup")
+      exec.execute(stmts(0)); exec.execute(stmts(1))
+      val err = intercept[IllegalArgumentException](exec.execute(stmts(2)))
+      assert(err.getMessage.contains("nondeterministic merge"))
+      exec.execute(stmts(3))
+      assert(query(conn, "SELECT count(*) FROM whdb.orders")(_.getLong(1)) == Vector(1L))
+    }
+  }
+
   test("the executor rejects statements outside the protocol (drift detector)") {
     withDb { (_, exec) =>
       intercept[IllegalArgumentException](exec.execute("SELECT 1"))

@@ -85,6 +85,27 @@ class WebhookReceiverSpec extends SparkSpec {
     } finally started.close()
   }
 
+  test("audit keeps accepted bodies whole and truncates rejected ones") {
+    val dir = Files.createTempDirectory("whhttp3")
+    val audit = dir.resolve("audit.jsonl")
+    val routes = Map("svi_sec" -> WebhookReceiver.Route(
+      verify = (headers, _) => WebhookAuth.verifySecretHeader(
+        headers.get("x-secret"), "s3cr3t")))
+    val started = WebhookReceiver.start(routes, dir.resolve("landing"), audit)
+    try {
+      val client = HttpClient.newHttpClient()
+      val url = started.url("svi_sec")
+      val big = "x" * 10000
+      assert(post(client, url, big, "X-Secret" -> "s3cr3t").statusCode() == 202)
+      assert(post(client, url, big, "X-Secret" -> "wrong").statusCode() == 401)
+      val rows = spark.read.json(audit.toString)
+        .select("status", "body").collect()
+        .map(r => r.getLong(0) -> r.getString(1).length).toMap
+      assert(rows(202L) == 10000) // accepted: whole, replayable
+      assert(rows(401L) == 4096)  // rejected: truncated for the log
+    } finally started.close()
+  }
+
   test("concurrent senders land with unique monotone ingest seqs") {
     val dir = Files.createTempDirectory("whhttp2")
     val landing = dir.resolve("landing")
