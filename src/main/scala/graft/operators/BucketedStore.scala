@@ -23,11 +23,14 @@ object BucketedStore {
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** True when the (executed, AQE-final) plan of `df` contains no shuffle
-    * exchange — the property bucketed joins buy. Forces execution first so
-    * the adaptive plan is final. */
+    * exchange — the property bucketed joins buy. Executes df's OWN
+    * QueryExecution (a `count()` would build and finalize a different
+    * plan, leaving this one unfinalized), then matches the `Exchange`
+    * node name at any tree position (`+-`, `:-`, root) while ignoring
+    * `BroadcastExchange`/`ReusedExchange`, which move no shuffle data. */
   def isExchangeFree(df: DataFrame): Boolean = {
-    df.count()
-    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange") &&
-      !df.queryExecution.executedPlan.toString.contains("+- Exchange")
+    df.queryExecution.executedPlan.executeCollect()
+    val plan = df.queryExecution.executedPlan.toString
+    """(?<!Broadcast)(?<!Reused)\bExchange\b""".r.findFirstIn(plan).isEmpty
   }
 }

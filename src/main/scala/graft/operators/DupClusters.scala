@@ -52,6 +52,15 @@ object DupClusters {
       converged = changed == 0
       iter += 1
     }
+    // Non-convergence means WRONG labels (a component wider than maxIters
+    // hops still carries split cluster ids), and a dedup run against split
+    // representatives silently keeps duplicates — fail loudly instead.
+    // Min-label propagation moves one hop per round, so maxIters bounds the
+    // component diameter the caller expects; raise it for chainier corpora.
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds — a dup " +
+          s"component's diameter exceeds maxIters; raise maxIters")
     labels
   }
 }

@@ -23,11 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** Partial aggregate of one batch: (keys..., cnt, sum_v, min_v, max_v).
+  /** Partial aggregate of one batch: (keys..., cnt, cnt_v, sum_v, min_v,
+    * max_v). `cnt` counts rows; `cnt_v` counts NON-NULL values — avg must
+    * divide by the latter (SQL AVG ignores nulls; dividing a null-skipping
+    * sum by a row count understates every nullable metric).
     * Sum runs in decimal so fold order can never change a bit. */
   def partial(batch: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     batch.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
+        count(col(valueCol)).as("cnt_v"),
         sum(col(valueCol).cast("decimal(22,2)")).as("sum_v"),
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
@@ -38,19 +42,23 @@ object IncrementalAgg {
     state.unionByName(delta)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
+        sum(col("cnt_v")).as("cnt_v"),
         sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
 
-  /** Read-time view: derived avg, external types. */
+  /** Read-time view: derived avg (over non-null values, like SQL AVG),
+    * external types; the internal `cnt_v` stays internal. */
   def finish(state: DataFrame): DataFrame =
     state.select(
-      (state.columns.filterNot(Seq("cnt", "sum_v", "min_v", "max_v").contains)
+      (state.columns.filterNot(Seq("cnt", "cnt_v", "sum_v", "min_v", "max_v").contains)
         .map(col).toSeq ++ Seq(
         col("cnt"),
         col("sum_v").cast("double").as("sum_v"),
         col("min_v"), col("max_v"),
         // divide AFTER the double cast: decimal-division scale/rounding
-        // rules differ across engines, double division does not
-        (col("sum_v").cast("double") / col("cnt")).as("avg_v"))): _*)
+        // rules differ across engines, double division does not.
+        // cnt_v = 0 (all nulls) yields null, exactly like SQL AVG
+        (col("sum_v").cast("double") /
+          when(col("cnt_v") === 0, lit(null)).otherwise(col("cnt_v"))).as("avg_v"))): _*)
 }

@@ -42,12 +42,16 @@ final case class MergeSpec(
 object Merge {
 
   /** U4 — collapse duplicate keys within a batch, keeping the row with the
-    * greatest `orderCol` (ties broken by later-position wins is undefined in
-    * the reference hash-overwrite; we make it deterministic: max orderCol,
-    * then arbitrary-but-stable via row_number over a fixed sort). */
+    * greatest `orderCol` (later-position wins is undefined in the reference
+    * hash-overwrite; we make it deterministic). Ties on `orderCol` break on
+    * a content hash of the whole row: row_number over a NON-total order
+    * would pick whichever duplicate the shuffle delivered first, and a
+    * fetch-failure re-execution could deliver the other one — a retried
+    * stage must merge the same payload as the original attempt. */
   def dedupLastWins(source: DataFrame, spec: MergeSpec): DataFrame = {
     val w = Window.partitionBy(spec.keyCols.map(col): _*)
-      .orderBy(col(spec.orderCol).desc)
+      .orderBy(col(spec.orderCol).desc,
+        xxhash64(source.columns.sorted.map(col): _*).desc)
     source.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

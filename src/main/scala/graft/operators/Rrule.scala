@@ -66,8 +66,11 @@ object Rrule {
       parts.get(key).toSeq.flatMap(_.split(",")).flatMap(_.toIntOption)
     Rule(
       freq = parts.getOrElse("FREQ", "DAILY"),
-      interval = parts.get("INTERVAL").map(_.toInt).getOrElse(1).max(1),
-      count = parts.get("COUNT").map(_.toInt),
+      // tolerant numerics: a hostile/buggy feed's 'INTERVAL=abc' must
+      // degrade (default), not throw out of the ingest task — consistent
+      // with the toIntOption handling of the BY* fields above
+      interval = parts.get("INTERVAL").flatMap(_.toIntOption).getOrElse(1).max(1),
+      count = parts.get("COUNT").flatMap(_.toIntOption),
       until = parts.get("UNTIL"),
       byDay = byDay.toSeq,
       byMonthDay = ints("BYMONTHDAY"),
@@ -227,14 +230,19 @@ object Rrule {
                   rdates: Seq[LocalDateTime] = Nil,
                   exdates: Seq[LocalDateTime] = Nil,
                   cutoff: LocalDateTime): Seq[LocalDateTime] = {
-    val untilLocal = rule.until.map { u =>
-      if (u.length == 8) java.time.LocalDate
-        .parse(u, format.DateTimeFormatter.BASIC_ISO_DATE).atTime(23, 59, 59)
-      else if (u.endsWith("Z"))
-        LocalDateTime.parse(u.dropRight(1),
-          format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
-          .atZone(ZoneOffset.UTC).withZoneSameInstant(zone).toLocalDateTime
-      else LocalDateTime.parse(u, format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
+    // a garbled UNTIL from a hostile feed degrades to "no UNTIL bound"
+    // (the projection cutoff still bounds enumeration) instead of throwing
+    // out of the ingest task
+    val untilLocal = rule.until.flatMap { u =>
+      try Some {
+        if (u.length == 8) java.time.LocalDate
+          .parse(u, format.DateTimeFormatter.BASIC_ISO_DATE).atTime(23, 59, 59)
+        else if (u.endsWith("Z"))
+          LocalDateTime.parse(u.dropRight(1),
+            format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
+            .atZone(ZoneOffset.UTC).withZoneSameInstant(zone).toLocalDateTime
+        else LocalDateTime.parse(u, format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
+      } catch { case _: java.time.format.DateTimeParseException => None }
     }
     val base = baseOccurrences(start, rule, untilLocal, cutoff)
     val counted = rule.count.fold(base.toSeq)(c => base.take(c).toSeq)

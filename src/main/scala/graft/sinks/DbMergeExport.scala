@@ -51,6 +51,11 @@ object DbMergeExport {
   def statementsForPage(schema: String, table: String, st: StructType,
                         pkCol: String, page: Seq[Row]): (Seq[String], Seq[Seq[Any]]) = {
     require(st.fieldNames.contains(pkCol), s"missing pk column $pkCol")
+    // the staging name must itself fit the 63-byte identifier cap the
+    // validator enforces (db_adapter.rb:20) — a 60-char table name would
+    // otherwise generate DDL Postgres truncates into collisions
+    require(table.length + "_staging".length <= 63,
+      s"table name too long for a staging suffix: $table")
     val t = s"${q(schema)}.${q(table)}"
     val tmp = s"${q(table)}_staging"
     val cols = st.fieldNames.map(q)
@@ -75,6 +80,8 @@ object DbMergeExport {
   def warehouseStatements(schema: String, table: String, st: StructType,
                           pkCol: String, stagedFile: String): Seq[String] = {
     require(st.fieldNames.contains(pkCol), s"missing pk column $pkCol")
+    require(table.length + "_staging".length <= 63,
+      s"table name too long for a staging suffix: $table")
     val t = s"${q(schema)}.${q(table)}"
     val tmp = s"${q(table)}_staging"
     val cols = st.fieldNames.map(q)

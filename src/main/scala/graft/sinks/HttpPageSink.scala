@@ -26,6 +26,10 @@ object HttpPageSink {
     case d: java.sql.Date => jsonString(d.toString)
     case b: Boolean => b.toString
     case n: java.math.BigDecimal => n.toPlainString
+    // JSON has no NaN/Infinity tokens; emitting them would make the whole
+    // page body unparseable and wedge the sync watermark on one bad row
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
     case n: Number => n.toString
     case seq: scala.collection.Seq[_] => seq.map(jsonValue).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>

@@ -115,13 +115,17 @@ object JdbcPageSink {
                    dialect: Dialect = Derby)
       extends SyncTarget.PageSink with AutoCloseable {
     require(st.fieldNames.contains(pkCol), s"missing pk column $pkCol")
+    @volatile private var opened = false
     private lazy val conn: Connection = {
       val c = DriverManager.getConnection(url)
       dialect.ensureSchema(c, schema, table, st)
+      opened = true
       c
     }
     def writePage(page: Seq[Row], pageIdx: Long): Unit =
       if (page.nonEmpty) dialect.mergePage(conn, schema, table, st, pkCol, page)
-    def close(): Unit = conn.close()
+    /** Closing a sink that never delivered a page must not open (and DDL)
+      * a connection just to close it. */
+    def close(): Unit = if (opened) conn.close()
   }
 }

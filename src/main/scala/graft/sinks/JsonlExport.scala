@@ -49,8 +49,13 @@ object JsonlExport {
     val path = new org.apache.hadoop.fs.Path(dir, "manifest.json")
     val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
+    val keyJson = keyCol.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
     try out.write(
-      s"""{"shards":$shards,"key":"$keyCol","stats":$manifest}\n""".getBytes("UTF-8"))
+      s"""{"shards":$shards,"key":"$keyJson","stats":$manifest}\n""".getBytes("UTF-8"))
     finally out.close()
     stats
   }

@@ -26,7 +26,11 @@ object AtomXml {
   }
 
   /** One `<entry>` element -> flat map (spec-attr elements become nested
-    * maps; `content` keeps raw inner XML under "value"). */
+    * maps; `content` keeps raw inner XML under "value"). Repeated child
+    * elements (multiple `<link>`s) collapse LAST-WINS — deliberately
+    * matching the reference's own parser, which assigns `h[fqn(c)]` per
+    * child in a loop (`xml.rb` `parse_entry`), so replicated bodies stay
+    * byte-compatible with what the reference stores. */
   def parseEntry(e: Node): Map[String, Any] =
     e.child.collect { case c: Elem => c }.map { c =>
       c.label match {

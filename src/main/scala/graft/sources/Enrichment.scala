@@ -17,9 +17,18 @@ import org.apache.spark.sql.Row
   */
 object Enrichment {
 
+  /** A tolerated enrichment miss (the reference's 401/403/404 path,
+    * `github_repo_v1_mixin.rb:224-230`: expired tokens and deleted items
+    * must not stop the upsert): the row lands with null enrichment. */
+  final class Tolerated(val status: Int)
+      extends RuntimeException(s"tolerated enrichment status $status")
+
   /** Per-partition fetcher factory: build one client, then body -> optional
-    * enrichment JSON. Exceptions mean "no enrichment" (tolerated statuses);
-    * rethrow inside the fetcher to fail the batch instead. */
+    * enrichment JSON. `None` or a thrown [[Tolerated]] mean "no enrichment"
+    * (the row still lands, enrichment columns null); ANY OTHER exception
+    * propagates and fails the batch — the reference `raise`s non-tolerated
+    * HTTP errors so the job retries, rather than silently storing nulls for
+    * a transient outage. */
   type FetcherFactory = () => String => Option[String]
 
   def withEnrichment(webhooks: DataFrame, mkFetcher: FetcherFactory): DataFrame = {
@@ -30,7 +39,7 @@ object Enrichment {
     val enriched = webhooks.rdd.mapPartitions { rows =>
       val fetch = mkFetcher()
       rows.map { r =>
-        val e = try fetch(r.getString(bodyIdx)) catch { case _: Exception => None }
+        val e = try fetch(r.getString(bodyIdx)) catch { case _: Tolerated => None }
         Row.fromSeq(r.toSeq :+ e.orNull)
       }
     }

@@ -32,6 +32,12 @@ object Ics {
     def next(): String = {
       val sb = new StringBuilder(it.next())
       while (it.hasNext && (it.head.startsWith(" ") || it.head.startsWith("\t")))
+        // Strips ALL leading whitespace, not the single fold char RFC 5545
+        // §3.1 defines — DELIBERATELY matching the reference's
+        // `_compact_vevent_lines` (`icalendar_event_v1.rb:244-245`:
+        // `line.start_with?(/\s+/)` + `line.lstrip!`), so replicated rows
+        // stay byte-compatible with what the reference stores for feeds
+        // that fold mid-word.
         sb.append(it.next().replaceFirst("^\\s+", ""))
       sb.toString
     }
@@ -79,6 +85,13 @@ object Ics {
       val pm = ParamRe.findAllMatchIn(Option(params).getOrElse("")).map { m =>
         m.group(1) -> m.group(2).stripPrefix("\"").stripSuffix("\"")
       }.toMap
+      // Sequential-replace unescape, DELIBERATELY the reference's own chain
+      // (`icalendar_event_v1.rb:270-272`: gsub \r\n, \n, \t in that order —
+      // it does not decode RFC 5545's '\\' or '\N', and the chain shares
+      // the reference's behavior for pathological '\\n' sequences), plus
+      // the '\,'/'\;' decodes the reference's _parse_line applies when
+      // splitting list values. Byte-compatibility with the reference's
+      // stored rows wins over RFC strictness here.
       val unescaped = value
         .replace("\\r\\n", "\r\n").replace("\\n", "\n")
         .replace("\\t", "\t").replace("\\,", ",").replace("\\;", ";")

@@ -29,10 +29,15 @@ class MergePropertySpec extends SparkSpec {
     coalesceOnUpdate = Seq("a"),
     skipNilCols = Seq("b"))
 
-  /** Naive reference: dedup source last-wins by (key, max seq), then per-key
-    * insert/update/keep with the column policies. */
-  private def reference(target: Seq[R], source: Seq[R]): Map[Long, (R, String)] = {
-    val dedup = source.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+  /** Naive reference: dedup source last-wins by (key, max seq) — seq ties
+    * broken by max content hash, the retry-deterministic rule the merge
+    * implements — then per-key insert/update/keep with the column policies.
+    * `hash` supplies Spark's xxhash64 per row (the one piece of the
+    * contract a naive model can't recompute natively). */
+  private def reference(target: Seq[R], source: Seq[R],
+                        hash: R => Long): Map[Long, (R, String)] = {
+    val dedup = source.groupBy(_._1).view
+      .mapValues(_.maxBy(r => (r._2, hash(r)))).toMap
     val tgt = target.map(r => r._1 -> r).toMap
     val out = scala.collection.mutable.Map.empty[Long, (R, String)]
     tgt.foreach { case (k, t) =>
@@ -66,7 +71,14 @@ class MergePropertySpec extends SparkSpec {
           r.getLong(0) -> ((r.getLong(0), r.getLong(1), r.getLong(2),
             Option(r.getString(3)), Option(r.getString(4))), r.getString(5))
         }.toMap
-      val want = reference(target, source)
+      // the tie-break hash, computed once through Spark (sorted col order)
+      val hashes: Map[R, Long] = source.toDF("key", "seq", "ts", "a", "b")
+        .withColumn("__h", xxhash64(Seq("a", "b", "key", "seq", "ts").map(col): _*))
+        .collect().map { r =>
+          ((r.getLong(0), r.getLong(1), r.getLong(2),
+            Option(r.getString(3)), Option(r.getString(4))), r.getLong(5))
+        }.toMap
+      val want = reference(target, source, hashes)
       assert(got == want, s"\ncase $i\n got=${got.toSeq.sortBy(_._1).take(5)}" +
         s"\nwant=${want.toSeq.sortBy(_._1).take(5)}")
     }

@@ -27,9 +27,9 @@ class EnrichmentSpec extends SparkSpec {
     ("""{"id":"r-fail","name":"gamma"}""", 3L))
     .toDF("body", Projection.IngestSeqCol)
 
-  test("partition-wise fetch adds enrichment; errors tolerate to null") {
+  test("partition-wise fetch adds enrichment; tolerated statuses null out") {
     val enriched = Enrichment.withEnrichment(webhooks, () => { body =>
-      if (body.contains("r-fail")) throw new RuntimeException("403")
+      if (body.contains("r-fail")) throw new Enrichment.Tolerated(403)
       else if (body.contains("r2")) None // 404: no enrichment available
       else Some("""{"language":"Scala","stars":10}""")
     })
@@ -41,6 +41,17 @@ class EnrichmentSpec extends SparkSpec {
     assert(byId("r2") == ((null, null)))
     assert(byId("r-fail") == ((null, null))) // 403 tolerated, row still lands
     assert(merged.columns.contains("enrichment"))
+  }
+
+  test("a non-tolerated fetch error fails the batch, like the reference raises") {
+    // expired tokens / deleted rows tolerate to null; an outage must NOT
+    // silently store nulls — the job fails and retries
+    val enriched = Enrichment.withEnrichment(webhooks, () => { _ =>
+      throw new RuntimeException("connection reset")
+    })
+    val err = intercept[org.apache.spark.SparkException](enriched.collect())
+    assert(err.getMessage.contains("connection reset") ||
+      Option(err.getCause).exists(_.getMessage.contains("connection reset")))
   }
 
   test("projection without an enrichment column leaves fromEnrichment null") {
