@@ -353,11 +353,15 @@ object Multimodal {
     * tolerate-and-null like the other codecs. */
   def decodeMp3Frames(bytes: Array[Byte]): Option[Seq[Mp3Frame]] = {
     var pos = 0
-    // ID3v2: "ID3" + version(2) + flags + syncsafe size of the tag body
+    // ID3v2: "ID3" + version(2) + flags + syncsafe size of the tag body.
+    // The v2.4 footer flag (0x10) adds a 10-byte trailer NOT counted in the
+    // syncsafe size — skipping only the body would land on '3DI', lose
+    // sync, and drop a perfectly valid file.
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
         ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
-      pos = 10 + size
+      val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+      pos = 10 + size + footer
       if (pos > bytes.length) return None
     }
     val frames = Vector.newBuilder[Mp3Frame]
@@ -741,7 +745,11 @@ object Multimodal {
             case PixelWidth => tW = readUint(pos, bodyEnd).toInt
             case PixelHeight => tH = readUint(pos, bodyEnd).toInt
             case SimpleBlock =>
-              cluster = java.util.Arrays.copyOfRange(bytes, pos, bodyEnd)
+              // FIRST block wins, per the MkvInfo contract ("the first
+              // cluster's block payload") — real files carry many blocks,
+              // and last-wins would describe the final block instead
+              if (cluster.isEmpty)
+                cluster = java.util.Arrays.copyOfRange(bytes, pos, bodyEnd)
             case _ => () // skip-by-size: the demuxer contract
           }
           pos = bodyEnd

@@ -18,9 +18,17 @@ object FdwExport {
   def validIdentifier(s: String): Boolean =
     s.matches("[A-Za-z_][A-Za-z0-9_]{0,62}") // db_adapter.rb:10-22, 63-byte cap
 
-  /** External-mount DDL for one replicated table (parquet location). */
+  /** External-mount DDL for one replicated table (parquet location). Every
+    * interpolated token is validated: column names are identifiers, and the
+    * location must be quote/semicolon-free — exportScript joins statements
+    * with ';', so an unchecked location is a statement-injection vector
+    * into the script shipped to the external engine. */
   def createTableDdl(t: TableExport): String = {
     require(validIdentifier(t.name), s"invalid identifier: ${t.name}")
+    t.schema.fieldNames.foreach(c =>
+      require(validIdentifier(c), s"invalid column identifier: $c"))
+    require(!t.location.contains("'") && !t.location.contains(";"),
+      s"location must be quote/semicolon-free: ${t.location}")
     val cols = t.schema.fields
       .map(f => s"  ${f.name} ${sqlType(f.dataType)}").mkString(",\n")
     s"""CREATE TABLE IF NOT EXISTS ${t.name} (

@@ -15,9 +15,13 @@ import org.apache.spark.sql.types.StringType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def build(exprs: Seq[Expression]): Expression =
+  private def build(exprs: Seq[Expression]): Expression = {
+    if (exprs.size != 1)
+      throw new IllegalArgumentException(
+        s"str2inthash takes exactly 1 argument, got ${exprs.size}")
     Str2IntHash(Coalesce(Seq(
       Cast(exprs.head, StringType), Literal.create("", StringType))))
+  }
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((

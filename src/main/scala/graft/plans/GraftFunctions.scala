@@ -17,12 +17,18 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "str2inthash",
-      exprs => Str2IntHash(Coalesce(Seq(
-        Cast(exprs.head, StringType), Literal.create("", StringType)))),
+      exprs => {
+        arity("str2inthash", exprs, min = 1, max = 1)
+        Str2IntHash(Coalesce(Seq(
+          Cast(exprs.head, StringType), Literal.create("", StringType))))
+      },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize",
-      exprs => NfcNormalize(Cast(exprs.head, StringType)),
+      exprs => {
+        arity("nfc_normalize", exprs, min = 1, max = 1)
+        NfcNormalize(Cast(exprs.head, StringType))
+      },
       "scala_udf")
     // corpus sketch + vector kernels (all native codegen expressions):
     // graft_simhash(hash_array[, bits]), graft_minhash(hash_array, k),

@@ -76,16 +76,22 @@ object OrgCredentials {
   /** Roll = reissue; the previous token immediately stops authenticating. */
   def roll(spark: SparkSession, orgKey: String): String = issue(spark, orgKey)
 
-  def authenticate(spark: SparkSession, orgKey: String, token: String): Boolean = {
-    if (!spark.catalog.tableExists(Table) && spark.catalog.tableExists(Staged))
-      recover(spark)
-    spark.catalog.tableExists(Table) && {
-      import spark.implicits._
-      spark.table(Table)
-        .filter($"org_key" === orgKey && $"token_hash" === sha256(token))
-        .limit(1).count() == 1
+  def authenticate(spark: SparkSession, orgKey: String, token: String): Boolean =
+    // under the SAME lock as issue(): an unlocked authenticate racing the
+    // drop-and-rename swap window would transiently reject valid tokens, and
+    // its recover() could promote the staged table mid-swap, making the
+    // writer's own RENAME throw. Reads are cheap (a tiny metadata table);
+    // credential swaps are rare — the lock is not a throughput concern.
+    writeLock.synchronized {
+      if (!spark.catalog.tableExists(Table) && spark.catalog.tableExists(Staged))
+        recover(spark)
+      spark.catalog.tableExists(Table) && {
+        import spark.implicits._
+        spark.table(Table)
+          .filter($"org_key" === orgKey && $"token_hash" === sha256(token))
+          .limit(1).count() == 1
+      }
     }
-  }
 
   /** The authenticated SQL-surface entry point: token check, then the
     * namespace-scoped readonly run. */

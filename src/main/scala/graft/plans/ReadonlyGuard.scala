@@ -55,13 +55,16 @@ object ReadonlyGuard {
     cappedCollect(spark, spark.sql(sql), maxRows)(collect => collect())._1
   }
 
+  // (row count is threaded out of cappedCollect so the metered path does
+  // not pay an extra Spark job to re-count rows it already holds)
+
   /** The shared cap-collect-rewrap: fetch maxRows+1 (the sentinel that
     * distinguishes "exactly maxRows" from "truncated"), rewrap the kept
     * rows as a DataFrame. `wrap` receives the one real collect so the
     * metered path can put its listener around that exact execution. */
   private def cappedCollect[A](spark: SparkSession,
                                df: org.apache.spark.sql.DataFrame, maxRows: Int)(
-      wrap: (() => Array[org.apache.spark.sql.Row]) => A): (QueryResult, A) = {
+      wrap: (() => Array[org.apache.spark.sql.Row]) => A): (QueryResult, Long, A) = {
     var capped: Array[org.apache.spark.sql.Row] = null
     val wrapped = wrap(() => { capped = df.limit(maxRows + 1).collect(); capped })
     require(capped != null, "wrap must invoke the collect")
@@ -69,7 +72,7 @@ object ReadonlyGuard {
     val rows = if (reached) capped.take(maxRows) else capped
     (QueryResult(spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema), reached),
-      wrapped)
+      rows.length.toLong, wrapped)
   }
 
   /** [[run]] plus per-query execution cost ([[QueryMetrics]]) — what a
@@ -81,9 +84,9 @@ object ReadonlyGuard {
   def runMetered(spark: SparkSession, sql: String,
                  maxRows: Int = DefaultMaxRows): (QueryResult, QueryMetrics.Metrics) = {
     validate(spark, sql)
-    val (result, (_, m0)) = cappedCollect(spark, spark.sql(sql), maxRows)(
+    val (result, nRows, (_, m0)) = cappedCollect(spark, spark.sql(sql), maxRows)(
       collect => QueryMetrics.measureAction(spark)(collect()))
-    (result, m0.copy(resultRows = result.df.count()))
+    (result, m0.copy(resultRows = nRows))
   }
 
   /** A failed query mapped to an actionable hint, mirroring the reference's

@@ -67,7 +67,22 @@ object WebhookReceiver {
             port: Int = 0): Started = {
     Files.createDirectories(landingDir)
     if (auditFile.getParent != null) Files.createDirectories(auditFile.getParent)
-    val seq = new AtomicLong(0L)
+    // Resume the sequence from the durable landing log: a restarted
+    // receiver that reset to 0 would overwrite req-1.json (already recorded
+    // as processed by the streaming source — silent data loss) and regress
+    // the monotone ingest seq the merge tie-breaks on.
+    val resumeFrom = {
+      val s = Files.list(landingDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case n if n.matches("req-\\d+\\.json") =>
+            n.stripPrefix("req-").stripSuffix(".json").toLong }
+          .foldLeft(0L)(math.max)
+      } finally s.close()
+    }
+    val seq = new AtomicLong(resumeFrom)
     val auditLock = new Object
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -101,9 +116,12 @@ object WebhookReceiver {
         val opaqueId = path.stripPrefix("/v1/service_integrations/")
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         import scala.jdk.CollectionConverters._
-        // first value per header, lower-cased keys: the form WebhookAuth takes
+        // first value per header, lower-cased keys: the form WebhookAuth
+        // takes. Locale.ROOT: a Turkish-locale JVM's default toLowerCase
+        // turns 'I' into a dotless i, so 'X-Signature' would never match
+        // 'x-signature' and every signed webhook would be rejected.
         val headers = ex.getRequestHeaders.asScala.map { case (k, vs) =>
-          k.toLowerCase -> vs.asScala.headOption.getOrElse("")
+          k.toLowerCase(java.util.Locale.ROOT) -> vs.asScala.headOption.getOrElse("")
         }.toMap
         routes.get(opaqueId) match {
           case None =>

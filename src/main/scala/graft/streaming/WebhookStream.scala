@@ -52,7 +52,19 @@ object WebhookStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sparkB = batch.sparkSession
-        val target = store.readOr(Pipeline.emptyTarget(spec, sparkB))
+        // Read the PREDECESSOR version for batchId > 0, never LATEST (the
+        // same recovery rule as RollupStream): a crash after the pointer
+        // flip but before the checkpoint commit replays this batch, and
+        // reading LATEST would both merge onto already-merged state AND
+        // overwrite v{batchId} while reading it — Spark refuses
+        // ("Cannot overwrite a path that is also being read from") and the
+        // stream wedges on every retry. Batch 0 bootstraps from LATEST so a
+        // fresh checkpoint can continue an existing snapshot.
+        val target =
+          if (batchId == 0) store.readOr(Pipeline.emptyTarget(spec, sparkB))
+          else store.readVersion(batchId - 1).getOrElse(
+            sys.error(s"snapshot v${batchId - 1} missing for batch $batchId — " +
+              "snapshot dir and checkpoint are out of sync"))
         val merged = Pipeline.upsertBatch(spec, target, batch)
         store.write(merged, batchId)
         ()
@@ -101,8 +113,14 @@ object WebhookStream {
   * local stand-in for a transactional table format: each microbatch writes
   * `v{batchId}` and flips the pointer, so readers never see a partial merge
   * and replayed batches (failure recovery) are idempotent overwrites.
+  *
+  * Versions older than `retain` behind the pointer are pruned after each
+  * flip: replay only ever needs the current and predecessor versions, and
+  * an unpruned store grows O(batches x table size) — unbounded disk for a
+  * long-running stream.
   */
-final class SnapshotStore(dir: String) {
+final class SnapshotStore(dir: String, retain: Int = 2) {
+  require(retain >= 2, "must retain current + predecessor for replay")
   private val pointer = Paths.get(dir, "LATEST")
   Files.createDirectories(Paths.get(dir))
 
@@ -114,10 +132,35 @@ final class SnapshotStore(dir: String) {
     case None => empty
   }
 
+  /** A specific committed version, for replay-safe predecessor reads. */
+  def readVersion(batchId: Long): Option[DataFrame] = {
+    val p = Paths.get(dir, s"v$batchId")
+    if (Files.isDirectory(p))
+      Some(org.apache.spark.sql.SparkSession.active.read.parquet(p.toString))
+    else None
+  }
+
   def write(df: DataFrame, batchId: Long): Unit = {
     val v = s"v$batchId"
     df.write.mode("overwrite").parquet(s"$dir/$v")
     Files.writeString(pointer, v,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    prune(batchId)
+  }
+
+  private def prune(current: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(dir))
+    val old = try {
+      s.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+"))
+        .filter(_.getFileName.toString.stripPrefix("v").toLong <= current - retain)
+        .toList
+    } finally s.close()
+    old.foreach { p =>
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(f => Files.delete(f))
+      finally walk.close()
+    }
   }
 }

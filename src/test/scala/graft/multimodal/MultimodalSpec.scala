@@ -125,6 +125,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mp3 demux skips an ID3v2.4 tag WITH footer (flag 0x10)") {
+    val specs = Seq(Multimodal.Mp3FrameSpec(9, 0, 0, j => (j % 7).toByte))
+    val frames = Multimodal.encodeMp3(specs)
+    val tagBody = Array.fill(20)(0x41.toByte)
+    // hand-build a v2.4 tag with the footer flag: header(flags=0x10) +
+    // body + 10-byte '3DI' footer not counted in the syncsafe size
+    val tag = Multimodal.encodeId3v2(tagBody)
+    tag(5) = 0x10.toByte
+    val footer = Array[Byte]('3', 'D', 'I', 4, 0, 0x10.toByte) ++ tag.slice(6, 10)
+    val withFooter = tag ++ footer ++ frames
+    val out = Multimodal.decodeMp3Frames(withFooter)
+    assert(out.isDefined, "a footered tag must not lose sync")
+    assert(out.get.map(_.bitrateKbps) == Seq(128))
+  }
+
+  test("mkv demux keeps the FIRST SimpleBlock, per the MkvInfo contract") {
+    // hand-roll a segment with TWO clusters: the features must describe the
+    // first block, not the last
+    def el(id: Array[Byte], body: Array[Byte]): Array[Byte] = {
+      require(body.length < 127)
+      id ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    val base = Multimodal.encodeMkv(1000000L, 100.0,
+      Seq(Multimodal.MkvTrack(1, 1, 8, 8)), Array[Byte](1, 2, 3))
+    val cluster2 = el(Array(0x1F.toByte, 0x43.toByte, 0xB6.toByte, 0x75.toByte),
+      el(Array(0xE7.toByte), Array[Byte](0)) ++
+        el(Array(0xA3.toByte), Array[Byte](9, 9, 9, 9)))
+    // splice the second cluster INSIDE the segment: rebuild segment size
+    val segIdLen = 4
+    val headerLen = base.indexOfSlice(Seq(0x18, 0x53, 0x80, 0x67).map(_.toByte))
+    val segHeader = base.slice(headerLen, headerLen + segIdLen)
+    // original segment size varint starts right after the id
+    var szLen = 1
+    while ((base(headerLen + segIdLen) & (0x80 >> (szLen - 1))) == 0) szLen += 1
+    val oldSize = (0 until szLen).map(i => (base(headerLen + segIdLen + i) & 0xFFL))
+      .foldLeft(0L)((a, b) => (a << 8) | b) - (1L << (7 * szLen))
+    val segBody = base.takeRight(oldSize.toInt) ++ cluster2
+    // re-encode size in 2 bytes (enough for test payloads)
+    val newSize = segBody.length
+    val sizeBytes = Array(((newSize >> 8) | 0x40).toByte, (newSize & 0xFF).toByte)
+    val spliced = base.take(headerLen) ++ segHeader ++ sizeBytes ++ segBody
+    val info = Multimodal.decodeMkv(spliced).get
+    assert(info.clusterPayload.toSeq == Seq[Byte](1, 2, 3),
+      "first cluster's block must win")
+  }
+
   test("mp3 demux rejects garbage, truncation, and reserved header values") {
     val good = Multimodal.encodeMp3(Seq(Multimodal.Mp3FrameSpec(5, 2, 0, _ => 1.toByte)))
     assert(Multimodal.decodeMp3Frames(good).isDefined)

@@ -106,6 +106,28 @@ class WebhookReceiverSpec extends SparkSpec {
     } finally started.close()
   }
 
+  test("a restarted receiver resumes the ingest seq instead of overwriting") {
+    val dir = Files.createTempDirectory("whhttp4")
+    val landing = dir.resolve("landing")
+    val routes = Map("svi_open" -> WebhookReceiver.Route(
+      verify = (_, _) => WebhookAuth.Accepted))
+    val client = HttpClient.newHttpClient()
+    val s1 = WebhookReceiver.start(routes, landing, dir.resolve("a1.jsonl"))
+    try (1 to 3).foreach(i => post(client, s1.url("svi_open"), s"""{"i":$i}"""))
+    finally s1.close()
+    // restart on the SAME durable landing dir: seq must continue at 4, not
+    // reset to 1 and silently replace req-1.json (already recorded as
+    // processed by the streaming source)
+    val s2 = WebhookReceiver.start(routes, landing, dir.resolve("a2.jsonl"))
+    try post(client, s2.url("svi_open"), """{"i":4}""")
+    finally s2.close()
+    assert(Files.list(landing).count() == 4)
+    val seqs = spark.read.schema(WebhookStream.requestSchema)
+      .json(landing.toString)
+      .select("__ingest_seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq == (1L to 4L))
+  }
+
   test("concurrent senders land with unique monotone ingest seqs") {
     val dir = Files.createTempDirectory("whhttp2")
     val landing = dir.resolve("landing")

@@ -45,4 +45,16 @@ class WebhookStreamSpec extends SparkSpec {
     assert(out(1).getAs[Long]("amount") == 200L) // stale write suppressed
     assert(out(2).getAs[Long]("amount") == 333L) // in-batch last-wins
   }
+
+  test("snapshot store prunes versions beyond current + predecessor") {
+    val dir = Files.createTempDirectory("snapstore").toString
+    import spark.implicits._
+    val store = new SnapshotStore(dir)
+    (0L to 4L).foreach(b => store.write(Seq((b, s"v$b")).toDF("id", "tag"), b))
+    // replay needs current (v4) + predecessor (v3); older versions are gone
+    assert(store.readVersion(4).isDefined && store.readVersion(3).isDefined)
+    assert(store.readVersion(2).isEmpty && store.readVersion(0).isEmpty)
+    assert(store.readOr(sys.error("missing")).collect()
+      .map(_.getString(1)).toSeq == Seq("v4"))
+  }
 }
