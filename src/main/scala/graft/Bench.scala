@@ -1,4 +1,5 @@
 package graft
+import graft.plans.QueryMetrics
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,29 +24,53 @@ object Bench {
     // timed runs so a single GC pause or scheduler hiccup in either direction
     // can't swing a query 3-4x between rounds — round-over-round comparisons
     // need a statistic that is stable when the code didn't change.
+    //
+    // Isolation + attribution (the round-5 verdict's ask): the cache is
+    // cleared BEFORE each query so query N's persisted/cached state can't
+    // speed up or evict-slow-down query N+1 — a query's number must be a
+    // function of that query's code alone. And every timed run is metered
+    // (inputBytes / shuffle / spill via the QueryMetrics job-group listener),
+    // with the metrics of the median run emitted next to its seconds, so any
+    // round-over-round move is attributable to a measured cause instead of
+    // inferred.
+    val zero = QueryMetrics.Metrics(0, 0, 0, 0, 0, 0, 0, 0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // nothing cached by a previous query survives — and the memoized
+      // signature tables are dropped WITH their cache registration, so a
+      // query that needs them rebuilds and re-caches its own copy (clearing
+      // only the catalog cache would leave live references computing
+      // uncached: the q25/q78 100x trap)
+      graft.queries.DedupQueries.resetMemo()
+      spark.catalog.clearCache()
+      def once(): (Double, QueryMetrics.Metrics) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val m = try QueryMetrics.measureAction(spark)(fn(spark, sfDir).count())._2
+          catch { case _: Throwable => zero }
+        ((System.nanoTime() - t0) / 1e9, m)
       }
       once() // untimed per-query warmup
-      name -> Seq(once(), once(), once()).sorted.apply(1)
+      val (sec, metrics) = Seq(once(), once(), once()).sortBy(_._1).apply(1)
+      (name, sec, metrics)
     }
     // The harness keeps only the last ~2000 chars of output; a full-name
     // full-precision map for 80 queries overflows that and the JSON line
     // arrives truncated (unparseable). Print compact keys (the unique qNN
     // prefix) at ms precision so the line always fits; the full-name map
-    // goes to a sidecar file for human reading.
+    // plus the per-query metrics goes to a sidecar file for human reading.
     // Locale.ROOT: the f interpolator is locale-sensitive — in comma-decimal
     // locales it would emit "value":12,345 and break the JSON consumers.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val shortQs = results
-      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map { case (k, v, _) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v, m) =>
+      s"\"" + k + "\":{\"sec\":" + fmt(v) +
+        s""","inputBytes":${m.inputBytes},"inputRecords":${m.inputRecords}""" +
+        s""","shuffleWriteBytes":${m.shuffleWriteBytes}""" +
+        s""","shuffleReadBytes":${m.shuffleReadBytes}""" +
+        s""","spillBytes":${m.memorySpillBytes + m.diskSpillBytes}}"""
+    }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""

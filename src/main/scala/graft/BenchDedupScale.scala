@@ -1,0 +1,96 @@
+package graft
+
+import graft.queries.DedupQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence sidecar for the dedup family (r5 VERDICT item 6): runs
+  * q20-q25 + q49 against a synthetic corpus `COPIES`x the sf0.1 documents
+  * table and records wall time AND result cardinalities — converting
+  * SCALE.md's shape arguments (band-keyed shuffles only, in-bucket pairwise
+  * work) into one measured point above the bench scale factor.
+  *
+  * Corpus construction (deterministic, content-derived — no RNG):
+  * each source doc expands to `COPIES` rows keyed `doc_id * COPIES + j`:
+  *  - j = 0: the original;
+  *  - j in 1..3: NEAR-DUPS — the original with a 2-token suffix, so the
+  *    trigram-shingle Jaccard stays high (the LSH recall target);
+  *  - j >= 4: DISTINCT texts — word order reversed + a unique suffix, so
+  *    shingles differ wholesale (the LSH precision target / corpus filler).
+  * So candidate-pair structure is KNOWN by construction: near-dup cliques
+  * of size <= 4 per source doc, everything else singleton. A pair count
+  * exploding superlinearly would indict the banding, not the corpus.
+  *
+  * Emits ONE JSON line and writes `BENCH_sf1.json` in the cwd.
+  */
+object BenchDedupScale {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_docs")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir)
+    val j = explode(sequence(lit(0), lit(copies - 1))).as("j")
+    val scaled = base.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), j)
+      .select(
+        (col("doc_id") * copies + col("j")).as("doc_id"),
+        when(col("j") === 0, col("text"))
+          .when(col("j") <= 3, concat(col("text"), lit(" nearcopy "), col("j")))
+          .otherwise(concat(
+            array_join(reverse(split(col("text"), " ")), " "),
+            lit(" uniquetail "), col("doc_id") * copies + col("j"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text"))) // of the MUTATED text
+    scaled.write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
+    val nDocs = spark.read.parquet(s"$scaleDir/documents.parquet").count()
+
+    val qs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q20_dedup_exact" -> (DedupQueries.q20 _),
+      "q21_minhash_signatures" -> (DedupQueries.q21 _),
+      "q22_lsh_candidate_pairs" -> (DedupQueries.q22 _),
+      "q23_jaccard_near_dups" -> (DedupQueries.q23 _),
+      "q24_simhash" -> (DedupQueries.q24 _),
+      "q25_simhash_near_dups" -> (DedupQueries.q25 _),
+      "q49_corpus_ngram_dedup" -> (graft.queries.PipelineQueries.q49 _))
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val results = qs.map { case (name, fn) =>
+      DedupQueries.resetMemo()
+      spark.catalog.clearCache()
+      var rows = 0L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        rows = fn(spark, scaleDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup (builds + caches this query's own signature tables)
+      val sec = Seq(once(), once(), once()).sorted.apply(1)
+      (name, sec, rows)
+    }
+
+    val qJson = results.map { case (n, s, r) =>
+      s""""${n.takeWhile(_ != '_')}":{"sec":${fmt(s)},"rows":$r}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"dedup_scale","unit":"sec","n_docs":$nDocs,""" +
+      s""""copies":$copies,"base_sf":"$sfDir","queries":$qJson,""" +
+      s""""total":${fmt(results.map(_._2).sum)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+}

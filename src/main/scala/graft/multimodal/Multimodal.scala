@@ -87,13 +87,65 @@ object Multimodal {
 
   // ---------------------------------------------------------------- images
 
-  /** REAL image decode: `javax.imageio.ImageIO` reads PNG/JPEG/GIF/BMP with
-    * zero external dependencies. Returns None for payloads no installed
-    * reader understands (text, truncated files) — the tolerate-and-null
-    * posture enrichment uses for missing upstream data. */
+  // Every `ImageIO.read`/`write` call does an SPI registry lookup and
+  // allocates a fresh reader/writer — per-frame, under local[32], that
+  // lookup contends and dominated q94's profile. Cache ONE reader per
+  // (thread, format) and one PNG writer per thread (the same thread-local
+  // pattern as Str2IntHash's MessageDigest); the format is sniffed from the
+  // payload magic so the hot path never touches the registry. Readers and
+  // writers are reusable by contract via setInput/setOutput.
+  private val readerCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](
+      () => new java.util.HashMap())
+  private val pngWriterCache =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter] { () =>
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+      require(it.hasNext, "JDK PNG writer missing")
+      it.next()
+    }
+
+  /** Payload-magic sniff for the formats the JDK ships readers for; null
+    * for anything else (falls back to the full SPI scan). */
+  private def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) "jpeg"
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') "gif"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else null
+
+  /** REAL image decode: `javax.imageio` reads PNG/JPEG/GIF/BMP with zero
+    * external dependencies, through the per-thread cached reader for sniffed
+    * formats. Returns None for payloads no installed reader understands
+    * (text, truncated files) — the tolerate-and-null posture enrichment uses
+    * for missing upstream data. */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch {
+    try {
+      val fmt = sniffFormat(bytes)
+      if (fmt == null)
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      else {
+        val cache = readerCache.get()
+        var reader = cache.get(fmt)
+        if (reader == null) {
+          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+          if (!it.hasNext)
+            return Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          reader = it.next()
+          cache.put(fmt, reader)
+        }
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, true, true)
+          Some(reader.read(0))
+        } finally {
+          reader.setInput(null) // reset so a failed read can't poison the next
+          iis.close()
+        }
+      }
+    } catch {
       // NonFatal, not just IOException: ImageIO's readers throw
       // IllegalArgumentException / IndexOutOfBounds / NegativeArraySize on
       // malformed (or hostile) payloads — a crawled corpus WILL contain
@@ -114,7 +166,16 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = pngWriterCache.get()
+    try {
+      w.setOutput(ios)
+      w.write(img)
+      ios.flush()
+    } finally {
+      w.setOutput(null)
+      ios.close()
+    }
     bos.toByteArray
   }
 
@@ -366,6 +427,7 @@ object Multimodal {
     }
     val frames = Vector.newBuilder[Mp3Frame]
     var n = 0
+    var firstRateIdx = -1
     while (pos < bytes.length) {
       if (bytes.length - pos < 4) return None // trailing garbage, not a header
       if ((bytes(pos) & 0xFF) != 0xFF || (bytes(pos + 1) & 0xFF) != 0xFB)
@@ -375,6 +437,11 @@ object Multimodal {
       val rateIdx = (b2 >> 2) & 0x3
       val padding = (b2 >> 1) & 0x1
       if (bitrateIdx < 1 || bitrateIdx > 14 || rateIdx > 2) return None
+      // Mixed sample rates within one file are rejected HERE, which is what
+      // lets decodeMp3Features compute duration from the first frame's rate:
+      // n_samples * 1000 / rate is only exact when the rate is constant.
+      if (firstRateIdx < 0) firstRateIdx = rateIdx
+      else if (rateIdx != firstRateIdx) return None
       val size = mp3FrameSize(bitrateIdx, rateIdx, padding)
       if (pos + size > bytes.length) return None // truncated frame
       frames += Mp3Frame(Mp3Bitrates(bitrateIdx), Mp3Rates(rateIdx),
@@ -405,9 +472,10 @@ object Multimodal {
 
   /** Executor-side MP3 demux + feature extraction, same shape as the other
     * decode paths: per-row demux, per-partition batch, drop undecodable
-    * payloads. Mixed sample rates within one file are rejected upstream by
-    * the demuxer returning per-frame rates; features use the first frame's
-    * rate (constant in our fixtures, as in almost all real MP3s). */
+    * payloads. Mixed sample rates within one file are rejected by
+    * [[decodeMp3Frames]] (it returns None on a mid-stream rate switch), so
+    * the first frame's rate is THE file rate and the duration formula below
+    * is exact. */
   def decodeMp3Features(media: DataFrame, idCol: String = "doc_id"): Dataset[Mp3Features] = {
     val spark = media.sparkSession
     import spark.implicits._

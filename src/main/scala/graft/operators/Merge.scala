@@ -41,17 +41,37 @@ final case class MergeSpec(
 
 object Merge {
 
+  /** True if `dt` contains a MapType anywhere — Spark's hash functions
+    * reject such columns at analysis (maps have no canonical entry order). */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(e, _) => containsMap(e)
+      case StructType(fs) => fs.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+  }
+
   /** U4 — collapse duplicate keys within a batch, keeping the row with the
     * greatest `orderCol` (later-position wins is undefined in the reference
     * hash-overwrite; we make it deterministic). Ties on `orderCol` break on
-    * a content hash of the whole row: row_number over a NON-total order
-    * would pick whichever duplicate the shuffle delivered first, and a
-    * fetch-failure re-execution could deliver the other one — a retried
-    * stage must merge the same payload as the original attempt. */
+    * a content hash of the row: row_number over a NON-total order would pick
+    * whichever duplicate the shuffle delivered first, and a fetch-failure
+    * re-execution could deliver the other one — a retried stage must merge
+    * the same payload as the original attempt. Map-typed columns (e.g. the
+    * webhook headers map) are excluded from the hash — xxhash64 rejects
+    * MapType at analysis — so the order is total over the remaining columns;
+    * rows identical everywhere but a map column tie, which is benign (either
+    * survivor merges the same non-map payload). */
   def dedupLastWins(source: DataFrame, spec: MergeSpec): DataFrame = {
+    val hashable = source.schema.fields.toSeq
+      .filter(f => !containsMap(f.dataType)).map(_.name).sorted
+    val tiebreak =
+      if (hashable.isEmpty) Seq.empty[Column]
+      else Seq(xxhash64(hashable.map(col): _*).desc)
     val w = Window.partitionBy(spec.keyCols.map(col): _*)
-      .orderBy(col(spec.orderCol).desc,
-        xxhash64(source.columns.sorted.map(col): _*).desc)
+      .orderBy(col(spec.orderCol).desc +: tiebreak: _*)
     source.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -101,8 +101,14 @@ object PartitionedStore {
   def withBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(Converters.str2inthash(col(keyCol)), lit(buckets)))
 
-  /** Write a full snapshot as epoch v, then commit it. */
-  def write(df: DataFrame, dir: String, keyCol: String, buckets: Int): Unit = {
+  /** Write a full snapshot as epoch v, then commit it. Serialized per table
+    * by [[TableLock]] (the advisory-lock discipline, `base.rb:995-1044`);
+    * the manifest-version collision in [[publish]] stays as the backstop
+    * for writers that bypass the lock. */
+  def write(df: DataFrame, dir: String, keyCol: String, buckets: Int): Unit =
+    TableLock.withLock(dir) { writeLocked(df, dir, keyCol, buckets) }
+
+  private def writeLocked(df: DataFrame, dir: String, keyCol: String, buckets: Int): Unit = {
     val v = currentManifest(dir).map(_.version + 1).getOrElse(1L)
     val b = withBucket(df, keyCol, buckets)
     b.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$dir/e$v")
@@ -214,9 +220,18 @@ object PartitionedStore {
   /** Merge a batch into the snapshot, rewriting ONLY the buckets the batch
     * touches: read prunes to the touched-bucket set, merge runs on the
     * pruned slice, the result lands under a new epoch directory, and the
-    * manifest flip commits every touched bucket at once — atomically. */
+    * manifest flip commits every touched bucket at once — atomically.
+    *
+    * Serialized per table by [[TableLock]]: a streaming microbatch and a
+    * concurrent backfill merging the same table take turns and BOTH land —
+    * the manifest is read inside the lock, so the second writer merges onto
+    * the first writer's commit instead of colliding with it. */
   def mergeInto(spark: SparkSession, dir: String, batch: DataFrame,
-                spec: MergeSpec, keyCol: String, buckets: Int): Unit = {
+                spec: MergeSpec, keyCol: String, buckets: Int): Unit =
+    TableLock.withLock(dir) { mergeIntoLocked(spark, dir, batch, spec, keyCol, buckets) }
+
+  private def mergeIntoLocked(spark: SparkSession, dir: String, batch: DataFrame,
+                              spec: MergeSpec, keyCol: String, buckets: Int): Unit = {
     val m = currentManifest(dir).getOrElse(
       sys.error(s"no committed snapshot at $dir — write() first"))
     val bucketed = withBucket(batch, keyCol, buckets)
@@ -247,8 +262,9 @@ object PartitionedStore {
     }
 
   /** Fold all live epochs into one: a full rewrite that bounds the epoch
-    * union depth (run on the reference's retention cadence, not per batch). */
-  def compact(spark: SparkSession, dir: String): Unit = {
+    * union depth (run on the reference's retention cadence, not per batch).
+    * Takes the [[TableLock]] — compaction is a writer. */
+  def compact(spark: SparkSession, dir: String): Unit = TableLock.withLock(dir) {
     val m = currentManifest(dir).getOrElse(return)
     if (m.epochDirs.size <= 1) return
     val v = m.version + 1
@@ -264,7 +280,10 @@ object PartitionedStore {
     * / late-reader window; the current version never counts against it). */
   val ManifestRetention = 10
 
-  def vacuum(dir: String, retain: Int = ManifestRetention): Seq[String] = {
+  /** Takes the [[TableLock]]: an in-flight writer's epoch directory (data
+    * written, manifest not yet published) would otherwise look orphaned and
+    * be reclaimed out from under it. */
+  def vacuum(dir: String, retain: Int = ManifestRetention): Seq[String] = TableLock.withLock(dir) {
     val current = currentManifest(dir)
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return Seq.empty

@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.locks.ReentrantLock
+
+/** Per-table writer lock — the engine-side analog of the reference's
+  * advisory-lock discipline around upserts (`base.rb:995-1044`:
+  * `with_advisory_lock` keyed on the service integration, serializing a
+  * streaming microbatch merge against a concurrent backfill merge on the
+  * same table). Without it the optimistic manifest-version collision
+  * (`PartitionedStore.publish`) is the only backstop, and the LATE writer
+  * FAILS — correct but wasteful: the whole merge re-runs. With the lock,
+  * concurrent writers serialize and both land.
+  *
+  * Two layers, both keyed by the normalized table directory:
+  *
+  *  1. an in-process `ReentrantLock` stripe — on a Spark driver all writes
+  *     to a table are driver-coordinated jobs, so this is the layer that
+  *     actually serializes a streaming query's microbatch thread against a
+  *     backfill thread in the same application (the common deployment: one
+  *     driver owns a table's writers, as one PG owns the reference's);
+  *  2. a storage-level lease file (`_writer.lock`, atomic CREATE_NEW with an
+  *     expiry) for mutual exclusion across DRIVERS sharing storage — the
+  *     cross-process advisory lock. Expired leases (crashed writer) are
+  *     stolen after their TTL, so a dead holder never wedges the table;
+  *     an active holder's lease makes late arrivals wait-and-poll.
+  *
+  * The lease name starts with '_' so Spark's file readers ignore it.
+  */
+object TableLock {
+
+  private val LeaseName = "_writer.lock"
+  private val jvmLocks = new ConcurrentHashMap[Path, ReentrantLock]()
+
+  /** How long a waiter polls before giving up loudly (a wedged table must
+    * fail the job, not hang it forever). */
+  val DefaultAcquireTimeoutMs: Long = 10 * 60 * 1000L
+
+  /** Lease TTL: a writer that holds past this is presumed crashed and its
+    * lease is stolen. Generous relative to a microbatch merge; a genuinely
+    * longer writer should renew (out of scope — the reference's advisory
+    * locks are connection-scoped and share this assumption). */
+  val DefaultTtlMs: Long = 5 * 60 * 1000L
+
+  /** Run `f` while holding the table's writer lock. Reentrant within a
+    * thread (the JVM layer is a ReentrantLock; the lease layer detects the
+    * re-entry by depth). */
+  def withLock[A](dir: String, ttlMs: Long = DefaultTtlMs,
+                  acquireTimeoutMs: Long = DefaultAcquireTimeoutMs,
+                  pollMs: Long = 25L)(f: => A): A = {
+    val norm = Paths.get(dir).toAbsolutePath.normalize
+    val lock = jvmLocks.computeIfAbsent(norm, _ => new ReentrantLock())
+    lock.lock()
+    try {
+      if (lock.getHoldCount > 1) f // re-entrant: lease already ours
+      else {
+        acquireLease(norm, ttlMs, acquireTimeoutMs, pollMs)
+        try f finally releaseLease(norm)
+      }
+    } finally lock.unlock()
+  }
+
+  private def leasePath(dir: Path): Path = dir.resolve(LeaseName)
+
+  private def acquireLease(dir: Path, ttlMs: Long, timeoutMs: Long,
+                           pollMs: Long): Unit = {
+    Files.createDirectories(dir)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    val content = s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis() + ttlMs}"
+    while (true) {
+      try {
+        Files.write(leasePath(dir), content.getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // holder alive? read its expiry; a malformed/vanished file counts
+          // as expired (the holder died mid-write)
+          val expiry =
+            try new String(Files.readAllBytes(leasePath(dir)), "UTF-8")
+              .split(" ").lift(1).flatMap(_.toLongOption).getOrElse(0L)
+            catch { case _: java.io.IOException => 0L }
+          if (System.currentTimeMillis() > expiry) {
+            // steal: delete the corpse and retry the atomic create. Two
+            // stealers race benignly — CREATE_NEW arbitrates, the loser
+            // loops back to waiting.
+            try Files.deleteIfExists(leasePath(dir))
+            catch { case _: java.io.IOException => () }
+          } else if (System.currentTimeMillis() > deadline) {
+            sys.error(s"writer lock on $dir held past acquire timeout " +
+              s"(${timeoutMs}ms) — holder lease not expired; raise the TTL " +
+              "or investigate the stuck writer")
+          } else Thread.sleep(pollMs)
+      }
+    }
+  }
+
+  private def releaseLease(dir: Path): Unit = {
+    try Files.deleteIfExists(leasePath(dir))
+    catch { case _: java.io.IOException => () } // TTL reclaims it
+    ()
+  }
+}

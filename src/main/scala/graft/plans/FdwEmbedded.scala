@@ -27,7 +27,8 @@ import scala.collection.mutable
 final class FdwEmbedded(spark: SparkSession) {
 
   private final case class Server(dbname: String, var userMapped: Boolean,
-                                  imported: mutable.Set[String]) // local views created
+                                  imported: mutable.Set[String], // local views created
+                                  matviews: mutable.Set[String]) // matviews over them
   private val servers = mutable.Map[String, Server]()
 
   def serverNames: Set[String] = servers.keySet.toSet
@@ -52,13 +53,19 @@ final class FdwEmbedded(spark: SparkSession) {
   def execute(stmt: String): Unit = stmt match {
     case CreateExtRe() => () // the wrapper is built in here
     case DropServerRe(name) =>
+      // Postgres cascades through the foreign tables to every matview
+      // defined over them — dropping only the imported views would let
+      // matviews survive here that the real PG side removes, and a test
+      // green against this double would fail against Postgres.
       servers.remove(name).foreach { s =>
+        s.matviews.foreach(mv => spark.sql(s"DROP TABLE IF EXISTS $mv"))
         s.imported.foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
       }
     case CreateServerRe(name, _host, _port, dbname, fetchSize) =>
       require(!servers.contains(name), s"server already exists: $name")
       require(fetchSize.toInt > 0, "fetch_size must be positive")
-      servers(name) = Server(dbname, userMapped = false, mutable.Set.empty)
+      servers(name) = Server(dbname, userMapped = false,
+        mutable.Set.empty, mutable.Set.empty)
     case UserMappingRe(server, user, _password) =>
       val s = servers.getOrElse(server,
         throw new IllegalArgumentException(s"user mapping for unknown server: $server"))
@@ -86,6 +93,9 @@ final class FdwEmbedded(spark: SparkSession) {
       if (!spark.catalog.tableExists(s"$viewSchema.$viewName")) {
         spark.sql(s"CREATE TABLE $viewSchema.$viewName USING parquet " +
           s"AS SELECT * FROM $localSchema.$tableName")
+        // record the dependency for DROP SERVER .. CASCADE
+        servers.values.find(_.imported.contains(s"$localSchema.$tableName"))
+          .foreach(_.matviews += s"$viewSchema.$viewName")
       }
     case other =>
       throw new IllegalArgumentException(

@@ -29,6 +29,18 @@ object DedupQueries {
   private def memoized(spark: SparkSession, d: String, key: String)(mk: => DataFrame): DataFrame =
     memo.getOrElseUpdate((System.identityHashCode(spark), d, key), mk.cache())
 
+  /** Drop every memoized signature table (unpersisting its cache). The
+    * bench calls this between queries for per-query cost isolation: a
+    * memoized DataFrame whose cache was cleared externally (via
+    * `catalog.clearCache`) but whose reference survived would silently
+    * recompute UNCACHED on every reuse — a self-join then pays the whole
+    * shingle build twice per run (measured 100x on q25/q78). Resetting the
+    * memo makes the next query rebuild AND re-cache its own intermediates. */
+  def resetMemo(): Unit = {
+    memo.values.foreach(df => { df.unpersist(); () })
+    memo.clear()
+  }
+
   /** DuckDB fragments mirroring graft.functions.Text/Hashing exactly. */
   private object Sql {
     val P = Hashing.P

@@ -380,15 +380,21 @@ object PipelineQueries {
     * The oracle is the PLAIN join — salting must be invisible in results.
     */
   def q92(spark: SparkSession, d: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is the table's unique key: hashing it gives
+    // the salt a uniform basis even though the payload columns here (grp,
+    // l_quantity) are low-cardinality — salting on payload content alone
+    // would collapse a hot key onto ~|distinct payloads| salts.
     val li = Tables.lineitem(spark, d)
-      .select((col("l_partkey") % 10).as("grp"), col("l_quantity"))
+      .select((col("l_partkey") % 10).as("grp"), col("l_quantity"),
+        xxhash64(col("l_orderkey"), col("l_linenumber")).as("__rid"))
     val dim = Tables.region(spark, d).select(col("r_regionkey"), col("r_name"))
       .unionByName(Tables.nation(spark, d)
         .filter(col("n_nationkey") >= 20)
         .select(col("n_nationkey").as("r_regionkey"), col("n_name").as("r_name")))
       .withColumn("grp", col("r_regionkey") % 10)
       .select(col("grp"), col("r_name").as("grp_name"))
-    graft.operators.SaltedJoin.join(li, dim, keys = Seq("grp"), salts = 8)
+    graft.operators.SaltedJoin.join(li, dim, keys = Seq("grp"), salts = 8,
+        rowId = Some("__rid"))
       .groupBy("grp", "grp_name")
       .agg(count(lit(1)).as("cnt"),
         sum(col("l_quantity").cast("decimal(22,2)")).cast("double").as("sum_qty"))

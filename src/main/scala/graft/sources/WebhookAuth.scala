@@ -137,6 +137,77 @@ object WebhookAuth {
         }
     }
 
+  /** Increase style (`lib/webhookdb/increase.rb:71-88`): the signature header
+    * is `t=<rfc3339>,v1=<hex>[,v1=<hex>...]` — timestamp is ISO-8601 (not
+    * epoch), MULTIPLE v1 values are accepted (key rotation), the signed
+    * payload is `"<t-utc-iso8601>.<body>"`, and the staleness window is
+    * asymmetric: `too old` past 35 days, `too new` past 4 days ahead. Reject
+    * reasons mirror the reference's. */
+  def verifyIsoSignedHeader(header: Option[String], body: String, secret: String,
+                            nowEpoch: Long, oldCutoffSec: Long = 35L * 86400,
+                            newCutoffSec: Long = 4L * 86400): Verdict =
+    header match {
+      case None => Rejected("missing header")
+      case Some(h) =>
+        val parts = h.split(",").toSeq.flatMap { kv =>
+          kv.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+        }
+        val t = parts.collectFirst { case ("t", v) => v }.flatMap { v =>
+          try Some(java.time.OffsetDateTime.parse(v).toInstant)
+          catch { case _: java.time.format.DateTimeParseException => None }
+        }
+        val v1s = parts.collect { case ("v1", v) => v }
+        t match {
+          case None => Rejected("missing timestamp")
+          case Some(ts) =>
+            if (v1s.isEmpty) Rejected("missing signatures")
+            else if (ts.getEpochSecond < nowEpoch - oldCutoffSec) Rejected("too old")
+            else if (ts.getEpochSecond > nowEpoch + newCutoffSec) Rejected("too new")
+            else {
+              // ruby's t.utc.iso8601: second precision, 'Z' suffix
+              val iso = ts.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+                .atOffset(java.time.ZoneOffset.UTC)
+                .format(java.time.format.DateTimeFormatter.ISO_INSTANT)
+              val calc = hmacSha256Hex(secret, s"$iso.$body")
+              if (v1s.exists(constantTimeEquals(calc, _))) Accepted
+              else Rejected("invalid signature")
+            }
+        }
+    }
+
+  /** Front style (`lib/webhookdb/front.rb:29-42`): `X-Front-Signature` is the
+    * BASE64 hmac-sha256 of `"<X-Front-Request-Timestamp>:<body>"`. No
+    * staleness check in the reference — the timestamp binds the signature,
+    * it is not an expiry. */
+  def verifyTimestampedBase64(signature: Option[String], timestamp: Option[String],
+                              body: String, secret: String): Verdict =
+    signature match {
+      case None => Rejected("missing signature")
+      case Some(sig) =>
+        // a missing timestamp header interpolates as empty, as in ruby
+        val base = s"${timestamp.getOrElse("")}:$body"
+        val calc = java.util.Base64.getEncoder
+          .encodeToString(hmacRaw("HmacSHA256", secret, base))
+        if (constantTimeEquals(calc, sig)) Accepted else Rejected("invalid signature")
+    }
+
+  /** EmailOctopus style (`lib/webhookdb/email_octopus.rb:16-22`, dispatched
+    * from `email_octopus_event_v1.rb:109-117`): the signature header carries
+    * `sha256=<hex hmac-sha256(body)>` — same scheme as GitHub, different
+    * header and reject reasons. */
+  def verifyPrefixedSha256(header: Option[String], body: String, secret: String): Verdict =
+    header match {
+      case None => Rejected("missing signature")
+      case Some(h) =>
+        if (constantTimeEquals("sha256=" + hmacSha256Hex(secret, body), h)) Accepted
+        else Rejected("invalid signature")
+    }
+
+  /** Postmark style (`lib/webhookdb/postmark.rb:15-19`): no signature at all —
+    * the request's source IP must be on the service's published allowlist. */
+  def verifyIpAllowlist(remoteIp: String, allowed: Set[String]): Verdict =
+    if (allowed.contains(remoteIp)) Accepted else Rejected("invalid ip")
+
   /** HTTP Basic credential equality (`twilio_sms_v1.rb`): the Authorization
     * header's decoded `user:pass` must equal the stored secret. A missing or
     * non-Basic header gets the "challenge" reason (the reference answers 401

@@ -67,11 +67,18 @@ object WebhookReceiver {
             port: Int = 0): Started = {
     Files.createDirectories(landingDir)
     if (auditFile.getParent != null) Files.createDirectories(auditFile.getParent)
-    // Resume the sequence from the durable landing log: a restarted
-    // receiver that reset to 0 would overwrite req-1.json (already recorded
-    // as processed by the streaming source — silent data loss) and regress
-    // the monotone ingest seq the merge tie-breaks on.
-    val resumeFrom = {
+    // Resume the sequence from a dedicated high-water-mark sidecar, not
+    // (only) from surviving landing files: the landing dir grows one file
+    // per request forever, so a retention/archival job WILL eventually
+    // delete old req-N.json files — and a restart that derived its seq from
+    // the survivors would then re-issue names the streaming checkpoint has
+    // already recorded as processed (silent data loss). The sidecar is
+    // written atomically on every accept; the scan-forward over surviving
+    // files covers the crash window between landing req-N and persisting N.
+    val hwmFile = landingDir.resolve("_seq_hwm")
+    val sidecarHwm =
+      if (Files.exists(hwmFile)) Files.readString(hwmFile).trim.toLong else 0L
+    val scannedHwm = {
       val s = Files.list(landingDir)
       try {
         import scala.jdk.CollectionConverters._
@@ -82,7 +89,22 @@ object WebhookReceiver {
           .foldLeft(0L)(math.max)
       } finally s.close()
     }
-    val seq = new AtomicLong(resumeFrom)
+    val seq = new AtomicLong(math.max(sidecarHwm, scannedHwm))
+    // Serialized + monotone: concurrent accepts must not let a lower seq
+    // overwrite a higher persisted mark. (Both sidecar names start with
+    // '_'/'.' so Spark's file source ignores them.)
+    val hwmLock = new Object
+    var persistedHwm = math.max(sidecarHwm, scannedHwm)
+    def persistHwm(n: Long): Unit = hwmLock.synchronized {
+      if (n > persistedHwm) {
+        val tmp = landingDir.resolve("._seq_hwm.tmp")
+        Files.writeString(tmp, n.toString)
+        Files.move(tmp, hwmFile,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        persistedHwm = n
+      }
+    }
     val auditLock = new Object
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -145,6 +167,7 @@ object WebhookReceiver {
                 Files.writeString(tmp, line)
                 Files.move(tmp, landingDir.resolve(s"req-$n.json"),
                   java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                persistHwm(n)
                 audit(opaqueId, route.responseStatus, headers, body)
                 respond(ex, route.responseStatus, route.responseBody)
             }

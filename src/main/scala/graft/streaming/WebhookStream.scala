@@ -61,7 +61,18 @@ object WebhookStream {
         // stream wedges on every retry. Batch 0 bootstraps from LATEST so a
         // fresh checkpoint can continue an existing snapshot.
         val target =
-          if (batchId == 0) store.readOr(Pipeline.emptyTarget(spec, sparkB))
+          if (batchId == 0) {
+            val t = store.readOr(Pipeline.emptyTarget(spec, sparkB))
+            // Replay detection: LATEST already pointing at v0 means batch 0
+            // crashed after the pointer flip but before the checkpoint
+            // commit. Reading LATEST lazily would make write() overwrite v0
+            // while reading it ("Cannot overwrite a path that is also being
+            // read from") — the same wedge the predecessor-read rule avoids
+            // for batchId > 0. Eagerly materialize the read to break the
+            // read-write cycle; the merge stays idempotent either way.
+            if (store.latestVersion.contains("v0")) t.localCheckpoint(eager = true)
+            else t
+          }
           else store.readVersion(batchId - 1).getOrElse(
             sys.error(s"snapshot v${batchId - 1} missing for batch $batchId — " +
               "snapshot dir and checkpoint are out of sync"))
@@ -140,13 +151,16 @@ final class SnapshotStore(dir: String, retain: Int = 2) {
     else None
   }
 
-  def write(df: DataFrame, batchId: Long): Unit = {
-    val v = s"v$batchId"
-    df.write.mode("overwrite").parquet(s"$dir/$v")
-    Files.writeString(pointer, v,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    prune(batchId)
-  }
+  def write(df: DataFrame, batchId: Long): Unit =
+    // same advisory-lock discipline as the partitioned store: a streaming
+    // microbatch and any other writer on this snapshot dir take turns
+    graft.operators.TableLock.withLock(dir) {
+      val v = s"v$batchId"
+      df.write.mode("overwrite").parquet(s"$dir/$v")
+      Files.writeString(pointer, v,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      prune(batchId)
+    }
 
   private def prune(current: Long): Unit = {
     import scala.jdk.CollectionConverters._

@@ -20,18 +20,27 @@ import java.nio.file.{Files, Paths}
   */
 class PlanLockSpec extends SparkSpec {
 
-  /** Top-10 by round-4 bench cost (bench_detail.json). */
+  /** The round-6 isolated-harness top-10 (q72 q77 q89 q71 q73 q96 q88 q48
+    * q81 q49), plus the queries the r5 verdict asked to lock explicitly
+    * (q94 q22 q23 q27 q92) and the merge-path flagship q18. Retired: q30,
+    * q31 (now 0.1-0.3 s, stable since r5). */
   private val locked = Seq(
-    "q30_knn_bruteforce_mips",
-    "q18_replicator_pipeline",
     "q72_backfill_pagination",
     "q77_dependency_cascade",
-    "q31_ivf_label_pruned_ann",
     "q89_distributed_backfill",
     "q71_ics_reconcile",
     "q73_atom_feed_refetch",
+    "q96_semantic_dedup",
+    "q88_parallel_backfill",
+    "q48_tfidf_terms",
     "q81_notify_ledger",
-    "q96_semantic_dedup")
+    "q49_corpus_ngram_dedup",
+    "q94_video_frames",
+    "q22_lsh_candidate_pairs",
+    "q23_jaccard_near_dups",
+    "q27_distinct_counts",
+    "q92_salted_join",
+    "q18_replicator_pipeline")
 
   private val goldenDir = Paths.get("src", "test", "resources", "plans")
   private val update = sys.env.get("GRAFT_UPDATE_PLANS").contains("1")

@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
 class Str2IntHashSpec extends SparkSpec {
 
   test("native expression matches all golden vectors and the Column form") {
+    // Provenance: str2hashconv_golden.json is the reference's own E7
+    // parity-vector fixture (`spec/data/str2hashconv_spec.json`), carried
+    // over byte-identical BY DESIGN — golden vectors for a hash-parity
+    // contract are the same data in any implementation (SURVEY §5). It is
+    // test data, not code.
     val path = getClass.getResource("/str2hashconv_golden.json").getPath
     val golden = spark.read.option("multiLine", true)
       .schema("input STRING, output INT").json(path)

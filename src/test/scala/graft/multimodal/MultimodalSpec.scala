@@ -108,21 +108,28 @@ class MultimodalSpec extends SparkSpec {
   test("mp3 encode -> frame walk round-trips frames exactly, ID3v2 skipped") {
     val specs = Seq(
       Multimodal.Mp3FrameSpec(1, 0, 0, j => (j % 100).toByte),   // 32kbps@44100
-      Multimodal.Mp3FrameSpec(14, 1, 1, j => (j % 50).toByte),   // 320kbps@48000
+      Multimodal.Mp3FrameSpec(14, 0, 1, j => (j % 50).toByte),   // 320kbps@44100
       Multimodal.Mp3FrameSpec(9, 0, 0, j => 7.toByte))           // 128kbps@44100
     val bare = Multimodal.encodeMp3(specs)
     val tagged = Multimodal.encodeMp3(specs, Some(Array.fill(33)(0x41.toByte)))
     for (bytes <- Seq(bare, tagged)) {
       val frames = Multimodal.decodeMp3Frames(bytes).get
       assert(frames.map(_.bitrateKbps) == Seq(32, 320, 128))
-      assert(frames.map(_.sampleRate) == Seq(44100, 48000, 44100))
+      assert(frames.map(_.sampleRate) == Seq(44100, 44100, 44100))
       // payload lengths follow the Layer III size formula (minus header)
       assert(frames.map(_.payload.length) == Seq(
-        144000 * 32 / 44100 - 4, 144000 * 320 / 48000 + 1 - 4, 144000 * 128 / 44100 - 4))
+        144000 * 32 / 44100 - 4, 144000 * 320 / 44100 + 1 - 4, 144000 * 128 / 44100 - 4))
       // boundary-exact: first and last payload bytes of the middle frame
       assert(frames(1).payload.head == 0)
       assert((frames(1).payload.last & 0xFF) == (frames(1).payload.length - 1) % 50)
     }
+    // a mid-stream sample-rate switch is rejected: decodeMp3Features'
+    // duration formula (n_samples * 1000 / first rate) is only exact when
+    // the rate is constant across the file
+    val mixed = Multimodal.encodeMp3(Seq(
+      Multimodal.Mp3FrameSpec(9, 0, 0, _ => 1.toByte),
+      Multimodal.Mp3FrameSpec(9, 1, 0, _ => 1.toByte)))
+    assert(Multimodal.decodeMp3Frames(mixed).isEmpty)
   }
 
   test("mp3 demux skips an ID3v2.4 tag WITH footer (flag 0x10)") {

@@ -64,4 +64,37 @@ class SaltedJoinSpec extends SparkSpec {
     } finally prev.foreach { case (c, v) =>
       v.fold(spark.conf.unset(c))(spark.conf.set(c, _)) }
   }
+
+  test("low-cardinality payload columns: content salt collapses, rowId salt spreads") {
+    // The adversarial case for the content-hash salt: every hot-key row
+    // carries one of only TWO distinct payloads, so without a rowId the
+    // salt basis has 2 values and the hot key lands on at most 2 of the 8
+    // salts — silently recreating the skew the operator exists to remove.
+    // A unique rowId restores the uniform spread. Both paths stay correct;
+    // this asserts the LAYOUT difference, so callers know to pass rowId.
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val big = (1 to 20000).map(i => (7L, (i % 2).toLong, i.toLong))
+        .toDF("k", "payload", "id")
+      val dim = Seq((7L, "hot")).toDF("k", "name")
+      def spreadOf(df: org.apache.spark.sql.DataFrame, rowId: Option[String]) =
+        SaltedJoin.join(df, dim, Seq("k"), salts = 8, rowId = rowId)
+          .withColumn("pid", spark_partition_id())
+          .select("pid").distinct().count()
+      val contentOnly = spreadOf(big.select("k", "payload"), None) // basis: 2 values
+      val withRowId = spreadOf(big, Some("id"))                    // basis: unique id
+      assert(contentOnly <= 2L,
+        s"content salt over 2 distinct payloads can reach at most 2 salts, got $contentOnly")
+      assert(withRowId >= 4L,
+        s"rowId salt should spread the hot key, got $withRowId partitions")
+      // and parity holds on the degraded path too — degradation is layout-only
+      val n = SaltedJoin.join(big.select("k", "payload"), dim, Seq("k"), salts = 8).count()
+      assert(n == 20000L)
+    } finally prev.foreach { case (c, v) =>
+      v.fold(spark.conf.unset(c))(spark.conf.set(c, _)) }
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Per-table writer lock (`base.rb:995-1044` advisory-lock discipline): the
+  * contract is that CONCURRENT merges on one table serialize and BOTH land,
+  * instead of the optimistic manifest collision failing the late writer. */
+class TableLockSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two concurrent mergeInto runs on the same table serialize, both land") {
+    val dir = Files.createTempDirectory("tlock1").toString
+    PartitionedStore.write(
+      (1 to 50).map(i => (s"key-$i", 0L)).toDF("k", "v"), dir, "k", buckets = 8)
+    val spec = MergeSpec(Seq("k"), orderCol = "v")
+
+    // a streaming microbatch and a backfill, racing on the same table
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(batch: Seq[(String, Long)]) = new Thread(() =>
+      try {
+        barrier.await()
+        PartitionedStore.mergeInto(spark, dir, batch.toDF("k", "v"),
+          spec, "k", buckets = 8)
+      } catch { case t: Throwable => errors.add(t); () })
+    val t1 = writer((1 to 25).map(i => (s"key-$i", 100L)))
+    val t2 = writer((26 to 50).map(i => (s"key-$i", 200L)) :+ ("key-51", 200L))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert(errors.isEmpty, s"a concurrent writer failed: ${errors.peek()}")
+    // both merges committed: two new manifest versions on top of v1
+    assert(PartitionedStore.versions(dir) == Seq(1L, 2L, 3L))
+    val out = PartitionedStore.read(spark, dir)
+      .select("k", "v").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size == 51)
+    assert((1 to 25).forall(i => out(s"key-$i") == 100L))
+    assert((26 to 50).forall(i => out(s"key-$i") == 200L))
+    assert(out("key-51") == 200L)
+    // the lease was released
+    assert(!Files.exists(Paths.get(dir, "_writer.lock")))
+  }
+
+  test("an expired lease (crashed writer) is stolen, not waited on forever") {
+    val dir = Files.createTempDirectory("tlock2").toString
+    // corpse: a lease whose expiry is in the past
+    Files.write(Paths.get(dir, "_writer.lock"),
+      s"dead-writer ${System.currentTimeMillis() - 60000}".getBytes("UTF-8"))
+    PartitionedStore.write(Seq(("key-1", 1L)).toDF("k", "v"), dir, "k", buckets = 2)
+    assert(PartitionedStore.read(spark, dir).count() == 1L)
+  }
+
+  test("an ACTIVE foreign lease makes the writer wait, then fail loudly") {
+    val dir = Files.createTempDirectory("tlock3").toString
+    // another process's live lease (expiry far in the future)
+    Files.write(Paths.get(dir, "_writer.lock"),
+      s"other-driver ${System.currentTimeMillis() + 3600000}".getBytes("UTF-8"))
+    val err = intercept[RuntimeException] {
+      TableLock.withLock(dir, acquireTimeoutMs = 200L, pollMs = 20L) { () }
+    }
+    assert(err.getMessage.contains("writer lock"))
+  }
+
+  test("the lock is reentrant: a locked caller may call locked operators") {
+    val dir = Files.createTempDirectory("tlock4").toString
+    TableLock.withLock(dir) {
+      PartitionedStore.write(Seq(("key-1", 1L)).toDF("k", "v"), dir, "k", buckets = 2)
+      PartitionedStore.mergeInto(spark, dir, Seq(("key-2", 2L)).toDF("k", "v"),
+        MergeSpec(Seq("k"), orderCol = "v"), "k", buckets = 2)
+    }
+    assert(PartitionedStore.read(spark, dir).count() == 2L)
+  }
+}

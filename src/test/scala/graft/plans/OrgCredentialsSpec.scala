@@ -49,4 +49,38 @@ class OrgCredentialsSpec extends SparkSpec {
       OrgCredentials.runReadonly(spark, "credco", other, "SELECT 1")
     }
   }
+
+  test("connstr header authenticates AND selects the org (api/connstr_auth.rb)") {
+    def sha256Hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    val tok = OrgCredentials.issue(spark, "credco")
+    OrgNamespace.registerTable(spark, "credco", "charges2",
+      Seq(("c1", 7L)).toDF("id", "amount"))
+    // the client knows the revealed connection string and sends its hash
+    val connstr = OrgCredentials.connectionString("credco", tok)
+    val headers = Map(OrgCredentials.ConnstrHeader -> sha256Hex(connstr))
+    assert(OrgCredentials.findConnstrAuthed(spark, headers).contains("credco"))
+    val out = OrgCredentials.runReadonlyConnstr(spark, headers,
+      "SELECT amount FROM charges2")
+    assert(out.df.collect()(0).getLong(0) == 7L)
+
+    // wrong/missing header: no org resolves, surface rejects
+    assert(OrgCredentials.findConnstrAuthed(spark,
+      Map(OrgCredentials.ConnstrHeader -> "deadbeef")).isEmpty)
+    intercept[OrgCredentials.Unauthorized] {
+      OrgCredentials.runReadonlyConnstr(spark, Map.empty, "SELECT 1")
+    }
+
+    // rolling the credential rolls the connstr: the old header value dies
+    OrgCredentials.roll(spark, "credco")
+    assert(OrgCredentials.findConnstrAuthed(spark, headers).isEmpty)
+
+    // another org's connstr hash never resolves to this org
+    val otherTok = OrgCredentials.issue(spark, "othco")
+    val otherHeaders = Map(OrgCredentials.ConnstrHeader ->
+      sha256Hex(OrgCredentials.connectionString("othco", otherTok)))
+    assert(OrgCredentials.findConnstrAuthed(spark, otherHeaders).contains("othco"))
+  }
 }

@@ -222,6 +222,33 @@ class RegistryContractSpec extends SparkSpec {
       Seq("MONDAY", "WEDNESDAY", "SUNDAY")) // names pass through unmapped
   }
 
+  test("every registry descriptor resolves to a webhook verification policy") {
+    import graft.sources.WebhookPolicies
+    // base.rb:114-136 dispatches verification per replicator; a descriptor
+    // without a policy would mount with auth unspecified. Totality over the
+    // whole registry, with the roots EXPLICITLY the stub policy (receiving
+    // a data webhook on an auth root is an error, not an accept).
+    val resolved = Replicators.registry.keySet.map(n => n -> WebhookPolicies.policyFor(n))
+    val missing = resolved.collect { case (n, None) => n }
+    assert(missing.isEmpty, s"descriptors without a verification policy: $missing")
+    Seq("front_marketplace_root_v1", "intercom_marketplace_root_v1").foreach { n =>
+      assert(WebhookPolicies.policyFor(n).contains(WebhookPolicies.StubNoWebhooks), n)
+    }
+    // the OAuth event root verifies with the Increase scheme, not a stub
+    assert(WebhookPolicies.policyFor("increase_app_v1").get.family == "iso-signed-header")
+    // spot-check family shapes against the reference mixin structure
+    assert(WebhookPolicies.policyFor("stripe_payout_v1").get.family == "epoch-signed-header")
+    assert(WebhookPolicies.policyFor("github_pull_v1").get.family == "prefixed-sha256-github")
+    assert(WebhookPolicies.policyFor("shopify_order_v1").get.family == "base64-body-hmac")
+    assert(WebhookPolicies.policyFor("front_message_v1").get.family == "timestamped-base64")
+    assert(WebhookPolicies.policyFor("email_octopus_event_v1").get.family == "prefixed-sha256")
+    assert(WebhookPolicies.policyFor("email_octopus_list_v1").get.family == "none")
+    assert(WebhookPolicies.policyFor("postmark_outbound_message_event_v1").get.family == "ip-allowlist")
+    assert(WebhookPolicies.policyFor("icalendar_calendar_v1").get.family == "secret-header")
+    assert(WebhookPolicies.policyFor("twilio_sms_v1").get.family == "basic-auth")
+    assert(WebhookPolicies.policyFor("plivo_sms_inbound_v1").get.family == "url-nonce-signature")
+  }
+
   test("auth-root stubs ingest nothing but hold registry identity") {
     Seq("front_marketplace_root_v1", "intercom_marketplace_root_v1",
       "increase_app_v1").foreach { n =>

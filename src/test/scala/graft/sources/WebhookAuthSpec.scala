@@ -89,4 +89,89 @@ class WebhookAuthSpec extends AnyFunSuite {
     assert(verifyUrlNonceSignature(Some("sig"), Some("nonce"),
       "http://host/%zz-bad-escape", "tok") == Rejected("malformed url"))
   }
+
+  test("increase iso signed header: multi-v1, asymmetric cutoffs, exact reasons") {
+    val secret = "increase_secret"
+    val body = """{"id":"evt_1"}"""
+    val now = 1700000000L // 2023-11-14T22:13:20Z
+    val tIso = "2023-11-14T22:13:20Z"
+    val good = hmacSha256Hex(secret, s"$tIso.$body")
+    assert(verifyIsoSignedHeader(Some(s"t=$tIso,v1=$good"), body, secret, now) == Accepted)
+    // rotation: any matching v1 accepts
+    assert(verifyIsoSignedHeader(Some(s"t=$tIso,v1=deadbeef,v1=$good"), body,
+      secret, now) == Accepted)
+    assert(verifyIsoSignedHeader(None, body, secret, now) == Rejected("missing header"))
+    assert(verifyIsoSignedHeader(Some(s"v1=$good"), body, secret, now) ==
+      Rejected("missing timestamp"))
+    assert(verifyIsoSignedHeader(Some(s"t=$tIso"), body, secret, now) ==
+      Rejected("missing signatures"))
+    // 36 days old > 35-day cutoff; 5 days ahead > 4-day cutoff
+    assert(verifyIsoSignedHeader(Some(s"t=2023-10-09T22:13:20Z,v1=$good"), body,
+      secret, now) == Rejected("too old"))
+    assert(verifyIsoSignedHeader(Some(s"t=2023-11-19T22:13:21Z,v1=$good"), body,
+      secret, now) == Rejected("too new"))
+    assert(verifyIsoSignedHeader(Some(s"t=$tIso,v1=deadbeef"), body, secret, now) ==
+      Rejected("invalid signature"))
+    // an offset timestamp signs as its UTC instant, as ruby's t.utc.iso8601
+    val offIso = "2023-11-14T23:13:20+01:00"
+    assert(verifyIsoSignedHeader(Some(s"t=$offIso,v1=$good"), body, secret, now) == Accepted)
+  }
+
+  test("front timestamped base64 signature") {
+    val secret = "front_app_secret"
+    val body = """{"payload":{}}"""
+    val ts = "1700000000"
+    val good = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(secret.getBytes("UTF-8"), "HmacSHA256"))
+      java.util.Base64.getEncoder.encodeToString(m.doFinal(s"$ts:$body".getBytes("UTF-8")))
+    }
+    assert(verifyTimestampedBase64(Some(good), Some(ts), body, secret) == Accepted)
+    assert(verifyTimestampedBase64(None, Some(ts), body, secret) ==
+      Rejected("missing signature"))
+    assert(verifyTimestampedBase64(Some(good), Some("1700000001"), body, secret) ==
+      Rejected("invalid signature")) // timestamp binds the signature
+    assert(verifyTimestampedBase64(Some(good), None, body, secret) ==
+      Rejected("invalid signature"))
+  }
+
+  test("email octopus sha256=<hex> prefixed hmac") {
+    val secret = "eo_secret"
+    val body = """[{"type":"contact.created"}]"""
+    val good = "sha256=" + hmacSha256Hex(secret, body)
+    assert(verifyPrefixedSha256(Some(good), body, secret) == Accepted)
+    assert(verifyPrefixedSha256(None, body, secret) == Rejected("missing signature"))
+    assert(verifyPrefixedSha256(Some(good), body + " ", secret) ==
+      Rejected("invalid signature"))
+  }
+
+  test("postmark ip allowlist") {
+    val ips = WebhookPolicies.PostmarkAllowedIps
+    assert(verifyIpAllowlist("3.134.147.250", ips) == Accepted)
+    assert(verifyIpAllowlist("8.8.8.8", ips) == Rejected("invalid ip"))
+    assert(verifyIpAllowlist("", ips) == Rejected("invalid ip"))
+  }
+
+  test("policy dispatch: per-family verdicts through the descriptor mapping") {
+    import WebhookPolicies._
+    val body = """{"id":"x"}"""
+    // stripe family: epoch signed header through the policy surface
+    val now = 1700000000L
+    val sig = s"t=$now,v1=${hmacSha256Hex("sk", s"$now.$body")}"
+    val stripe = policyFor("stripe_charge_v1").get
+    assert(stripe.verify(WebhookContext(Map("stripe-signature" -> sig), body,
+      nowEpoch = now), Some("sk")) == Accepted)
+    assert(stripe.verify(WebhookContext(Map.empty, body, nowEpoch = now),
+      None) == Rejected("no secret set"))
+    // roots reject data webhooks; unverifiable families accept
+    assert(policyFor("front_marketplace_root_v1").get
+      .verify(WebhookContext(Map.empty, body), None)
+      .isInstanceOf[Rejected])
+    assert(policyFor("convertkit_tag_v1").get
+      .verify(WebhookContext(Map.empty, body), None) == Accepted)
+    // postmark consults the source ip, no secret involved
+    assert(policyFor("postmark_inbound_message_v1").get
+      .verify(WebhookContext(Map.empty, body, remoteIp = "50.31.156.6"), None) ==
+      Accepted)
+  }
 }

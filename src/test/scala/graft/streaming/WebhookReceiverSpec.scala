@@ -23,6 +23,16 @@ class WebhookReceiverSpec extends SparkSpec {
   private def event(resource: String, created: Long) =
     s"""{"object":"event","created":$created,"data":{"object":$resource}}"""
 
+  /** Landed request files only — the landing dir also holds the `_seq_hwm`
+    * sidecar (which Spark's file source ignores, names starting with '_'). */
+  private def landed(dir: java.nio.file.Path): Long = {
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.count(_.getFileName.toString.matches("req-\\d+\\.json")).toLong
+    } finally s.close()
+  }
+
   private def post(client: HttpClient, url: String, body: String,
                    headers: (String, String)*): HttpResponse[String] = {
     val b = HttpRequest.newBuilder(URI.create(url))
@@ -62,7 +72,7 @@ class WebhookReceiverSpec extends SparkSpec {
       assert(post(client, started.url("svi_nope"), b1).statusCode() == 404)
 
       // only the two accepted requests landed
-      assert(Files.list(landing).count() == 2)
+      assert(landed(landing) == 2)
 
       // the landed log streams into the merged snapshot (process_webhook.rb)
       val q = WebhookStream.start(spark, Replicators.stripeChargeV1,
@@ -121,11 +131,28 @@ class WebhookReceiverSpec extends SparkSpec {
     val s2 = WebhookReceiver.start(routes, landing, dir.resolve("a2.jsonl"))
     try post(client, s2.url("svi_open"), """{"i":4}""")
     finally s2.close()
-    assert(Files.list(landing).count() == 4)
+    assert(landed(landing) == 4)
     val seqs = spark.read.schema(WebhookStream.requestSchema)
       .json(landing.toString)
       .select("__ingest_seq").collect().map(_.getLong(0)).sorted
     assert(seqs.toSeq == (1L to 4L))
+
+    // retention deletes every landed file; the sidecar high-water mark must
+    // still carry the seq forward — a scan-only restart would reset to 1
+    // and re-issue names the streaming checkpoint already processed
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(landing)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.matches("req-\\d+\\.json"))
+      .toList.foreach(f => Files.delete(f))
+    finally s.close()
+    val s3 = WebhookReceiver.start(routes, landing, dir.resolve("a3.jsonl"))
+    try post(client, s3.url("svi_open"), """{"i":5}""")
+    finally s3.close()
+    val after = spark.read.schema(WebhookStream.requestSchema)
+      .json(landing.toString)
+      .select("__ingest_seq").collect().map(_.getLong(0))
+    assert(after.toSeq == Seq(5L))
   }
 
   test("concurrent senders land with unique monotone ingest seqs") {
@@ -144,7 +171,7 @@ class WebhookReceiverSpec extends SparkSpec {
         })
       }
       threads.foreach(_.start()); threads.foreach(_.join())
-      assert(Files.list(landing).count() == 100)
+      assert(landed(landing) == 100)
       val seqs = spark.read.schema(WebhookStream.requestSchema)
         .json(landing.toString)
         .select("__ingest_seq").collect().map(_.getLong(0)).sorted
