@@ -268,14 +268,15 @@ object PipelineQueries {
           x + (col("vec_id") * 7 + i) % 2001 - 1000).as("qv"))
     val corpus = base.unionByName(variants)
       .withColumn("norm", sqrt(Vectors.dotLong(col("qv"), col("qv")).cast(DoubleType)))
-    val a = corpus.select(col("label"), col("vec_id").as("va"),
-      col("qv").as("qa"), col("norm").as("na"))
-    val b = corpus.select(col("label"), col("vec_id").as("vb"),
-      col("qv").as("qb"), col("norm").as("nb"))
-    val pairs = a.join(b, Seq("label")).where(col("va") < col("vb"))
-      .where((Vectors.dotLong(col("qa"), col("qb")).cast(DoubleType) /
-        (col("na") * col("nb"))) >= 0.99)
-      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    // Cell-BOUNDED candidate pairs (the 100x guard): cells under the cap
+    // pair exactly (identity here — the largest sf0.1 cell is ~240 incl.
+    // variants, far under 1024 — so the oracle's plain within-label pairs
+    // match bit-exactly); a degenerate cell would be refined by hyperplane
+    // sub-buckets instead of going quadratic. See SemanticDedup's scaladoc
+    // for the recall trade that engages only above the cap.
+    val pairs = graft.operators.SemanticDedup.boundedPairs(
+      corpus, idCol = "vec_id", labelCol = "label", qvCol = "qv",
+      normCol = "norm", dim = 64, threshold = 0.99, maxCellSize = 1024)
     val clusters = graft.operators.DupClusters.assign(pairs)
       .withColumnRenamed("doc_id", "vec_id")
     corpus.select(col("vec_id")).join(clusters, Seq("vec_id"), "left")
