@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   *  - j = 0: the original;
   *  - j in 1..3: NEAR-DUPS — the original with a 2-token suffix, so the
   *    trigram-shingle Jaccard stays high (the LSH recall target);
-  *  - j >= 4: DISTINCT texts — word order reversed + a unique suffix, so
-  *    shingles differ wholesale (the LSH precision target / corpus filler).
+  *  - j >= 4: DISTINCT texts — a row-unique token is interleaved after
+  *    EVERY word, so every trigram shingle contains a token no other row
+  *    has: zero shared shingles with anything, including the other fillers
+  *    of the same doc (a reversed-text + suffix variant tried first left
+  *    the fillers mutual near-dups of each other — the unique material
+  *    must dominate the shingle set, not trail it).
   * So candidate-pair structure is KNOWN by construction: near-dup cliques
-  * of size <= 4 per source doc, everything else singleton. A pair count
-  * exploding superlinearly would indict the banding, not the corpus.
+  * of size <= 4 per source doc (times the base corpus's own dup
+  * structure), everything else singleton. A pair count exploding
+  * superlinearly would indict the banding, not the corpus.
   *
   * Emits ONE JSON line and writes `BENCH_sf1.json` in the cwd.
   */
@@ -48,9 +53,10 @@ object BenchDedupScale {
         (col("doc_id") * copies + col("j")).as("doc_id"),
         when(col("j") === 0, col("text"))
           .when(col("j") <= 3, concat(col("text"), lit(" nearcopy "), col("j")))
-          .otherwise(concat(
-            array_join(reverse(split(col("text"), " ")), " "),
-            lit(" uniquetail "), col("doc_id") * copies + col("j"))).as("text"),
+          .otherwise(array_join(
+            flatten(transform(split(col("text"), " "), (t, i) => array(t,
+              concat(lit("u"), col("doc_id") * copies + col("j"), lit("p"), i)))),
+            " ")).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text"))) // of the MUTATED text
     scaled.write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")

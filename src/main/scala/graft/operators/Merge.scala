@@ -56,22 +56,23 @@ object Merge {
   /** U4 — collapse duplicate keys within a batch, keeping the row with the
     * greatest `orderCol` (later-position wins is undefined in the reference
     * hash-overwrite; we make it deterministic). Ties on `orderCol` break on
-    * a content hash of the row: row_number over a NON-total order would pick
-    * whichever duplicate the shuffle delivered first, and a fetch-failure
-    * re-execution could deliver the other one — a retried stage must merge
-    * the same payload as the original attempt. Map-typed columns (e.g. the
-    * webhook headers map) are excluded from the hash — xxhash64 rejects
-    * MapType at analysis — so the order is total over the remaining columns;
-    * rows identical everywhere but a map column tie, which is benign (either
-    * survivor merges the same non-map payload). */
+    * a content hash of the WHOLE row: row_number over a NON-total order
+    * would pick whichever duplicate the shuffle delivered first, and a
+    * fetch-failure re-execution could deliver the other one — a retried
+    * stage must merge the same payload as the original attempt. Map-typed
+    * columns (e.g. the webhook headers map) cannot feed xxhash64 directly
+    * (rejected at analysis: no canonical entry order), so they enter the
+    * hash as `to_json` — per row that serialization is a pure function of
+    * the deterministic lineage that built the map, which is the same
+    * assumption every other column already rides on. Dropping them instead
+    * would leave rows differing ONLY in a map column unordered — the exact
+    * retry nondeterminism this tiebreak exists to prevent. */
   def dedupLastWins(source: DataFrame, spec: MergeSpec): DataFrame = {
-    val hashable = source.schema.fields.toSeq
-      .filter(f => !containsMap(f.dataType)).map(_.name).sorted
-    val tiebreak =
-      if (hashable.isEmpty) Seq.empty[Column]
-      else Seq(xxhash64(hashable.map(col): _*).desc)
+    val tiebreakCols = source.schema.fields.toSeq.sortBy(_.name).map { f =>
+      if (containsMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
     val w = Window.partitionBy(spec.keyCols.map(col): _*)
-      .orderBy(col(spec.orderCol).desc +: tiebreak: _*)
+      .orderBy(col(spec.orderCol).desc, xxhash64(tiebreakCols: _*).desc)
     source.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -282,8 +282,15 @@ object PartitionedStore {
 
   /** Takes the [[TableLock]]: an in-flight writer's epoch directory (data
     * written, manifest not yet published) would otherwise look orphaned and
-    * be reclaimed out from under it. */
-  def vacuum(dir: String, retain: Int = ManifestRetention): Seq[String] = TableLock.withLock(dir) {
+    * be reclaimed out from under it. The no-table check stays OUTSIDE the
+    * lock — acquiring would create the directory, turning a no-op sweep
+    * over removed tables into a directory resurrection. */
+  def vacuum(dir: String, retain: Int = ManifestRetention): Seq[String] = {
+    if (!Files.isDirectory(Paths.get(dir))) return Seq.empty
+    TableLock.withLock(dir) { vacuumLocked(dir, retain) }
+  }
+
+  private def vacuumLocked(dir: String, retain: Int): Seq[String] = {
     val current = currentManifest(dir)
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return Seq.empty

@@ -55,24 +55,29 @@ object TableLock {
     try {
       if (lock.getHoldCount > 1) f // re-entrant: lease already ours
       else {
-        acquireLease(norm, ttlMs, acquireTimeoutMs, pollMs)
-        try f finally releaseLease(norm)
+        val owner = acquireLease(norm, ttlMs, acquireTimeoutMs, pollMs)
+        try f finally releaseLease(norm, owner)
       }
     } finally lock.unlock()
   }
 
   private def leasePath(dir: Path): Path = dir.resolve(LeaseName)
 
+  /** Returns the owner id written into the lease (checked on release). */
   private def acquireLease(dir: Path, ttlMs: Long, timeoutMs: Long,
-                           pollMs: Long): Unit = {
+                           pollMs: Long): String = {
     Files.createDirectories(dir)
     val deadline = System.currentTimeMillis() + timeoutMs
-    val content = s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis() + ttlMs}"
+    val owner = java.util.UUID.randomUUID().toString
     while (true) {
       try {
+        // expiry stamped at THIS attempt, not at loop entry: a waiter that
+        // polled for minutes must still write a full-TTL lease, or it hands
+        // later arrivals an instantly-stealable corpse while it writes
+        val content = s"$owner ${System.currentTimeMillis() + ttlMs}"
         Files.write(leasePath(dir), content.getBytes("UTF-8"),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        return
+        return owner
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           // holder alive? read its expiry; a malformed/vanished file counts
@@ -94,11 +99,19 @@ object TableLock {
           } else Thread.sleep(pollMs)
       }
     }
+    sys.error("unreachable")
   }
 
-  private def releaseLease(dir: Path): Unit = {
-    try Files.deleteIfExists(leasePath(dir))
-    catch { case _: java.io.IOException => () } // TTL reclaims it
+  /** Delete the lease ONLY if we still own it: a writer that overran its
+    * TTL may find its lease already stolen — deleting the thief's ACTIVE
+    * lease would let a third writer in concurrently. */
+  private def releaseLease(dir: Path, owner: String): Unit = {
+    try {
+      val mine = new String(Files.readAllBytes(leasePath(dir)), "UTF-8")
+        .split(" ").headOption.contains(owner)
+      if (mine) Files.deleteIfExists(leasePath(dir))
+      ()
+    } catch { case _: java.io.IOException => () } // TTL reclaims it
     ()
   }
 }

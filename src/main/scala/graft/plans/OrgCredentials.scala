@@ -72,10 +72,18 @@ object OrgCredentials {
     // old table intact or the complete new contents recoverable via
     // [[recover]] — no window where other orgs' credentials are lost.
     val kept =
-      if (spark.catalog.tableExists(Table))
-        spark.table(Table).filter($"org_key" =!= orgKey)
+      if (spark.catalog.tableExists(Table)) {
+        val t = spark.table(Table)
+        // migrate-on-write from the pre-connstr 3-column layout: an empty
+        // connstr_hash never matches any header, so legacy rows keep their
+        // token auth and gain connstr auth on their next roll
+        val full =
+          if (t.columns.contains("connstr_hash")) t
+          else t.withColumn("connstr_hash", org.apache.spark.sql.functions.lit(""))
+        full.select($"org_key", $"token_hash", $"connstr_hash", $"rolled_at")
+          .filter($"org_key" =!= orgKey)
           .as[(String, String, String, Timestamp)].collect().toSeq
-      else Nil
+      } else Nil
     (kept :+ ((orgKey, sha256(token), sha256(connectionString(orgKey, token)), now)))
       .toDF("org_key", "token_hash", "connstr_hash", "rolled_at")
       .write.mode(SaveMode.Overwrite).saveAsTable(Staged)
@@ -129,7 +137,10 @@ object OrgCredentials {
         if (!spark.catalog.tableExists(Table)) None
         else {
           import spark.implicits._
-          spark.table(Table).filter($"connstr_hash" === h)
+          val t = spark.table(Table)
+          // a pre-connstr table simply has no connstr-authenticatable orgs
+          if (!t.columns.contains("connstr_hash")) None
+          else t.filter($"connstr_hash" === h)
             .select("org_key").limit(1).collect().headOption.map(_.getString(0))
         }
       }

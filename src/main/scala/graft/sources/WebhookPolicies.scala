@@ -46,13 +46,17 @@ import graft.sources.WebhookAuth._
 object WebhookPolicies {
 
   /** Everything a verifier family may need from the inbound request. Header
-    * keys lower-cased (the [[graft.streaming.WebhookReceiver]] convention). */
+    * keys lower-cased (the [[graft.streaming.WebhookReceiver]] convention).
+    * `nowEpoch` is REQUIRED, not defaulted: a forgotten clock would make
+    * every time-checked family (Stripe, Increase) silently reject all
+    * genuine webhooks as out-of-tolerance — the caller must hand over the
+    * clock explicitly, even for time-free policies that ignore it. */
   final case class WebhookContext(
       headers: Map[String, String],
       body: String,
+      nowEpoch: Long,
       requestUrl: String = "",
-      remoteIp: String = "",
-      nowEpoch: Long = 0L)
+      remoteIp: String = "")
 
   sealed trait Policy {
     /** Stable family id, for docs/ops and the contract spec. */

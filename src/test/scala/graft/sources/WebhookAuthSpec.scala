@@ -165,13 +165,13 @@ class WebhookAuthSpec extends AnyFunSuite {
       None) == Rejected("no secret set"))
     // roots reject data webhooks; unverifiable families accept
     assert(policyFor("front_marketplace_root_v1").get
-      .verify(WebhookContext(Map.empty, body), None)
+      .verify(WebhookContext(Map.empty, body, nowEpoch = now), None)
       .isInstanceOf[Rejected])
     assert(policyFor("convertkit_tag_v1").get
-      .verify(WebhookContext(Map.empty, body), None) == Accepted)
+      .verify(WebhookContext(Map.empty, body, nowEpoch = now), None) == Accepted)
     // postmark consults the source ip, no secret involved
     assert(policyFor("postmark_inbound_message_v1").get
-      .verify(WebhookContext(Map.empty, body, remoteIp = "50.31.156.6"), None) ==
+      .verify(WebhookContext(Map.empty, body, nowEpoch = now, remoteIp = "50.31.156.6"), None) ==
       Accepted)
   }
 }
