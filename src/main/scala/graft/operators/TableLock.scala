@@ -61,6 +61,28 @@ object TableLock {
     } finally lock.unlock()
   }
 
+  /** Non-blocking probe — the `avoid_writes?` analog (`base.rb:1304-1330`:
+    * the reference asks pg_locks whether the table is locked/vacuuming and
+    * RESCHEDULES lower-priority work instead of queueing). True when a
+    * writer in this process holds the JVM stripe, or a live (unexpired)
+    * lease file exists on storage. A scheduler uses this to defer a
+    * low-priority merge rather than block a worker slot behind a long
+    * compaction. */
+  def isHeld(dir: String): Boolean = {
+    val norm = Paths.get(dir).toAbsolutePath.normalize
+    val jvmHeld = Option(jvmLocks.get(norm)).exists(_.isLocked)
+    jvmHeld || {
+      val p = leasePath(norm)
+      Files.exists(p) && {
+        val expiry =
+          try new String(Files.readAllBytes(p), "UTF-8")
+            .split(" ").lift(1).flatMap(_.toLongOption).getOrElse(0L)
+          catch { case _: java.io.IOException => 0L }
+        System.currentTimeMillis() <= expiry
+      }
+    }
+  }
+
   private def leasePath(dir: Path): Path = dir.resolve(LeaseName)
 
   /** Returns the owner id written into the lease (checked on release). */

@@ -61,6 +61,22 @@ class TableLockSpec extends SparkSpec {
     assert(err.getMessage.contains("writer lock"))
   }
 
+  test("isHeld probes without blocking: avoid-writes deferral (base.rb:1304-1330)") {
+    val dir = Files.createTempDirectory("tlock5").toString
+    assert(!TableLock.isHeld(dir))
+    // held in-process: probe true while the block runs, false after
+    TableLock.withLock(dir) { assert(TableLock.isHeld(dir)) }
+    assert(!TableLock.isHeld(dir))
+    // a foreign live lease reads as held; an expired corpse does not
+    Files.write(Paths.get(dir, "_writer.lock"),
+      s"other ${System.currentTimeMillis() + 3600000}".getBytes("UTF-8"))
+    assert(TableLock.isHeld(dir))
+    Files.write(Paths.get(dir, "_writer.lock"),
+      s"other ${System.currentTimeMillis() - 1000}".getBytes("UTF-8"))
+    assert(!TableLock.isHeld(dir))
+    Files.delete(Paths.get(dir, "_writer.lock"))
+  }
+
   test("the lock is reentrant: a locked caller may call locked operators") {
     val dir = Files.createTempDirectory("tlock4").toString
     TableLock.withLock(dir) {
