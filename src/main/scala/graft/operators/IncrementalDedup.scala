@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.{Hashing, Text}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dup detection against a persisted signature store — the
+  * daily-ingest shape of corpus dedup. A 100 TB corpus is signatured ONCE;
+  * each new batch ("delta") is MinHashed, LSH-joined against the stored
+  * signatures plus itself, verified, and its signatures appended for the
+  * next batch. The work per batch is O(delta + candidates), never
+  * O(corpus): store-side docs participate only through their few-longs
+  * signature row, and their shingle sets are recomputed ONLY for the docs
+  * that actually appear in a candidate pair (a semi-join back to the corpus
+  * by doc_id — candidates are rare, so the re-shingle is a sliver of the
+  * corpus scan the batch-mode dedup would pay).
+  *
+  * Reference behavior: the batch dedup stack (see DedupQueries) run
+  * continuously — same MinHash/LSH/Jaccard semantics (one md5 per token,
+  * integer arithmetic above it), restricted to pairs that touch the delta.
+  *
+  * Scale shape: the only shuffles are (band -> bucket join) and
+  * (doc_id -> shingle fetch); the store side of the band join is the
+  * signature table (~10^-4 of corpus bytes). Store-x-store pairs are never
+  * formed — the delta side is always one leg of the join.
+  */
+object IncrementalDedup {
+
+  /** MinHash configuration — identical to DedupQueries so a store built by
+    * the batch pipeline is readable by the incremental one. */
+  val K = 8
+  val Bands = 4
+  val RowsPerBand = 2
+
+  /** doc_id + distinct 3-gram shingle hashes for a (doc_id, text) table. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val th = docs.select(
+      col("doc_id"),
+      transform(Text.tokens(col("text")), w => Hashing.hash32(w)).as("th"),
+      Hashing.hash32(Text.normalize(col("text"))).as("nh"))
+    th.select(col("doc_id"), Hashing.shingleHashes(col("th"), col("nh")).as("sh"))
+  }
+
+  /** doc_id + k-permutation MinHash signature for a (doc_id, text) table. */
+  def signatures(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), Hashing.minhashSignature(col("sh"), K).as("sig"))
+
+  /** Initialize the signature store: signature the full corpus once. */
+  def initStore(storeDir: String, docs: DataFrame): Unit =
+    signatures(docs).write.mode(SaveMode.Overwrite).parquet(storeDir)
+
+  /** LSH candidate pairs touching the delta: delta x (store U delta),
+    * canonicalized to doc_a < doc_b. The join's left leg is ALWAYS the
+    * delta — store x store is structurally impossible, which is the whole
+    * point: the stored corpus's internal pairs were settled when its docs
+    * were themselves deltas. Delta-delta pairs form twice (once per
+    * orientation) and collapse in the distinct. */
+  def candidatePairs(storeSigs: DataFrame, deltaSigs: DataFrame): DataFrame = {
+    def banded(sigs: DataFrame): DataFrame = sigs.select(
+      col("doc_id"),
+      explode(Hashing.lshBandKeys(col("sig"), Bands, RowsPerBand)).as("band"))
+    val delta = banded(deltaSigs).select(col("band"), col("doc_id").as("d_id"))
+    val all = banded(storeSigs.select(col("doc_id"), col("sig"))
+        .unionByName(deltaSigs.select(col("doc_id"), col("sig"))))
+      .select(col("band"), col("doc_id").as("o_id"))
+    delta.join(all, Seq("band"))
+      .filter(col("d_id") =!= col("o_id"))
+      .select(least(col("d_id"), col("o_id")).as("doc_a"),
+        greatest(col("d_id"), col("o_id")).as("doc_b"))
+      .distinct()
+  }
+
+  /** Verify candidates by exact shingle-set Jaccard, re-shingling ONLY the
+    * docs that appear in some candidate pair. `corpus` must serve the text
+    * of every candidate doc (store-side docs included — the store holds
+    * signatures, not shingle sets: at corpus scale the shingle sets ARE the
+    * corpus, so they are fetched on demand, not persisted). */
+  def verifyPairs(candidates: DataFrame, corpus: DataFrame,
+                  threshold: Double): DataFrame = {
+    val needed = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(corpus.join(needed, Seq("doc_id"), "left_semi"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", Hashing.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** One ingest round: find the delta's verified near-dups (against the
+    * store and within the delta), then append the delta's signatures so the
+    * next round sees them as store. Returns the verified pairs. The append
+    * happens after the pairs are materialized — a crashed round re-runs
+    * idempotently because `candidatePairs` dedups and the verify is pure.
+    *
+    * `corpus` = every doc the store has signatures for, plus the delta
+    * (the text source for on-demand shingle fetches). */
+  def processDelta(spark: SparkSession, storeDir: String, corpus: DataFrame,
+                   delta: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val storeSigs = spark.read.parquet(storeDir)
+    val deltaSigs = signatures(delta).cache()
+    val pairs =
+      verifyPairs(candidatePairs(storeSigs, deltaSigs), corpus, threshold)
+        .orderBy(col("doc_a"), col("doc_b"))
+    // Materialize results BEFORE mutating the store: localCheckpoint pins
+    // the rows so the append below cannot leak into a lazy re-read.
+    val out = pairs.localCheckpoint(eager = true)
+    deltaSigs.write.mode(SaveMode.Append).parquet(storeDir)
+    deltaSigs.unpersist()
+    out
+  }
+}

@@ -290,7 +290,42 @@ object DedupQueries {
     GROUP BY doc_id HAVING count(DISTINCT train.s) >= 3
     ORDER BY doc_id"""
 
+  /** Incremental dedup: the delta (doc_id % 10 = 0 plays the day's new
+    * arrivals, ~10% of the corpus) is LSH-joined against the stored corpus
+    * signatures plus itself and Jaccard-verified — store x store pairs are
+    * never formed (see IncrementalDedup). Same MinHash/LSH/Jaccard
+    * semantics as q22/q23, restricted to pairs touching the delta; the
+    * oracle applies that restriction to the batch pair set, which is the
+    * defining equivalence of incremental dedup. */
+  def q101(spark: SparkSession, d: String): DataFrame = {
+    val sigs = minhashDf(spark, d)
+    val candidates = graft.operators.IncrementalDedup.candidatePairs(
+      sigs.filter(col("doc_id") % 10 =!= 0), sigs.filter(col("doc_id") % 10 === 0))
+    val sh = shingleHashDf(spark, d)
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", Hashing.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q101Sql: String = s"""
+    WITH pairs AS (${q22Sql.replace("ORDER BY doc_a, doc_b", "")}),
+    touching AS (SELECT doc_a, doc_b FROM pairs
+                 WHERE doc_a % 10 = 0 OR doc_b % 10 = 0),
+    sh AS (${Sql.shBase}),
+    scored AS (
+      SELECT doc_a, doc_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM touching JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b"""
+
   val defs: Map[String, Q] = Map(
+    "q101_incremental_dedup" -> (q101 _),
     "q78_decontamination" -> (q78 _),
     "q20_dedup_exact" -> (q20 _),
     "q21_minhash_signatures" -> (q21 _),
@@ -302,6 +337,7 @@ object DedupQueries {
     "q38_dedup_survivors" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
+    "q101_incremental_dedup" -> q101Sql,
     "q78_decontamination" -> q78Sql,
     "q20_dedup_exact" -> q20Sql,
     "q21_minhash_signatures" -> q21Sql,
