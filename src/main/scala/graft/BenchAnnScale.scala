@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, LongType}
+
+/** Scale-evidence sidecar for the ANN/vector family — the embeddings
+  * counterpart of BenchDedupScale: runs the four ANN variants (brute-force
+  * MIPS, IVF label-pruned, LSH-bucketed, PQ-ADC) plus k-means against a
+  * synthetic corpus `COPIES`x the sf0.1 embeddings table, recording wall
+  * time and result cardinalities. The claims under test: the query side
+  * stays broadcast (10 query vectors regardless of corpus size), the IVF /
+  * LSH variants' scored-candidate counts grow linearly with the corpus
+  * (cell membership is preserved by construction), and nothing all-pairs
+  * sneaks in (brute-force grows linearly too — it IS the linear scan).
+  *
+  * Corpus construction (deterministic, content-derived — no RNG): each
+  * source vector expands to `COPIES` rows keyed `vec_id * COPIES + j`;
+  * j = 0 is the original, j >= 1 adds a tiny per-element deterministic
+  * perturbation (index-derived, <= 3e-4) so the copies are distinct
+  * vectors in the same cluster cell — the labels keep their IVF meaning
+  * and every cell grows exactly `COPIES`x.
+  *
+  * Emits ONE JSON line and writes `BENCH_sf1_ann.json` in the cwd.
+  */
+object BenchAnnScale {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_ann")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.embeddings(spark, sfDir)
+    val j = explode(sequence(lit(0), lit(copies - 1))).as("j")
+    val scaled = base.select(col("vec_id"), col("embedding"), col("label"), j)
+      .select(
+        (col("vec_id") * copies + col("j")).as("vec_id"),
+        when(col("j") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              (((col("vec_id") * lit(copies) + col("j")) * 31 + i) % 7 - 3)
+                .cast("double") * lit(1e-4)).cast(FloatType)))
+          .as("embedding"),
+        col("label"))
+    scaled.write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+    // the pipeline queries also read documents for doc-joined variants; the
+    // ANN set here only touches embeddings, but q54 reads embeddings only.
+    val nVecs = spark.read.parquet(s"$scaleDir/embeddings.parquet").count()
+
+    val qs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q30_knn_bruteforce_mips" -> (queries.VectorQueries.q30 _),
+      "q31_ivf_label_pruned_ann" -> (queries.VectorQueries.q31 _),
+      "q39_lsh_bucket_ann" -> (queries.VectorQueries.q39 _),
+      "q58_pq_ann" -> (queries.PipelineQueries.q58 _),
+      "q54_kmeans" -> (queries.PipelineQueries.q54 _))
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val results = qs.map { case (name, fn) =>
+      spark.catalog.clearCache()
+      var rows = 0L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        rows = fn(spark, scaleDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      val sec = Seq(once(), once(), once()).sorted.apply(1)
+      (name, sec, rows)
+    }
+
+    val qJson = results.map { case (n, s, r) =>
+      s""""${n.takeWhile(_ != '_')}":{"sec":${fmt(s)},"rows":$r}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"ann_scale","unit":"sec","n_vectors":$nVecs,""" +
+      s""""copies":$copies,"base_sf":"$sfDir","queries":$qJson,""" +
+      s""""total":${fmt(results.map(_._2).sum)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1_ann.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+}
