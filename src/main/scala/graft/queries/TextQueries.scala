@@ -238,7 +238,59 @@ object TextQueries {
       'example' || (doc_id % 50) || '.com' AS host
     FROM documents ORDER BY doc_id"""
 
+  /** Training-mix construction (data mixing): fill each source's token
+    * budget greedily in deterministic doc_id order — the step that turns
+    * per-domain mixture weights into an actual document selection. Budget
+    * here = half the source's own token mass (scale-free, so the query is
+    * meaningful at every SF); a doc is selected while the tokens BEFORE it
+    * are under budget, so the doc that crosses the boundary is taken —
+    * standard greedy fill. Scale shape: one shuffle keyed by source for
+    * the windowed cumulative sum, then a map-side flag + small aggregate;
+    * at 100 TB a pathologically dominant source makes the per-source sort
+    * the bottleneck — range-bucket the source internally first (the
+    * ZOrder/BucketedStore layout tools), the greedy semantics compose over
+    * contiguous doc_id ranges. Integer arithmetic throughout. */
+  def q102(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, d).select(
+      col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast(LongType).as("n_tok"))
+    val before = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val df = toks
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(before), lit(0L)))
+      .withColumn("total_tok",
+        sum(col("n_tok")).over(Window.partitionBy(col("source"))))
+      .withColumn("selected", col("cum_before") < expr("total_tok DIV 2"))
+    df.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("selected").cast(LongType)).as("n_selected"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("selected"), col("n_tok")).otherwise(lit(0L)))
+          .as("tokens_selected"))
+      .orderBy(col("source"))
+  }
+
+  val q102Sql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len(${Sql.words}) AS BIGINT) AS n_tok
+      FROM documents),
+    ext AS (
+      SELECT source, n_tok,
+        COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        sum(n_tok) OVER (PARTITION BY source) // 2 AS budget
+      FROM toks)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN cum_before < budget THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_selected,
+      CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+      CAST(sum(CASE WHEN cum_before < budget THEN n_tok ELSE 0 END) AS BIGINT)
+        AS tokens_selected
+    FROM ext GROUP BY source ORDER BY source"""
+
   val defs: Map[String, Q] = Map(
+    "q102_token_budget_mix" -> (q102 _),
     "q40_language_id" -> (q40 _),
     "q41_quality_score" -> (q41 _),
     "q42_token_stats" -> (q42 _),
@@ -248,6 +300,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q102_token_budget_mix" -> q102Sql,
     "q40_language_id" -> q40Sql,
     "q41_quality_score" -> q41Sql,
     "q42_token_stats" -> q42Sql,

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental dedup: each microbatch near-dup-checks against
+  * all prior batches plus itself, and replayed batches replace rather than
+  * double their output. */
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words = "the quick brown fox jumps over a lazy dog near the river bank today"
+  private def dup(group: Long, tail: Long): String =
+    words.split(' ').map(w => s"${w}g$group").mkString(" ") + s" tail$tail"
+  private def uniq(i: Long): String =
+    words.split(' ').zipWithIndex.map { case (w, j) => s"$w u${i}x$j" }.mkString(" ")
+
+  private def dirs(): (String, String, String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    (s"$root/sigs", s"$root/archive", s"$root/pairs", s"$root/chk")
+  }
+
+  private def pairSet(pairsDir: String): Set[(Long, Long, Long)] =
+    spark.read.parquet(pairsDir)
+      .select(col("doc_a"), col("doc_b"), col("ingest_batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("microbatches dedup against all earlier batches and themselves") {
+    val (sigs, archive, pairs, chk) = dirs()
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = DedupStream.start(
+      input.toDS().toDF("doc_id", "text"), sigs, archive, pairs, chk)
+    try {
+      // batch 0: one dup pair inside the batch, one singleton
+      input.addData((10L, dup(1, 0)), (11L, dup(1, 1)), (30L, uniq(30)))
+      q.processAllAvailable()
+      // batch 1: dup vs batch 0, intra-batch dup pair, singleton
+      input.addData((12L, dup(1, 2)), (20L, dup(2, 0)), (21L, dup(2, 1)), (40L, uniq(40)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = pairSet(pairs)
+    assert(got === Set(
+      (10L, 11L, 0L),               // batch-0 internal
+      (10L, 12L, 1L), (11L, 12L, 1L), // batch 1 vs batch 0
+      (20L, 21L, 1L)))              // batch-1 internal
+  }
+
+  test("a replayed batch replaces its output instead of doubling it") {
+    val (sigs, archive, pairs, _) = dirs()
+    val b0 = Seq((10L, dup(1, 0)), (11L, dup(1, 1))).toDF("doc_id", "text")
+    val b1 = Seq((12L, dup(1, 2)), (50L, uniq(50))).toDF("doc_id", "text")
+    DedupStream.runBatch(spark, b0, 0L, sigs, archive, pairs)
+    DedupStream.runBatch(spark, b1, 1L, sigs, archive, pairs)
+    val first = pairSet(pairs)
+    // crash-replay of batch 1: same data, same batch id
+    DedupStream.runBatch(spark, b1, 1L, sigs, archive, pairs)
+    assert(pairSet(pairs) === first, "replay must be idempotent")
+    assert(first === Set((10L, 11L, 0L), (10L, 12L, 1L), (11L, 12L, 1L)))
+    // and the store holds exactly one signature row per doc
+    val sigRows = spark.read.parquet(sigs).groupBy("doc_id").count()
+      .filter(col("count") > 1).count()
+    assert(sigRows === 0L, "replayed signatures must overwrite, not append")
+  }
+}
