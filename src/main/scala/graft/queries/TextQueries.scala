@@ -289,7 +289,41 @@ object TextQueries {
         AS tokens_selected
     FROM ext GROUP BY source ORDER BY source"""
 
+  /** Reproducible global shuffle: the shard-and-order step of training-data
+    * preparation. Every doc gets a deterministic pseudorandom key (hash of
+    * a seed prefix + doc_id — a pure function of the row, like q44's
+    * sampling), a shard by key mod N_SHARDS, and a position from the
+    * within-shard key order — rerunning the pipeline reproduces byte-
+    * identical shards. Scale shape: one shuffle keyed by shard (each shard
+    * sorts independently — no global sort), exactly how numbered training
+    * shards are written at 100 TB. */
+  def q103(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 16
+    val key = Converters.str2inthash(concat(lit("shuffle:"), col("doc_id")))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), pmod(key, lit(nShards)).cast(LongType).as("shard"),
+        key.as("k"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id")))
+        .cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val q103Sql: String = {
+    val key = "((CAST('0x' || substring(md5('shuffle:' || doc_id), 2, 8) AS BIGINT) - 2147483648))"
+    s"""
+    WITH keyed AS (
+      SELECT doc_id, (($key % 16) + 16) % 16 AS shard, $key AS k
+      FROM documents)
+    SELECT doc_id, shard,
+      CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed ORDER BY shard, pos"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q103_deterministic_shuffle" -> (q103 _),
     "q102_token_budget_mix" -> (q102 _),
     "q40_language_id" -> (q40 _),
     "q41_quality_score" -> (q41 _),
@@ -300,6 +334,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q103_deterministic_shuffle" -> q103Sql,
     "q102_token_budget_mix" -> q102Sql,
     "q40_language_id" -> q40Sql,
     "q41_quality_score" -> q41Sql,
