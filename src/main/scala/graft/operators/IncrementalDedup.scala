@@ -90,9 +90,11 @@ object IncrementalDedup {
 
   /** One ingest round: find the delta's verified near-dups (against the
     * store and within the delta), then append the delta's signatures so the
-    * next round sees them as store. Returns the verified pairs. The append
-    * happens after the pairs are materialized — a crashed round re-runs
-    * idempotently because `candidatePairs` dedups and the verify is pure.
+    * next round sees them as store. Returns the verified pairs. A crashed
+    * round re-runs idempotently: the pair set is unchanged whether or not
+    * the crashed attempt got its signatures in (`candidatePairs` dedups and
+    * self-pairs are filtered), and the append anti-joins against the store
+    * so already-landed signature rows are not duplicated.
     *
     * `corpus` = every doc the store has signatures for, plus the delta
     * (the text source for on-demand shingle fetches). */
@@ -106,7 +108,9 @@ object IncrementalDedup {
     // Materialize results BEFORE mutating the store: localCheckpoint pins
     // the rows so the append below cannot leak into a lazy re-read.
     val out = pairs.localCheckpoint(eager = true)
-    deltaSigs.write.mode(SaveMode.Append).parquet(storeDir)
+    deltaSigs
+      .join(storeSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .write.mode(SaveMode.Append).parquet(storeDir)
     deltaSigs.unpersist()
     out
   }

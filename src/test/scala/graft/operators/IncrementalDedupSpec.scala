@@ -82,6 +82,21 @@ class IncrementalDedupSpec extends SparkSpec {
       "base-internal + per-round delta pairs must equal the batch pair set")
   }
 
+  test("a crash-replayed round neither changes pairs nor bloats the store") {
+    val dir = java.nio.file.Files.createTempDirectory("incdedup3").toString + "/sigs"
+    val baseIds = Seq(10L, 11L, 33L)
+    val d1Ids = Seq(12L, 44L)
+    IncrementalDedup.initStore(dir, docs(baseIds))
+    val corpus = docs(baseIds ++ d1Ids)
+    val first = pairSet(IncrementalDedup.processDelta(spark, dir, corpus, docs(d1Ids)))
+    // the round crashed after its signature append; the scheduler re-runs it
+    val replay = pairSet(IncrementalDedup.processDelta(spark, dir, corpus, docs(d1Ids)))
+    assert(replay === first)
+    val dupSigRows = spark.read.parquet(dir).groupBy("doc_id").count()
+      .filter(col("count") > 1).count()
+    assert(dupSigRows === 0L, "replayed append must not duplicate signature rows")
+  }
+
   test("verify re-shingles only candidate docs (on-demand fetch contract)") {
     // a corpus row whose text would FAIL shingling inspection if touched is
     // fine as long as it never appears in a candidate pair: verifyPairs
