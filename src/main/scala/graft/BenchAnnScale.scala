@@ -15,8 +15,11 @@ import org.apache.spark.sql.types.{FloatType, LongType}
   * sneaks in (brute-force grows linearly too — it IS the linear scan).
   *
   * Corpus construction (deterministic, content-derived — no RNG): each
-  * source vector expands to `COPIES` rows keyed `vec_id * COPIES + j`;
-  * j = 0 is the original, j >= 1 adds a tiny per-element deterministic
+  * source vector expands to `COPIES` rows keyed `vec_id + j * N_BASE` —
+  * j = 0 keeps the ORIGINAL id, so the id-threshold roles inside the
+  * queries (query vectors vec_id < 10, PQ codebook seeds, k-means seeds)
+  * still select the original distinct vectors rather than perturbed
+  * copies of vector 0. j >= 1 adds a tiny per-element deterministic
   * perturbation (index-derived, <= 3e-4) so the copies are distinct
   * vectors in the same cluster cell — the labels keep their IVF meaning
   * and every cell grows exactly `COPIES`x.
@@ -41,15 +44,17 @@ object BenchAnnScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = Tables.embeddings(spark, sfDir)
+    val nBase = base.count()
     val j = explode(sequence(lit(0), lit(copies - 1))).as("j")
+    val newId = col("vec_id") + col("j") * lit(nBase)
     val scaled = base.select(col("vec_id"), col("embedding"), col("label"), j)
       .select(
-        (col("vec_id") * copies + col("j")).as("vec_id"),
+        newId.as("vec_id"),
         when(col("j") === 0, col("embedding"))
           .otherwise(transform(col("embedding"), (x, i) =>
             (x.cast("double") +
-              (((col("vec_id") * lit(copies) + col("j")) * 31 + i) % 7 - 3)
-                .cast("double") * lit(1e-4)).cast(FloatType)))
+              ((newId * 31 + i) % 7 - 3).cast("double") * lit(1e-4))
+              .cast(FloatType)))
           .as("embedding"),
         col("label"))
     scaled.write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")

@@ -34,6 +34,15 @@ object Hashing {
   val C1 = 1000003L
   val C2 = 8191L
 
+  /** MinHash/LSH configuration — the SINGLE source of truth shared by the
+    * batch stack (queries.DedupQueries) and the incremental one
+    * (operators.IncrementalDedup / streaming.DedupStream). q101 feeds
+    * batch-built signatures into incremental banding, so the two MUST band
+    * identically; retune here, never per-stack. */
+  val MinhashK = 8
+  val LshBands = 4
+  val LshRowsPerBand = 2
+
   /** 32-bit string hash: first 8 hex chars of md5, as Long in [0, 2^32). */
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)

@@ -26,11 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** MinHash configuration — identical to DedupQueries so a store built by
-    * the batch pipeline is readable by the incremental one. */
-  val K = 8
-  val Bands = 4
-  val RowsPerBand = 2
+  /** MinHash configuration — delegated to Hashing, the single source of
+    * truth, so a store built by the batch pipeline (DedupQueries) bands
+    * identically under the incremental one. */
+  val K = Hashing.MinhashK
+  val Bands = Hashing.LshBands
+  val RowsPerBand = Hashing.LshRowsPerBand
 
   /** doc_id + distinct 3-gram shingle hashes for a (doc_id, text) table. */
   def shingles(docs: DataFrame): DataFrame = {
@@ -89,29 +90,76 @@ object IncrementalDedup {
   }
 
   /** One ingest round: find the delta's verified near-dups (against the
-    * store and within the delta), then append the delta's signatures so the
-    * next round sees them as store. Returns the verified pairs. A crashed
-    * round re-runs idempotently: the pair set is unchanged whether or not
-    * the crashed attempt got its signatures in (`candidatePairs` dedups and
-    * self-pairs are filtered), and the append anti-joins against the store
-    * so already-landed signature rows are not duplicated.
+    * store and within the delta), then fold the delta's signatures into the
+    * store so the next round sees them. Returns the verified pairs.
+    *
+    * Store update semantics: LATEST CONTENT WINS. A doc_id already in the
+    * store whose delta signature is UNCHANGED is skipped (that is the
+    * crashed-attempt replay case — a re-run must not duplicate rows); a
+    * doc_id whose signature CHANGED (the doc was re-ingested with new
+    * content) REPLACES its store row, so future rounds band against the
+    * current content rather than a stale sketch. The common no-rewrite path
+    * stays O(delta) appends; only a round that actually carries changed
+    * re-ingests pays an O(store) rewrite (the store is ~10^-4 of corpus
+    * bytes, so this is still a sliver of the corpus scan batch dedup pays).
+    * The rewrite goes through a `.rewrite` sibling dir + rename, never an
+    * in-place overwrite: a crash at any point leaves either the old or the
+    * new store recoverable (`recoverStore` heals the delete-before-rename
+    * window on the next round's read).
     *
     * `corpus` = every doc the store has signatures for, plus the delta
-    * (the text source for on-demand shingle fetches). */
+    * (the text source for on-demand shingle fetches); for re-ingested docs
+    * it must serve the NEW text. */
   def processDelta(spark: SparkSession, storeDir: String, corpus: DataFrame,
                    delta: DataFrame, threshold: Double = 0.5): DataFrame = {
+    recoverStore(spark, storeDir)
     val storeSigs = spark.read.parquet(storeDir)
     val deltaSigs = signatures(delta).cache()
     val pairs =
       verifyPairs(candidatePairs(storeSigs, deltaSigs), corpus, threshold)
         .orderBy(col("doc_a"), col("doc_b"))
     // Materialize results BEFORE mutating the store: localCheckpoint pins
-    // the rows so the append below cannot leak into a lazy re-read.
+    // the rows so the writes below cannot leak into a lazy re-read.
     val out = pairs.localCheckpoint(eager = true)
-    deltaSigs
-      .join(storeSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .write.mode(SaveMode.Append).parquet(storeDir)
+    val changed = deltaSigs.alias("d")
+      .join(storeSigs.alias("s"), Seq("doc_id"))
+      .filter(col("d.sig") =!= col("s.sig"))
+    if (changed.isEmpty) {
+      deltaSigs
+        .join(storeSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .write.mode(SaveMode.Append).parquet(storeDir)
+    } else {
+      // Re-ingested content: replace, not skip. Written to a sibling dir
+      // (reads the live store lazily — different path, no read/write
+      // conflict), then swapped in.
+      val tmp = new org.apache.hadoop.fs.Path(storeDir + RewriteSuffix)
+      val cur = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      storeSigs
+        .join(deltaSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(deltaSigs)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(cur, true)
+      fs.rename(tmp, cur)
+      ()
+    }
     deltaSigs.unpersist()
     out
+  }
+
+  private val RewriteSuffix = ".rewrite"
+
+  /** Heal a crash between a rewrite's delete and rename: if the store dir
+    * is gone but a completed `.rewrite` sibling exists, promote it. A
+    * `.rewrite` left beside a LIVE store (crash before the delete) is
+    * stale and removed — the next changed round rebuilds it. */
+  def recoverStore(spark: SparkSession, storeDir: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + RewriteSuffix)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) {
+      if (!fs.exists(cur)) { fs.rename(tmp, cur); () }
+      else { fs.delete(tmp, true); () }
+    }
   }
 }

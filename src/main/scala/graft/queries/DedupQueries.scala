@@ -19,10 +19,11 @@ object DedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  // MinHash configuration: 8 permutations = 4 bands x 2 rows.
-  private val K = 8
-  private val Bands = 4
-  private val RowsPerBand = 2
+  // MinHash configuration: 8 permutations = 4 bands x 2 rows. Shared with
+  // the incremental stack via Hashing (q101 mixes the two — see there).
+  private val K = Hashing.MinhashK
+  private val Bands = Hashing.LshBands
+  private val RowsPerBand = Hashing.LshRowsPerBand
   private val SimBits = 32
 
   private val memo = scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
@@ -59,19 +60,13 @@ object DedupQueries {
       s"list_aggregate(list_transform(sh, s -> (s * ${Hashing.MinhashA(i)} + ${Hashing.MinhashB(i)}) % $P), 'min')"
   }
 
-  /** doc_id + token hashes + whole-doc hash (one md5 per token); consumed
-    * once by shingleHashDf, so not cached itself. */
-  def tokenHashDf(spark: SparkSession, d: String): DataFrame =
-    Tables.parallel(Tables.documents(spark, d)).select(
-      col("doc_id"),
-      transform(Text.tokens(col("text")), w => Hashing.hash32(w)).as("th"),
-      Hashing.hash32(Text.normalize(col("text"))).as("nh"))
-
-  /** doc_id + distinct 3-gram shingle hashes, cached. */
+  /** doc_id + distinct 3-gram shingle hashes, cached. The build itself
+    * (tokens -> per-token md5 -> shingle combine) lives in
+    * IncrementalDedup.shingles — one copy for both stacks. */
   def shingleHashDf(spark: SparkSession, d: String): DataFrame =
     memoized(spark, d, "shinglehash") {
-      tokenHashDf(spark, d).select(col("doc_id"),
-        Hashing.shingleHashes(col("th"), col("nh")).as("sh"))
+      graft.operators.IncrementalDedup.shingles(
+        Tables.parallel(Tables.documents(spark, d)))
     }
 
   /** Exact dedup: group by md5 fingerprint of normalized text, survivor =

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.operators.IncrementalDedup
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
@@ -44,9 +45,29 @@ object DedupStream {
       .partitionBy("ingest_batch")
       .parquet(dir)
 
+  /** Latest delivery wins: collapse a batch-stamped table to one row per
+    * doc_id, keeping the highest ingest_batch. A doc_id redelivered in a
+    * later batch (edited content) would otherwise keep BOTH rows — the
+    * store would band the doc under its stale signature forever, and
+    * verifyPairs would join both archived texts, emitting contradictory
+    * jaccard rows for one pair. Rank-1-per-key compiles to
+    * WindowGroupLimit, so the filter pushes into the scan side. */
+  private def latestPerDoc(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ingest_batch").desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** One microbatch: archive the docs, dedup the delta against all prior
     * batches plus itself, persist pairs, append signatures. Public so the
-    * replay-idempotence contract is testable without a streaming harness. */
+    * replay-idempotence contract is testable without a streaming harness.
+    *
+    * Redelivery semantics: a doc_id that reappears in a LATER batch is
+    * treated as re-ingested content — its latest text/signature supersedes
+    * the old one on every read (`latestPerDoc`), so future candidates band
+    * against current content and each verified pair carries exactly one
+    * jaccard value. The superseded rows stay in their original partitions
+    * (append-only, replay-safe); readers resolve, writers never rewrite
+    * other batches' partitions. */
   def runBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                storeDir: String, archiveDir: String, pairsDir: String,
                threshold: Double = 0.5): Unit = {
@@ -54,12 +75,18 @@ object DedupStream {
     writeBatchPartition(delta.withColumn("ingest_batch", lit(batchId)), archiveDir)
     // Store = signatures of strictly-earlier batches; a replayed batch's
     // own partition (from the crashed attempt) is excluded, then
-    // overwritten below.
-    val storeSigs = readOr(spark, storeDir, sigSchema)
-      .filter(col("ingest_batch") < batchId).select(col("doc_id"), col("sig"))
+    // overwritten below. A doc the current delta redelivers is ALSO
+    // excluded from the store leg: its old signature must not surface it
+    // as an "other" doc (the pair (doc, doc) is meaningless and the stale
+    // sketch no longer describes any live content).
+    val storeSigs = latestPerDoc(readOr(spark, storeDir, sigSchema)
+        .filter(col("ingest_batch") < batchId))
+      .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("sig"))
     val deltaSigs = IncrementalDedup.signatures(delta).cache()
-    val corpus = readOr(spark, archiveDir, docSchema)
-      .filter(col("ingest_batch") <= batchId).select(col("doc_id"), col("text"))
+    val corpus = latestPerDoc(readOr(spark, archiveDir, docSchema)
+        .filter(col("ingest_batch") <= batchId))
+      .select(col("doc_id"), col("text"))
     val pairs = IncrementalDedup.verifyPairs(
       IncrementalDedup.candidatePairs(storeSigs, deltaSigs), corpus, threshold)
       .localCheckpoint(true)

@@ -97,6 +97,33 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(dupSigRows === 0L, "replayed append must not duplicate signature rows")
   }
 
+  test("a re-ingested doc's new content supersedes its stale signature") {
+    val dir = java.nio.file.Files.createTempDirectory("incdedup4").toString + "/sigs"
+    val words = "the quick brown fox jumps over a lazy dog near the river bank today"
+    def text(group: Long, tail: Long): String =
+      words.split(' ').map(w => s"${w}g$group").mkString(" ") + s" tail$tail"
+    val base = Seq((10L, text(1, 0)), (11L, text(1, 1))).toDF("doc_id", "text")
+    IncrementalDedup.initStore(dir, base)
+
+    // doc 10 is re-ingested with ENTIRELY new content (group 5); the corpus
+    // serves the new text per the operator contract.
+    val d1 = Seq((10L, text(5, 0))).toDF("doc_id", "text")
+    val corpus1 = Seq((10L, text(5, 0)), (11L, text(1, 1))).toDF("doc_id", "text")
+    val r1 = pairSet(IncrementalDedup.processDelta(spark, dir, corpus1, d1))
+    assert(r1 === Set.empty, "new content matches nothing; the stale (10,11) " +
+      "candidate must die at verification against the new text")
+    // the store must now hold 10's NEW signature, exactly once
+    val store = spark.read.parquet(dir)
+    assert(store.groupBy("doc_id").count().filter(col("count") > 1).count() === 0L)
+
+    // a later delta near-duplicating the NEW content must find doc 10 —
+    // impossible if the store still banded 10 under the stale sketch.
+    val d2 = Seq((12L, text(5, 1))).toDF("doc_id", "text")
+    val corpus2 = corpus1.unionByName(d2)
+    val r2 = pairSet(IncrementalDedup.processDelta(spark, dir, corpus2, d2))
+    assert(r2 === Set((10L, 12L)), "dup vs the re-ingested doc's current content")
+  }
+
   test("verify re-shingles only candidate docs (on-demand fetch contract)") {
     // a corpus row whose text would FAIL shingling inspection if touched is
     // fine as long as it never appears in a candidate pair: verifyPairs

@@ -48,6 +48,37 @@ class DedupStreamSpec extends SparkSpec {
       (20L, 21L, 1L)))              // batch-1 internal
   }
 
+  test("a doc redelivered in a later batch supersedes its old content") {
+    val (sigs, archive, pairs, _) = dirs()
+    // batch 0: docs 10/11 are group-1 near-dups
+    DedupStream.runBatch(spark,
+      Seq((10L, dup(1, 0)), (11L, dup(1, 1))).toDF("doc_id", "text"),
+      0L, sigs, archive, pairs)
+    // batch 1: doc 10 comes BACK with entirely different content (group 3).
+    // Its stale group-1 signature must not emit pairs, and (10,10) never.
+    DedupStream.runBatch(spark,
+      Seq((10L, dup(3, 0)), (60L, uniq(60))).toDF("doc_id", "text"),
+      1L, sigs, archive, pairs)
+    // batch 2: doc 12 near-dups the NEW content of 10; doc 13 near-dups
+    // group 1, which only doc 11 still carries.
+    DedupStream.runBatch(spark,
+      Seq((12L, dup(3, 1)), (13L, dup(1, 2))).toDF("doc_id", "text"),
+      2L, sigs, archive, pairs)
+
+    val got = pairSet(pairs)
+    assert(got === Set(
+      (10L, 11L, 0L),   // settled before the redelivery
+      (10L, 12L, 2L),   // banded + verified against 10's CURRENT content
+      (11L, 13L, 2L)),  // 10 no longer matches group 1 — only 11 does
+      s"got $got")
+    // one jaccard row per verified pair — no contradictory duplicates from
+    // the doubled archive rows
+    val dupPairRows = spark.read.parquet(pairs)
+      .groupBy("doc_a", "doc_b", "ingest_batch").count()
+      .filter(col("count") > 1).count()
+    assert(dupPairRows === 0L)
+  }
+
   test("a replayed batch replaces its output instead of doubling it") {
     val (sigs, archive, pairs, _) = dirs()
     val b0 = Seq((10L, dup(1, 0)), (11L, dup(1, 1))).toDF("doc_id", "text")
