@@ -10,21 +10,10 @@ import org.apache.spark.sql.functions._
   * SCALE.md's shape arguments (band-keyed shuffles only, in-bucket pairwise
   * work) into one measured point above the bench scale factor.
   *
-  * Corpus construction (deterministic, content-derived — no RNG):
-  * each source doc expands to `COPIES` rows keyed `doc_id * COPIES + j`:
-  *  - j = 0: the original;
-  *  - j in 1..3: NEAR-DUPS — the original with a 2-token suffix, so the
-  *    trigram-shingle Jaccard stays high (the LSH recall target);
-  *  - j >= 4: DISTINCT texts — a row-unique token is interleaved after
-  *    EVERY word, so every trigram shingle contains a token no other row
-  *    has: zero shared shingles with anything, including the other fillers
-  *    of the same doc (a reversed-text + suffix variant tried first left
-  *    the fillers mutual near-dups of each other — the unique material
-  *    must dominate the shingle set, not trail it).
-  * So candidate-pair structure is KNOWN by construction: near-dup cliques
-  * of size <= 4 per source doc (times the base corpus's own dup
-  * structure), everything else singleton. A pair count exploding
-  * superlinearly would indict the banding, not the corpus.
+  * Corpus construction: `ScaleCorpus.scaledDocs` (deterministic near-dup
+  * cliques of size <= 4 per source doc, everything else singleton — see
+  * there). A pair count exploding superlinearly would indict the banding,
+  * not the corpus.
   *
   * Emits ONE JSON line and writes `BENCH_sf1.json` in the cwd.
   */
@@ -46,19 +35,7 @@ object BenchDedupScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = Tables.documents(spark, sfDir)
-    val j = explode(sequence(lit(0), lit(copies - 1))).as("j")
-    val scaled = base.select(col("doc_id"), col("text"), col("lang"),
-        col("source"), j)
-      .select(
-        (col("doc_id") * copies + col("j")).as("doc_id"),
-        when(col("j") === 0, col("text"))
-          .when(col("j") <= 3, concat(col("text"), lit(" nearcopy "), col("j")))
-          .otherwise(array_join(
-            flatten(transform(split(col("text"), " "), (t, i) => array(t,
-              concat(lit("u"), col("doc_id") * copies + col("j"), lit("p"), i)))),
-            " ")).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text"))) // of the MUTATED text
+    val scaled = ScaleCorpus.scaledDocs(base, copies)
     scaled.write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
     val nDocs = spark.read.parquet(s"$scaleDir/documents.parquet").count()
 

@@ -322,7 +322,62 @@ object TextQueries {
     FROM keyed ORDER BY shard, pos"""
   }
 
+  /** Unigram cross-entropy quality score — the CCNet-style LM filter:
+    * build the corpus unigram distribution, then score each doc by its
+    * mean per-token surprisal under it (gibberish and rare-word soup sit
+    * high, boilerplate sits low; filters threshold both tails). Gated in
+    * an integer-exact quantization: floor(log2 n) computed as binary bit
+    * length minus one (`length(bin(n)) - 1` — EXACT integer arithmetic in
+    * both engines, no libm rounding in the compare), so surprisal is an
+    * integer per token, per-doc sums are order-independent, and the
+    * permille mean uses the same floor-of-scaled-ratio form as q41. A
+    * production filter would swap double log-probs into the same plan.
+    *
+    * Scale shape: per-doc token counts first (map-side-combined groupBy,
+    * so the vocab join's left side is distinct (doc, token) rows, not
+    * token occurrences), one shuffle on token to build and join the
+    * unigram table, one shuffle on doc_id for the final sum; the 1-row
+    * corpus total joins broadcast. The vocab table is heavy-tailed but
+    * ~vocabulary-sized, orders of magnitude under the corpus. */
+  def q104(spark: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+    val vocab = perDoc.groupBy(col("tok")).agg(sum(col("k")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    perDoc.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("surp",
+        (length(bin(col("total"))) - length(bin(col("cnt")))).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k") * col("surp")).as("surprisal_sum"))
+      .withColumn("mean_surprisal_permille",
+        floor(col("surprisal_sum") * 1000d / col("n_tokens")).cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_sum"),
+        col("mean_surprisal_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q104Sql: String = s"""
+    WITH perdoc AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, unnest(${Sql.words}) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    vocab AS (SELECT tok, CAST(sum(k) AS BIGINT) AS cnt FROM perdoc GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT doc_id, k,
+        CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT) AS surp
+      FROM perdoc JOIN vocab USING (tok) CROSS JOIN tot)
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+      CAST(sum(k * surp) AS BIGINT) AS surprisal_sum,
+      CAST(floor(sum(k * surp) * 1000.0 / sum(k)) AS BIGINT)
+        AS mean_surprisal_permille
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
+    "q104_unigram_surprisal" -> (q104 _),
     "q103_deterministic_shuffle" -> (q103 _),
     "q102_token_budget_mix" -> (q102 _),
     "q40_language_id" -> (q40 _),
@@ -334,6 +389,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q104_unigram_surprisal" -> q104Sql,
     "q103_deterministic_shuffle" -> q103Sql,
     "q102_token_budget_mix" -> q102Sql,
     "q40_language_id" -> q40Sql,

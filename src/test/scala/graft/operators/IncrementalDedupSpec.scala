@@ -124,6 +124,42 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(r2 === Set((10L, 12L)), "dup vs the re-ingested doc's current content")
   }
 
+  test("recoverStore heals every rewrite crash window") {
+    val root = java.nio.file.Files.createTempDirectory("incdedup5").toString
+    val dir = root + "/sigs"
+    val words = "the quick brown fox jumps over a lazy dog near the river bank today"
+    def text(group: Long, tail: Long): String =
+      words.split(' ').map(w => s"${w}g$group").mkString(" ") + s" tail$tail"
+    val base = Seq((10L, text(1, 0)), (11L, text(1, 1))).toDF("doc_id", "text")
+
+    // Window A: crash AFTER the .rewrite write, BEFORE the delete — the
+    // live store must win and the stale sibling must be cleared.
+    IncrementalDedup.initStore(dir, base)
+    IncrementalDedup.initStore(dir + ".rewrite",
+      Seq((99L, text(9, 0))).toDF("doc_id", "text"))
+    IncrementalDedup.recoverStore(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".rewrite")))
+    assert(spark.read.parquet(dir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(10L, 11L), "live store must survive")
+
+    // Window B: crash AFTER the delete, BEFORE the rename — the completed
+    // rewrite must be promoted to the store path.
+    IncrementalDedup.initStore(dir + ".rewrite",
+      Seq((10L, text(5, 0)), (11L, text(1, 1))).toDF("doc_id", "text"))
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    IncrementalDedup.recoverStore(spark, dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".rewrite")))
+    // and a normal round runs against the healed store
+    val d = Seq((12L, text(5, 1))).toDF("doc_id", "text")
+    val corpus = Seq((10L, text(5, 0)), (11L, text(1, 1)), (12L, text(5, 1)))
+      .toDF("doc_id", "text")
+    val r = pairSet(IncrementalDedup.processDelta(spark, dir, corpus, d))
+    assert(r === Set((10L, 12L)))
+  }
+
   test("verify re-shingles only candidate docs (on-demand fetch contract)") {
     // a corpus row whose text would FAIL shingling inspection if touched is
     // fine as long as it never appears in a candidate pair: verifyPairs
