@@ -32,19 +32,12 @@ object BenchAnnScale {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_ann")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ScaleCorpus.session()
 
     val base = Tables.embeddings(spark, sfDir)
-    val nBase = base.count()
+    // Key stride must clear every EXISTING id, not just the row count —
+    // max+1 stays collision-free even if ids were sparse or non-zero-based.
+    val nBase = base.agg(max(col("vec_id"))).head().getLong(0) + 1
     val j = explode(sequence(lit(0), lit(copies - 1))).as("j")
     val newId = col("vec_id") + col("j") * lit(nBase)
     val scaled = base.select(col("vec_id"), col("embedding"), col("label"), j)
@@ -69,9 +62,6 @@ object BenchAnnScale {
       "q58_pq_ann" -> (queries.PipelineQueries.q58 _),
       "q54_kmeans" -> (queries.PipelineQueries.q54 _))
 
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-
     val results = qs.map { case (name, fn) =>
       spark.catalog.clearCache()
       var rows = 0L
@@ -86,11 +76,11 @@ object BenchAnnScale {
     }
 
     val qJson = results.map { case (n, s, r) =>
-      s""""${n.takeWhile(_ != '_')}":{"sec":${fmt(s)},"rows":$r}"""
+      s""""${n.takeWhile(_ != '_')}":{"sec":${ScaleCorpus.fmt(s)},"rows":$r}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"ann_scale","unit":"sec","n_vectors":$nVecs,""" +
       s""""copies":$copies,"base_sf":"$sfDir","queries":$qJson,""" +
-      s""""total":${fmt(results.map(_._2).sum)}}"""
+      s""""total":${ScaleCorpus.fmt(results.map(_._2).sum)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1_ann.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)

@@ -23,16 +23,7 @@ object BenchDedupScale {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_docs")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ScaleCorpus.session()
 
     val base = Tables.documents(spark, sfDir)
     val scaled = ScaleCorpus.scaledDocs(base, copies)
@@ -47,9 +38,6 @@ object BenchDedupScale {
       "q24_simhash" -> (DedupQueries.q24 _),
       "q25_simhash_near_dups" -> (DedupQueries.q25 _),
       "q49_corpus_ngram_dedup" -> (graft.queries.PipelineQueries.q49 _))
-
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
     val results = qs.map { case (name, fn) =>
       DedupQueries.resetMemo()
@@ -66,11 +54,11 @@ object BenchDedupScale {
     }
 
     val qJson = results.map { case (n, s, r) =>
-      s""""${n.takeWhile(_ != '_')}":{"sec":${fmt(s)},"rows":$r}"""
+      s""""${n.takeWhile(_ != '_')}":{"sec":${ScaleCorpus.fmt(s)},"rows":$r}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"dedup_scale","unit":"sec","n_docs":$nDocs,""" +
       s""""copies":$copies,"base_sf":"$sfDir","queries":$qJson,""" +
-      s""""total":${fmt(results.map(_._2).sum)}}"""
+      s""""total":${ScaleCorpus.fmt(results.map(_._2).sum)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)

@@ -29,16 +29,7 @@ object BenchIncrementalScale {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_inc")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ScaleCorpus.session()
 
     val base = Tables.documents(spark, sfDir)
     // The delta: near-copies of 500 base docs, re-keyed past every scaled
@@ -48,9 +39,7 @@ object BenchIncrementalScale {
       .select((col("doc_id") + lit(100000000L)).as("doc_id"),
         concat(col("text"), lit(" deltacopy")).as("text"))
       .localCheckpoint(true)
-
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val nDelta = delta.count() // 500 at the default sf0.1; measured, not assumed
 
     val rounds = Seq(1, copies).map { c =>
       val corpusPath = s"$workDir/docs_${c}x.parquet"
@@ -75,13 +64,13 @@ object BenchIncrementalScale {
     }
 
     val rJson = rounds.map { case (c, n, s, p) =>
-      s"""{"copies":$c,"store_docs":$n,"delta_docs":500,"sec":${fmt(s)},"pairs":$p}"""
+      s"""{"copies":$c,"store_docs":$n,"delta_docs":$nDelta,"sec":${ScaleCorpus.fmt(s)},"pairs":$p}"""
     }.mkString("[", ",", "]")
     val (s1, sN) = (rounds.head._3, rounds.last._3)
     val line = s"""{"metric":"incremental_dedup_scale","unit":"sec",""" +
       s""""base_sf":"$sfDir","rounds":$rJson,""" +
       s""""store_growth":${rounds.last._2 / math.max(1L, rounds.head._2)},""" +
-      s""""delta_time_growth":${fmt(sN / s1)}}"""
+      s""""delta_time_growth":${ScaleCorpus.fmt(sN / s1)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1_inc.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)

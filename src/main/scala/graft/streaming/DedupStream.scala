@@ -71,7 +71,17 @@ object DedupStream {
   def runBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                storeDir: String, archiveDir: String, pairsDir: String,
                threshold: Double = 0.5): Unit = {
-    val delta = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+    // Within-batch duplicates resolve CONTENT-deterministically before
+    // anything is written: a microbatch is an unordered set (no arrival
+    // order exists to make "last" meaningful), and latestPerDoc's
+    // ingest_batch ordering cannot break a same-batch tie — an arbitrary
+    // pick would flip between contents run to run and across replays.
+    val winner = Window.partitionBy(col("doc_id"))
+      .orderBy(xxhash64(col("text")).desc, col("text").desc)
+    val delta = batch.select(col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(winner))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(true)
     writeBatchPartition(delta.withColumn("ingest_batch", lit(batchId)), archiveDir)
     // Store = signatures of strictly-earlier batches; a replayed batch's
     // own partition (from the crashed attempt) is excluded, then

@@ -79,6 +79,29 @@ class DedupStreamSpec extends SparkSpec {
     assert(dupPairRows === 0L)
   }
 
+  test("within-batch duplicates resolve content-deterministically") {
+    // A microbatch is an unordered set: the same logical batch may arrive
+    // with rows in any order. The winner for a doc_id delivered twice in
+    // one batch must not depend on that order.
+    val rowsA = Seq((10L, dup(1, 0)), (10L, dup(2, 0)), (11L, dup(1, 1)))
+    val rowsB = rowsA.reverse
+    val (s1, a1, p1, _) = dirs()
+    val (s2, a2, p2, _) = dirs()
+    DedupStream.runBatch(spark, rowsA.toDF("doc_id", "text"), 0L, s1, a1, p1)
+    DedupStream.runBatch(spark, rowsB.toDF("doc_id", "text"), 0L, s2, a2, p2)
+    def archived(dir: String): Map[Long, String] =
+      spark.read.parquet(dir).select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m1 = archived(a1)
+    assert(m1 === archived(a2), "winner must not depend on row order")
+    assert(m1.keySet === Set(10L, 11L), "exactly one archived row per doc")
+    // one signature per doc in the store, and the pair output is a set
+    // decided by the winning content (no contradictory rows)
+    assert(spark.read.parquet(s1).groupBy("doc_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    assert(pairSet(p1) === pairSet(p2))
+  }
+
   test("a replayed batch replaces its output instead of doubling it") {
     val (sigs, archive, pairs, _) = dirs()
     val b0 = Seq((10L, dup(1, 0)), (11L, dup(1, 1))).toDF("doc_id", "text")
