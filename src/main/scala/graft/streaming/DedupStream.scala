@@ -94,11 +94,21 @@ object DedupStream {
       .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("sig"))
     val deltaSigs = IncrementalDedup.signatures(delta).cache()
+    // Candidates first, THEN latest-wins over the archive: a semi-join
+    // cannot push through a window, so `latestPerDoc(full archive)` would
+    // window the whole corpus text every microbatch. Pinning the (small)
+    // candidate set lets the doc_id restriction reach the archive scan,
+    // and the window runs over candidate docs only — per-batch text work
+    // stays O(candidates), not O(corpus).
+    val cand = IncrementalDedup.candidatePairs(storeSigs, deltaSigs)
+      .localCheckpoint(eager = true)
+    val needed = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     val corpus = latestPerDoc(readOr(spark, archiveDir, docSchema)
-        .filter(col("ingest_batch") <= batchId))
+        .filter(col("ingest_batch") <= batchId)
+        .join(needed, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("text"))
-    val pairs = IncrementalDedup.verifyPairs(
-      IncrementalDedup.candidatePairs(storeSigs, deltaSigs), corpus, threshold)
+    val pairs = IncrementalDedup.verifyPairs(cand, corpus, threshold)
       .localCheckpoint(true)
     writeBatchPartition(pairs.withColumn("ingest_batch", lit(batchId)), pairsDir)
     writeBatchPartition(deltaSigs.withColumn("ingest_batch", lit(batchId)), storeDir)
