@@ -119,67 +119,14 @@ object IncrementalDedup {
       verifyPairs(candidatePairs(storeSigs, deltaSigs), corpus, threshold)
         .orderBy(col("doc_a"), col("doc_b"))
     // Materialize results BEFORE mutating the store: localCheckpoint pins
-    // the rows so the writes below cannot leak into a lazy re-read.
+    // the rows so the fold below cannot leak into a lazy re-read.
     val out = pairs.localCheckpoint(eager = true)
-    // ONE store-scanning join feeds both the changed? flag and the append
-    // set (its output is delta-sized, pinned by the checkpoint) — the
-    // common no-reingest round scans the store once, not twice.
-    val folded = deltaSigs
-      .join(storeSigs.select(col("doc_id"), col("sig").as("cur_sig")),
-        Seq("doc_id"), "left")
-      .localCheckpoint(eager = true)
-    val anyChanged = !folded
-      .filter(col("cur_sig").isNotNull && col("cur_sig") =!= col("sig")).isEmpty
-    if (!anyChanged) {
-      folded.filter(col("cur_sig").isNull).select(col("doc_id"), col("sig"))
-        .write.mode(SaveMode.Append).parquet(storeDir)
-    } else {
-      // Re-ingested content: replace, not skip. Written to a sibling dir
-      // (reads the live store lazily — different path, no read/write
-      // conflict), then swapped in. Every fs step is CHECKED: an ignored
-      // false from delete/rename would report success over a lost store.
-      val cur = storePath(storeDir)
-      val tmp = rewritePath(storeDir)
-      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      storeSigs
-        .join(deltaSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .unionByName(deltaSigs)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      if (!fs.delete(cur, true))
-        sys.error(s"store rewrite: could not delete $cur (rewrite intact at $tmp)")
-      if (!fs.rename(tmp, cur))
-        sys.error(s"store rewrite: rename $tmp -> $cur failed; " +
-          "recoverStore will promote the rewrite on the next round")
-    }
+    KeyedStore.fold(spark, storeDir, deltaSigs, "doc_id")
     deltaSigs.unpersist()
     out
   }
 
-  /** The `.rewrite` sibling SITS BESIDE the store dir, never inside it:
-    * built from the parent + a suffixed leaf name, so a trailing slash in
-    * `storeDir` cannot turn it into a (hidden, dot-prefixed) child that
-    * the swap's recursive delete would destroy. */
-  private def storePath(storeDir: String) =
-    new org.apache.hadoop.fs.Path(storeDir)
-  private def rewritePath(storeDir: String) = {
-    val cur = storePath(storeDir) // Path normalization strips trailing '/'
-    new org.apache.hadoop.fs.Path(cur.getParent, cur.getName + ".rewrite")
-  }
-
-  /** Heal a crash between a rewrite's delete and rename: if the store dir
-    * is gone but a completed `.rewrite` sibling exists, promote it. A
-    * `.rewrite` left beside a LIVE store (crash before the delete) is
-    * stale and removed — the next changed round rebuilds it. */
-  def recoverStore(spark: SparkSession, storeDir: String): Unit = {
-    val cur = storePath(storeDir)
-    val tmp = rewritePath(storeDir)
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmp)) {
-      if (!fs.exists(cur)) {
-        if (!fs.rename(tmp, cur))
-          sys.error(s"store recovery: rename $tmp -> $cur failed")
-      } else if (!fs.delete(tmp, true))
-        sys.error(s"store recovery: could not clear stale $tmp")
-    }
-  }
+  /** See KeyedStore.recover — kept as the operator-level entry point. */
+  def recoverStore(spark: SparkSession, storeDir: String): Unit =
+    KeyedStore.recover(spark, storeDir)
 }

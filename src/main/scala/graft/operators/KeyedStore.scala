@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Latest-content-wins fold for a keyed parquet store — the shared store
+  * discipline of the incremental operators (IncrementalDedup's signature
+  * store, IvfIncremental's code store). One store-scanning join classifies
+  * the delta:
+  *
+  *  - key absent from the store          -> APPEND (the normal new row);
+  *  - key present, value columns equal   -> SKIP (a crashed attempt's
+  *    replay must not duplicate rows);
+  *  - key present, any value changed     -> the store is REWRITTEN with
+  *    the delta's rows replacing the stale ones (re-ingested content must
+  *    supersede — a stale sketch describes no live content).
+  *
+  * The common no-reingest round therefore stays an O(delta) append over
+  * one store scan; only a round carrying changed re-ingests pays the
+  * O(store) rewrite. The rewrite goes through a sibling dir + rename,
+  * never an in-place overwrite: the sibling is built from parent + leaf
+  * name (a trailing slash cannot turn it into a hidden CHILD of the store
+  * that the swap's recursive delete would destroy), every delete/rename
+  * return is checked, and `recover` heals the delete-before-rename crash
+  * window on the next round's read. Value comparison is null-safe
+  * (`<=>`), so a legitimately-null column neither blocks the skip nor
+  * forces a rewrite.
+  */
+object KeyedStore {
+
+  /** Fold `delta` into the store at `storeDir` (which must exist — callers
+    * initialize with a plain overwrite write). `delta` must carry exactly
+    * the store's schema; `key` identifies rows. At most one row per key is
+    * assumed on both sides (the operators' store invariant). */
+  def fold(spark: SparkSession, storeDir: String, delta: DataFrame,
+           key: String): Unit = {
+    recover(spark, storeDir)
+    val store = spark.read.parquet(storeDir)
+    val valueCols = delta.columns.filterNot(_ == key).toSeq
+    val cur = store.select(
+      col(key) +: lit(true).as("__in_store") +:
+        valueCols.map(c => col(c).as(s"__cur_$c")): _*)
+    // ONE store-scanning join feeds both the changed? flag and the append
+    // set (its output is delta-sized, pinned by the checkpoint).
+    val folded = delta.join(cur, Seq(key), "left").localCheckpoint(eager = true)
+    val unchanged = valueCols.map(c => col(c) <=> col(s"__cur_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val anyChanged = !folded
+      .filter(coalesce(col("__in_store"), lit(false)) && !unchanged).isEmpty
+    if (!anyChanged) {
+      folded.filter(col("__in_store").isNull)
+        .select(key, valueCols: _*)
+        .write.mode(SaveMode.Append).parquet(storeDir)
+    } else {
+      val curPath = storePath(storeDir)
+      val tmp = rewritePath(storeDir)
+      val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      store.join(delta.select(col(key)), Seq(key), "left_anti")
+        .unionByName(delta)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (!fs.delete(curPath, true))
+        sys.error(s"store rewrite: could not delete $curPath (rewrite intact at $tmp)")
+      if (!fs.rename(tmp, curPath))
+        sys.error(s"store rewrite: rename $tmp -> $curPath failed; " +
+          "recover will promote the rewrite on the next round")
+    }
+  }
+
+  private def storePath(storeDir: String) =
+    new org.apache.hadoop.fs.Path(storeDir)
+  private def rewritePath(storeDir: String) = {
+    val cur = storePath(storeDir) // Path normalization strips trailing '/'
+    new org.apache.hadoop.fs.Path(cur.getParent, cur.getName + ".rewrite")
+  }
+
+  /** Heal a crash between a rewrite's delete and rename: if the store dir
+    * is gone but a completed `.rewrite` sibling exists, promote it. A
+    * `.rewrite` left beside a LIVE store (crash before the delete) is
+    * stale and removed — the next changed round rebuilds it. */
+  def recover(spark: SparkSession, storeDir: String): Unit = {
+    val cur = storePath(storeDir)
+    val tmp = rewritePath(storeDir)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) {
+      if (!fs.exists(cur)) {
+        if (!fs.rename(tmp, cur))
+          sys.error(s"store recovery: rename $tmp -> $cur failed")
+      } else if (!fs.delete(tmp, true))
+        sys.error(s"store recovery: could not clear stale $tmp")
+    }
+  }
+}

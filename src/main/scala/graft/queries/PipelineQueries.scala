@@ -716,25 +716,14 @@ object PipelineQueries {
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1000000d).cast(LongType)).as("v"))
 
-  /** Squared L2 distance to a literal centroid — codegen'd zip_with +
-    * aggregate, no UDF. */
+  /** Nearest-centroid assignment and squared-L2 distance — the kernels
+    * live in operators.IvfIncremental (the incremental index maintains
+    * codes with the SAME arithmetic, so one source of truth; q58's PQ
+    * subspace distances reuse distTo too). */
+  private def assign(vecs: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame =
+    graft.operators.IvfIncremental.assign(vecs, cents)
   private def distTo(vec: Column, centroid: Seq[Long]): Column =
-    aggregate(
-      zip_with(vec, typedLit(centroid), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
-  /** Assign each vector to the nearest centroid (ties -> lowest cluster id),
-    * as (vec_id, v, cluster, dist). Struct comparison is lexicographic, so
-    * `array_min` over (dist, cid) structs is exactly the oracle's
-    * `row_number() OVER (ORDER BY dist, cid) = 1`. */
-  private def assign(vecs: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
-    val candidates = cents.map { case (cid, cv) =>
-      struct(distTo(col("v"), cv).as("dist"), lit(cid).as("cid"))
-    }
-    val best = array_min(array(candidates: _*))
-    vecs.select(col("vec_id"), col("v"),
-      best.getField("cid").as("cluster"), best.getField("dist").as("dist"))
-  }
+    graft.operators.IvfIncremental.distTo(vec, centroid)
 
   /** q54 — Lloyd's k-means over the embedding corpus: k=4 seeds (lowest
     * vec_ids), two assignment passes with one centroid update between them.
@@ -745,16 +734,19 @@ object PipelineQueries {
     * centroid scalars ever reach the driver (the standard Lloyd's broadcast
     * pattern; this is NOT a data collect).
     */
-  def q54(spark: SparkSession, d: String): DataFrame = {
-    val vecs = quantized(spark, d)
+  /** Lloyd's training loop shared by q54 and q105: k seeds (lowest
+    * vec_ids), `KmeansIters` assignment passes with a centroid update
+    * between each. Returns the FINAL centroids; only k*dim scalars ever
+    * reach the driver per round (the standard Lloyd's broadcast pattern;
+    * this is NOT a data collect). */
+  private def trainCentroids(vecs: DataFrame): Seq[(Int, Seq[Long])] = {
     var cents: Seq[(Int, Seq[Long])] = vecs
       .where(col("vec_id") < KmeansK)
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
       .sortBy(_._1)
-    var assigned = assign(vecs, cents)
     for (_ <- 1 until KmeansIters) {
-      val next = assigned
+      cents = assign(vecs, cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(floor(sum("x") * lit(1.0) / count(lit(1))).cast(LongType).as("m"))
@@ -764,15 +756,22 @@ object PipelineQueries {
           (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
         }
         .toSeq.sortBy(_._1)
-      cents = next
-      assigned = assign(vecs, cents)
     }
-    assigned.select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+    cents
+  }
+
+  def q54(spark: SparkSession, d: String): DataFrame = {
+    val vecs = quantized(spark, d)
+    assign(vecs, trainCentroids(vecs))
+      .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
         col("dist"))
       .orderBy(col("vec_id"))
   }
 
-  val q54Sql: String = {
+  /** The k-means oracle chain (two assignment passes, one centroid
+    * update), parameterized by the final row filter — q54 takes every
+    * vector, q105 restricts to its delta. */
+  private def kmeansSql(where: String): String = {
     val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
     val l2 = "CAST(list_sum(list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS BIGINT)"
     s"""
@@ -791,8 +790,29 @@ object PipelineQueries {
     a2 AS (SELECT vec_id, cid AS cluster, dist FROM
       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
       WHERE rn = 1)
-    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM a2 ORDER BY vec_id"""
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM a2
+    WHERE $where ORDER BY vec_id"""
   }
+
+  val q54Sql: String = kmeansSql("TRUE")
+
+  /** q105 — incremental IVF index maintenance, gated the q101 way: the
+    * incremental path's result must equal the batch result restricted to
+    * the delta. Train once (q54's loop), then run the DELTA (every fifth
+    * vec_id — the ingest batch) through operators.IvfIncremental's
+    * map-side assignment — the path a daily embedding ingest takes, where
+    * the corpus is never rescanned and only k*dim centroid literals ship
+    * with the plan. The oracle replays the same training chain in SQL and
+    * restricts to the delta. */
+  def q105(spark: SparkSession, d: String): DataFrame = {
+    val vecs = quantized(spark, d)
+    val cents = trainCentroids(vecs)
+    graft.operators.IvfIncremental
+      .codes(vecs.where(col("vec_id") % 5 === 0), cents)
+      .orderBy(col("vec_id"))
+  }
+
+  val q105Sql: String = kmeansSql("vec_id % 5 = 0")
 
   val defs: Map[String, Q] = Map(
     "q46_pii_redaction" -> (q46 _),
@@ -801,6 +821,7 @@ object PipelineQueries {
     "q49_corpus_ngram_dedup" -> (q49 _),
     "q53_nfc_normalize" -> (q53 _),
     "q54_kmeans" -> (q54 _),
+    "q105_incremental_ivf" -> (q105 _),
     "q55_incremental_agg" -> (q55 _),
     "q56_asof_tolerance" -> (q56 _),
     "q57_asof_forward" -> (q57 _),
@@ -818,6 +839,7 @@ object PipelineQueries {
     "q49_corpus_ngram_dedup" -> q49Sql,
     "q53_nfc_normalize" -> q53Sql,
     "q54_kmeans" -> q54Sql,
+    "q105_incremental_ivf" -> q105Sql,
     "q55_incremental_agg" -> q55Sql,
     "q56_asof_tolerance" -> q56Sql,
     "q57_asof_forward" -> q57Sql,

@@ -22,9 +22,12 @@ class PlanLockSpec extends SparkSpec {
 
   /** The round-6 isolated-harness top-10 (q72 q77 q89 q71 q73 q96 q88 q48
     * q81 q49), plus the queries the r5 verdict asked to lock explicitly
-    * (q94 q22 q23 q27 q92) and the merge-path flagship q18. Retired: q30,
-    * q31 (now 0.1-0.3 s, stable since r5). */
+    * (q94 q22 q23 q27 q92), the merge-path flagship q18, and the new q104
+    * (its one-corpus-pass cached shape was a measured 1.7x — lock it so a
+    * cache-drop regression surfaces as a plan diff, not a bench mystery).
+    * Retired: q30, q31 (now 0.1-0.3 s, stable since r5). */
   private val locked = Seq(
+    "q104_unigram_surprisal",
     "q72_backfill_pagination",
     "q77_dependency_cascade",
     "q89_distributed_backfill",
@@ -68,7 +71,26 @@ class PlanLockSpec extends SparkSpec {
       .replaceAll("\\blambda x_\\d+", "lambda x_n")   // global lambda var counter
       .replaceAll("StorageLevel\\([^)]*\\)", "StorageLevel(x)")
       .replaceAll("(?m)[ \\t]+$", "")
+      .linesIterator.map(canonExpandGroups).mkString("\n")
       .trim + "\n"
+
+  /** RewriteDistinctAggregates assigns gid values by iterating a HashMap
+    * keyed on attribute exprIds — a JVM-global counter — so the Expand
+    * duplicate-group order and the `FILTER (WHERE gid = N)` literals flip
+    * depending on which suites allocated expressions first. Canonicalize:
+    * placeholder the gid literal and sort the group lists, keeping the
+    * part that matters (which columns are null'd per group). */
+  private val expandArgs = "^(\\s*)Arguments: \\[(\\[.*\\])\\], (\\[.*gid#x.*\\])$".r
+  private def canonExpandGroups(line: String): String = line match {
+    case expandArgs(indent, groups, out) =>
+      val canon = groups.stripPrefix("[").stripSuffix("]")
+        .split("\\], \\[")
+        .map(_.replaceAll(", \\d+$", ", <g>"))
+        .sorted
+        .mkString("[", "], [", "]")
+      s"${indent}Arguments: [$canon], $out"
+    case _ => line.replaceAll("gid#x = \\d+", "gid#x = <g>")
+  }
 
   /** Plans are built in an ISOLATED session: suites run in parallel on one
     * shared SparkSession, and another suite's temporary conf override (e.g.
