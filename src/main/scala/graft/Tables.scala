@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   * All engine queries take `(SparkSession, sfDir)` and resolve tables here so
@@ -31,15 +31,24 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and this
-    * loader truncates epoch-nanos to the standard microsecond TimestampType
-    * (floor — matching what engines with native ns types do when casting). */
+  /** `events.ts` has shipped as two physical parquet types across testdata
+    * generations, both normalized here to the standard TimestampType so
+    * every query sees one shape:
+    *  - TIMESTAMP(NANOS): Spark has no native ns type; sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, the column arrives as
+    *    LongType epoch-nanos, and the loader floors to micros (matching
+    *    what engines with native ns types do when casting);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TimestampNTZType; cast to TimestampType under the UTC session
+    *    timezone (all sessions pin it), preserving the instant exactly —
+    *    the same naive-as-UTC reading the DuckDB oracle uses. */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = load(spark, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Hashing, Text}
+import graft.functions.expressions.BloomContains
+import graft.operators.{BloomFilter, SegmentDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -319,7 +321,87 @@ object DedupQueries {
     SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
     ORDER BY doc_a, doc_b"""
 
+  /** Exact-substring (segment-level) corpus dedup: rewrite every doc with
+    * its cross-document duplicated 8-token segments removed — the
+    * span-removal flavor of training-set dedup (vs q20/q23's whole-doc
+    * flavor). All heavy lifting in operators.SegmentDedup; shuffles are
+    * keyed by segment hash and doc_id only. */
+  def q106(spark: SparkSession, d: String): DataFrame =
+    SegmentDedup.rewrite(
+      Tables.parallel(Tables.documents(spark, d)), segTokens = SegTokens)
+      .orderBy(col("doc_id"))
+
+  private val SegTokens = 8
+
+  val q106Sql: String = {
+    val S = SegTokens
+    s"""
+    WITH base AS (SELECT doc_id, ${Sql.words} AS t, ${Sql.th} AS th FROM documents),
+    seglist AS (SELECT doc_id, t,
+      list_transform(range(0, len(th)//$S),
+        i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i*$S+1:i*$S+$S]),
+                         (acc,h) -> (acc*${Hashing.C1} + h) % ${Sql.P})) AS sh
+      FROM base),
+    seg AS (SELECT doc_id, unnest(sh) AS h FROM seglist),
+    dup AS (SELECT h FROM seg GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    dup_set AS (SELECT coalesce(list(h), []) AS dl FROM dup),
+    kept AS (SELECT doc_id, len(sh) AS n_segments,
+        len(sh) - len(list_filter(range(0, len(sh)),
+                                  i -> NOT list_contains(dl, sh[i+1]))) AS n_dup_segments,
+        flatten(list_transform(
+          list_filter(range(0, len(sh)), i -> NOT list_contains(dl, sh[i+1])),
+          i -> t[i*$S+1:i*$S+$S])) || t[len(sh)*$S+1:] AS kt
+      FROM seglist, dup_set)
+    SELECT doc_id, n_segments, n_dup_segments, len(kt) AS kept_tokens,
+      coalesce(array_to_string(kt, ' '), '') AS kept_text
+    FROM kept ORDER BY doc_id"""
+  }
+
+  /** Bloom-filter decontamination: the eval set's shingles (doc_id % 50 = 0,
+    * playing the held-out benchmark) are frozen into a 2^20-bit filter and
+    * the training docs are probed MAP-SIDE — the zero-shuffle scale path of
+    * q78's exact shingle join. The filter math (operators.BloomFilter /
+    * expressions.BloomContains) is integer-exact, so the oracle reproduces
+    * the filter bit-for-bit, false positives included. */
+  def q107(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingleHashDf(spark, d)
+    val evalKeys = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val bits = BloomFilter.build(evalKeys, BloomM, BloomK)
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        BloomContains.countContained(col("sh"), bits, BloomM, BloomK)
+          .as("n_bloom_hits"))
+      .filter(col("n_bloom_hits") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val BloomM = 1 << 20
+  private val BloomK = 3
+
+  val q107Sql: String = {
+    val (m, k) = (BloomM, BloomK)
+    val (a1, b1) = (Hashing.MinhashA(0), Hashing.MinhashB(0))
+    val (a2, b2) = (Hashing.MinhashA(1), Hashing.MinhashB(1))
+    def probed(src: String) =
+      s"""SELECT *, (s*$a1+$b1) % ${Sql.P} AS h1,
+          ((s*$a2+$b2) % ${Sql.P}) % ${m - 1} + 1 AS step FROM ($src)"""
+    s"""
+    WITH sh AS (${Sql.shBase}),
+    evp AS (${probed("SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0")}),
+    bits AS (SELECT DISTINCT (h1 + i*step) % $m AS pos FROM evp, range(0,$k) r(i)),
+    trp AS (SELECT doc_id, s, (h1 + i*step) % $m AS pos
+            FROM (${probed("SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 50 <> 0")}),
+                 range(0,$k) r(i)),
+    hits AS (SELECT doc_id, s FROM trp JOIN bits USING (pos)
+             GROUP BY doc_id, s HAVING count(*) = $k)
+    SELECT doc_id, count(*) AS n_bloom_hits FROM hits
+    GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q106_segment_dedup" -> (q106 _),
+    "q107_bloom_decontaminate" -> (q107 _),
     "q101_incremental_dedup" -> (q101 _),
     "q78_decontamination" -> (q78 _),
     "q20_dedup_exact" -> (q20 _),
@@ -332,6 +414,8 @@ object DedupQueries {
     "q38_dedup_survivors" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
+    "q106_segment_dedup" -> q106Sql,
+    "q107_bloom_decontaminate" -> q107Sql,
     "q101_incremental_dedup" -> q101Sql,
     "q78_decontamination" -> q78Sql,
     "q20_dedup_exact" -> q20Sql,
