@@ -382,7 +382,48 @@ object TextQueries {
         AS mean_surprisal_permille
     FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  /** BPE tokenizer training: learn the first 10 merges from the corpus
+    * (frequency-weighted, deterministic tie-break) — see
+    * operators.BpeTrainer for the loop and its scale shape. The oracle
+    * replays the identical merge chain in SQL: 10 chained MATERIALIZED
+    * CTE pairs (argmax -> literal replace), matching the trainer's
+    * encoding and replace semantics exactly. */
+  def q108(spark: SparkSession, d: String): DataFrame =
+    graft.operators.BpeTrainer.mergeTable(
+      spark, Tables.parallel(Tables.documents(spark, d)), BpeSteps)
+
+  private val BpeSteps = 10
+
+  val q108Sql: String = {
+    val head = s"""
+    vocab AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(${Sql.words}) AS word FROM documents) GROUP BY word),
+    w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+        list_transform(split(word, ''), c -> c || ';'), ' ') AS w, cnt
+      FROM vocab)"""
+    val stepCtes = (1 to BpeSteps).map { i =>
+      s"""
+    p$i AS MATERIALIZED (
+      SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                      i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr, cnt
+        FROM (SELECT string_split(trim(replace(w, ';', '')), ' ') AS syms, cnt
+              FROM w${i - 1}))
+      GROUP BY pr.l, pr.r ORDER BY cnt DESC, l, r LIMIT 1),
+    w$i AS MATERIALIZED (SELECT replace(w,
+        ' ' || (SELECT l FROM p$i) || '; ' || (SELECT r FROM p$i) || ';',
+        ' ' || (SELECT l FROM p$i) || (SELECT r FROM p$i) || ';') AS w, cnt
+      FROM w${i - 1})"""
+    }.mkString(",")
+    val union = (1 to BpeSteps).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym,
+          l || r AS merged, cnt FROM p$i"""
+    }.mkString(" UNION ALL ")
+    s"WITH $head,$stepCtes\nSELECT * FROM ($union) ORDER BY step"
+  }
+
   val defs: Map[String, Q] = Map(
+    "q108_bpe_merges" -> (q108 _),
     "q104_unigram_surprisal" -> (q104 _),
     "q103_deterministic_shuffle" -> (q103 _),
     "q102_token_budget_mix" -> (q102 _),
@@ -395,6 +436,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q108_bpe_merges" -> q108Sql,
     "q104_unigram_surprisal" -> q104Sql,
     "q103_deterministic_shuffle" -> q103Sql,
     "q102_token_budget_mix" -> q102Sql,
