@@ -37,7 +37,10 @@ object BenchDedupScale {
       "q23_jaccard_near_dups" -> (DedupQueries.q23 _),
       "q24_simhash" -> (DedupQueries.q24 _),
       "q25_simhash_near_dups" -> (DedupQueries.q25 _),
-      "q49_corpus_ngram_dedup" -> (graft.queries.PipelineQueries.q49 _))
+      "q49_corpus_ngram_dedup" -> (graft.queries.PipelineQueries.q49 _),
+      "q106_segment_dedup" -> (DedupQueries.q106 _),
+      "q107_bloom_decontaminate" -> (DedupQueries.q107 _),
+      "q108_bpe_merges" -> (graft.queries.TextQueries.q108 _))
 
     val results = qs.map { case (name, fn) =>
       DedupQueries.resetMemo()

@@ -40,14 +40,25 @@ object BpeTrainer {
     concat(lit(" "), array_join(transform(chars, c => concat(c, lit(";"))), " "))
   }
 
+  /** Re-cache the lazily-chained replace lineage every this many merges.
+    * Between checkpoints a step is ONE job (the argmax) whose scan replays
+    * at most this many map-side replaces over the cached ancestor — total
+    * char work stays O(CacheEvery * steps * vocab) instead of paying a
+    * materialization job per step. A production 50k-merge run keeps the
+    * same loop and just re-caches on this cadence. */
+  private val CacheEvery = 8
+
   /** Learn up to `steps` merges from a (doc_id, text) corpus; stops early
     * when no adjacent pair remains. */
   def train(docs: DataFrame, steps: Int): Seq[Merge] = {
-    var w = docs
+    val base = docs
       .select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(encode(col("word")).as("w"), col("cnt"))
       .cache()
+    var cached = base // most recent materialized ancestor of w
+    var w = base
+    var sinceCache = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
       var step = 1
@@ -68,16 +79,25 @@ object BpeTrainer {
         else {
           val Row(l: String, r: String, c: Long) = top.head
           merges += Merge(step.toLong, l, r, l + r, c)
-          val next = w.select(
+          w = w.select(
             call_function("replace", col("w"), lit(s" $l; $r;"), lit(s" $l$r;")).as("w"),
-            col("cnt")).cache()
-          next.count() // materialize before dropping the parent from cache
-          w.unpersist()
-          w = next
+            col("cnt"))
+          sinceCache += 1
+          if (sinceCache >= CacheEvery) {
+            val next = w.cache()
+            next.count() // materialize, then drop the previous checkpoint
+            if (!(cached eq base)) cached.unpersist()
+            cached = next
+            w = next
+            sinceCache = 0
+          }
           step += 1
         }
       }
-    } finally w.unpersist()
+    } finally {
+      if (!(cached eq base)) cached.unpersist()
+      base.unpersist()
+    }
     merges.toSeq
   }
 
