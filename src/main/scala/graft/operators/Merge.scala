@@ -42,13 +42,14 @@ final case class MergeSpec(
 object Merge {
 
   /** True if `dt` contains a MapType anywhere — Spark's hash functions
-    * reject such columns at analysis (maps have no canonical entry order). */
-  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    * reject such columns at analysis (maps have no canonical entry order).
+    * Shared with KeyedStore's within-delta dedup. */
+  private[operators] def containsMapType(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case _: MapType => true
-      case ArrayType(e, _) => containsMap(e)
-      case StructType(fs) => fs.exists(f => containsMap(f.dataType))
+      case ArrayType(e, _) => containsMapType(e)
+      case StructType(fs) => fs.exists(f => containsMapType(f.dataType))
       case _ => false
     }
   }
@@ -69,7 +70,7 @@ object Merge {
     * retry nondeterminism this tiebreak exists to prevent. */
   def dedupLastWins(source: DataFrame, spec: MergeSpec): DataFrame = {
     val tiebreakCols = source.schema.fields.toSeq.sortBy(_.name).map { f =>
-      if (containsMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+      if (containsMapType(f.dataType)) to_json(col(f.name)) else col(f.name)
     }
     val w = Window.partitionBy(spec.keyCols.map(col): _*)
       .orderBy(col(spec.orderCol).desc, xxhash64(tiebreakCols: _*).desc)

@@ -84,6 +84,67 @@ object TableLock {
   }
 
   private def leasePath(dir: Path): Path = dir.resolve(LeaseName)
+  private def tombPath(dir: Path, owner: String): Path =
+    dir.resolve(s"$LeaseName.tomb.$owner")
+
+  /** A tomb left behind by an arbiter that crashed mid-delete is itself a
+    * corpse after this grace (tombs normally live milliseconds). */
+  private val TombGraceMs = 30 * 1000L
+
+  /** Read the lease as (owner, expiry); a missing/malformed file reads as
+    * ("", 0) — i.e. an ownerless, expired corpse. */
+  private def readLease(dir: Path): (String, Long) =
+    try {
+      val parts = new String(Files.readAllBytes(leasePath(dir)), "UTF-8").split(" ")
+      (parts.headOption.getOrElse(""),
+        parts.lift(1).flatMap(_.toLongOption).getOrElse(0L))
+    } catch { case _: java.io.IOException => ("", 0L) }
+
+  /** Delete lease incarnation `owner` — guarded by a per-incarnation tomb
+    * file (atomic CREATE_NEW) so that for any given incarnation exactly ONE
+    * process performs the delete, and only after re-checking that the path
+    * still holds THAT incarnation. This closes the delete-then-create steal
+    * race (two stealers both deleting, the second killing the first's fresh
+    * ACTIVE lease) and the read-then-delete release race (an overrunning
+    * writer deleting its thief's active lease): every deletion is keyed to
+    * the specific lease uuid it intends to remove, and a replaced lease
+    * (new uuid) is never touched. Returns true if this process performed
+    * the arbitration, false if another arbiter holds the tomb.
+    *
+    * Residual window (documented, not closable with plain filesystem
+    * primitives): between the tomb winner's re-read and its delete, the
+    * SAME incarnation must be released-and-replaced by someone else for the
+    * delete to hit the wrong file — but every release/steal of that
+    * incarnation also runs through this tomb, which this process holds, so
+    * the only remaining hazard is a tomb past TombGraceMs being reclaimed
+    * under a still-live arbiter stalled longer than the grace. */
+  private def deleteIncarnation(dir: Path, owner: String): Boolean = {
+    val tomb = tombPath(dir, if (owner.isEmpty) "corrupt" else owner)
+    try {
+      if (Files.exists(tomb) && System.currentTimeMillis() -
+          Files.getLastModifiedTime(tomb).toMillis > TombGraceMs)
+        Files.deleteIfExists(tomb)
+      ()
+    } catch { case _: java.io.IOException => () }
+    val claimed =
+      try {
+        Files.write(tomb, Array.emptyByteArray,
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.io.IOException => false }
+    if (claimed) {
+      try {
+        if (readLease(dir)._1 == owner) Files.deleteIfExists(leasePath(dir))
+        ()
+      } catch { case _: java.io.IOException => () }
+      finally {
+        try Files.deleteIfExists(tomb)
+        catch { case _: java.io.IOException => () }
+        ()
+      }
+    }
+    claimed
+  }
 
   /** Returns the owner id written into the lease (checked on release). */
   private def acquireLease(dir: Path, ttlMs: Long, timeoutMs: Long,
@@ -104,16 +165,13 @@ object TableLock {
         case _: java.nio.file.FileAlreadyExistsException =>
           // holder alive? read its expiry; a malformed/vanished file counts
           // as expired (the holder died mid-write)
-          val expiry =
-            try new String(Files.readAllBytes(leasePath(dir)), "UTF-8")
-              .split(" ").lift(1).flatMap(_.toLongOption).getOrElse(0L)
-            catch { case _: java.io.IOException => 0L }
+          val (corpseOwner, expiry) = readLease(dir)
           if (System.currentTimeMillis() > expiry) {
-            // steal: delete the corpse and retry the atomic create. Two
-            // stealers race benignly — CREATE_NEW arbitrates, the loser
-            // loops back to waiting.
-            try Files.deleteIfExists(leasePath(dir))
-            catch { case _: java.io.IOException => () }
+            // steal THIS incarnation via its tomb; losers of the tomb race
+            // loop back to polling while the winner deletes, then everyone
+            // re-races the atomic CREATE_NEW above
+            deleteIncarnation(dir, corpseOwner)
+            ()
           } else if (System.currentTimeMillis() > deadline) {
             sys.error(s"writer lock on $dir held past acquire timeout " +
               s"(${timeoutMs}ms) — holder lease not expired; raise the TTL " +
@@ -126,14 +184,12 @@ object TableLock {
 
   /** Delete the lease ONLY if we still own it: a writer that overran its
     * TTL may find its lease already stolen — deleting the thief's ACTIVE
-    * lease would let a third writer in concurrently. */
-  private def releaseLease(dir: Path, owner: String): Unit = {
-    try {
-      val mine = new String(Files.readAllBytes(leasePath(dir)), "UTF-8")
-        .split(" ").headOption.contains(owner)
-      if (mine) Files.deleteIfExists(leasePath(dir))
-      ()
-    } catch { case _: java.io.IOException => () } // TTL reclaims it
+    * lease would let a third writer in concurrently. The tomb-guarded
+    * delete keys the removal to OUR incarnation uuid, so a stolen-and-
+    * replaced lease is never touched (and if a thief is mid-arbitration on
+    * our corpse, we simply leave it to them). */
+  private[operators] def releaseLease(dir: Path, owner: String): Unit = {
+    deleteIncarnation(dir, owner)
     ()
   }
 }

@@ -397,7 +397,8 @@ object TextQueries {
   val q108Sql: String = {
     val head = s"""
     vocab AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest(${Sql.words}) AS word FROM documents) GROUP BY word),
+      FROM (SELECT unnest(${Sql.words}) AS word FROM documents)
+      WHERE word NOT LIKE '%;%' GROUP BY word),
     w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
         list_transform(split(word, ''), c -> c || ';'), ' ') AS w, cnt
       FROM vocab)"""

@@ -84,4 +84,19 @@ class BloomContainsSpec extends SparkSpec {
       assert(ps == (0 until K).map(i => BloomContains.probe(s, i, M)))
     }
   }
+
+  test("signed hashes (xxhash64-style) probe safely: no false negatives, builder/probe agree") {
+    val keys = Seq(-1L, Long.MinValue, Long.MaxValue, -4294967311L, -987654321L)
+    val bits = buildBits(keys)
+    val got = Seq(keys).toDF("arr")
+      .select(BloomContains.countContained(col("arr"), bits, M, K))
+      .as[Long].head()
+    assert(got == keys.size.toLong)
+    keys.foreach { s =>
+      (0 until K).foreach { i =>
+        val pos = BloomContains.probe(s, i, M)
+        assert(pos >= 0 && pos < M, s"probe($s,$i) out of range: $pos")
+      }
+    }
+  }
 }

@@ -40,6 +40,16 @@ class BpeTrainerSpec extends SparkSpec {
     assert(BpeTrainer.train(docs, 5).isEmpty)
   }
 
+  test("tokens containing the ; delimiter are excluded from merge statistics") {
+    // without the exclusion, "a;b" encodes to phantom empty symbols and the
+    // ';' symbol corrupts pair counts (oracle replays the same corruption,
+    // so only a unit test can catch it)
+    val docs = Seq((1L, "a;b a;b a;b xy xy")).toDF("doc_id", "text")
+    val m = BpeTrainer.train(docs, 2)
+    assert(m.map(_.merged) == Seq("xy")) // only the clean token trains
+    assert(m.head.cnt == 2)
+  }
+
   test("merged symbols never collide with the ; delimiter encoding") {
     // a 3-deep chain whose merged symbols are multi-char on both sides
     val docs = Seq((1L, "xyxy xyxy xy")).toDF("doc_id", "text")
