@@ -423,7 +423,66 @@ object TextQueries {
     s"WITH $head,$stepCtes\nSELECT * FROM ($union) ORDER BY step"
   }
 
+  /** Quality-classifier training (batch perceptron + pocket rule): learn
+    * to predict the n_chars >= 300 quality cutoff from integer token
+    * features — see operators.LinearClassifier for the loop and its scale
+    * shape. The raw feature scale makes the margin tiny, so the batch
+    * iterate oscillates (realistic hard-data dynamics) and the pocket rule
+    * picks the best epoch; the oracle replays the full weight trajectory
+    * through chained MATERIALIZED CTEs, integer-exact. */
+  def q109(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val norm = Text.normalize(col("text"))
+    val feats = Tables.documents(spark, d).select(
+      when(col("n_chars") >= 300, 1L).otherwise(-1L).as("y"),
+      lit(1L).as("b"),
+      size(Text.tokens(col("text"))).cast(LongType).as("nt"),
+      length(translate(norm, " ", "")).cast(LongType).as("sl"))
+    val run = graft.operators.LinearClassifier.trainBatchPerceptron(
+      feats, "y", Seq("b", "nt", "sl"), PerceptronEpochs)
+    val pocket = graft.operators.LinearClassifier.pocketEpoch(run)
+    run.map(e => (e.epoch, e.w(0), e.w(1), e.w(2), e.nMiss, e.epoch == pocket))
+      .toDF("epoch", "w_bias", "w_tokens", "w_sumlen", "n_miss", "is_pocket")
+      .orderBy(col("epoch"))
+  }
+
+  private val PerceptronEpochs = 8
+
+  val q109Sql: String = {
+    val head = s"""
+    f AS MATERIALIZED (SELECT
+      CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
+      CAST(len(${Sql.words}) AS BIGINT) AS nt,
+      CAST(length(replace(${Sql.norm}, ' ', '')) AS BIGINT) AS sl
+      FROM documents),
+    e0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS wb,
+      CAST(0 AS BIGINT) AS wt, CAST(0 AS BIGINT) AS ws)"""
+    val epochCtes = (1 to PerceptronEpochs).map { i =>
+      val p = s"e${i - 1}"
+      s"""
+    e$i AS MATERIALIZED (
+      SELECT
+        (SELECT wb FROM $p) + CAST(coalesce(sum(CASE WHEN mis THEN y END), 0) AS BIGINT) AS wb,
+        (SELECT wt FROM $p) + CAST(coalesce(sum(CASE WHEN mis THEN y*nt END), 0) AS BIGINT) AS wt,
+        (SELECT ws FROM $p) + CAST(coalesce(sum(CASE WHEN mis THEN y*sl END), 0) AS BIGINT) AS ws,
+        CAST(count(CASE WHEN mis THEN 1 END) AS BIGINT) AS n_miss
+      FROM (SELECT *, y*((SELECT wb FROM $p) + (SELECT wt FROM $p)*nt
+                         + (SELECT ws FROM $p)*sl) <= 0 AS mis FROM f))"""
+    }.mkString(",")
+    val union = (1 to PerceptronEpochs).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS epoch, wb AS w_bias, wt AS w_tokens,
+          ws AS w_sumlen, n_miss FROM e$i"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $head,$epochCtes,
+    u AS MATERIALIZED (SELECT * FROM ($union)),
+    p AS (SELECT min(epoch) AS pe FROM u WHERE n_miss = (SELECT min(n_miss) FROM u))
+    SELECT epoch, w_bias, w_tokens, w_sumlen, n_miss,
+      epoch = (SELECT pe FROM p) AS is_pocket
+    FROM u ORDER BY epoch"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q109_quality_classifier" -> (q109 _),
     "q108_bpe_merges" -> (q108 _),
     "q104_unigram_surprisal" -> (q104 _),
     "q103_deterministic_shuffle" -> (q103 _),
@@ -437,6 +496,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q109_quality_classifier" -> q109Sql,
     "q108_bpe_merges" -> q108Sql,
     "q104_unigram_surprisal" -> q104Sql,
     "q103_deterministic_shuffle" -> q103Sql,
