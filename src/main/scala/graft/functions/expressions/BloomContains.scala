@@ -1,10 +1,11 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Map-side Bloom-filter membership count: given an array of shingle hashes
   * and a pre-built bitset, counts how many of the array's elements have ALL
@@ -29,6 +30,14 @@ case class BloomCountContained(child: Expression, bits: Array[Long],
   require(bits.length == mBits / 64, "bitset word count must be mBits/64")
 
   override def dataType: DataType = LongType
+
+  // reject non-array<bigint> children at analysis time — ArrayData.getLong
+  // would silently misread an array<int> child at execution otherwise
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_count_contained requires array<bigint>, got ${other.sql}")
+  }
 
   override protected def nullSafeEval(v: Any): Any =
     BloomContains.countContained(v.asInstanceOf[ArrayData], bits, mBits, k)

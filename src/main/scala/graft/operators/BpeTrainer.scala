@@ -12,12 +12,18 @@ import org.apache.spark.sql.types._
   *
   * Scale shape (the Lloyd's-iteration discipline): the vocabulary table
   * stays distributed (word frequencies are ONE token-keyed shuffle over the
-  * corpus, map-side combined); each merge step is a map-side pair explode +
-  * partial-aggregated count, and the only thing that ever reaches the
-  * driver is the single argmax row per step. Applying a merge is a map-side
-  * literal string replace. At 100 TB the vocab is ~10^7 rows — executor
-  * cake, not a shuffle problem; step cost is independent of corpus size
-  * once the vocab is built.
+  * corpus, map-side combined); the full adjacent-pair count is built ONCE,
+  * and every merge step after that maintains it INCREMENTALLY — only the
+  * words that actually contain the merged pair (a map-side `contains`
+  * filter) are re-exploded, contributing their old pairs with negative
+  * weight and their new pairs with positive weight, and that delta is
+  * folded into the cached pair-count table. The only thing that ever
+  * reaches the driver is the single argmax row per step. Applying a merge
+  * is a map-side literal string replace. At 100 TB the vocab is ~10^7
+  * rows — step cost is O(pair table + affected words), independent of
+  * corpus size AND (unlike a per-step full recount) independent of vocab
+  * size except for one predicate-only scan; a 50k-merge production run
+  * pays the full-vocab explode exactly once.
   *
   * Exactness: words are encoded as "` c1; c2; ...`" (every symbol prefixed
   * with a space, suffixed with `;`), so a merge of pair (l, r) is the
@@ -46,11 +52,38 @@ object BpeTrainer {
     * char work stays O(CacheEvery * steps * vocab) instead of paying a
     * materialization job per step. A production 50k-merge run keeps the
     * same loop and just re-caches on this cadence. */
-  private val CacheEvery = 8
+  private val CacheEvery = sys.env.getOrElse("GRAFT_BPE_CACHE_EVERY", "8").toInt
+
+  /** Unpersist the block-manager blocks behind an eager localCheckpoint.
+    * The ContextCleaner only reclaims them after a driver GC notices the
+    * dropped reference; a long merge loop (or repeated train() calls in one
+    * JVM) must free superseded checkpoints deterministically or the block
+    * manager fills with dead vocab snapshots. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        // blocking so the blocks are gone before the next step's jobs
+        // allocate (non-blocking frees raced the following explode and
+        // showed up as multi-second GC variance); the "cannot be
+        // recomputed" WARN this triggers is the intended contract — a
+        // superseded snapshot is never recomputed
+        lr.rdd.unpersist(true)
+      case _ => ()
+    }
 
   /** Learn up to `steps` merges from a (doc_id, text) corpus; stops early
     * when no adjacent pair remains. */
   def train(docs: DataFrame, steps: Int): Seq[Merge] = {
+    // Eager localCheckpoint everywhere a table is re-materialized: it cuts
+    // the LOGICAL lineage, not just the physical one. A cache() would keep
+    // a plan tree that grows by one delta-subtree per merge step, and the
+    // driver re-canonicalizes that whole tree on every cache lookup — at
+    // step k the "scan a tiny cached table" argmax was paying O(k) plan
+    // work. With checkpoints every plan in the loop stays constant-size,
+    // so step cost is pure executor work. (On a cluster the durable
+    // analog is checkpoint() to the cluster FS; local mode keeps blocks
+    // in the block manager.)
+    val tSetup0 = System.nanoTime()
     val base = docs
       .select(explode(Text.tokens(col("text"))).as("word"))
       // tokens carrying the ';' delimiter would corrupt the symbol
@@ -59,51 +92,126 @@ object BpeTrainer {
       // way production trainers byte-escape their marker characters; the
       // oracle applies the identical exclusion
       .filter(!col("word").contains(";"))
+      // non-ASCII tokens are excluded too: the symbol split iterates code
+      // points here but grapheme clusters in the SQL oracle (DuckDB
+      // split(word, '')), so combining sequences would yield different
+      // symbol lists and diverging merge statistics; on ASCII the two
+      // agree exactly. The oracle applies the identical exclusion.
+      .filter(!col("word").rlike("[^\\x00-\\x7F]"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(encode(col("word")).as("w"), col("cnt"))
-      .cache()
-    var cached = base // most recent materialized ancestor of w
-    var w = base
+      .select(col("word"), encode(col("word")).as("w"), col("cnt"))
+      .localCheckpoint(true)
+    val tSetup1 = System.nanoTime()
+    var w: DataFrame = base.select(col("w"), col("cnt"))
+    var wCkpt: DataFrame = base // most recent checkpointed ancestor of w
     var sinceCache = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    try {
-      var step = 1
-      var exhausted = false
-      while (step <= steps && !exhausted) {
-        val syms = split(trim(translate(col("w"), ";", "")), " ")
-        val pairs = when(size(syms) > 1,
-          transform(sequence(lit(1), size(syms) - 1),
-            i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))))
-          .otherwise(array().cast(ArrayType(
-            StructType(Seq(StructField("l", StringType), StructField("r", StringType))))))
-        val top = w.select(explode(pairs).as("p"), col("cnt"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("cnt")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
+    // The full pair count — built once, then maintained incrementally per
+    // merge step. At step 0 every symbol is a single character, so the
+    // initial count is a CHARACTER-BIGRAM count over the raw words — one
+    // 2-char string per pair instead of a struct of two strings (the
+    // struct-array explode was ~2-3x more allocation for the same
+    // aggregate); the (l, r) split happens after aggregation, on the tiny
+    // distinct-pair table.
+    var pc = base
+      .select(explode(when(length(col("word")) >= 2,
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2))))
+        .otherwise(array().cast(ArrayType(StringType)))).as("bg"), col("cnt"))
+      .groupBy(col("bg")).agg(sum(col("cnt")).as("cnt"))
+      .select(substring(col("bg"), 1, 1).as("l"),
+        substring(col("bg"), 2, 1).as("r"), col("cnt"))
+      .localCheckpoint(true)
+    if (sys.env.contains("GRAFT_BPE_DEBUG"))
+      println(f"[bpe] setup base=${(tSetup1 - tSetup0) / 1e9}%.2f pc0=${(System.nanoTime() - tSetup1) / 1e9}%.2f")
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+        val tDbg0 = System.nanoTime()
+        val top = pc.orderBy(col("cnt").desc, col("l"), col("r"))
           .limit(1).collect()
+        val tDbg1 = System.nanoTime()
         if (top.isEmpty) exhausted = true
         else {
           val Row(l: String, r: String, c: Long) = top.head
           merges += Merge(step.toLong, l, r, l + r, c)
-          w = w.select(
-            call_function("replace", col("w"), lit(s" $l; $r;"), lit(s" $l$r;")).as("w"),
-            col("cnt"))
+          val pat = s" $l; $r;"
+          val merged = call_function("replace", col("w"), lit(pat), lit(s" $l$r;"))
+          // Incremental maintenance: only words containing the merged pair
+          // change their pair multiset (the replace is a no-op on every
+          // other row), and within such a word only the pairs TOUCHING a
+          // merge site change. Splitting the encoded word on the pattern
+          // (Java split and Java replace share leftmost-non-overlapping
+          // resume-after-match semantics, so the k = |segments|-1 matches
+          // are exactly the k applied merges) lets one map-side pass emit
+          // just the O(k) boundary deltas instead of re-exploding every
+          // pair of the word:
+          //   - the merged pair itself: (l, r) at -k*cnt;
+          //   - non-empty prefix seg s0 with last symbol a: -(a,l) +(a,lr);
+          //   - non-empty suffix seg sk with first symbol b: -(r,b) +(lr,b);
+          //   - inner gap seg (between two merge sites): an empty gap means
+          //     the sites were adjacent, so -(r,l) +(lr,lr); otherwise both
+          //     a first-symbol boundary -(r,b) +(lr,b) and a last-symbol
+          //     boundary -(a,l) +(a,lr) fire (one-symbol gaps take both —
+          //     both old pairs existed through that symbol).
+          // Folding that delta into pc reproduces the full recount exactly
+          // (integer counts, no approximation).
+          val delta = {
+            val lr = l + r
+            val segs = split(col("w"), java.util.regex.Pattern.quote(pat), -1)
+            val k = size(segs) - 1
+            // every non-empty segment is " a; ...; z;" — first/last symbol
+            // via substring_index, O(symbol) not O(pairs-in-segment)
+            def firstSym(s: org.apache.spark.sql.Column) =
+              substring(substring_index(s, ";", 1), 2, Int.MaxValue)
+            def lastSym(s: org.apache.spark.sql.Column) =
+              translate(substring_index(s, " ", -1), ";", "")
+            val cntc = col("cnt")
+            def d(lc: org.apache.spark.sql.Column, rc: org.apache.spark.sql.Column,
+                  dw: org.apache.spark.sql.Column) =
+              struct(lc.as("l"), rc.as("r"), dw.as("cnt"))
+            val none = array().cast(ArrayType(StructType(Seq(
+              StructField("l", StringType), StructField("r", StringType),
+              StructField("cnt", LongType)))))
+            val eMerged = array(d(lit(l), lit(r), -cntc * k))
+            val ePre = when(element_at(segs, 1) =!= "", array(
+              d(lastSym(element_at(segs, 1)), lit(l), -cntc),
+              d(lastSym(element_at(segs, 1)), lit(lr), cntc))).otherwise(none)
+            val eSuf = when(element_at(segs, -1) =!= "", array(
+              d(lit(r), firstSym(element_at(segs, -1)), -cntc),
+              d(lit(lr), firstSym(element_at(segs, -1)), cntc))).otherwise(none)
+            val eGaps = flatten(transform(slice(segs, lit(2), k - 1), g =>
+              when(g === "", array(
+                d(lit(r), lit(l), -cntc), d(lit(lr), lit(lr), cntc)))
+              .otherwise(array(
+                d(lit(r), firstSym(g), -cntc), d(lit(lr), firstSym(g), cntc),
+                d(lastSym(g), lit(l), -cntc), d(lastSym(g), lit(lr), cntc)))))
+            w.filter(col("w").contains(pat))
+              .select(explode(concat(eMerged, ePre, eSuf, eGaps)).as("e"))
+              .select(col("e.l").as("l"), col("e.r").as("r"), col("e.cnt").as("cnt"))
+          }
+          val pcOld = pc
+          pc = pc.unionByName(delta)
+            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") > 0)
+            .localCheckpoint(true) // eager: materializes AND cuts lineage
+          freeCheckpoint(pcOld)
+          if (sys.env.contains("GRAFT_BPE_DEBUG"))
+            println(f"[bpe] step=$step argmax=${(tDbg1 - tDbg0) / 1e9}%.2f delta=${(System.nanoTime() - tDbg1) / 1e9}%.2f pair=($l,$r)")
+          w = w.select(merged.as("w"), col("cnt"))
           sinceCache += 1
           if (sinceCache >= CacheEvery) {
-            val next = w.cache()
-            next.count() // materialize, then drop the previous checkpoint
-            if (!(cached eq base)) cached.unpersist()
-            cached = next
-            w = next
+            val wOld = wCkpt
+            wCkpt = w.localCheckpoint(true)
+            w = wCkpt
+            freeCheckpoint(wOld)
             sinceCache = 0
           }
           step += 1
         }
       }
-    } finally {
-      if (!(cached eq base)) cached.unpersist()
-      base.unpersist()
-    }
+    freeCheckpoint(pc)
+    freeCheckpoint(wCkpt)
     merges.toSeq
   }
 

@@ -48,7 +48,10 @@ object DedupQueries {
   private object Sql {
     val P = Hashing.P
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    val words = s"string_split($norm, ' ')"
+    // DuckDB string_split('', ' ') yields [''] while Text.tokens yields [],
+    // so guard the empty string to keep token parity on empty documents.
+    val words =
+      s"(CASE WHEN $norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split($norm, ' ') END)"
     def hash32(v: String) = s"CAST('0x' || substring(md5($v), 1, 8) AS BIGINT)"
     // token-hash list and whole-doc hash
     val th = s"list_transform($words, w -> ${hash32("w")})"
@@ -383,9 +386,15 @@ object DedupQueries {
     val (m, k) = (BloomM, BloomK)
     val (a1, b1) = (Hashing.MinhashA(0), Hashing.MinhashB(0))
     val (a2, b2) = (Hashing.MinhashA(1), Hashing.MinhashB(1))
+    // sn mirrors BloomContains.probe's [0, P) normalization — a no-op for
+    // shingle hashes (already in [0, P)) but required for contract parity
+    // with the probe's support for ANY signed Long key (DuckDB's % returns
+    // negatives, so reusing this pattern with e.g. xxhash64 keys would
+    // silently diverge without it).
     def probed(src: String) =
-      s"""SELECT *, (s*$a1+$b1) % ${Sql.P} AS h1,
-          ((s*$a2+$b2) % ${Sql.P}) % ${m - 1} + 1 AS step FROM ($src)"""
+      s"""SELECT *, (sn*$a1+$b1) % ${Sql.P} AS h1,
+          ((sn*$a2+$b2) % ${Sql.P}) % ${m - 1} + 1 AS step
+          FROM (SELECT *, ((s % ${Sql.P}) + ${Sql.P}) % ${Sql.P} AS sn FROM ($src))"""
     s"""
     WITH sh AS (${Sql.shBase}),
     evp AS (${probed("SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0")}),

@@ -17,7 +17,10 @@ object TextQueries {
 
   private object Sql {
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    val words = s"string_split($norm, ' ')"
+    // DuckDB string_split('', ' ') yields [''] while Text.tokens yields [],
+    // so guard the empty string to keep token parity on empty documents.
+    val words =
+      s"(CASE WHEN $norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split($norm, ' ') END)"
     def markerCount(markers: Seq[String]) =
       s"len(list_filter($words, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
   }
@@ -398,7 +401,9 @@ object TextQueries {
     val head = s"""
     vocab AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(${Sql.words}) AS word FROM documents)
-      WHERE word NOT LIKE '%;%' GROUP BY word),
+      WHERE word NOT LIKE '%;%'
+        AND NOT regexp_matches(word, '[^\\x00-\\x7f]')
+      GROUP BY word),
     w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
         list_transform(split(word, ''), c -> c || ';'), ' ') AS w, cnt
       FROM vocab)"""
