@@ -68,21 +68,38 @@ object KeyedStore {
         .select(key, valueCols: _*)
         .write.mode(SaveMode.Append).parquet(storeDir)
     } else {
-      val curPath = storePath(storeDir)
-      val tmp = rewritePath(storeDir)
-      val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // both legs come from the checkpointed join result, not the delta
       // lineage — an expensive delta (e.g. IVF centroid assignment) is
       // never recomputed for the rewrite
-      store.join(folded.select(col(key)), Seq(key), "left_anti")
-        .unionByName(folded.select(col(key) +: valueCols.map(col): _*))
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      if (!fs.delete(curPath, true))
-        sys.error(s"store rewrite: could not delete $curPath (rewrite intact at $tmp)")
-      if (!fs.rename(tmp, curPath))
-        sys.error(s"store rewrite: rename $tmp -> $curPath failed; " +
-          "recover will promote the rewrite on the next round")
+      rewriteSwap(spark, storeDir) { tmp =>
+        store.join(folded.select(col(key)), Seq(key), "left_anti")
+          .unionByName(folded.select(col(key) +: valueCols.map(col): _*))
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
     }
+  }
+
+  /** Crash-recoverable whole-store rewrite — the shared swap primitive of
+    * the keyed-store family (fold's supersede path, DedupStream's store
+    * compaction). `write` builds the replacement at the `.rewrite` sibling
+    * path it is handed; the swap then deletes the live store and renames
+    * the sibling in. A crash between the delete and the rename leaves only
+    * the completed sibling, which [[recover]] promotes on the next call —
+    * every store entry point must call recover (or this) before reading.
+    * Single-writer discipline: callers serialize via the store's writer
+    * lock (TableLock); two concurrent swaps on one dir are not arbitrated
+    * here. POSIX/HDFS rename atomicity assumed (see SCALE.md). */
+  def rewriteSwap(spark: SparkSession, storeDir: String)(write: String => Unit): Unit = {
+    recover(spark, storeDir)
+    val cur = storePath(storeDir)
+    val tmp = rewritePath(storeDir)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    write(tmp.toString)
+    if (!fs.delete(cur, true))
+      sys.error(s"store rewrite: could not delete $cur (rewrite intact at $tmp)")
+    if (!fs.rename(tmp, cur))
+      sys.error(s"store rewrite: rename $tmp -> $cur failed; " +
+        "recover will promote the rewrite on the next round")
   }
 
   private def storePath(storeDir: String) =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.IncrementalDedup
+import graft.operators.{IncrementalDedup, KeyedStore}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,6 +71,12 @@ object DedupStream {
   def runBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                storeDir: String, archiveDir: String, pairsDir: String,
                threshold: Double = 0.5): Unit = {
+    // Heal a compaction that crashed between its delete and rename BEFORE
+    // any read: without this, a batch running inside that window would see
+    // an empty store, write a fresh partition, and the next recover would
+    // discard the orphaned `.rewrite` (the whole compacted store) as stale.
+    KeyedStore.recover(spark, storeDir)
+    KeyedStore.recover(spark, archiveDir)
     // Within-batch duplicates resolve CONTENT-deterministically before
     // anything is written: a microbatch is an unordered set (no arrival
     // order exists to make "last" meaningful), and latestPerDoc's
@@ -116,15 +122,60 @@ object DedupStream {
     ()
   }
 
-  /** Attach the dedup loop to a streaming Dataset of (doc_id, text). */
+  /** Maintenance pass: collapse a batch-stamped doc_id-keyed table (the
+    * signature store or the doc archive) to its latest row per doc_id.
+    *
+    * The streaming loop appends one partition per microbatch forever and
+    * every batch re-windows `latestPerDoc` over the whole table — correct,
+    * but the window input grows with TOTAL DELIVERIES, not live docs.
+    * Compaction restores the one-row-per-doc bound (the invariant the
+    * batch-path KeyedStore.fold maintains continuously), so the
+    * per-microbatch window input is O(live docs) again and superseded
+    * versions stop occupying scan bytes.
+    *
+    * Every surviving row KEEPS its original `ingest_batch` stamp and the
+    * output stays partitioned by it — a replayed microbatch's partition
+    * exclusion (`< batchId`) and dynamic partition overwrite behave
+    * identically on a compacted table, so compaction commutes with crash
+    * replay. The swap itself is KeyedStore.rewriteSwap (build `.rewrite`
+    * sibling, delete, rename — recover() heals the crash window; runBatch
+    * recovers both dirs before reading). Run it from the same single
+    * writer that owns the stream (e.g. between microbatches or every N
+    * batches via `start(compactEvery = N)`); cross-process callers take
+    * the store's TableLock first. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    KeyedStore.recover(spark, dir)
+    if (fs.exists(p)) {
+      // the rewrite write streams from the live dir (the delete happens
+      // only after the sibling completes) — no in-memory materialization
+      // of what can be a corpus-sized archive
+      KeyedStore.rewriteSwap(spark, dir) { tmp =>
+        latestPerDoc(spark.read.parquet(dir))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("ingest_batch").parquet(tmp)
+      }
+    }
+  }
+
+  /** Attach the dedup loop to a streaming Dataset of (doc_id, text).
+    * `compactEvery` > 0 folds the maintenance pass into the loop: after
+    * every Nth microbatch the store and archive are compacted to one row
+    * per doc_id (inside foreachBatch, so the stream's own single-writer
+    * serialization covers the swap). */
   def start(docs: DataFrame, storeDir: String, archiveDir: String,
             pairsDir: String, checkpointDir: String,
-            threshold: Double = 0.5): StreamingQuery =
+            threshold: Double = 0.5, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         runBatch(batch.sparkSession, batch, batchId,
           storeDir, archiveDir, pairsDir, threshold)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compact(batch.sparkSession, storeDir)
+          compact(batch.sparkSession, archiveDir)
+        }
       }
       .start()
 }
