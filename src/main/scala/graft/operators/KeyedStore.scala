@@ -94,6 +94,7 @@ object KeyedStore {
     val cur = storePath(storeDir)
     val tmp = rewritePath(storeDir)
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAtomicRename(fs.getScheme, storeDir)
     write(tmp.toString)
     if (!fs.delete(cur, true))
       sys.error(s"store rewrite: could not delete $cur (rewrite intact at $tmp)")
@@ -108,6 +109,26 @@ object KeyedStore {
     val cur = storePath(storeDir) // Path normalization strips trailing '/'
     new org.apache.hadoop.fs.Path(cur.getParent, cur.getName + ".rewrite")
   }
+
+  /** Filesystem schemes whose directory rename is a non-atomic copy+delete
+    * (or whose create has no exclusive mode) — the swap's correctness
+    * assumptions do not hold there. */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "swift", "oss", "cos")
+
+  /** The swap discipline assumes POSIX/HDFS-style atomic directory rename.
+    * Object stores fake rename as copy+delete: a reader racing the swap
+    * sees a partial store and a crash mid-"rename" loses the invariant
+    * recover() relies on (at most one of {store, rewrite} complete). Fail
+    * loudly instead of corrupting silently; on such storage, keep stores in
+    * a PartitionedStore table — its versioned-manifest pointer-flip commits
+    * through a single small-file write and needs no rename. */
+  private[operators] def requireAtomicRename(scheme: String, dir: String): Unit =
+    if (NonAtomicRenameSchemes.contains(Option(scheme).getOrElse("").toLowerCase))
+      sys.error(s"KeyedStore at $dir: filesystem scheme '$scheme' has no " +
+        "atomic directory rename; the .rewrite swap is unsafe here. Use a " +
+        "PartitionedStore (manifest pointer-flip) for object-store-backed " +
+        "state, or point the store at HDFS/POSIX storage.")
 
   /** Heal a crash between a rewrite's delete and rename: if the store dir
     * is gone but a completed `.rewrite` sibling exists, promote it. A

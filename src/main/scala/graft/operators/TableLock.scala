@@ -27,6 +27,16 @@ import java.util.concurrent.locks.ReentrantLock
   *     an active holder's lease makes late arrivals wait-and-poll.
   *
   * The lease name starts with '_' so Spark's file readers ignore it.
+  *
+  * Storage contract: the lease layer is java.nio-based and depends on
+  * atomic exclusive create (CREATE_NEW) — valid on POSIX filesystems,
+  * NFSv4 (O_EXCL is atomic there), and HDFS-mounted paths; object stores
+  * have no exclusive-create primitive, so cross-driver exclusion there
+  * needs an external coordinator (the reference's Postgres advisory lock
+  * is exactly that). The in-process stripe and PartitionedStore's
+  * manifest-version collision remain the backstops either way — a lost
+  * lease degrades to the optimistic path (late writer fails and retries),
+  * never to silent corruption. See SCALE.md "Durable-commit primitives".
   */
 object TableLock {
 
@@ -56,7 +66,7 @@ object TableLock {
       if (lock.getHoldCount > 1) f // re-entrant: lease already ours
       else {
         val owner = acquireLease(norm, ttlMs, acquireTimeoutMs, pollMs)
-        try f finally releaseLease(norm, owner)
+        try f finally releaseLease(norm, owner, ttlMs)
       }
     } finally lock.unlock()
   }
@@ -88,7 +98,10 @@ object TableLock {
     dir.resolve(s"$LeaseName.tomb.$owner")
 
   /** A tomb left behind by an arbiter that crashed mid-delete is itself a
-    * corpse after this grace (tombs normally live milliseconds). */
+    * corpse after this grace (tombs normally live milliseconds). The
+    * effective grace is max(this, lease TTL): a reclaim threshold shorter
+    * than the TTL would assume arbiters never stall longer than writers —
+    * the race the tomb exists to close. */
   private val TombGraceMs = 30 * 1000L
 
   /** Read the lease as (owner, expiry); a missing/malformed file reads as
@@ -111,35 +124,50 @@ object TableLock {
     * (new uuid) is never touched. Returns true if this process performed
     * the arbitration, false if another arbiter holds the tomb.
     *
+    * The tomb carries its arbiter's uuid, and the winner RE-READS it as the
+    * last act before the lease delete: if a reclaim (below) handed the tomb
+    * to a newer arbiter while this one was stalled, the re-read sees the
+    * other uuid and the stalled arbiter aborts instead of double-deleting.
+    * Reclaim itself waits max(TombGraceMs, ttl) — an arbiter is allowed to
+    * stall at least as long as a writer before being presumed dead.
+    *
     * Residual window (documented, not closable with plain filesystem
-    * primitives): between the tomb winner's re-read and its delete, the
-    * SAME incarnation must be released-and-replaced by someone else for the
-    * delete to hit the wrong file — but every release/steal of that
-    * incarnation also runs through this tomb, which this process holds, so
-    * the only remaining hazard is a tomb past TombGraceMs being reclaimed
-    * under a still-live arbiter stalled longer than the grace. */
-  private def deleteIncarnation(dir: Path, owner: String): Boolean = {
+    * primitives): the tomb re-read and the delete are still two syscalls,
+    * so an arbiter that stalls LONGER THAN THE LEASE TTL in between can
+    * delete a successor's lease — the same assumption the TTL steal already
+    * makes about writers, now applied uniformly to arbiters. */
+  private def deleteIncarnation(dir: Path, owner: String, ttlMs: Long): Boolean = {
     val tomb = tombPath(dir, if (owner.isEmpty) "corrupt" else owner)
+    val arbiter = java.util.UUID.randomUUID().toString
     try {
       if (Files.exists(tomb) && System.currentTimeMillis() -
-          Files.getLastModifiedTime(tomb).toMillis > TombGraceMs)
+          Files.getLastModifiedTime(tomb).toMillis > math.max(TombGraceMs, ttlMs))
         Files.deleteIfExists(tomb)
       ()
     } catch { case _: java.io.IOException => () }
     val claimed =
       try {
-        Files.write(tomb, Array.emptyByteArray,
+        Files.write(tomb, arbiter.getBytes("UTF-8"),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
         true
       } catch { case _: java.io.IOException => false }
     if (claimed) {
       try {
-        if (readLease(dir)._1 == owner) Files.deleteIfExists(leasePath(dir))
+        val stillOurs =
+          try readLease(dir)._1 == owner &&
+            new String(Files.readAllBytes(tomb), "UTF-8") == arbiter
+          catch { case _: java.io.IOException => false }
+        if (stillOurs) Files.deleteIfExists(leasePath(dir))
         ()
       } catch { case _: java.io.IOException => () }
       finally {
-        try Files.deleteIfExists(tomb)
-        catch { case _: java.io.IOException => () }
+        // clear only OUR tomb: if a reclaim handed the name to a newer
+        // arbiter during a stall, deleting theirs would cascade the race
+        try {
+          if (new String(Files.readAllBytes(tomb), "UTF-8") == arbiter)
+            Files.deleteIfExists(tomb)
+          ()
+        } catch { case _: java.io.IOException => () }
         ()
       }
     }
@@ -170,7 +198,7 @@ object TableLock {
             // steal THIS incarnation via its tomb; losers of the tomb race
             // loop back to polling while the winner deletes, then everyone
             // re-races the atomic CREATE_NEW above
-            deleteIncarnation(dir, corpseOwner)
+            deleteIncarnation(dir, corpseOwner, ttlMs)
             ()
           } else if (System.currentTimeMillis() > deadline) {
             sys.error(s"writer lock on $dir held past acquire timeout " +
@@ -188,8 +216,9 @@ object TableLock {
     * delete keys the removal to OUR incarnation uuid, so a stolen-and-
     * replaced lease is never touched (and if a thief is mid-arbitration on
     * our corpse, we simply leave it to them). */
-  private[operators] def releaseLease(dir: Path, owner: String): Unit = {
-    deleteIncarnation(dir, owner)
+  private[operators] def releaseLease(dir: Path, owner: String,
+                                      ttlMs: Long = DefaultTtlMs): Unit = {
+    deleteIncarnation(dir, owner, ttlMs)
     ()
   }
 }

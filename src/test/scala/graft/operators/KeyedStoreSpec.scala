@@ -44,4 +44,19 @@ class KeyedStoreSpec extends SparkSpec {
     KeyedStore.fold(spark, dir, Seq((1L, "one"), (3L, "three")).toDF("id", "v"), "id")
     assert(spark.read.parquet(dir).count() == 3L) // replay added nothing
   }
+
+  test("the rewrite swap refuses object-store schemes (no atomic rename)") {
+    // the storage contract is POSIX/HDFS atomic directory rename; a store
+    // pointed at copy+delete-rename storage must fail LOUDLY, not corrupt
+    for (scheme <- Seq("s3a", "s3", "gs", "wasb", "oss")) {
+      val e = intercept[RuntimeException](
+        KeyedStore.requireAtomicRename(scheme, s"$scheme://bucket/store"))
+      assert(e.getMessage.contains("atomic directory rename"))
+      assert(e.getMessage.contains("PartitionedStore"),
+        "the error must name the safe alternative")
+    }
+    // rename-safe filesystems pass
+    for (scheme <- Seq("file", "hdfs", "viewfs", null))
+      KeyedStore.requireAtomicRename(scheme, "/store")
+  }
 }

@@ -137,4 +137,46 @@ class TableLockSpec extends SparkSpec {
     assert(!Files.exists(dir.resolve("_writer.lock")))
     assert(!Files.list(dir).iterator().hasNext, "no tombs left behind")
   }
+
+  test("a tomb held by another live arbiter blocks the delete (ownership verified)") {
+    val dir = Files.createTempDirectory("tlock7")
+    val norm = dir.toAbsolutePath.normalize
+    // an expired corpse whose arbitration another driver already started:
+    // its tomb exists, fresh, carrying THAT arbiter's uuid
+    Files.write(norm.resolve("_writer.lock"),
+      s"corpse-x ${System.currentTimeMillis() - 60000}".getBytes("UTF-8"))
+    Files.write(norm.resolve("_writer.lock.tomb.corpse-x"),
+      "other-arbiter-uuid".getBytes("UTF-8"))
+    // our release of the same incarnation must defer to the tomb holder:
+    // the lease survives, and so does the other arbiter's tomb
+    TableLock.releaseLease(norm, "corpse-x")
+    assert(Files.exists(norm.resolve("_writer.lock")),
+      "a foreign live tomb must block the delete")
+    assert(new String(Files.readAllBytes(
+      norm.resolve("_writer.lock.tomb.corpse-x")), "UTF-8") == "other-arbiter-uuid",
+      "the other arbiter's tomb must not be cleared by a loser")
+  }
+
+  test("tomb reclaim waits at least the lease TTL, not just the 30s floor") {
+    val dir = Files.createTempDirectory("tlock8")
+    val norm = dir.toAbsolutePath.normalize
+    Files.write(norm.resolve("_writer.lock"),
+      s"corpse-y ${System.currentTimeMillis() - 60000}".getBytes("UTF-8"))
+    val tomb = norm.resolve("_writer.lock.tomb.corpse-y")
+    Files.write(tomb, "stalled-arbiter-uuid".getBytes("UTF-8"))
+    // age the tomb past the 30s floor but NOT past the (larger) TTL —
+    // an arbiter stalled 2 minutes is still within the TTL's stall budget
+    Files.setLastModifiedTime(tomb, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 60 * 1000L))
+    TableLock.releaseLease(norm, "corpse-y") // default TTL = 5 min
+    assert(Files.exists(norm.resolve("_writer.lock")),
+      "a tomb younger than the TTL must not be reclaimed")
+    // past the TTL the tomb is a corpse: reclaim, arbitrate, delete
+    Files.setLastModifiedTime(tomb, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 6 * 60 * 1000L))
+    TableLock.releaseLease(norm, "corpse-y")
+    assert(!Files.exists(norm.resolve("_writer.lock")),
+      "an expired tomb must be reclaimed and the corpse deleted")
+    assert(!Files.list(norm).iterator().hasNext, "no tombs left behind")
+  }
 }
