@@ -35,12 +35,14 @@ object Bench {
     // inferred.
     val zero = QueryMetrics.Metrics(0, 0, 0, 0, 0, 0, 0, 0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // nothing cached by a previous query survives — and the memoized
-      // signature tables are dropped WITH their cache registration, so a
+      // nothing cached by a previous query survives — and every module's
+      // memoized tables are dropped WITH their cache registration, so a
       // query that needs them rebuilds and re-caches its own copy (clearing
       // only the catalog cache would leave live references computing
-      // uncached: the q25/q78 100x trap)
-      graft.queries.DedupQueries.resetMemo()
+      // uncached: the q25/q78 100x trap). The registry makes this
+      // structural: a new memoizing module registers itself and is reset
+      // here without Bench naming it.
+      MemoRegistry.resetAll()
       spark.catalog.clearCache()
       def once(): (Double, QueryMetrics.Metrics) = {
         val t0 = System.nanoTime()

@@ -43,7 +43,7 @@ object BenchDedupScale {
       "q108_bpe_merges" -> (graft.queries.TextQueries.q108 _))
 
     val results = qs.map { case (name, fn) =>
-      DedupQueries.resetMemo()
+      MemoRegistry.resetAll()
       spark.catalog.clearCache()
       var rows = 0L
       def once(): Double = {
