@@ -20,12 +20,22 @@ import java.nio.file.{Files, Paths}
   */
 class PlanLockSpec extends SparkSpec {
 
-  /** The round-6 isolated-harness top-10 (q72 q77 q89 q71 q73 q96 q88 q48
-    * q81 q49), plus the queries the r5 verdict asked to lock explicitly
-    * (q94 q22 q23 q27 q92), the merge-path flagship q18, and the new q104
-    * (its one-corpus-pass cached shape was a measured 1.7x — lock it so a
-    * cache-drop regression surfaces as a plan diff, not a bench mystery).
-    * Retired: q30, q31 (now 0.1-0.3 s, stable since r5). */
+  /** The round-7 top-10 by per-query min over two clean isolated runs
+    * (q72 q89 q77 q81 q73 q71 q88 q96 q63 q74 — the list tracks the
+    * current board mechanically, per the r6 verdict), plus retained
+    * extras with standing rationales: q18 (the merge-path flagship),
+    * q104 (its one-corpus-pass cached shape was a measured 1.7x — a
+    * cache-drop regression must surface as a plan diff), q92 (the salted
+    * join's rewrite shape), and q48/q49/q94 (former top-set members whose
+    * locks are cheap and whose shapes — tf-idf double agg, 5-gram corpus
+    * join, mapInPandas frame sampling — have regressed before).
+    *
+    * q108 (board #1) is EXEMPT by design: BpeTrainer's loop materializes
+    * through eager localCheckpoints and returns a driver-built merge
+    * table, so its "plan" is a LocalTableScan — zero regression surface
+    * (round-6 gotcha). Its regression cover is the oracle gate plus the
+    * hostile-vocab sidecar in BENCH_sf1.json.
+    * Retired this round (off the top set since r5/r6): q22 q23 q27. */
   private val locked = Seq(
     "q104_unigram_surprisal",
     "q72_backfill_pagination",
@@ -35,13 +45,12 @@ class PlanLockSpec extends SparkSpec {
     "q73_atom_feed_refetch",
     "q96_semantic_dedup",
     "q88_parallel_backfill",
+    "q63_large_orders",
+    "q74_enrichment_lookup",
     "q48_tfidf_terms",
     "q81_notify_ledger",
     "q49_corpus_ngram_dedup",
     "q94_video_frames",
-    "q22_lsh_candidate_pairs",
-    "q23_jaccard_near_dups",
-    "q27_distinct_counts",
     "q92_salted_join",
     "q18_replicator_pipeline")
 
