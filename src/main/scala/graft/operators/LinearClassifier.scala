@@ -59,4 +59,22 @@ object LinearClassifier {
     val mm = run.map(_.nMiss).min
     run.filter(_.nMiss == mm).map(_.epoch).min
   }
+
+  /** The pocket WEIGHTS — the iterate whose misclassification count the
+    * pocket epoch reports, i.e. the weights ENTERING that epoch (each
+    * Epoch row carries OUTGOING weights, so this is the previous row's w;
+    * the zero vector for epoch 1). These are what inference ships. */
+  def pocketWeights(run: Seq[Epoch]): Seq[Long] = {
+    val e = pocketEpoch(run).toInt
+    if (e <= 1) Seq.fill(run.head.w.size)(0L) else run(e - 2).w
+  }
+
+  /** Map-side scoring column: the integer dot product w . x. Inference
+    * over a corpus is a pure projection — the trained weights ride the
+    * plan as literals, so filtering 100 TB by classifier score shuffles
+    * nothing (the fastText-quality-filter deployment shape). */
+  def score(featureCols: Seq[String], weights: Seq[Long]): org.apache.spark.sql.Column = {
+    require(featureCols.size == weights.size, "one weight per feature column")
+    featureCols.zip(weights).map { case (c, w) => col(c) * lit(w) }.reduce(_ + _)
+  }
 }

@@ -567,6 +567,88 @@ object PipelineQueries {
     ORDER BY query_id, rank"""
   }
 
+  // ------------------------------------------------------ q111 SQ8 ANN
+
+  /** q111 — scalar-quantization (SQ8) ANN: every corpus vector compresses
+    * to ONE BYTE per dimension against per-dimension [min, max] ranges
+    * learned from the corpus — the standard first memory lever (4x vs
+    * float32) before IVF/PQ, and the asymmetric-distance discipline: the
+    * QUERY stays full precision, candidates are reconstructed from codes.
+    *
+    * Exactness: runs on the shared fixed-point quantization (floor(x*1e6)
+    * longs), codes are integer floor-division, and the distance is scaled
+    * by 255 throughout — d = sum_i (255*q_i - (255*mn_i + c_i*rg_i))^2 —
+    * a pure-integer monotone image of the reconstruction distance, so the
+    * oracle reproduces every score and rank bit-for-bit. Max magnitude:
+    * 255 * 1e6-scale diffs squared, times 64 dims < 2^62 — no overflow.
+    *
+    * Scale shape: the range stats are ONE posexplode agg whose 64-row
+    * result ships to the driver and returns as plan literals (the Lloyd's
+    * discipline); coding and scoring are map-side projections; queries
+    * broadcast. The corpus never shuffles — the only exchange is the
+    * final per-query top-k window over candidate rows. */
+  def q111(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = quantized(spark, d)
+    val corpus = vecs.where(col("vec_id") >= 10)
+    val stats = corpus.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val dim = stats.length
+    val mnArr = array(stats.map(s => lit(s._2)): _*)
+    // a constant dimension (mx == mn) codes to 0 and reconstructs to mn;
+    // range 1 keeps the divisor positive without changing any code
+    val rgArr = array(stats.map(s => lit(math.max(1L, s._3 - s._2))): _*)
+    // code_i = floor((v_i - mn_i) * 255 / rg_i): v <= mx ==> code <= 255.
+    // The *255 numerator stays < 2^53, so the double-division floor is
+    // exact and matches the oracle's integer floor-division.
+    val codes = transform(col("v"), (x, i) =>
+      floor(((x - element_at(mnArr, i + 1)) * 255).cast(DoubleType) /
+        element_at(rgArr, i + 1)).cast(LongType))
+    val coded = corpus.select(col("vec_id").as("neighbor_id"), codes.as("c"))
+    val queries = vecs.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val d2 = aggregate(
+      transform(sequence(lit(1), lit(dim)), i => {
+        val diff = element_at(col("q"), i) * 255 -
+          (element_at(mnArr, i) * 255 + element_at(col("c"), i) * element_at(rgArr, i))
+        diff * diff
+      }), lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id").orderBy(col("sq_dist"), col("neighbor_id"))
+    coded.join(broadcast(queries))
+      .withColumn("sq_dist", d2)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id", "sq_dist")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q111Sql: String = """
+    WITH vq AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings),
+    corpus AS (SELECT * FROM vq WHERE vec_id >= 10),
+    qs AS (SELECT vec_id AS query_id, v AS q FROM vq WHERE vec_id < 10),
+    st AS (SELECT pos, min(x) AS mn,
+        CASE WHEN max(x) = min(x) THEN 1 ELSE max(x) - min(x) END AS rg
+      FROM (SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM corpus)
+      GROUP BY pos),
+    stl AS (SELECT list(mn ORDER BY pos) AS mns, list(rg ORDER BY pos) AS rgs FROM st),
+    coded AS (SELECT vec_id AS neighbor_id,
+        list_transform(range(1, len(v) + 1), i -> (v[i] - mns[i]) * 255 // rgs[i]) AS c
+      FROM corpus, stl),
+    scored AS (SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(range(1, len(q) + 1),
+          i -> (q[i]*255 - (mns[i]*255 + c[i]*rgs[i])) * (q[i]*255 - (mns[i]*255 + c[i]*rgs[i]))))
+          AS BIGINT) AS sq_dist
+      FROM coded CROSS JOIN qs CROSS JOIN stl),
+    ranked AS (SELECT query_id, neighbor_id, sq_dist,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, sq_dist FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank"""
+
   // ------------------------------------------------ q56/q57 as-of variants
 
   private def asofBase(spark: SparkSession, d: String) =
@@ -826,6 +908,7 @@ object PipelineQueries {
     "q56_asof_tolerance" -> (q56 _),
     "q57_asof_forward" -> (q57 _),
     "q58_pq_ann" -> (q58 _),
+    "q111_sq8_ann" -> (q111 _),
     "q59_zorder" -> (q59 _),
     "q92_salted_join" -> (q92 _),
     "q93_per_key_cap" -> (q93 _),
@@ -844,6 +927,7 @@ object PipelineQueries {
     "q56_asof_tolerance" -> q56Sql,
     "q57_asof_forward" -> q57Sql,
     "q58_pq_ann" -> q58Sql,
+    "q111_sq8_ann" -> q111Sql,
     "q59_zorder" -> q59Sql,
     "q92_salted_join" -> q92Sql,
     "q93_per_key_cap" -> q93Sql,

@@ -453,7 +453,11 @@ object TextQueries {
 
   private val PerceptronEpochs = 8
 
-  val q109Sql: String = {
+  /** Shared oracle fragments for the perceptron family (q109 training,
+    * q110 inference): the feature CTE, the chained epoch CTEs, and the
+    * pocket-epoch selection — one copy so the two oracles replay the
+    * identical trajectory. */
+  private val perceptronCtes: String = {
     val head = s"""
     f AS MATERIALIZED (SELECT
       CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
@@ -478,15 +482,62 @@ object TextQueries {
       s"""SELECT CAST($i AS BIGINT) AS epoch, wb AS w_bias, wt AS w_tokens,
           ws AS w_sumlen, n_miss FROM e$i"""
     }.mkString(" UNION ALL ")
-    s"""WITH $head,$epochCtes,
+    s"""$head,$epochCtes,
     u AS MATERIALIZED (SELECT * FROM ($union)),
-    p AS (SELECT min(epoch) AS pe FROM u WHERE n_miss = (SELECT min(n_miss) FROM u))
+    p AS (SELECT min(epoch) AS pe FROM u WHERE n_miss = (SELECT min(n_miss) FROM u))"""
+  }
+
+  val q109Sql: String = s"""WITH $perceptronCtes
     SELECT epoch, w_bias, w_tokens, w_sumlen, n_miss,
       epoch = (SELECT pe FROM p) AS is_pocket
     FROM u ORDER BY epoch"""
+
+  /** Classifier INFERENCE — the deployment half of q109: ship the pocket
+    * weights (the iterate entering the pocket epoch) as plan literals and
+    * score every document map-side. At 100 TB this is a pure projection
+    * over the corpus scan — zero shuffle, which is why fastText-style
+    * quality filters are the one model type routinely run over full
+    * crawls. Integer dot product, so the oracle reproduces every score
+    * bit-for-bit by replaying the training CTEs and applying the same
+    * epoch-(pe-1) weights. */
+  def q110(spark: SparkSession, d: String): DataFrame = {
+    val norm = Text.normalize(col("text"))
+    val feats = Tables.documents(spark, d).select(
+      col("doc_id"),
+      when(col("n_chars") >= 300, 1L).otherwise(-1L).as("y"),
+      lit(1L).as("b"),
+      size(Text.tokens(col("text"))).cast(LongType).as("nt"),
+      length(translate(norm, " ", "")).cast(LongType).as("sl"))
+    val run = graft.operators.LinearClassifier.trainBatchPerceptron(
+      feats, "y", Seq("b", "nt", "sl"), PerceptronEpochs)
+    val w = graft.operators.LinearClassifier.pocketWeights(run)
+    val s = graft.operators.LinearClassifier.score(Seq("b", "nt", "sl"), w)
+    feats.select(col("doc_id"), s.as("score"), (s > 0).as("keep"),
+        (col("y") === 1L).as("actual"))
+      .orderBy(col("doc_id"))
   }
 
+  val q110Sql: String = s"""WITH $perceptronCtes,
+    uw AS (SELECT CAST(0 AS BIGINT) AS epoch, CAST(0 AS BIGINT) AS w_bias,
+             CAST(0 AS BIGINT) AS w_tokens, CAST(0 AS BIGINT) AS w_sumlen
+           UNION ALL SELECT epoch, w_bias, w_tokens, w_sumlen FROM u),
+    pw AS (SELECT w_bias, w_tokens, w_sumlen FROM uw
+           WHERE epoch = (SELECT pe FROM p) - 1),
+    fd AS (SELECT doc_id,
+      CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
+      CAST(len(${Sql.words}) AS BIGINT) AS nt,
+      CAST(length(replace(${Sql.norm}, ' ', '')) AS BIGINT) AS sl
+      FROM documents)
+    SELECT doc_id,
+      CAST((SELECT w_bias FROM pw) + (SELECT w_tokens FROM pw)*nt
+           + (SELECT w_sumlen FROM pw)*sl AS BIGINT) AS score,
+      ((SELECT w_bias FROM pw) + (SELECT w_tokens FROM pw)*nt
+       + (SELECT w_sumlen FROM pw)*sl) > 0 AS keep,
+      y = 1 AS actual
+    FROM fd ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
+    "q110_classifier_inference" -> (q110 _),
     "q109_quality_classifier" -> (q109 _),
     "q108_bpe_merges" -> (q108 _),
     "q104_unigram_surprisal" -> (q104 _),
@@ -501,6 +552,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q110_classifier_inference" -> q110Sql,
     "q109_quality_classifier" -> q109Sql,
     "q108_bpe_merges" -> q108Sql,
     "q104_unigram_surprisal" -> q104Sql,

@@ -48,4 +48,27 @@ class LinearClassifierSpec extends SparkSpec {
     assert(a.size == 8)
     assert(a.count(_.getBoolean(5)) == 1, "exactly one pocket epoch")
   }
+
+  test("pocket weights are the iterate ENTERING the pocket epoch") {
+    val run = Seq(
+      LinearClassifier.Epoch(1, Seq(5L, 1L), 10),  // entered with zeros
+      LinearClassifier.Epoch(2, Seq(7L, 2L), 3),   // entered with (5, 1)
+      LinearClassifier.Epoch(3, Seq(9L, 3L), 7))   // entered with (7, 2)
+    assert(LinearClassifier.pocketWeights(run) == Seq(5L, 1L),
+      "epoch 2 reports n_miss under epoch 1's outgoing weights")
+    // pocket at epoch 1 means the zero vector was never improved upon
+    val runZero = Seq(LinearClassifier.Epoch(1, Seq(5L, 1L), 0))
+    assert(LinearClassifier.pocketWeights(runZero) == Seq(0L, 0L))
+  }
+
+  test("score is the exact integer dot product, shipped as literals") {
+    val f = Seq((2L, 3L), (-1L, 4L)).toDF("a", "b")
+    val s = f.select(LinearClassifier.score(Seq("a", "b"), Seq(10L, -2L)).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s == Seq(2L * 10 - 3 * 2, -1L * 10 - 4 * 2))
+    // inference is a pure projection: no exchange in the plan
+    val plan = f.select(LinearClassifier.score(Seq("a", "b"), Seq(1L, 1L)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-side only, got:\n$plan")
+  }
 }
