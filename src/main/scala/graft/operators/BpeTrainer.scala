@@ -221,4 +221,31 @@ object BpeTrainer {
     import spark.implicits._
     train(docs, steps).toDF().orderBy(col("step"))
   }
+
+  /** APPLY the learned merges — the consumption half of training: per
+    * document, the word count and the subword-token count after encoding
+    * each word and replaying the merge chain in order. Out-of-alphabet
+    * words (carrying the ';' delimiter or non-ASCII — the same exclusions
+    * merge learning applies) count as ONE opaque token, the unsplittable-
+    * unknown convention.
+    *
+    * Scale shape: tokenization is a pure map-side projection — the merge
+    * chain rides the plan as `steps` literal replaces (a production 50k-
+    * merge vocab would compile the chain into a trie/custom Expression,
+    * but the semantics are these literals); the only shuffle is the
+    * per-document count aggregation. */
+  def subwordCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("word"))
+    val oov = col("word").contains(";") || col("word").rlike("[^\\x00-\\x7F]")
+    val encN = merges.foldLeft(encode(col("word"))) { (c, m) =>
+      call_function("replace", c,
+        lit(s" ${m.left_sym}; ${m.right_sym};"), lit(s" ${m.merged};"))
+    }
+    // each symbol ends in ';', so symbols = count of ';' in the encoding
+    val nSub = when(oov, lit(1L))
+      .otherwise((length(encN) - length(translate(encN, ";", ""))).cast(LongType))
+    words.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(nSub).as("n_subwords"))
+  }
 }

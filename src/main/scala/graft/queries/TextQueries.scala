@@ -397,7 +397,11 @@ object TextQueries {
 
   private val BpeSteps = 10
 
-  val q108Sql: String = {
+  /** Shared oracle fragments for the BPE family (q108 training, q112
+    * application): the vocab build, the encoded working set, and the
+    * chained argmax->replace step CTEs — one copy so both oracles replay
+    * the identical merge chain. */
+  private val bpeCtes: String = {
     val head = s"""
     vocab AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(${Sql.words}) AS word FROM documents)
@@ -421,11 +425,50 @@ object TextQueries {
         ' ' || (SELECT l FROM p$i) || (SELECT r FROM p$i) || ';') AS w, cnt
       FROM w${i - 1})"""
     }.mkString(",")
+    s"$head,$stepCtes"
+  }
+
+  val q108Sql: String = {
     val union = (1 to BpeSteps).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym,
           l || r AS merged, cnt FROM p$i"""
     }.mkString(" UNION ALL ")
-    s"WITH $head,$stepCtes\nSELECT * FROM ($union) ORDER BY step"
+    s"WITH $bpeCtes\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  /** BPE APPLICATION — the consumption half of q108: tokenize every
+    * document with the learned merge chain and report word vs subword
+    * counts. Map-side projection (the merge chain is `BpeSteps` literal
+    * replaces in the plan) + one per-doc count aggregation; OOV words
+    * (delimiter-carrying or non-ASCII, the exclusions learning applies)
+    * count as one opaque token. */
+  def q112(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(spark, d))
+    val merges = graft.operators.BpeTrainer.train(docs, BpeSteps)
+    graft.operators.BpeTrainer.subwordCounts(docs, merges)
+      .orderBy(col("doc_id"))
+  }
+
+  val q112Sql: String = {
+    val encCtes = (1 to BpeSteps).map { i =>
+      s"""
+    enc$i AS (SELECT doc_id, replace(w,
+        ' ' || (SELECT l FROM p$i) || '; ' || (SELECT r FROM p$i) || ';',
+        ' ' || (SELECT l FROM p$i) || (SELECT r FROM p$i) || ';') AS w
+      FROM enc${i - 1})"""
+    }.mkString(",")
+    s"""WITH $bpeCtes,
+    enc0 AS (SELECT doc_id,
+        CASE WHEN word LIKE '%;%' OR regexp_matches(word, '[^\\x00-\\x7f]')
+             THEN NULL
+             ELSE ' ' || array_to_string(
+                    list_transform(split(word, ''), c -> c || ';'), ' ') END AS w
+      FROM (SELECT doc_id, unnest(${Sql.words}) AS word FROM documents)),$encCtes
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(CASE WHEN w IS NULL THEN 1
+                    ELSE length(w) - length(replace(w, ';', '')) END) AS BIGINT)
+        AS n_subwords
+    FROM enc$BpeSteps GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** Quality-classifier training (batch perceptron + pocket rule): learn
@@ -537,6 +580,7 @@ object TextQueries {
     FROM fd ORDER BY doc_id"""
 
   val defs: Map[String, Q] = Map(
+    "q112_bpe_tokenize" -> (q112 _),
     "q110_classifier_inference" -> (q110 _),
     "q109_quality_classifier" -> (q109 _),
     "q108_bpe_merges" -> (q108 _),
@@ -552,6 +596,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q112_bpe_tokenize" -> q112Sql,
     "q110_classifier_inference" -> q110Sql,
     "q109_quality_classifier" -> q109Sql,
     "q108_bpe_merges" -> q108Sql,

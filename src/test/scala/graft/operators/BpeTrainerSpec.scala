@@ -65,4 +65,20 @@ class BpeTrainerSpec extends SparkSpec {
     // re-run is bit-identical (deterministic tie-break end to end)
     assert(BpeTrainer.train(graft.Tables.documents(spark, sfDir), 10) == m)
   }
+
+  test("subwordCounts applies the merge chain; OOV words count as one token") {
+    import spark.implicits._
+    // (a,b) dominates the pair stats: abab contributes it twice, abc and
+    // ab once each => the single learned merge is "ab"
+    val docs = Seq(
+      (1L, "abab abc xy"),              // ab|ab, ab|c, x|y -> 6 subwords
+      (2L, "ab;c caf\u00e9 ab"))        // ';'-word OOV, non-ASCII OOV, ab
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, 1)
+    assert(merges.map(m => (m.left_sym, m.right_sym)) == Seq(("a", "b")))
+    val out = BpeTrainer.subwordCounts(docs, merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 6L), (2L, 3L, 3L)))
+  }
 }
