@@ -385,6 +385,81 @@ object TextQueries {
         AS mean_surprisal_permille
     FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Bigram-LM surprisal (q104's CCNet-style filter, one order deeper):
+    * each position i >= 2 scores -log2 p(w_i | w_{i-1}) quantized as
+    * bits(count(w_{i-1})) - bits(count(w_{i-1}, w_i)); the first token
+    * scores under the unigram model exactly as q104. bits(n) =
+    * length(bin(n)) = floor(log2 n)+1, the cross-engine-exact quantizer
+    * (libm-free — see q104), so the whole gate is integer arithmetic.
+    *
+    * Scale shape: per-doc bigram occurrences aggregate map-side before
+    * any join (distinct (doc, prev, cur) rows, not positions); the bigram
+    * and unigram tables are vocabulary-sized; the corpus total joins
+    * broadcast; one shuffle each on pair, prev, and doc_id. */
+  def q113(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .cache() // feeds occurrences, the unigram table, and first-token rows
+    val bgStruct = StructType(Seq(
+      StructField("prev", StringType), StructField("cur", StringType)))
+    val occ = toks.select(col("doc_id"), explode(
+        when(size(col("t")) > 1, transform(sequence(lit(2), size(col("t"))),
+          i => struct(element_at(col("t"), i - 1).as("prev"),
+            element_at(col("t"), i).as("cur"))))
+        .otherwise(array().cast(ArrayType(bgStruct)))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .groupBy(col("doc_id"), col("prev"), col("cur")).agg(count(lit(1)).as("k"))
+      .cache() // feeds the bigram table and the scored join
+    val unigrams = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+    val bigrams = occ.groupBy(col("prev"), col("cur")).agg(sum(col("k")).as("bcnt"))
+    val total = unigrams.agg(sum(col("ucnt")).as("total"))
+    val bits = (c: org.apache.spark.sql.Column) => length(bin(c))
+    val scoredBi = occ.join(bigrams, Seq("prev", "cur"))
+      .join(unigrams.withColumnRenamed("tok", "prev"), Seq("prev"))
+      .select(col("doc_id"),
+        (col("k") * (bits(col("ucnt")) - bits(col("bcnt"))).cast(LongType)).as("s"),
+        col("k"))
+    val scoredFirst = toks.select(col("doc_id"), element_at(col("t"), 1).as("tok"))
+      .join(unigrams, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (bits(col("total")) - bits(col("ucnt"))).cast(LongType).as("s"),
+        lit(1L).as("k"))
+    scoredBi.unionByName(scoredFirst)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("s")).as("surprisal_sum"))
+      .withColumn("mean_surprisal_permille",
+        floor(col("surprisal_sum") * 1000d / col("n_tokens")).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  val q113Sql: String = s"""
+    WITH toks AS (SELECT doc_id, ${Sql.words} AS t FROM documents
+                  WHERE len(${Sql.words}) > 0),
+    occ AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur,
+        CAST(count(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+              i -> struct_pack(prev := t[i-1], cur := t[i]))) AS bg FROM toks)
+      GROUP BY doc_id, bg.prev, bg.cur),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS ucnt
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+    big AS (SELECT prev, cur, CAST(sum(k) AS BIGINT) AS bcnt
+      FROM occ GROUP BY prev, cur),
+    tot AS (SELECT CAST(sum(ucnt) AS BIGINT) AS total FROM uni),
+    bs AS (SELECT doc_id, k * (length(bin(ucnt)) - length(bin(bcnt))) AS s, k
+      FROM occ JOIN big USING (prev, cur) JOIN uni ON uni.tok = occ.prev),
+    fs AS (SELECT doc_id, length(bin(total)) - length(bin(ucnt)) AS s,
+        CAST(1 AS BIGINT) AS k
+      FROM (SELECT doc_id, t[1] AS tok FROM toks)
+      JOIN uni USING (tok) CROSS JOIN tot),
+    u AS (SELECT * FROM bs UNION ALL SELECT * FROM fs)
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+      CAST(sum(s) AS BIGINT) AS surprisal_sum,
+      CAST(floor(sum(s) * 1000.0 / sum(k)) AS BIGINT) AS mean_surprisal_permille
+    FROM u GROUP BY doc_id ORDER BY doc_id"""
+
   /** BPE tokenizer training: learn the first 10 merges from the corpus
     * (frequency-weighted, deterministic tie-break) — see
     * operators.BpeTrainer for the loop and its scale shape. The oracle
@@ -580,6 +655,7 @@ object TextQueries {
     FROM fd ORDER BY doc_id"""
 
   val defs: Map[String, Q] = Map(
+    "q113_bigram_surprisal" -> (q113 _),
     "q112_bpe_tokenize" -> (q112 _),
     "q110_classifier_inference" -> (q110 _),
     "q109_quality_classifier" -> (q109 _),
@@ -596,6 +672,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q113_bigram_surprisal" -> q113Sql,
     "q112_bpe_tokenize" -> q112Sql,
     "q110_classifier_inference" -> q110Sql,
     "q109_quality_classifier" -> q109Sql,
