@@ -37,6 +37,9 @@ class PlanLockSpec extends SparkSpec {
     * hostile-vocab sidecar in BENCH_sf1.json.
     * Retired this round (off the top set since r5/r6): q22 q23 q27. */
   private val locked = Seq(
+    "q111_sq8_ann",          // r7 additions: all landed in the top-10
+    "q112_bpe_tokenize",     // (merge-chain literals ARE data-derived —
+    "q113_bigram_surprisal", // a regen diff is informative, q18 precedent)
     "q104_unigram_surprisal",
     "q72_backfill_pagination",
     "q77_dependency_cascade",
@@ -79,6 +82,10 @@ class PlanLockSpec extends SparkSpec {
       .replaceAll("RDD\\[\\d+\\]", "RDD[n]")          // global RDD id counter
       .replaceAll("\\blambda x_\\d+", "lambda x_n")   // global lambda var counter
       .replaceAll("StorageLevel\\([^)]*\\)", "StorageLevel(x)")
+      // learned-literal arrays (q111's per-dimension stats, centroid
+      // codebooks): lock the SHAPE, not the data — a testdata regen must
+      // not break the golden when the plan structure is unchanged
+      .replaceAll("\\[-?\\d+(?:,-?\\d+){8,}\\]", "<lit-ints>")
       .replaceAll("(?m)[ \\t]+$", "")
       .linesIterator.map(canonExpandGroups).mkString("\n")
       .trim + "\n"
