@@ -19,11 +19,13 @@ object SparkEntry {
     TpchSurface.defs ++ TpchSurface2.defs ++ ReplicationQueries.defs ++ DedupQueries.defs ++
       VectorQueries.defs ++ TextQueries.defs ++ ExtraQueries.defs ++ IcsQueries.defs ++
       BackfillQueries.defs ++ FeedSinkQueries.defs ++ ProtocolQueries.defs ++
-      MultimodalQueries.defs ++ DeterminismQueries.defs ++ PipelineQueries.defs
+      MultimodalQueries.defs ++ DeterminismQueries.defs ++ PipelineQueries.defs ++
+      SketchQueries.defs
 
   def oracleSql: Map[String, String] =
     TpchSurface.oracles ++ TpchSurface2.oracles ++ ReplicationQueries.oracles ++ DedupQueries.oracles ++
       VectorQueries.oracles ++ TextQueries.oracles ++ ExtraQueries.oracles ++ IcsQueries.oracles ++
       BackfillQueries.oracles ++ FeedSinkQueries.oracles ++ ProtocolQueries.oracles ++
-      MultimodalQueries.oracles ++ DeterminismQueries.oracles ++ PipelineQueries.oracles
+      MultimodalQueries.oracles ++ DeterminismQueries.oracles ++ PipelineQueries.oracles ++
+      SketchQueries.oracles
 }

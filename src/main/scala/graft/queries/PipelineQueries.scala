@@ -649,6 +649,137 @@ object PipelineQueries {
     SELECT query_id, rank, neighbor_id, sq_dist FROM ranked WHERE rank <= 3
     ORDER BY query_id, rank"""
 
+  // ---------------------------------------------------- q118 IVF-PQ ANN
+
+  private val IvfProbe = 2
+
+  /** q118 — the composed production ANN shape: IVF coarse routing + PQ
+    * asymmetric ranking, the two levers (q31's prune, q58's compression)
+    * stacked the way a billion-vector index actually runs. A coarse
+    * quantizer (per-label element-wise floor-mean of the corpus — one tiny
+    * agg to the driver, back as plan literals, the Lloyd's discipline)
+    * routes every corpus vector to its nearest cell map-side; each query
+    * probes its [[IvfProbe]] nearest cells; candidates are ranked by the
+    * PQ asymmetric distance (per-subspace lookup tables against q58's
+    * codebooks).
+    *
+    * Scale shape: the corpus never shuffles — assignment and PQ coding are
+    * pure projections against literal centroids/codebooks, the query frame
+    * (probe cells + ADC tables) broadcasts, and the cell-membership join
+    * IS the prune: only candidates in probed cells reach the per-query
+    * top-k window. All arithmetic is the shared fixed-point integer space,
+    * so ranks and distances are oracle-exact. */
+  def q118(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = quantized(spark, d)
+    val corpus = vecs.where(col("vec_id") >= 10)
+    // coarse quantizer: per-label integer centroid of the corpus
+    val cents: Seq[(Int, Seq[Long])] = corpus
+      .join(Tables.embeddings(spark, d).select(col("vec_id"), col("label")), "vec_id")
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(floor(sum(col("x")) / count(lit(1))).cast(LongType).as("cent"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3).toSeq) }
+      .sortBy(_._1)
+    val cells = assign(corpus, cents)
+      .select(col("vec_id"), col("v"), col("cluster").as("cell"))
+    val seeds: Seq[(Int, Seq[Long])] = vecs.where(col("vec_id") < PqK)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    def subOf(v: Seq[Long], s: Int): Seq[Long] = v.slice(s * PqDim, (s + 1) * PqDim)
+    def subCol(s: Int): Column = slice(col("v"), s * PqDim + 1, PqDim)
+    val coded = cells.select(col("vec_id").as("neighbor_id") +: col("cell") +:
+      (0 until PqSub).map { s =>
+        val cands = seeds.map { case (cid, sv) =>
+          struct(distTo(subCol(s), subOf(sv, s)).as("dist"), lit(cid).as("cid"))
+        }
+        array_min(array(cands: _*)).getField("cid").as(s"code$s")
+      }: _*)
+    // query frame: probed cells + per-subspace ADC tables, broadcast
+    val centCands = cents.map { case (cid, cv) =>
+      struct(distTo(col("v"), cv).as("dist"), lit(cid).as("cid"))
+    }
+    val probed = slice(sort_array(array(centCands: _*)), 1, IvfProbe)
+    val qframe = vecs.where(col("vec_id") < 10).select(
+      col("vec_id").as("query_id") +:
+        transform(probed, p => p.getField("cid")).as("qcells") +:
+        (0 until PqSub).map { s =>
+          array(seeds.map { case (_, sv) => distTo(subCol(s), subOf(sv, s)) }: _*)
+            .as(s"tab$s")
+        }: _*)
+    val adc = (0 until PqSub)
+      .map(s => element_at(col(s"tab$s"), col(s"code$s") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    coded.join(broadcast(qframe), array_contains(col("qcells"), col("cell")))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cell").cast(LongType).as("cell"), col("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q118Sql: String = {
+    val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    def subDist(a: String, b: String, s: Int) = {
+      val off = s * PqDim
+      s"CAST(list_sum(list_transform(range(1, ${PqDim + 1}), i -> ($a.v[$off + i] - $b.v[$off + i]) * ($a.v[$off + i] - $b.v[$off + i]))) AS BIGINT)"
+    }
+    val codeCtes = (0 until PqSub).map { s =>
+      s"""d$s AS (SELECT c.vec_id, sd.cid, ${subDist("c", "sd", s)} AS dd
+         FROM corpus c CROSS JOIN seeds sd),
+    code$s AS (SELECT vec_id, cid AS code FROM
+      (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM d$s)
+      WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    val qtabCtes = (0 until PqSub).map { s =>
+      s"""qt$s AS (SELECT q.vec_id AS query_id, sd.cid, ${subDist("q", "sd", s)} AS dd
+         FROM queries q CROSS JOIN seeds sd)"""
+    }.mkString(",\n    ")
+    val qtJoins = (0 until PqSub).map { s =>
+      s"JOIN qt$s ON qt$s.cid = c$s.code" +
+        (if (s == 0) "" else s" AND qt$s.query_id = qt0.query_id")
+    }.mkString("\n      ")
+    val codeJoins = (1 until PqSub).map(s => s"JOIN code$s c$s USING (vec_id)").mkString(" ")
+    val fullDist =
+      "CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> (a.v[i]-ct.cv[i])*(a.v[i]-ct.cv[i]))) AS BIGINT)"
+    s"""
+    WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+    queries AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    seeds AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < $PqK),
+    celems AS (SELECT l.label, unnest(range(1, len(c.v)+1)) AS pos1, unnest(c.v) AS x
+               FROM corpus c JOIN embeddings l ON c.vec_id = l.vec_id),
+    cent AS (SELECT label, pos1, CAST(floor(CAST(sum(x) AS DOUBLE)/count(*)) AS BIGINT) AS ce
+             FROM celems GROUP BY label, pos1),
+    centv AS MATERIALIZED (SELECT label, list(ce ORDER BY pos1) AS cv FROM cent GROUP BY label),
+    ad AS (SELECT a.vec_id, ct.label AS cell, $fullDist AS dd
+           FROM corpus a CROSS JOIN centv ct),
+    acell AS (SELECT vec_id, cell FROM
+      (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn FROM ad) WHERE rn = 1),
+    qd AS (SELECT a.vec_id, ct.label AS cell, $fullDist AS dd
+           FROM queries a CROSS JOIN centv ct),
+    qprobe AS (SELECT vec_id AS query_id, cell FROM
+      (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn FROM qd) WHERE rn <= $IvfProbe),
+    $codeCtes,
+    $qtabCtes,
+    adc AS (
+      SELECT qt0.query_id, c0.vec_id AS neighbor_id, ac.cell,
+        ${(0 until PqSub).map(s => s"qt$s.dd").mkString(" + ")} AS adc_dist
+      FROM code0 c0 $codeJoins
+      JOIN acell ac ON ac.vec_id = c0.vec_id
+      $qtJoins
+      JOIN qprobe qp ON qp.query_id = qt0.query_id AND qp.cell = ac.cell
+    ),
+    ranked AS (SELECT query_id, neighbor_id, cell, adc_dist,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+      FROM adc)
+    SELECT query_id, rank, neighbor_id, CAST(cell AS BIGINT) AS cell, adc_dist
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank"""
+  }
+
   // ------------------------------------------------ q56/q57 as-of variants
 
   private def asofBase(spark: SparkSession, d: String) =
@@ -909,6 +1040,7 @@ object PipelineQueries {
     "q57_asof_forward" -> (q57 _),
     "q58_pq_ann" -> (q58 _),
     "q111_sq8_ann" -> (q111 _),
+    "q118_ivfpq_ann" -> (q118 _),
     "q59_zorder" -> (q59 _),
     "q92_salted_join" -> (q92 _),
     "q93_per_key_cap" -> (q93 _),
@@ -928,6 +1060,7 @@ object PipelineQueries {
     "q57_asof_forward" -> q57Sql,
     "q58_pq_ann" -> q58Sql,
     "q111_sq8_ann" -> q111Sql,
+    "q118_ivfpq_ann" -> q118Sql,
     "q59_zorder" -> q59Sql,
     "q92_salted_join" -> q92Sql,
     "q93_per_key_cap" -> q93Sql,

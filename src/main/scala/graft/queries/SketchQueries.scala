@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Hashing, Text}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mergeable-sketch operators over the documents corpus: count-min heavy
+  * hitters and HyperLogLog distinct registers. Both sketches are built from
+  * commutative per-cell reductions (SUM for CMS, MAX for HLL), so the
+  * result is independent of partitioning/merge order — which is what makes
+  * them oracle-exact AND the 100 TB path: a fixed-size register table per
+  * map task, combined map-side, with only O(cells) rows crossing the wire.
+  *
+  * All hashing rides the engine-shared md5-based hash32 (`Hashing.hash32` /
+  * `CAST('0x'||substring(md5(v),1,8) AS BIGINT)`), and all estimator
+  * arithmetic is integer-only (scaled fixed-point alpha, integer division)
+  * so DuckDB reproduces every estimate bit-for-bit.
+  */
+object SketchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private object Sql {
+    val P = Hashing.P
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val words =
+      s"(CASE WHEN $norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split($norm, ' ') END)"
+    def hash32(v: String) = s"CAST('0x' || substring(md5($v), 1, 8) AS BIGINT)"
+    val th = s"list_transform($words, w -> ${hash32("w")})"
+    val shingleHashes = s"""(CASE WHEN len(th) < 3 THEN [nh]
+      ELSE list_distinct(list_transform(range(1, len(th) - 1),
+        i -> ((th[i] * ${Hashing.C1}) % $P + (th[i+1] * ${Hashing.C2}) % $P + th[i+2]) % $P)) END)"""
+    val shBase =
+      s"SELECT doc_id, source, $shingleHashes AS sh FROM (SELECT doc_id, source, $th AS th, ${hash32(norm)} AS nh FROM documents)"
+  }
+
+  // ---------------------------------------------------------------------
+  // q116 — count-min sketch heavy hitters
+  // ---------------------------------------------------------------------
+
+  /** CMS geometry: d independent rows of w counters. Row hashes reuse the
+    * MinHash permutation constants ((a_r*h + b_r) mod P) mod w. Width is
+    * sized DOWN to the synthetic corpus's ~31-token vocabulary so cell
+    * collisions (the thing the min-over-rows estimator exists to survive)
+    * actually occur in the gate; production geometry is w = 2^16+ with
+    * the identical plan shape. */
+  val CmsDepth = 4
+  val CmsWidth = 16
+  val TopK = 20
+
+  private def cmsCell(r: Int, h: Column): Column =
+    pmod(pmod(lit(Hashing.MinhashA(r)) * h + lit(Hashing.MinhashB(r)),
+      lit(Hashing.P)), lit(CmsWidth.toLong))
+
+  private def cmsCellSql(r: Int, h: String): String =
+    s"((${Hashing.MinhashA(r)} * $h + ${Hashing.MinhashB(r)}) % ${Hashing.P}) % $CmsWidth"
+
+  /** Count-min heavy hitters: build the d x w register table from the raw
+    * token stream (one commutative SUM per cell — at 100 TB each map task
+    * carries a 4x256 array and the exchange moves <= 1024 rows per task),
+    * then report the true top-K tokens with their CMS estimates
+    * (est = min over rows of the probed cell) and the overcount the
+    * collisions cost. The exact top-K side is the expensive
+    * full-vocabulary aggregate — it exists here to gate the sketch against
+    * truth; a production run keeps only the registers. */
+  def q116(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("tok"), Hashing.hash32(col("tok")).as("h"))
+    val cells = toks.select(explode(array((0 until CmsDepth).map { r =>
+      struct(lit(r).cast(IntegerType).as("r"), cmsCell(r, col("h")).as("j"))
+    }: _*)).as("rj"))
+    val regs = cells.groupBy(col("rj.r").as("r"), col("rj.j").as("j"))
+      .agg(count(lit(1)).as("reg"))
+    val top = toks.groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+      .limit(TopK)
+    val probes = top.select(col("tok"), col("exact_cnt"),
+      explode(array((0 until CmsDepth).map { r =>
+        struct(lit(r).cast(IntegerType).as("r"), cmsCell(r, col("h")).as("j"))
+      }: _*)).as("rj"))
+    probes.join(broadcast(regs),
+        probes("rj.r") === regs("r") && probes("rj.j") === regs("j"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("reg")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val q116Sql: String = {
+    val cellRows = (0 until CmsDepth)
+      .map(r => s"SELECT $r AS r, ${cmsCellSql(r, "h")} AS j, tok FROM wh")
+      .mkString(" UNION ALL ")
+    val probeRows = (0 until CmsDepth)
+      .map(r => s"SELECT tok, exact_cnt, $r AS r, ${cmsCellSql(r, "h")} AS j FROM top")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH toks AS (SELECT unnest(${Sql.words}) AS tok FROM documents),
+    wh AS MATERIALIZED (SELECT tok, ${Sql.hash32("tok")} AS h FROM toks),
+    regs AS (SELECT r, j, CAST(count(*) AS BIGINT) AS reg
+             FROM ($cellRows) GROUP BY r, j),
+    top AS (SELECT tok, h, CAST(count(*) AS BIGINT) AS exact_cnt
+            FROM wh GROUP BY tok, h
+            ORDER BY exact_cnt DESC, tok LIMIT $TopK)
+    SELECT p.tok, p.exact_cnt,
+      CAST(min(g.reg) AS BIGINT) AS cms_est,
+      CAST(min(g.reg) - p.exact_cnt AS BIGINT) AS overcount
+    FROM ($probeRows) p JOIN regs g ON p.r = g.r AND p.j = g.j
+    GROUP BY p.tok, p.exact_cnt
+    ORDER BY p.exact_cnt DESC, p.tok"""
+  }
+
+  // ---------------------------------------------------------------------
+  // q117 — HyperLogLog distinct registers
+  // ---------------------------------------------------------------------
+
+  /** HLL geometry: 2^HllB registers; the remaining HllRem bits feed the
+    * leading-zero rank. Alpha (0.709 for m=64) ships as a 2^20-scaled
+    * integer so the estimate is integer-exact cross-engine. */
+  val HllB = 6
+  val HllM = 1 << HllB // 64
+  val HllRem = 26 // 32 - HllB
+  val HllAlphaScaled = 743440L // floor(0.709 * 2^20)
+
+  /** HLL distinct 3-gram shingles per source. Register build is a
+    * per-(source, bucket) MAX of the leading-zero rank — commutative, so
+    * map-side combine leaves <= m rows per group per task; the register
+    * fold and the integer estimate
+    * (floor(alpha * m^2 * 2^HllRem / Z_scaled)) are exact on both engines
+    * (rank via the cross-engine-exact length(bin(n)) idiom — no libm in
+    * the gate). The exact-distinct column is the truth gate: at 100 TB
+    * you'd keep only the 64 registers per group. */
+  def q117(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"),
+        Hashing.hash32(Text.normalize(col("text"))).as("nh"))
+      .select(col("source"),
+        transform(col("toks"), t => Hashing.hash32(t)).as("th"), col("nh"))
+      .select(col("source"), Hashing.shingleHashes(col("th"), col("nh")).as("sh"))
+    val s = docs.select(col("source"), explode(col("sh")).as("s"))
+    // rehash the [0,P) shingle hash into 32 uniform bits
+    val h2 = pmod(lit(Hashing.MinhashA(4)) * col("s") + lit(Hashing.MinhashB(4)),
+      lit(Hashing.P)) % lit(4294967296L)
+    val withBits = s.select(col("source"), col("s"),
+      (h2 / lit(1L << HllRem)).cast(LongType).as("idx"),
+      pmod(h2, lit(1L << HllRem)).as("rem"))
+    val ranked = withBits.select(col("source"), col("s"), col("idx"),
+      when(col("rem") === 0L, lit(HllRem + 1))
+        .otherwise(lit(HllRem + 1) - length(bin(col("rem"))))
+        .cast(LongType).as("rho"))
+    val regs = ranked.groupBy(col("source"), col("idx"))
+      .agg(max(col("rho")).as("m"))
+    val folded = regs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_present"),
+      sum(pow(lit(2.0), lit((HllRem + 1).toLong) - col("m")).cast(LongType))
+        .as("z_present"))
+    val zScale = 1L << (HllRem + 1)
+    val est = folded
+      .withColumn("z_scaled",
+        col("z_present") + (lit(HllM.toLong) - col("n_present")) * lit(zScale))
+      .withColumn("hll_est",
+        expr(s"(${HllAlphaScaled}L * ${HllM.toLong * HllM * (zScale / (1L << 20))}L) DIV z_scaled"))
+    val exact = ranked.groupBy(col("source"))
+      .agg(countDistinct(col("s")).as("exact_distinct"))
+    est.join(exact, Seq("source"))
+      .select(col("source"), col("exact_distinct"), col("n_present"),
+        col("z_scaled"), col("hll_est"))
+      .orderBy(col("source"))
+  }
+
+  val q117Sql: String = {
+    val zScale = 1L << (HllRem + 1)
+    val estNum = HllAlphaScaled * (HllM.toLong * HllM * (zScale / (1L << 20)))
+    s"""
+    WITH sh AS (${Sql.shBase}),
+    ex AS (SELECT source, unnest(sh) AS s FROM sh),
+    hb AS (SELECT source, s,
+        ((${Hashing.MinhashA(4)} * s + ${Hashing.MinhashB(4)}) % ${Sql.P}) % 4294967296 AS h2
+      FROM ex),
+    rk AS (SELECT source, s,
+        CAST(h2 // ${1L << HllRem} AS BIGINT) AS idx,
+        CASE WHEN h2 % ${1L << HllRem} = 0 THEN ${HllRem + 1}
+             ELSE ${HllRem + 1} - length(bin(h2 % ${1L << HllRem})) END AS rho
+      FROM hb),
+    regs AS (SELECT source, idx, CAST(max(rho) AS BIGINT) AS m
+             FROM rk GROUP BY source, idx),
+    folded AS (SELECT source,
+        CAST(count(*) AS BIGINT) AS n_present,
+        CAST(sum(CAST(2 ** (${HllRem + 1} - m) AS BIGINT)) AS BIGINT) AS z_present
+      FROM regs GROUP BY source),
+    est AS (SELECT source, n_present,
+        z_present + ($HllM - n_present) * $zScale AS z_scaled
+      FROM folded),
+    exact AS (SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct
+              FROM rk GROUP BY source)
+    SELECT e.source, x.exact_distinct, e.n_present,
+      CAST(e.z_scaled AS BIGINT) AS z_scaled,
+      CAST($estNum // e.z_scaled AS BIGINT) AS hll_est
+    FROM est e JOIN exact x ON e.source = x.source
+    ORDER BY e.source"""
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q116_cms_topk" -> (q116 _),
+    "q117_hll_distinct" -> (q117 _))
+
+  val oracles: Map[String, String] = Map(
+    "q116_cms_topk" -> q116Sql,
+    "q117_hll_distinct" -> q117Sql)
+}

@@ -654,7 +654,138 @@ object TextQueries {
       y = 1 AS actual
     FROM fd ORDER BY doc_id"""
 
+  /** Per-domain document cap — the C4/RefinedWeb "at most K docs per
+    * source, best-quality-first" policy. Rank within source by
+    * (passed DESC, n_tokens DESC, doc_id) and keep the top K.
+    *
+    * Scale shape: the `rank <= K` filter over row_number lowers to
+    * WindowGroupLimit (Spark 3.5+), so each map task retains at most K
+    * rows per source BEFORE the exchange — the shuffle carries
+    * O(K * n_sources) rows, not the corpus. `passed` uses the q41 gate
+    * with the division replaced by an integer cross-multiply
+    * (n_stop*1000 <= 600*n_tokens) so empty documents can't divide by
+    * zero on either engine. */
+  val CapPerSource = 15
+
+  def q114(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(spark, d).select(
+      col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"),
+      Text.stopwordCount(col("text")).cast(LongType).as("n_stop"))
+    val g = f.withColumn("passed",
+      col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+        col("n_stop") * 1000L <= col("n_tokens") * 600L)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("passed").desc, col("n_tokens").desc, col("doc_id"))
+    g.withColumn("qrank", row_number().over(w))
+      .filter(col("qrank") <= CapPerSource)
+      .select(col("source"), col("qrank"), col("doc_id"), col("n_tokens"),
+        col("passed"))
+      .orderBy(col("source"), col("qrank"))
+  }
+
+  val q114Sql: String = s"""
+    WITH f AS (
+      SELECT doc_id, source,
+        CAST(len(${Sql.words}) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(${Sql.words}, t -> t IN (${Text.StopWords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS n_stop
+      FROM documents),
+    g AS (
+      SELECT doc_id, source, n_tokens,
+        (n_tokens >= 10 AND n_tokens <= 1000
+          AND n_stop * 1000 <= n_tokens * 600) AS passed
+      FROM f),
+    r AS (
+      SELECT source, doc_id, n_tokens, passed,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY passed DESC, n_tokens DESC, doc_id) AS INTEGER) AS qrank
+      FROM g)
+    SELECT source, qrank, doc_id, n_tokens, passed FROM r
+    WHERE qrank <= $CapPerSource
+    ORDER BY source, qrank"""
+
+  /** Temperature-weighted language sampling — the multilingual mixing
+    * policy (weight each language count^alpha, alpha=1/2, so tail
+    * languages are oversampled relative to their natural share). The
+    * whole selection is deterministic and integer-exact: weights use an
+    * exact integer sqrt (double sqrt + a +/-1 correction), each language
+    * gets alloc = T_total*w DIV W, and a doc is kept iff
+    * hash32(doc_id) < cutoff where cutoff = alloc*2^32 DIV count —
+    * expected-alloc Bernoulli selection by hash threshold.
+    *
+    * Scale shape: per-language constants are a broadcast of n_langs rows
+    * and the keep decision is a pure map-side filter over the corpus
+    * scan — no window, no per-group sort, no second shuffle. (An exact-k
+    * variant would need a per-group top-k by hash; the threshold form is
+    * what 100 TB mixing jobs run.) The cutoff product alloc*2^32 needs
+    * 128-bit math once alloc exceeds 2^31 — at that point lift the
+    * per-language cutoff computation (n_langs rows, driver-side) to
+    * BigInt; the per-row probe compares two longs regardless. */
+  def q115(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("lang"))
+    val lc = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    val s0 = floor(sqrt(col("c").cast(DoubleType))).cast(LongType)
+    val sw = lc.withColumn("w",
+      s0 + when((s0 + 1L) * (s0 + 1L) <= col("c"), 1L).otherwise(0L)
+         - when(s0 * s0 > col("c"), 1L).otherwise(0L))
+    val tot = sw.agg(sum(col("c")).as("n_total"), sum(col("w")).as("w_total"))
+    val alloc = sw.crossJoin(broadcast(tot))
+      .withColumn("t_total", expr("n_total DIV 2"))
+      .withColumn("alloc", expr("(t_total * w) DIV w_total"))
+      .withColumn("cutoff", expr("(alloc * 4294967296) DIV c"))
+      .withColumn("natural_bp", expr("(c * 10000) DIV n_total"))
+      .withColumn("target_bp", expr("(alloc * 10000) DIV t_total"))
+    val h = graft.functions.Hashing.hash32(col("doc_id").cast(StringType))
+    docs.withColumn("h", h)
+      .join(broadcast(alloc), Seq("lang"))
+      .withColumn("keep", col("h") < col("cutoff"))
+      .groupBy(col("lang")).agg(
+        max(col("c")).as("n_docs"),
+        max(col("w")).as("weight"),
+        max(col("alloc")).as("alloc"),
+        max(col("natural_bp")).as("natural_bp"),
+        max(col("target_bp")).as("target_bp"),
+        sum(col("keep").cast(LongType)).as("kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(lit(0L)))
+          .as("kept_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val q115Sql: String = s"""
+    WITH lc AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+    sw AS (
+      SELECT lang, c,
+        s0 + (CASE WHEN (s0+1)*(s0+1) <= c THEN 1 ELSE 0 END)
+           - (CASE WHEN s0*s0 > c THEN 1 ELSE 0 END) AS w
+      FROM (SELECT lang, c,
+              CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS s0 FROM lc)),
+    t AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_total,
+             CAST(sum(w) AS BIGINT) AS w_total FROM sw),
+    a AS (
+      SELECT lang, c, w,
+        CAST((n_total // 2) * w // w_total AS BIGINT) AS alloc,
+        CAST(((n_total // 2) * w // w_total) * 4294967296 // c AS BIGINT) AS cutoff,
+        CAST(c * 10000 // n_total AS BIGINT) AS natural_bp,
+        CAST(((n_total // 2) * w // w_total) * 10000 // (n_total // 2) AS BIGINT) AS target_bp
+      FROM sw, t)
+    SELECT d.lang,
+      max(a.c) AS n_docs,
+      max(a.w) AS weight,
+      max(a.alloc) AS alloc,
+      max(a.natural_bp) AS natural_bp,
+      max(a.target_bp) AS target_bp,
+      CAST(sum(CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) < a.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      CAST(sum(CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) < a.cutoff THEN d.doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM documents d JOIN a ON d.lang = a.lang
+    GROUP BY d.lang
+    ORDER BY d.lang"""
+
   val defs: Map[String, Q] = Map(
+    "q114_source_cap" -> (q114 _),
+    "q115_temperature_sample" -> (q115 _),
     "q113_bigram_surprisal" -> (q113 _),
     "q112_bpe_tokenize" -> (q112 _),
     "q110_classifier_inference" -> (q110 _),
@@ -672,6 +803,8 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q114_source_cap" -> q114Sql,
+    "q115_temperature_sample" -> q115Sql,
     "q113_bigram_surprisal" -> q113Sql,
     "q112_bpe_tokenize" -> q112Sql,
     "q110_classifier_inference" -> q110Sql,

@@ -80,7 +80,10 @@ class PlanLockSpec extends SparkSpec {
       .replaceAll("@[0-9a-f]{6,}", "@x")
       .replaceAll("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}(\\.\\d+)?", "<ts>")
       .replaceAll("RDD\\[\\d+\\]", "RDD[n]")          // global RDD id counter
-      .replaceAll("\\blambda x_\\d+", "lambda x_n")   // global lambda var counter
+      // global lambda var counter — covers every generated name (x_NN for
+      // one-arg lambdas, y_NN/z_NN for the extra args of two/three-arg
+      // lambdas like transform-with-index and aggregate)
+      .replaceAll("\\blambda ([a-z]+)_\\d+", "lambda $1_n")
       .replaceAll("StorageLevel\\([^)]*\\)", "StorageLevel(x)")
       // learned-literal arrays (q111's per-dimension stats, centroid
       // codebooks): lock the SHAPE, not the data — a testdata regen must
@@ -118,10 +121,29 @@ class PlanLockSpec extends SparkSpec {
 
   locked.foreach { name =>
     test(s"physical plan locked: $name") {
-      val df = SparkEntry.queries(name)(planSession, sfDir)
-      val got = normalize(
-        df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      // The CacheManager is SHARED across newSession clones and keys
+      // entries by canonicalized plan: if a parallel suite cached q104's
+      // perDoc subtree first (under the shared session, possibly under
+      // mutated runtime conf), the explain substitutes THEIR stored
+      // physical subtree, not the one this session would compile — and a
+      // concurrent clearCache can also un-substitute mid-build. So each
+      // fingerprint clears the cache and re-registers its own entries;
+      // the retry below covers the (once-per-suite-run, ms-wide) window
+      // where the conflicting suite re-caches between our clear and our
+      // build. A real plan change fails all attempts identically.
+      def fingerprint(): String = {
+        planSession.catalog.clearCache()
+        val df = SparkEntry.queries(name)(planSession, sfDir)
+        normalize(
+          df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      }
+      var got = fingerprint()
       val goldenPath = goldenDir.resolve(s"$name.plan.txt")
+      if (!update && Files.exists(goldenPath)) {
+        val want = Files.readString(goldenPath)
+        var attempts = 1
+        while (got != want && attempts < 4) { got = fingerprint(); attempts += 1 }
+      }
       if (update) {
         Files.createDirectories(goldenDir)
         Files.writeString(goldenPath, got)
