@@ -410,7 +410,50 @@ object DedupQueries {
     GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id"""
   }
 
+  /** q119 — corpus novelty score: per document, the fraction of its
+    * distinct 3-gram shingles whose FIRST corpus occurrence (min doc_id
+    * over the whole corpus) is this document — the memorization-risk /
+    * contribution metric ("how much of this doc is new material vs
+    * repeats of earlier documents"). Exact-duplicate docs score 0 unless
+    * they are the first copy; boilerplate-heavy docs score low.
+    *
+    * Scale shape: one shingle-keyed aggregation (min(doc_id) — map-side
+    * combinable, the same shuffle the dedup family already pays), then a
+    * join-back on the same key. The aggregated first-occurrence table is
+    * distinct-shingle-sized, so at test scale Catalyst BROADCASTS it
+    * (verified in the plan: the corpus side pays zero join shuffle); past
+    * the broadcast threshold it degrades to sort-merge on the key the agg
+    * already partitioned — the canonical two-shuffle dedup shape. The
+    * per-doc fold keys on doc_id. Integer permille output, no division
+    * hazards (every doc has >= 1 shingle via the degenerate fallback). */
+  def q119(spark: SparkSession, d: String): DataFrame = {
+    val ex = shingleHashDf(spark, d)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val first = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(first, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_new"))
+      .withColumn("novelty_permille",
+        floor(col("n_new") * 1000d / col("n_shingles")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q119Sql: String = s"""
+    WITH sh AS (${Sql.shBase}),
+    ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s)
+    SELECT ex.doc_id,
+      CAST(count(*) AS BIGINT) AS n_shingles,
+      CAST(sum(CASE WHEN first.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      CAST(floor(sum(CASE WHEN first.first_doc = ex.doc_id THEN 1 ELSE 0 END) * 1000.0
+        / count(*)) AS BIGINT) AS novelty_permille
+    FROM ex JOIN first USING (s)
+    GROUP BY ex.doc_id
+    ORDER BY ex.doc_id"""
+
   val defs: Map[String, Q] = Map(
+    "q119_novelty_score" -> (q119 _),
     "q106_segment_dedup" -> (q106 _),
     "q107_bloom_decontaminate" -> (q107 _),
     "q101_incremental_dedup" -> (q101 _),
@@ -425,6 +468,7 @@ object DedupQueries {
     "q38_dedup_survivors" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
+    "q119_novelty_score" -> q119Sql,
     "q106_segment_dedup" -> q106Sql,
     "q107_bloom_decontaminate" -> q107Sql,
     "q101_incremental_dedup" -> q101Sql,

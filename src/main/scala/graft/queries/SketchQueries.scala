@@ -126,34 +126,33 @@ object SketchQueries {
   val HllRem = 26 // 32 - HllB
   val HllAlphaScaled = 743440L // floor(0.709 * 2^20)
 
-  /** HLL distinct 3-gram shingles per source. Register build is a
-    * per-(source, bucket) MAX of the leading-zero rank — commutative, so
-    * map-side combine leaves <= m rows per group per task; the register
-    * fold and the integer estimate
-    * (floor(alpha * m^2 * 2^HllRem / Z_scaled)) are exact on both engines
-    * (rank via the cross-engine-exact length(bin(n)) idiom — no libm in
-    * the gate). The exact-distinct column is the truth gate: at 100 TB
-    * you'd keep only the 64 registers per group. */
-  def q117(spark: SparkSession, d: String): DataFrame = {
+  /** Per-(source, shingle) rows with HLL bucket index and leading-zero
+    * rank — the stream both the batch register build (q117) and the
+    * incremental fold (q120) consume. */
+  private def hllRanked(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"),
         Hashing.hash32(Text.normalize(col("text"))).as("nh"))
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         transform(col("toks"), t => Hashing.hash32(t)).as("th"), col("nh"))
-      .select(col("source"), Hashing.shingleHashes(col("th"), col("nh")).as("sh"))
-    val s = docs.select(col("source"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("source"),
+        Hashing.shingleHashes(col("th"), col("nh")).as("sh"))
+    val s = docs.select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
     // rehash the [0,P) shingle hash into 32 uniform bits
     val h2 = pmod(lit(Hashing.MinhashA(4)) * col("s") + lit(Hashing.MinhashB(4)),
       lit(Hashing.P)) % lit(4294967296L)
-    val withBits = s.select(col("source"), col("s"),
-      (h2 / lit(1L << HllRem)).cast(LongType).as("idx"),
-      pmod(h2, lit(1L << HllRem)).as("rem"))
-    val ranked = withBits.select(col("source"), col("s"), col("idx"),
-      when(col("rem") === 0L, lit(HllRem + 1))
-        .otherwise(lit(HllRem + 1) - length(bin(col("rem"))))
-        .cast(LongType).as("rho"))
-    val regs = ranked.groupBy(col("source"), col("idx"))
-      .agg(max(col("rho")).as("m"))
+    s.select(col("doc_id"), col("source"), col("s"),
+        (h2 / lit(1L << HllRem)).cast(LongType).as("idx"),
+        pmod(h2, lit(1L << HllRem)).as("rem"))
+      .select(col("doc_id"), col("source"), col("s"), col("idx"),
+        when(col("rem") === 0L, lit(HllRem + 1))
+          .otherwise(lit(HllRem + 1) - length(bin(col("rem"))))
+          .cast(LongType).as("rho"))
+  }
+
+  /** Register max-merge + integer estimate: (source, idx, m) -> the q117
+    * output row shape. */
+  private def hllFinish(regs: DataFrame, exact: DataFrame): DataFrame = {
     val folded = regs.groupBy(col("source")).agg(
       count(lit(1)).as("n_present"),
       sum(pow(lit(2.0), lit((HllRem + 1).toLong) - col("m")).cast(LongType))
@@ -164,12 +163,53 @@ object SketchQueries {
         col("z_present") + (lit(HllM.toLong) - col("n_present")) * lit(zScale))
       .withColumn("hll_est",
         expr(s"(${HllAlphaScaled}L * ${HllM.toLong * HllM * (zScale / (1L << 20))}L) DIV z_scaled"))
-    val exact = ranked.groupBy(col("source"))
-      .agg(countDistinct(col("s")).as("exact_distinct"))
     est.join(exact, Seq("source"))
       .select(col("source"), col("exact_distinct"), col("n_present"),
         col("z_scaled"), col("hll_est"))
       .orderBy(col("source"))
+  }
+
+  /** HLL distinct 3-gram shingles per source. Register build is a
+    * per-(source, bucket) MAX of the leading-zero rank — commutative, so
+    * map-side combine leaves <= m rows per group per task; the register
+    * fold and the integer estimate
+    * (floor(alpha * m^2 * 2^HllRem / Z_scaled)) are exact on both engines
+    * (rank via the cross-engine-exact length(bin(n)) idiom — no libm in
+    * the gate). The exact-distinct column is the truth gate: at 100 TB
+    * you'd keep only the 64 registers per group. */
+  def q117(spark: SparkSession, d: String): DataFrame = {
+    val ranked = hllRanked(spark, d)
+    val regs = ranked.groupBy(col("source"), col("idx"))
+      .agg(max(col("rho")).as("m"))
+    val exact = ranked.groupBy(col("source"))
+      .agg(countDistinct(col("s")).as("exact_distinct"))
+    hllFinish(regs, exact)
+  }
+
+  /** q120 — INCREMENTAL sketch maintenance: the corpus arrives as three
+    * disjoint deltas (doc_id mod 3), each builds its own register table,
+    * and the tables max-merge into the final state — which must equal the
+    * single-pass batch registers bit-for-bit, because HLL registers form
+    * a commutative idempotent monoid under element-wise MAX. That
+    * identity IS the oracle: the SQL is q117's single-pass replay, so the
+    * gate proves fold == recompute (the q55 discipline, applied to
+    * sketches). At 100 TB this is the daily-ingest path: per-delta
+    * register tables are m rows per group, the merge never touches old
+    * raw data, and a KeyedStore-style persisted fold keys on
+    * (source, idx) with MAX as the combine. */
+  def q120(spark: SparkSession, d: String): DataFrame = {
+    val ranked = hllRanked(spark, d)
+    val deltaRegs = (0 until 3).map { i =>
+      ranked.filter(col("doc_id") % 3 === i)
+        .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("m"))
+    }
+    val merged = deltaRegs.reduce(_ union _)
+      .groupBy(col("source"), col("idx")).agg(max(col("m")).as("m"))
+    // the truth column stays a single exact pass (it exists to gate the
+    // estimate, not the fold)
+    val exact = ranked.groupBy(col("source"))
+      .agg(countDistinct(col("s")).as("exact_distinct"))
+    hllFinish(merged, exact)
   }
 
   val q117Sql: String = {
@@ -206,9 +246,14 @@ object SketchQueries {
 
   val defs: Map[String, Q] = Map(
     "q116_cms_topk" -> (q116 _),
-    "q117_hll_distinct" -> (q117 _))
+    "q117_hll_distinct" -> (q117 _),
+    "q120_incremental_hll" -> (q120 _))
 
   val oracles: Map[String, String] = Map(
     "q116_cms_topk" -> q116Sql,
-    "q117_hll_distinct" -> q117Sql)
+    "q117_hll_distinct" -> q117Sql,
+    // q120's oracle IS q117's single-pass SQL: the fold must equal the
+    // batch computation (register MAX-merge is a commutative idempotent
+    // monoid) — fold == recompute, gated bit-for-bit
+    "q120_incremental_hll" -> q117Sql)
 }

@@ -80,6 +80,29 @@ class SketchAndMixSpec extends SparkSpec {
       "per-query top-k must retain candidates map-side")
   }
 
+  test("q119: the first document is fully novel, and novelty is a real spread") {
+    val rows = DedupQueries.q119(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1000L, s"doc ${first._1} (corpus-first) must be fully novel")
+    rows.foreach { case (id, nSh, nNew, pm) =>
+      assert(nNew <= nSh && pm <= 1000, s"doc $id: $nNew/$nSh -> $pm")
+    }
+    // the synthetic corpus shares vocabulary heavily: later docs must not
+    // all be fully novel (a broken join would score everything 1000)
+    assert(rows.count(_._4 < 1000) > rows.length / 2,
+      "expected most non-first docs to repeat earlier shingles")
+  }
+
+  test("q120: the incremental register fold equals the batch sketch exactly") {
+    val batch = SketchQueries.q117(spark, sfDir).collect().map(_.toSeq)
+    val folded = SketchQueries.q120(spark, sfDir).collect().map(_.toSeq)
+    assert(batch.nonEmpty)
+    assert(folded.toSeq == batch.toSeq,
+      "HLL max-merge must be exactly order/partition independent")
+  }
+
   test("q118: probed-cell candidates rank by true ADC distance (plain recomputation)") {
     import org.apache.spark.sql.functions._
     val vecs = graft.Tables.embeddings(spark, sfDir)
