@@ -179,6 +179,94 @@ object Multimodal {
     bos.toByteArray
   }
 
+  private val bmpWriterCache =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter] { () =>
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("bmp")
+      require(it.hasNext, "JDK BMP writer missing")
+      it.next()
+    }
+
+  /** Deterministic 24-bit BMP encode of the same pixel function — a SECOND
+    * lossless container for identical content, so content-addressed image
+    * dedup (q121) can prove format invariance: the PNG and BMP encodings of
+    * one pixel formula differ byte-for-byte but decode to the same pixels
+    * and hash identically. */
+  def encodeBmp(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = bmpWriterCache.get()
+    try {
+      w.setOutput(ios)
+      w.write(img)
+      ios.flush()
+    } finally {
+      w.setOutput(null)
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  final case class ImageHash(doc_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Executor-side perceptual average-hash over the DECODED pixels: 8x8
+    * nearest-neighbor sample (the q51 thumbnail idiom: source pixel
+    * (i*w/8, j*h/8)), integer luma (r*299 + g*587 + b*114)/1000, threshold
+    * at the floor-mean, bits packed into two 32-bit halves (two BIGINTs so
+    * neither engine touches the sign bit). Works for any decodable format
+    * and any dimensions — the content-addressable identity byte-hashing
+    * cannot provide. All arithmetic is integer floor ops so the DuckDB
+    * oracle reproduces every hash from the generating formula alone. */
+  def decodeImageAHash(media: DataFrame, idCol: String = "doc_id"): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        decodeImage(bytes).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val gray = new Array[Long](64)
+          var sum = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val rgb = img.getRGB(i * w / 8, j * h / 8)
+              val g = (((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+                (rgb & 0xFF) * 114L) / 1000L
+              gray(j * 8 + i) = g
+              sum += g
+              i += 1
+            }
+            j += 1
+          }
+          val mean = sum / 64L
+          var hi = 0L
+          var lo = 0L
+          var k = 0
+          while (k < 64) {
+            if (gray(k) >= mean) {
+              if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          ImageHash(id, hi, lo)
+        }
+      }
+    }
+  }
+
   /** Deterministic nearest-neighbor resize: target pixel (x,y) samples
     * source (x*w/tw, y*h/th) — integer floor division, so the result is
     * bit-identical across JVMs (unlike Graphics2D interpolation, which is

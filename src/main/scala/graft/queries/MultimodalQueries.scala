@@ -320,7 +320,85 @@ object MultimodalQueries {
       CAST((doc_id*13 + (clen - 1)*19) % 251 AS BIGINT) AS cluster_tail_byte
     FROM base ORDER BY doc_id"""
 
+  /** q121 — cross-format image dedup by perceptual hash: every cluster of
+    * 5 documents shares ONE pixel formula, but even docs carry it as PNG
+    * and odd docs as BMP — byte-level hashes see 500 distinct blobs,
+    * while the aHash over DECODED pixels (8x8 nearest sample, integer
+    * luma, floor-mean threshold — `Multimodal.decodeImageAHash`)
+    * reassembles the 100 content clusters across container formats. The
+    * dedup group-by runs on the two 32-bit hash halves; survivor = min
+    * doc_id (the dedup family's convention). The oracle recomputes every
+    * hash from the generating formula alone — the Spark side can only
+    * match if BOTH codec paths (PNG and BMP encode -> decode) are
+    * pixel-lossless.
+    *
+    * Scale shape: decode + hash is one mapPartitions pass (per-thread
+    * cached readers); what shuffles is (doc_id, 2 longs) — ~10^-4 of
+    * image corpus bytes — and the group-by is the exact-dedup shape. */
+  def q121(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val c = id / 5
+        val w = (c % 13 + 4).toInt
+        val h = (c % 11 + 4).toInt
+        val rgb = (x: Int, y: Int) => {
+          val r = ((c * 31 + x * 7 + y * 3) % 256).toInt
+          val g = ((c * 17 + x * 5 + y * 11) % 256).toInt
+          val b = ((c * 23 + x * 13 + y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        val bytes =
+          if (id % 2 == 0) Multimodal.encodePng(w, h, rgb)
+          else Multimodal.encodeBmp(w, h, rgb)
+        (id, bytes)
+      })
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "application/octet-stream")
+    val hashes = Multimodal.decodeImageAHash(media).toDF()
+      .withColumn("fmt", when(col("doc_id") % 2 === 0, lit("png")).otherwise(lit("bmp")))
+    val groups = hashes.groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("canonical"))
+    hashes.join(broadcast(groups), Seq("hash_hi", "hash_lo"))
+      .select(col("doc_id"), col("fmt"), col("hash_hi"), col("hash_lo"),
+        col("cluster_size"), col("canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q121Sql: String = """
+    WITH dims AS (
+      SELECT doc_id, doc_id // 5 AS c,
+        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        ((doc_id // 5) % 13) + 4 AS w, ((doc_id // 5) % 11) + 4 AS h
+      FROM documents),
+    g AS (
+      SELECT d.doc_id, d.fmt, gi.i, gj.j,
+        ( ((d.c*31 + ((gi.i*d.w)//8)*7  + ((gj.j*d.h)//8)*3)  % 256) * 299
+        + ((d.c*17 + ((gi.i*d.w)//8)*5  + ((gj.j*d.h)//8)*11) % 256) * 587
+        + ((d.c*23 + ((gi.i*d.w)//8)*13 + ((gj.j*d.h)//8))    % 256) * 114) // 1000 AS gray
+      FROM dims d, (SELECT unnest(range(0, 8)) AS i) gi,
+                   (SELECT unnest(range(0, 8)) AS j) gj),
+    m AS (SELECT doc_id, CAST(sum(gray) // 64 AS BIGINT) AS mean FROM g GROUP BY doc_id),
+    bits AS (
+      SELECT g.doc_id, g.fmt, g.i, g.j,
+        CASE WHEN g.gray >= m.mean THEN 1 ELSE 0 END AS b
+      FROM g JOIN m USING (doc_id)),
+    hashes AS (
+      SELECT doc_id, fmt,
+        CAST(sum(CASE WHEN j*8 + i < 32 THEN b * CAST(2 ** (j*8 + i) AS BIGINT) ELSE 0 END) AS BIGINT) AS hash_hi,
+        CAST(sum(CASE WHEN j*8 + i >= 32 THEN b * CAST(2 ** (j*8 + i - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id, fmt),
+    grp AS (
+      SELECT hash_hi, hash_lo, CAST(count(*) AS BIGINT) AS cluster_size,
+        min(doc_id) AS canonical
+      FROM hashes GROUP BY hash_hi, hash_lo)
+    SELECT h.doc_id, h.fmt, h.hash_hi, h.hash_lo, g2.cluster_size, g2.canonical
+    FROM hashes h JOIN grp g2 USING (hash_hi, hash_lo)
+    ORDER BY h.doc_id"""
+
   val defs: Map[String, Q] = Map(
+    "q121_image_dedup" -> (q121 _),
     "q51_image_decode" -> (q51 _),
     "q52_audio_decode" -> (q52 _),
     "q94_video_frames" -> (q94 _),
@@ -329,6 +407,7 @@ object MultimodalQueries {
     "q99_mkv_demux" -> (q99 _))
 
   val oracles: Map[String, String] = Map(
+    "q121_image_dedup" -> q121Sql,
     "q51_image_decode" -> q51Sql,
     "q52_audio_decode" -> q52Sql,
     "q94_video_frames" -> q94Sql,

@@ -118,56 +118,23 @@ object SketchQueries {
   // q117 — HyperLogLog distinct registers
   // ---------------------------------------------------------------------
 
-  /** HLL geometry: 2^HllB registers; the remaining HllRem bits feed the
-    * leading-zero rank. Alpha (0.709 for m=64) ships as a 2^20-scaled
-    * integer so the estimate is integer-exact cross-engine. */
-  val HllB = 6
-  val HllM = 1 << HllB // 64
-  val HllRem = 26 // 32 - HllB
-  val HllAlphaScaled = 743440L // floor(0.709 * 2^20)
+  /** HLL geometry — aliased from the shared kernel so the oracle SQL and
+    * the Spark arithmetic can never diverge. */
+  val HllB = graft.operators.HllSketch.B
+  val HllM = graft.operators.HllSketch.M
+  val HllRem = graft.operators.HllSketch.Rem
+  val HllAlphaScaled = graft.operators.HllSketch.AlphaScaled
 
   /** Per-(source, shingle) rows with HLL bucket index and leading-zero
     * rank — the stream both the batch register build (q117) and the
-    * incremental fold (q120) consume. */
-  private def hllRanked(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
-      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"),
-        Hashing.hash32(Text.normalize(col("text"))).as("nh"))
-      .select(col("doc_id"), col("source"),
-        transform(col("toks"), t => Hashing.hash32(t)).as("th"), col("nh"))
-      .select(col("doc_id"), col("source"),
-        Hashing.shingleHashes(col("th"), col("nh")).as("sh"))
-    val s = docs.select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
-    // rehash the [0,P) shingle hash into 32 uniform bits
-    val h2 = pmod(lit(Hashing.MinhashA(4)) * col("s") + lit(Hashing.MinhashB(4)),
-      lit(Hashing.P)) % lit(4294967296L)
-    s.select(col("doc_id"), col("source"), col("s"),
-        (h2 / lit(1L << HllRem)).cast(LongType).as("idx"),
-        pmod(h2, lit(1L << HllRem)).as("rem"))
-      .select(col("doc_id"), col("source"), col("s"), col("idx"),
-        when(col("rem") === 0L, lit(HllRem + 1))
-          .otherwise(lit(HllRem + 1) - length(bin(col("rem"))))
-          .cast(LongType).as("rho"))
-  }
+    * incremental fold (q120) consume. Kernel: [[graft.operators.HllSketch]]
+    * (one arithmetic shared with the streaming maintenance loop). */
+  private def hllRanked(spark: SparkSession, d: String): DataFrame =
+    graft.operators.HllSketch.ranked(
+      Tables.documents(spark, d).select(col("doc_id"), col("source"), col("text")))
 
-  /** Register max-merge + integer estimate: (source, idx, m) -> the q117
-    * output row shape. */
-  private def hllFinish(regs: DataFrame, exact: DataFrame): DataFrame = {
-    val folded = regs.groupBy(col("source")).agg(
-      count(lit(1)).as("n_present"),
-      sum(pow(lit(2.0), lit((HllRem + 1).toLong) - col("m")).cast(LongType))
-        .as("z_present"))
-    val zScale = 1L << (HllRem + 1)
-    val est = folded
-      .withColumn("z_scaled",
-        col("z_present") + (lit(HllM.toLong) - col("n_present")) * lit(zScale))
-      .withColumn("hll_est",
-        expr(s"(${HllAlphaScaled}L * ${HllM.toLong * HllM * (zScale / (1L << 20))}L) DIV z_scaled"))
-    est.join(exact, Seq("source"))
-      .select(col("source"), col("exact_distinct"), col("n_present"),
-        col("z_scaled"), col("hll_est"))
-      .orderBy(col("source"))
-  }
+  private def hllFinish(regs: DataFrame, exact: DataFrame): DataFrame =
+    graft.operators.HllSketch.finish(regs, exact)
 
   /** HLL distinct 3-gram shingles per source. Register build is a
     * per-(source, bucket) MAX of the leading-zero rank — commutative, so

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Converters, Text}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -654,6 +654,153 @@ object TextQueries {
       y = 1 AS actual
     FROM fd ORDER BY doc_id"""
 
+  /** Exact floor(log2(den/num)) for a POSITIVE rational den/num >= 1 —
+    * the cross-engine-exact logarithm the LM family's quantizer needs one
+    * step beyond integers (q104/q113's bits(n) only quantizes integer
+    * counts; interpolated probabilities are rationals). k = bits(den) -
+    * bits(num) brackets the ratio into [2^(k-1), 2^(k+1)); one integer
+    * comparison (den < num * 2^k) resolves which side — no libm anywhere.
+    * Requires num <= den (p <= 1) and num*2^k < 2*den < 2^63. */
+  private def rlog2(num: Column, den: Column): Column = {
+    val k = (length(bin(den)) - length(bin(num))).cast(LongType)
+    (k - when(den < num * pow(lit(2.0), k).cast(LongType), 1L).otherwise(0L))
+      .cast(LongType)
+  }
+
+  private def rlog2Sql(num: String, den: String): String = {
+    val k = s"(length(bin($den)) - length(bin($num)))"
+    s"($k - CASE WHEN $den < $num * CAST(2 ** $k AS BIGINT) THEN 1 ELSE 0 END)"
+  }
+
+  /** Interpolated trigram LM surprisal (the smoothing axis the LM family
+    * was missing; q104 unigram -> q113 bigram -> this): position i >= 3
+    * scores -floor(log2 p) with Jelinek-Mercer lambda=1/2 interpolation
+    * p = (c3/c12 + c23/c2)/2, expressed as the exact rational
+    * (c3*c2 + c23*c12) / (2*c12*c2) and quantized by [[rlog2]] — the
+    * whole gate stays integer arithmetic even though the interpolated
+    * probability is no longer a single count ratio. Position 2 scores the
+    * interpolated bigram+unigram model, position 1 the unigram model.
+    *
+    * Scale shape (q113's discipline, one order deeper): per-doc trigram
+    * occurrences aggregate map-side before any join; the trigram/bigram/
+    * unigram tables are vocabulary-sized; the corpus total broadcasts;
+    * one shuffle per n-gram order plus the final doc_id fold. Count
+    * products stay under 2^63 while corpus token counts stay under ~2^31
+    * — past that, compute the three plan-literal-free products in
+    * 128-bit (DuckDB HUGEINT / Spark decimal) or shard the LM. */
+  def q122(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .cache() // feeds occ3/occ2/occ1 and all three count tables
+    val triStruct = StructType(Seq(
+      StructField("w1", StringType), StructField("w2", StringType),
+      StructField("w3", StringType)))
+    val bgStruct = StructType(Seq(
+      StructField("prev", StringType), StructField("cur", StringType)))
+    val occ3 = toks.select(col("doc_id"), explode(
+        when(size(col("t")) > 2, transform(sequence(lit(3), size(col("t"))),
+          i => struct(element_at(col("t"), i - 2).as("w1"),
+            element_at(col("t"), i - 1).as("w2"),
+            element_at(col("t"), i).as("w3"))))
+        .otherwise(array().cast(ArrayType(triStruct)))).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("k"))
+      .cache() // feeds the trigram table and the scored join
+    val bgOcc = toks.select(col("doc_id"), explode(
+        when(size(col("t")) > 1, transform(sequence(lit(2), size(col("t"))),
+          i => struct(element_at(col("t"), i - 1).as("prev"),
+            element_at(col("t"), i).as("cur"))))
+        .otherwise(array().cast(ArrayType(bgStruct)))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val tri = occ3.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("k")).as("c3"))
+    val bi = bgOcc.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum(col("ucnt")).as("total"))
+
+    val s3 = occ3
+      .join(tri, Seq("w1", "w2", "w3"))
+      .join(bi.select(col("prev").as("w1"), col("cur").as("w2"),
+        col("bcnt").as("c12")), Seq("w1", "w2"))
+      .join(bi.select(col("prev").as("w2"), col("cur").as("w3"),
+        col("bcnt").as("c23")), Seq("w2", "w3"))
+      .join(uni.select(col("tok").as("w2"), col("ucnt").as("c2")), Seq("w2"))
+      .select(col("doc_id"),
+        (col("k") * rlog2(col("c3") * col("c2") + col("c23") * col("c12"),
+          lit(2L) * col("c12") * col("c2"))).as("s"),
+        col("k"))
+    val s2 = toks.where(size(col("t")) > 1)
+      .select(col("doc_id"), element_at(col("t"), 1).as("prev"),
+        element_at(col("t"), 2).as("cur"))
+      .join(bi, Seq("prev", "cur"))
+      .join(uni.select(col("tok").as("prev"), col("ucnt").as("uprev")), Seq("prev"))
+      .join(uni.select(col("tok").as("cur"), col("ucnt").as("ucur")), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        rlog2(col("bcnt") * col("total") + col("ucur") * col("uprev"),
+          lit(2L) * col("uprev") * col("total")).as("s"),
+        lit(1L).as("k"))
+    val s1 = toks.select(col("doc_id"), element_at(col("t"), 1).as("tok"))
+      .join(uni, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), rlog2(col("ucnt"), col("total")).as("s"),
+        lit(1L).as("k"))
+    s3.unionByName(s2).unionByName(s1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("s")).as("surprisal_sum"))
+      .withColumn("mean_surprisal_permille",
+        floor(col("surprisal_sum") * 1000d / col("n_tokens")).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  val q122Sql: String = {
+    val s3 = rlog2Sql("(c3*c2 + c23*c12)", "(2*c12*c2)")
+    val s2 = rlog2Sql("(bcnt*total + ucur*uprev)", "(2*uprev*total)")
+    val s1 = rlog2Sql("ucnt", "total")
+    s"""
+    WITH toks AS (SELECT doc_id, ${Sql.words} AS t FROM documents
+                  WHERE len(${Sql.words}) > 0),
+    occ3 AS (SELECT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3,
+        CAST(count(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, unnest(list_transform(range(3, len(t) + 1),
+              i -> struct_pack(w1 := t[i-2], w2 := t[i-1], w3 := t[i]))) AS tg
+            FROM toks)
+      GROUP BY doc_id, tg.w1, tg.w2, tg.w3),
+    tri AS (SELECT w1, w2, w3, CAST(sum(k) AS BIGINT) AS c3
+      FROM occ3 GROUP BY w1, w2, w3),
+    bi AS (SELECT bg.prev AS prev, bg.cur AS cur, CAST(count(*) AS BIGINT) AS bcnt
+      FROM (SELECT unnest(list_transform(range(2, len(t) + 1),
+              i -> struct_pack(prev := t[i-1], cur := t[i]))) AS bg FROM toks)
+      GROUP BY bg.prev, bg.cur),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS ucnt
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+    tot AS (SELECT CAST(sum(ucnt) AS BIGINT) AS total FROM uni),
+    s3 AS (SELECT doc_id, k * $s3 AS s, k
+      FROM occ3
+      JOIN tri USING (w1, w2, w3)
+      JOIN (SELECT prev AS w1, cur AS w2, bcnt AS c12 FROM bi) b12 USING (w1, w2)
+      JOIN (SELECT prev AS w2, cur AS w3, bcnt AS c23 FROM bi) b23 USING (w2, w3)
+      JOIN (SELECT tok AS w2, ucnt AS c2 FROM uni) u2 USING (w2)),
+    s2 AS (SELECT doc_id, $s2 AS s, CAST(1 AS BIGINT) AS k
+      FROM (SELECT doc_id, t[1] AS prev, t[2] AS cur FROM toks WHERE len(t) > 1)
+      JOIN bi USING (prev, cur)
+      JOIN (SELECT tok AS prev, ucnt AS uprev FROM uni) up USING (prev)
+      JOIN (SELECT tok AS cur, ucnt AS ucur FROM uni) uc USING (cur)
+      CROSS JOIN tot),
+    s1 AS (SELECT doc_id, $s1 AS s, CAST(1 AS BIGINT) AS k
+      FROM (SELECT doc_id, t[1] AS tok FROM toks)
+      JOIN uni USING (tok) CROSS JOIN tot),
+    u AS (SELECT * FROM s3 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s1)
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+      CAST(sum(s) AS BIGINT) AS surprisal_sum,
+      CAST(floor(sum(s) * 1000.0 / sum(k)) AS BIGINT) AS mean_surprisal_permille
+    FROM u GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** Per-domain document cap — the C4/RefinedWeb "at most K docs per
     * source, best-quality-first" policy. Rank within source by
     * (passed DESC, n_tokens DESC, doc_id) and keep the top K.
@@ -785,6 +932,7 @@ object TextQueries {
 
   val defs: Map[String, Q] = Map(
     "q114_source_cap" -> (q114 _),
+    "q122_trigram_interp" -> (q122 _),
     "q115_temperature_sample" -> (q115 _),
     "q113_bigram_surprisal" -> (q113 _),
     "q112_bpe_tokenize" -> (q112 _),
@@ -804,6 +952,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q114_source_cap" -> q114Sql,
+    "q122_trigram_interp" -> q122Sql,
     "q115_temperature_sample" -> q115Sql,
     "q113_bigram_surprisal" -> q113Sql,
     "q112_bpe_tokenize" -> q112Sql,
