@@ -211,12 +211,100 @@ object SketchQueries {
     ORDER BY e.source"""
   }
 
+  // ---------------------------------------------------------------------
+  // q123 — histogram quantile sketch (order statistics)
+  // ---------------------------------------------------------------------
+
+  /** Histogram geometry: equi-width bins per group over [min, max]. */
+  val HistBins = 64L
+  /** Quantiles under test, in basis points. */
+  val HistQuantilesBp = Seq(2500L, 5000L, 7500L, 9000L)
+
+  /** q123 — quantile estimation from a mergeable equi-width histogram,
+    * completing the sketch triad (CMS = frequencies, HLL = distinct,
+    * histogram = order statistics): per (returnflag, bin) counts are
+    * commutative SUMs — map-side combined, <= groups x (bins+1) rows per
+    * task at any scale — and the quantile read is pure integer
+    * interpolation over the tiny register table (est = bin_lo +
+    * offset*width DIV bin_count). The exact-kth-value column is the truth
+    * gate (a per-group sort — the expensive path the sketch replaces; at
+    * 100 TB you'd keep only the registers and the two-scalar bounds).
+    * Prices are exact integer cents; bounds come from one tiny
+    * min/max agg that broadcasts back. */
+  def q123(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, d).select(
+      col("l_returnflag").as("rf"),
+      round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+    val bounds = li.groupBy(col("rf")).agg(
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .withColumn("width", expr(s"(mx - mn) DIV $HistBins + 1"))
+    val binned = li.join(broadcast(bounds), Seq("rf"))
+      .withColumn("bin", expr("(cents - mn) DIV width"))
+    val regs = binned.groupBy(col("rf"), col("bin"))
+      .agg(count(lit(1)).as("cnt"), max(col("mn")).as("mn"),
+        max(col("width")).as("width"))
+    val wCum = Window.partitionBy(col("rf")).orderBy(col("bin"))
+    val cum = regs
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("rf"))))
+    val qs = HistQuantilesBp.map(q => lit(q)) // 4 quantile rows
+    val targets = cum.crossJoin(
+        spark.range(HistQuantilesBp.size).select(
+          element_at(array(qs: _*), col("id").cast("int") + 1).as("q_bp")))
+      .withColumn("k", expr("(q_bp * n + 9999) DIV 10000"))
+    val wPick = Window.partitionBy(col("rf"), col("q_bp")).orderBy(col("bin"))
+    val est = targets.filter(col("cum") >= col("k"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .withColumn("est_cents",
+        expr("mn + bin * width + ((k - (cum - cnt) - 1) * width) DIV cnt"))
+      .select(col("rf"), col("q_bp"), col("n"), col("k"), col("est_cents"))
+    val wRank = Window.partitionBy(col("rf")).orderBy(col("cents"))
+    val ranked = li.withColumn("rn", row_number().over(wRank))
+    // est and ranked both descend from li — alias before the self-join
+    est.as("e").join(ranked.as("r"),
+        col("e.rf") === col("r.rf") && col("e.k") === col("r.rn"))
+      .select(col("e.rf").as("rf"), col("e.q_bp").as("q_bp"),
+        col("e.n").as("n"), col("e.est_cents").as("est_cents"),
+        col("r.cents").as("exact_cents"))
+      .orderBy(col("rf"), col("q_bp"))
+  }
+
+  val q123Sql: String = s"""
+    WITH li AS (SELECT l_returnflag AS rf,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+    bounds AS (SELECT rf, min(cents) AS mn, max(cents) AS mx,
+        (max(cents) - min(cents)) // $HistBins + 1 AS width
+      FROM li GROUP BY rf),
+    binned AS (SELECT li.rf, cents, mn, width, (cents - mn) // width AS bin
+      FROM li JOIN bounds ON li.rf = bounds.rf),
+    regs AS (SELECT rf, bin, CAST(count(*) AS BIGINT) AS cnt,
+        max(mn) AS mn, max(width) AS width
+      FROM binned GROUP BY rf, bin),
+    cum AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY rf ORDER BY bin) AS BIGINT) AS cum,
+        CAST(sum(cnt) OVER (PARTITION BY rf) AS BIGINT) AS n
+      FROM regs),
+    targets AS (SELECT cum.*, q.q_bp, (q.q_bp * n + 9999) // 10000 AS k
+      FROM cum CROSS JOIN (SELECT unnest([${HistQuantilesBp.mkString(", ")}]) AS q_bp) q),
+    est AS (SELECT rf, q_bp, n, k,
+        CAST(mn + bin * width + ((k - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS est_cents
+      FROM (SELECT *, row_number() OVER (PARTITION BY rf, q_bp ORDER BY bin) AS rn
+            FROM targets WHERE cum >= k)
+      WHERE rn = 1),
+    ranked AS (SELECT rf, cents, row_number() OVER (PARTITION BY rf ORDER BY cents) AS rn
+      FROM li)
+    SELECT e.rf, CAST(e.q_bp AS BIGINT) AS q_bp, e.n, e.est_cents, r.cents AS exact_cents
+    FROM est e JOIN ranked r ON e.rf = r.rf AND e.k = r.rn
+    ORDER BY e.rf, e.q_bp"""
+
   val defs: Map[String, Q] = Map(
+    "q123_histogram_quantiles" -> (q123 _),
     "q116_cms_topk" -> (q116 _),
     "q117_hll_distinct" -> (q117 _),
     "q120_incremental_hll" -> (q120 _))
 
   val oracles: Map[String, String] = Map(
+    "q123_histogram_quantiles" -> q123Sql,
     "q116_cms_topk" -> q116Sql,
     "q117_hll_distinct" -> q117Sql,
     // q120's oracle IS q117's single-pass SQL: the fold must equal the

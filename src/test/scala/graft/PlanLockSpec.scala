@@ -37,6 +37,8 @@ class PlanLockSpec extends SparkSpec {
     * hostile-vocab sidecar in BENCH_sf1.json.
     * Retired this round (off the top set since r5/r6): q22 q23 q27. */
   private val locked = Seq(
+    "q118_ivfpq_ann",        // composed ANN: the zero-corpus-shuffle probe
+                             // join + Partial top-k is the design claim
     "q111_sq8_ann",          // r7 additions: all landed in the top-10
     "q112_bpe_tokenize",     // (merge-chain literals ARE data-derived —
     "q113_bigram_surprisal", // a regen diff is informative, q18 precedent)

@@ -103,6 +103,26 @@ class SketchAndMixSpec extends SparkSpec {
       "HLL max-merge must be exactly order/partition independent")
   }
 
+  test("q123: every quantile estimate lands within one bin width of the exact value") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag").as("rf"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val widths = li.groupBy(col("rf"))
+      .agg(((max(col("cents")) - min(col("cents"))) / SketchQueries.HistBins + 1)
+        .cast("long").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SketchQueries.q123(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 3 * SketchQueries.HistQuantilesBp.size)
+    rows.foreach { case (rf, q, est, exact) =>
+      // est interpolates inside the bin that CONTAINS the exact kth value,
+      // so the error is bounded by the bin width by construction
+      assert(math.abs(est - exact) <= widths(rf),
+        s"$rf q=$q: |$est - $exact| > width ${widths(rf)}")
+    }
+  }
+
   test("q118: probed-cell candidates rank by true ADC distance (plain recomputation)") {
     import org.apache.spark.sql.functions._
     val vecs = graft.Tables.embeddings(spark, sfDir)
