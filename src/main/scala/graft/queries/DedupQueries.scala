@@ -452,7 +452,68 @@ object DedupQueries {
     GROUP BY ex.doc_id
     ORDER BY ex.doc_id"""
 
+  /** q125 — train/valid/test split LEAKAGE AUDIT: assign every document a
+    * deterministic hash split (80/10/10), then cross the verified
+    * near-dup pairs (q23's LSH-pruned, Jaccard-verified machinery) with
+    * the split assignment and report the full (split_a, split_b) matrix
+    * of candidate and verified pair counts. Cross-split verified pairs
+    * ARE eval leakage — the audit every serious pretraining pipeline
+    * runs before trusting held-out numbers, here as one oracle-gated
+    * query composed entirely from the existing dedup operators.
+    *
+    * Scale shape: inherits q22/q23's (band-keyed shuffle, no all-pairs);
+    * the split tag is a map-side hash; the matrix fold is <= 6 rows. */
+  def q125(spark: SparkSession, d: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = pmod(Hashing.hash32(concat(lit("split:"), c.cast("string"))), lit(100L))
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    }
+    def matrix(pairs: DataFrame, cntName: String): DataFrame =
+      pairs.select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as(cntName))
+    val cand = matrix(lshPairsDf(spark, d), "n_candidates")
+    val ver = matrix(q23(spark, d), "n_verified")
+    cand.join(ver, Seq("split_a", "split_b"), "full_outer")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"))
+      .withColumn("is_leak",
+        col("split_a") =!= col("split_b") && col("n_verified") > 0L)
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val q125Sql: String = {
+    def splitSql(doc: String) =
+      s"""(CASE WHEN CAST('0x' || substring(md5('split:' || $doc), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST('0x' || substring(md5('split:' || $doc), 1, 8) AS BIGINT) % 100 < 90 THEN 'valid'
+           ELSE 'test' END)"""
+    s"""
+    WITH cpairs AS (${q22Sql.replace("ORDER BY doc_a, doc_b", "")}),
+    vpairs AS (${q23Sql.replace("ORDER BY doc_a, doc_b", "")}),
+    cm AS (SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+        CAST(count(*) AS BIGINT) AS n_candidates
+      FROM (SELECT ${splitSql("doc_a")} AS sa, ${splitSql("doc_b")} AS sb FROM cpairs)
+      GROUP BY 1, 2),
+    vm AS (SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+        CAST(count(*) AS BIGINT) AS n_verified
+      FROM (SELECT ${splitSql("doc_a")} AS sa, ${splitSql("doc_b")} AS sb FROM vpairs)
+      GROUP BY 1, 2)
+    SELECT coalesce(cm.split_a, vm.split_a) AS split_a,
+      coalesce(cm.split_b, vm.split_b) AS split_b,
+      coalesce(n_candidates, 0) AS n_candidates,
+      coalesce(n_verified, 0) AS n_verified,
+      (coalesce(cm.split_a, vm.split_a) <> coalesce(cm.split_b, vm.split_b)
+        AND coalesce(n_verified, 0) > 0) AS is_leak
+    FROM cm FULL OUTER JOIN vm
+      ON cm.split_a = vm.split_a AND cm.split_b = vm.split_b
+    ORDER BY split_a, split_b"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q125_split_leakage" -> (q125 _),
     "q119_novelty_score" -> (q119 _),
     "q106_segment_dedup" -> (q106 _),
     "q107_bloom_decontaminate" -> (q107 _),
@@ -468,6 +529,7 @@ object DedupQueries {
     "q38_dedup_survivors" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
+    "q125_split_leakage" -> q125Sql,
     "q119_novelty_score" -> q119Sql,
     "q106_segment_dedup" -> q106Sql,
     "q107_bloom_decontaminate" -> q107Sql,

@@ -801,6 +801,76 @@ object TextQueries {
     FROM u GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** q124 — the CCNet filtering stage END TO END: LM-score every document
+    * (q104's unigram surprisal, reused as the input stage), LEARN the
+    * keep-threshold as the corpus p90 from a mergeable histogram (q123's
+    * register arithmetic on the score distribution — NOT a global sort),
+    * and filter. This is operator composition as a first-class query:
+    * score -> sketch-threshold -> filter is the actual production
+    * pipeline stage, and every step stays integer-exact so the oracle
+    * replays the whole chain (q104's CTEs nested as the input).
+    *
+    * Scale shape: the score pass is q104's (one corpus pass + vocab-sized
+    * joins); the histogram fold is <= 65 register rows; the threshold is
+    * ONE broadcast scalar; the final filter is map-side. Nothing sorts
+    * the corpus. */
+  def q124(spark: SparkSession, d: String): DataFrame = {
+    val Bins = 64L
+    val P90 = 9000L
+    val scores = q104(spark, d)
+      .select(col("doc_id"), col("mean_surprisal_permille").as("s"))
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val bounds = scores.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+      .withColumn("width", expr(s"(mx - mn) DIV $Bins + 1"))
+    val binned = scores.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("(s - mn) DIV width"))
+    val regs = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"), max(col("mn")).as("mn"),
+        max(col("width")).as("width"))
+    import org.apache.spark.sql.expressions.Window
+    val cum = regs
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("k", expr(s"($P90 * n + 9999) DIV 10000"))
+    val thr = cum.filter(col("cum") >= col("k"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("bin"))))
+      .filter(col("rn") === 1)
+      .select(expr("mn + bin * width + ((k - (cum - cnt) - 1) * width) DIV cnt")
+        .as("threshold"))
+    scores.join(docs, Seq("doc_id"))
+      .crossJoin(broadcast(thr))
+      .withColumn("keep", col("s") <= col("threshold"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast(LongType)).as("n_kept"),
+        max(col("threshold")).as("threshold_permille"),
+        coalesce(min(when(!col("keep"), col("s"))), lit(-1L))
+          .as("min_dropped_score"))
+      .orderBy(col("source"))
+  }
+
+  val q124Sql: String = s"""
+    WITH base AS ($q104Sql),
+    scores AS (SELECT doc_id, mean_surprisal_permille AS s FROM base),
+    bounds AS (SELECT min(s) AS mn, max(s) AS mx,
+        (max(s) - min(s)) // 64 + 1 AS width FROM scores),
+    regs AS (SELECT (s - mn) // width AS bin, CAST(count(*) AS BIGINT) AS cnt,
+        max(mn) AS mn, max(width) AS width
+      FROM scores CROSS JOIN bounds GROUP BY 1),
+    cum AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        CAST(sum(cnt) OVER () AS BIGINT) AS n FROM regs),
+    thr AS (SELECT CAST(mn + bin * width + ((k - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS threshold
+      FROM (SELECT *, (9000 * n + 9999) // 10000 AS k FROM cum)
+      WHERE cum >= k ORDER BY bin LIMIT 1),
+    flagged AS (SELECT d.source, s.s, t.threshold, s.s <= t.threshold AS keep
+      FROM scores s JOIN documents d USING (doc_id) CROSS JOIN thr t)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      max(threshold) AS threshold_permille,
+      CAST(coalesce(min(CASE WHEN NOT keep THEN s END), -1) AS BIGINT)
+        AS min_dropped_score
+    FROM flagged GROUP BY source ORDER BY source"""
+
   /** Per-domain document cap — the C4/RefinedWeb "at most K docs per
     * source, best-quality-first" policy. Rank within source by
     * (passed DESC, n_tokens DESC, doc_id) and keep the top K.
@@ -933,6 +1003,7 @@ object TextQueries {
   val defs: Map[String, Q] = Map(
     "q114_source_cap" -> (q114 _),
     "q122_trigram_interp" -> (q122 _),
+    "q124_perplexity_filter" -> (q124 _),
     "q115_temperature_sample" -> (q115 _),
     "q113_bigram_surprisal" -> (q113 _),
     "q112_bpe_tokenize" -> (q112 _),
@@ -953,6 +1024,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q114_source_cap" -> q114Sql,
     "q122_trigram_interp" -> q122Sql,
+    "q124_perplexity_filter" -> q124Sql,
     "q115_temperature_sample" -> q115Sql,
     "q113_bigram_surprisal" -> q113Sql,
     "q112_bpe_tokenize" -> q112Sql,
