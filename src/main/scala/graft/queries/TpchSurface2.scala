@@ -214,7 +214,87 @@ object TpchSurface2 {
       AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'
     GROUP BY o_orderkey ORDER BY o_orderkey"""
 
+  /** q126 — TPC-H Q17 shape: small-quantity-order revenue. The classic
+    * CORRELATED SCALAR AGGREGATE (l_quantity < 0.2 * avg(l_quantity) per
+    * part) — here written the way Catalyst executes it after subquery
+    * decorrelation: a part-keyed pre-aggregate joined back on the key.
+    * The fractional threshold is replaced by the exact integer
+    * cross-multiply (5 * ql * cnt < sum_ql, quantities are integral), so
+    * no double division enters the predicate; revenue sums in decimal.
+    *
+    * Scale shape: the per-part aggregate is part-cardinality-sized (and
+    * map-side combined); the join back is on the aggregation key, so the
+    * exchange introduced by the agg satisfies the join's distribution —
+    * the decorrelated plan every engine wants for Q17. */
+  def q126(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d).select(col("l_partkey"),
+      col("l_quantity").cast("long").as("ql"),
+      col("l_extendedprice").cast(dec2).as("price"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(col("ql")).as("sum_ql"), count(lit(1)).as("cnt"))
+    li.join(stats, Seq("l_partkey"))
+      .filter(col("ql") * 5L * col("cnt") < col("sum_ql"))
+      .agg((sum(col("price")).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_qualifying"))
+  }
+
+  val q126Sql: String = """
+    SELECT CAST(sum(price) AS DOUBLE) / 7.0 AS avg_yearly,
+      count(*) AS n_qualifying
+    FROM (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS ql,
+        CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem) li
+    JOIN (
+      SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_ql,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey) st
+    USING (l_partkey)
+    WHERE ql * 5 * cnt < sum_ql"""
+
+  /** q127 — TPC-H Q15 shape: top revenue supplier(s). A quarter's
+    * per-supplier revenue (decimal-exact sums) compared against the
+    * GLOBAL MAX — the scalar-subquery-over-aggregate pattern (the
+    * reference's saved-view revenue0). Exact decimal revenue makes the
+    * max comparison engine-stable; ties would all surface (none in this
+    * data, deterministically either way).
+    *
+    * Scale shape: supplier-keyed agg (map-side combined), one scalar max
+    * broadcast back — no window over the corpus, no second scan of
+    * lineitem. */
+  def q127(spark: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast(dec2) *
+          (lit(1).cast(dec3) - col("l_discount").cast(dec3))).as("r"))
+      .groupBy(col("l_suppkey")).agg(sum(col("r")).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q127Sql: String = """
+    WITH rev AS (
+      SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1 AS DECIMAL(5,3)) - CAST(l_discount AS DECIMAL(5,3)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey"""
+
   val defs: Map[String, Q] = Map(
+    "q126_small_qty_revenue" -> (q126 _),
+    "q127_top_supplier" -> (q127 _),
     "q60_volume_by_nation_pair" -> (q60 _),
     "q61_priority_classification" -> (q61 _),
     "q62_promo_revenue" -> (q62 _),
@@ -224,6 +304,8 @@ object TpchSurface2 {
     "q66_range_join" -> (q66 _))
 
   val oracles: Map[String, String] = Map(
+    "q126_small_qty_revenue" -> q126Sql,
+    "q127_top_supplier" -> q127Sql,
     "q60_volume_by_nation_pair" -> q60Sql,
     "q61_priority_classification" -> q61Sql,
     "q62_promo_revenue" -> q62Sql,
