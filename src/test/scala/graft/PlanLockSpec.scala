@@ -37,6 +37,8 @@ class PlanLockSpec extends SparkSpec {
     * hostile-vocab sidecar in BENCH_sf1.json.
     * Retired this round (off the top set since r5/r6): q22 q23 q27. */
   private val locked = Seq(
+    "q122_trigram_interp",   // board #1: three vocab-sized n-gram joins
+    "q124_perplexity_filter",// board #2: q104 subtree + histogram threshold
     "q118_ivfpq_ann",        // composed ANN: the zero-corpus-shuffle probe
                              // join + Partial top-k is the design claim
     "q111_sq8_ann",          // r7 additions: all landed in the top-10
