@@ -374,6 +374,79 @@ object Multimodal {
     bb.array()
   }
 
+  /** Same PCM content in a byte-DIFFERENT container: a LIST/INFO metadata
+    * chunk is inserted between fmt and data. The JDK RIFF parser skips
+    * unknown chunks, so decode returns identical samples — the audio
+    * analog of q121's PNG-vs-BMP pair, letting content-addressed audio
+    * dedup (q128) prove it hashes the SIGNAL, not the bytes. */
+  def encodeWavPcm16Tagged(sampleRate: Int, samples: Array[Short],
+                           tag: String): Array[Byte] = {
+    val info = tag.getBytes("US-ASCII")
+    val padded = if (info.length % 2 == 0) info else info :+ 0.toByte
+    val listLen = 4 + 8 + padded.length // "INFO" + "ICMT" subchunk header + payload
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + 8 + listLen + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8 + listLen + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("LIST".getBytes("US-ASCII")).putInt(listLen)
+      .put("INFO".getBytes("US-ASCII"))
+      .put("ICMT".getBytes("US-ASCII")).putInt(padded.length).put(padded)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  final case class AudioFp(doc_id: Long, n_samples: Long, fp: Long)
+
+  /** Executor-side audio content fingerprint over the DECODED samples:
+    * 16 frames by nearest boundaries (f*n/16), integer frame energy
+    * (sum of squares), bit f set iff energy_f * 16 >= total energy —
+    * a format-invariant 16-bit signature of the signal's energy envelope,
+    * all integer ops so the oracle reproduces it from the generating
+    * formula alone. Requires n >= 16 (every frame non-empty). */
+  def decodeAudioFingerprint(media: DataFrame, idCol: String = "doc_id"): Dataset[AudioFp] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        decodeWavPcm16(bytes).collect { case (_, samples) if samples.length >= 16 =>
+          val n = samples.length
+          val e = new Array[Long](16)
+          var total = 0L
+          var f = 0
+          while (f < 16) {
+            var i = f * n / 16
+            val end = (f + 1) * n / 16
+            var acc = 0L
+            while (i < end) {
+              val s = samples(i).toLong
+              acc += s * s
+              i += 1
+            }
+            e(f) = acc
+            total += acc
+            f += 1
+          }
+          var fp = 0L
+          f = 0
+          while (f < 16) {
+            if (e(f) * 16 >= total) fp |= 1L << f
+            f += 1
+          }
+          AudioFp(id, n.toLong, fp)
+        }
+      }
+    }
+  }
+
   /** REAL WAV decode via `javax.sound.sampled.AudioSystem` — the JDK audio
     * codec parses the RIFF container and hands back the PCM frames. Returns
     * (sampleRate, samples) or None for non-WAV payloads. */

@@ -397,7 +397,70 @@ object MultimodalQueries {
     FROM hashes h JOIN grp g2 USING (hash_hi, hash_lo)
     ORDER BY h.doc_id"""
 
+  /** q128 — audio content dedup: clusters of 5 docs share one PCM
+    * formula; even docs carry it as a canonical WAV, odd docs as a
+    * byte-different tagged WAV (LIST/INFO chunk the JDK parser skips).
+    * The 16-frame energy-envelope fingerprint over DECODED samples
+    * (`Multimodal.decodeAudioFingerprint`) reassembles content clusters
+    * across containers — the audio analog of q121, proving the dedup key
+    * is the signal, not the bytes. Oracle recomputes every fingerprint
+    * from the sample formula; scale shape identical to q121 (one decode
+    * pass, (doc_id, n, fp) is all that shuffles). */
+  def q128(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val c = id / 5
+        val n = (c % 50 + 20).toInt
+        val samples = Array.tabulate(n)(i => (((c * 7 + i * 13) % 2001) - 1000).toShort)
+        val bytes =
+          if (id % 2 == 0) Multimodal.encodeWavPcm16(8000, samples)
+          else Multimodal.encodeWavPcm16Tagged(8000, samples, s"cluster $c")
+        (id, bytes)
+      })
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "audio/wav")
+    val fps = Multimodal.decodeAudioFingerprint(media).toDF()
+      .withColumn("container",
+        when(col("doc_id") % 2 === 0, lit("plain")).otherwise(lit("tagged")))
+    val groups = fps.groupBy(col("n_samples"), col("fp"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("canonical"))
+    fps.join(broadcast(groups), Seq("n_samples", "fp"))
+      .select(col("doc_id"), col("container"), col("n_samples"), col("fp"),
+        col("cluster_size"), col("canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q128Sql: String = """
+    WITH dims AS (
+      SELECT doc_id, doc_id // 5 AS c,
+        CASE WHEN doc_id % 2 = 0 THEN 'plain' ELSE 'tagged' END AS container,
+        (doc_id // 5) % 50 + 20 AS n
+      FROM documents),
+    fr AS (
+      SELECT d.doc_id, d.container, d.n, fs.f,
+        CAST(list_sum(list_transform(range(fs.f * d.n // 16, (fs.f + 1) * d.n // 16),
+          i -> (((d.c*7 + i*13) % 2001) - 1000) * (((d.c*7 + i*13) % 2001) - 1000)))
+          AS BIGINT) AS e
+      FROM dims d, (SELECT unnest(range(0, 16)) AS f) fs),
+    tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS te FROM fr GROUP BY doc_id),
+    fps AS (
+      SELECT fr.doc_id, fr.container, CAST(max(fr.n) AS BIGINT) AS n_samples,
+        CAST(sum(CASE WHEN fr.e * 16 >= t.te
+          THEN CAST(2 ** fr.f AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+      FROM fr JOIN tot t USING (doc_id)
+      GROUP BY fr.doc_id, fr.container),
+    grp AS (
+      SELECT n_samples, fp, CAST(count(*) AS BIGINT) AS cluster_size,
+        min(doc_id) AS canonical
+      FROM fps GROUP BY n_samples, fp)
+    SELECT f.doc_id, f.container, f.n_samples, f.fp, g.cluster_size, g.canonical
+    FROM fps f JOIN grp g USING (n_samples, fp)
+    ORDER BY f.doc_id"""
+
   val defs: Map[String, Q] = Map(
+    "q128_audio_dedup" -> (q128 _),
     "q121_image_dedup" -> (q121 _),
     "q51_image_decode" -> (q51 _),
     "q52_audio_decode" -> (q52 _),
@@ -407,6 +470,7 @@ object MultimodalQueries {
     "q99_mkv_demux" -> (q99 _))
 
   val oracles: Map[String, String] = Map(
+    "q128_audio_dedup" -> q128Sql,
     "q121_image_dedup" -> q121Sql,
     "q51_image_decode" -> q51Sql,
     "q52_audio_decode" -> q52Sql,

@@ -46,16 +46,17 @@ object SketchQueries {
     * collisions (the thing the min-over-rows estimator exists to survive)
     * actually occur in the gate; production geometry is w = 2^16+ with
     * the identical plan shape. */
-  val CmsDepth = 4
-  val CmsWidth = 16
+  // aliased from the shared kernel (operators.CmsSketch — also the
+  // streaming loop's arithmetic) so oracle SQL and Spark cannot diverge
+  val CmsDepth = graft.operators.CmsSketch.Depth
+  val CmsWidth = graft.operators.CmsSketch.Width
   val TopK = 20
 
   private def cmsCell(r: Int, h: Column): Column =
-    pmod(pmod(lit(Hashing.MinhashA(r)) * h + lit(Hashing.MinhashB(r)),
-      lit(Hashing.P)), lit(CmsWidth.toLong))
+    graft.operators.CmsSketch.cell(r, h)
 
   private def cmsCellSql(r: Int, h: String): String =
-    s"((${Hashing.MinhashA(r)} * $h + ${Hashing.MinhashB(r)}) % ${Hashing.P}) % $CmsWidth"
+    graft.operators.CmsSketch.cellSql(r, h)
 
   /** Count-min heavy hitters: build the d x w register table from the raw
     * token stream (one commutative SUM per cell — at 100 TB each map task
