@@ -1000,7 +1000,125 @@ object TextQueries {
     GROUP BY d.lang
     ORDER BY d.lang"""
 
+  /** q129 — priority sampling (Duffield–Lund–Thorup, JACM 2007): a
+    * weight-sensitive sample of k documents without replacement with an
+    * unbiased subset-sum estimator. Each doc draws priority
+    * p = w * 2^32 DIV u where w = n_chars + 1 (the byte mass a training
+    * mix would weight by) and u = hash32(doc_id) + 1 is its deterministic
+    * uniform in [1, 2^32]; the sample is the top-k by priority and every
+    * kept doc's weight estimate is max(w, tau) with tau the (k+1)-th
+    * priority — sum(est) is unbiased for total corpus weight, which is
+    * what lets a 100 TB mix be audited from a 25-row sample.
+    *
+    * Scale shape: priorities are a pure map-side projection and the
+    * top-(k+1) lowers to TakeOrderedAndProject — per-partition partial
+    * top-k, O(k) rows to the driver, no global sort, no window over the
+    * corpus. The tau extraction and rank run on the k+1 surviving rows.
+    * All arithmetic is int64 (w*2^32 <= ~2^45 at any real doc size;
+    * integer DIV matches DuckDB //), so the gate is bit-exact. */
+  val SampleK = 25
+
+  def q129(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d).select(
+      col("doc_id"),
+      (col("n_chars") + 1L).as("w"),
+      (graft.functions.Hashing.hash32(col("doc_id").cast(StringType)) + 1L).as("u"))
+    val p = docs.withColumn("priority", expr("(w * 4294967296) DIV u"))
+    // TakeOrderedAndProject: map-side partial top-(k+1), no global sort
+    val top = p.orderBy(col("priority").desc, col("doc_id").asc).limit(SampleK + 1)
+    val w0 = Window.orderBy(col("priority").desc, col("doc_id").asc)
+    val wAll = Window.partitionBy(lit(1))
+    top
+      .withColumn("rank", row_number().over(w0))
+      .withColumn("tau", min(col("priority")).over(wAll))
+      .filter(col("rank") <= SampleK)
+      .select(col("rank"), col("doc_id"), col("w"), col("priority"),
+        greatest(col("w"), col("tau")).as("est_w"))
+      .orderBy(col("rank"))
+  }
+
+  val q129Sql: String = s"""
+    WITH p AS (
+      SELECT doc_id, n_chars + 1 AS w,
+        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1 AS u
+      FROM documents),
+    pr AS (
+      SELECT doc_id, w, (w * 4294967296) // u AS priority FROM p),
+    r AS (
+      SELECT doc_id, w, priority,
+        CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM pr),
+    t AS (SELECT min(priority) AS tau FROM r WHERE rank <= ${SampleK + 1})
+    SELECT rank, doc_id, w, priority, greatest(w, tau) AS est_w
+    FROM r, t WHERE rank <= $SampleK ORDER BY rank"""
+
+  /** q131 — epoch-repeat data mixing: materialize fractional per-language
+    * repeat factors (the DoReMi / Llama-style "source X repeats 2.3
+    * epochs" policy, here upsample-to-head: factor = c_max/c in basis
+    * points). Every doc yields floor(factor) full copies plus one more
+    * iff hash32(doc_id || ':mix') mod 10^4 falls under the fractional
+    * part — deterministic expected-fraction selection, the same
+    * hash-threshold rule a restartable 100 TB mixing job needs (no RNG
+    * state, any subset of tasks can be recomputed).
+    *
+    * Scale shape: per-language factors are a lang-sized broadcast; the
+    * expansion is a map-side `explode(sequence(1, copies))` — zero
+    * shuffle until the final lang-sized partial aggregate. The checksum
+    * sums doc_id*31+epoch over every emitted row, so the gate proves the
+    * exact multiset of (doc, epoch) copies, not just counts. */
+  def q131(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("lang"))
+    val lc = docs.groupBy(col("lang")).agg(count(lit(1)).cast(LongType).as("c"))
+    val mx = lc.agg(max(col("c")).as("c_max"))
+    val f = lc.crossJoin(broadcast(mx))
+      .withColumn("factor_bp", expr("(c_max * 10000) DIV c"))
+    val h = graft.functions.Hashing.hash32(
+      concat(col("doc_id").cast(StringType), lit(":mix")))
+    val withCopies = docs
+      .join(broadcast(f), Seq("lang"))
+      .withColumn("copies",
+        expr("factor_bp DIV 10000") +
+          when(h % 10000L < col("factor_bp") % 10000L, 1L).otherwise(0L))
+    val expanded = withCopies.select(
+      col("lang"), col("doc_id"), col("c"), col("factor_bp"),
+      explode(sequence(lit(1L), col("copies"))).as("epoch"))
+    expanded.groupBy(col("lang")).agg(
+      max(col("c")).as("n_docs"),
+      max(col("factor_bp")).as("factor_bp"),
+      count(lit(1)).as("out_rows"),
+      (count(lit(1)) - max(col("c")) * expr("max(factor_bp) DIV 10000"))
+        .as("n_extra"),
+      sum(col("doc_id") * 31L + col("epoch")).as("checksum"))
+      .orderBy(col("lang"))
+  }
+
+  val q131Sql: String = s"""
+    WITH lc AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+    m AS (SELECT max(c) AS c_max FROM lc),
+    f AS (SELECT lang, c, (c_max * 10000) // c AS factor_bp FROM lc, m),
+    dc AS (
+      SELECT d.doc_id, d.lang, f.c, f.factor_bp,
+        factor_bp // 10000 +
+          (CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8) AS BIGINT) % 10000
+                     < factor_bp % 10000 THEN 1 ELSE 0 END) AS copies
+      FROM documents d JOIN f ON d.lang = f.lang),
+    e AS (
+      SELECT lang, doc_id, c, factor_bp,
+        unnest(range(1, copies + 1)) AS epoch
+      FROM dc)
+    SELECT lang,
+      max(c) AS n_docs,
+      max(factor_bp) AS factor_bp,
+      CAST(count(*) AS BIGINT) AS out_rows,
+      CAST(count(*) - max(c) * (max(factor_bp) // 10000) AS BIGINT) AS n_extra,
+      CAST(sum(doc_id * 31 + epoch) AS BIGINT) AS checksum
+    FROM e GROUP BY lang ORDER BY lang"""
+
   val defs: Map[String, Q] = Map(
+    "q129_priority_sample" -> (q129 _),
+    "q131_epoch_mix" -> (q131 _),
     "q114_source_cap" -> (q114 _),
     "q122_trigram_interp" -> (q122 _),
     "q124_perplexity_filter" -> (q124 _),
@@ -1022,6 +1140,8 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q129_priority_sample" -> q129Sql,
+    "q131_epoch_mix" -> q131Sql,
     "q114_source_cap" -> q114Sql,
     "q122_trigram_interp" -> q122Sql,
     "q124_perplexity_filter" -> q124Sql,

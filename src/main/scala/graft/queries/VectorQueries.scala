@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -192,7 +192,83 @@ object VectorQueries {
     SELECT query_id, neighbor_id, score FROM ranked WHERE rk <= 3
     ORDER BY query_id, neighbor_id"""
 
+  /** q130 — benchmark decontamination by embedding similarity: flag every
+    * corpus vector whose cosine against ANY benchmark vector reaches the
+    * contamination threshold, reporting the closest benchmark item and how
+    * many benchmark items are within the hot zone. This is the semantic
+    * sibling of q78 (exact shingle decontamination) and q107 (Bloom):
+    * eval-set leakage that survives rewording shows up here, not there.
+    *
+    * Scale shape: the benchmark set is small by construction (eval suites
+    * are thousands of rows, the corpus is billions), so it ships as ONE
+    * collected array in a broadcast row and the per-doc max/count are
+    * higher-order-function folds over that array — a pure map-side
+    * projection with no keyed corpus shuffle: beyond the test-fixture
+    * repartition the only exchanges are the one-row benchmark collect and
+    * the final sort of the (rare) contaminated rows. The groupBy(vec_id)
+    * formulation would shuffle one row per corpus doc; this one shuffles
+    * one row per *hit*. Cosines divide exact integer dots by sqrt-norms in
+    * the same IEEE order on both engines, so threshold and tie behavior are
+    * bit-exact; argmax ties break to the smaller benchmark id via the
+    * lexicographic (cos, -bid) fold, mirrored by DuckDB's struct max. */
+  val ContamThreshold = 0.40d
+
+  def q130(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.parallel(Tables.embeddings(spark, d))
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+      .withColumn("norm", sqrt(Vectors.dotLong(col("qv"), col("qv")).cast(DoubleType)))
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+      .agg(collect_list(struct(col("vec_id").as("bid"), col("qv").as("bv"),
+        col("norm").as("bn"))).as("barr"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    def cosOf(x: Column, qv: Column, n: Column): Column = {
+      val dot = aggregate(zip_with(qv, x.getField("bv"), (a, b) => a * b),
+        lit(0L), (s, v) => s + v)
+      dot.cast(DoubleType) / (n * x.getField("bn"))
+    }
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("best", aggregate(
+        col("barr"),
+        struct(lit(-2.0d).as("c"), lit(Long.MinValue).as("nb")),
+        (acc, x) => {
+          val c = cosOf(x, col("qv"), col("norm"))
+          val negB = -x.getField("bid")
+          when(c > acc.getField("c") ||
+            (c === acc.getField("c") && negB > acc.getField("nb")),
+            struct(c.as("c"), negB.as("nb"))).otherwise(acc)
+        }))
+      .withColumn("n_hot",
+        size(filter(col("barr"),
+          x => cosOf(x, col("qv"), col("norm")) >= lit(ContamThreshold)))
+          .cast(LongType))
+      .filter(col("best").getField("c") >= lit(ContamThreshold))
+      .select(col("vec_id"),
+        (-col("best").getField("nb")).as("best_bench"),
+        col("best").getField("c").as("max_cos"),
+        col("n_hot"))
+      .orderBy(col("max_cos").desc, col("vec_id"))
+  }
+
+  val q130Sql: String = s"""
+    WITH q AS (SELECT vec_id, $qVecSql AS qv FROM embeddings),
+    n AS (SELECT vec_id, qv,
+        sqrt(CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS DOUBLE)) AS nrm
+      FROM q),
+    b AS (SELECT vec_id AS bid, qv AS bv, nrm AS bn FROM n WHERE vec_id % 10 = 0),
+    c AS (SELECT vec_id, qv, nrm FROM n WHERE vec_id % 10 <> 0),
+    s AS (SELECT c.vec_id, bid,
+        CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*bv[i])) AS DOUBLE) / (nrm * bn) AS cosv
+      FROM c CROSS JOIN b),
+    m AS (SELECT vec_id,
+        max({'c': cosv, 'nb': -bid}) AS best,
+        CAST(sum(CASE WHEN cosv >= CAST(0.40 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+      FROM s GROUP BY vec_id)
+    SELECT vec_id, -((best).nb) AS best_bench, (best).c AS max_cos, n_hot
+    FROM m WHERE (best).c >= CAST(0.40 AS DOUBLE)
+    ORDER BY max_cos DESC, vec_id"""
+
   val defs: Map[String, Q] = Map(
+    "q130_semantic_decontaminate" -> (q130 _),
     "q39_lsh_bucket_ann" -> (q39 _),
     "q30_knn_bruteforce_mips" -> (q30 _),
     "q31_ivf_label_pruned_ann" -> (q31 _),
@@ -200,6 +276,7 @@ object VectorQueries {
     "q37_embedding_cosine_pairs" -> (q37 _))
 
   val oracles: Map[String, String] = Map(
+    "q130_semantic_decontaminate" -> q130Sql,
     "q39_lsh_bucket_ann" -> q39Sql,
     "q30_knn_bruteforce_mips" -> q30Sql,
     "q31_ivf_label_pruned_ann" -> q31Sql,

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Contract tests for the round-7 sampling/mixing/decontamination trio
+  * (q129 priority sample, q130 semantic decontamination, q131 epoch-repeat
+  * mix): the scale-shape claims must hold in the physical plan, and the
+  * results must match a from-scratch plain-Scala recomputation (MessageDigest
+  * md5, JVM doubles) — an engine-independent check on top of the oracle gate.
+  */
+class SampleMixSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** First 8 hex chars of md5(s) as an unsigned 32-bit value — the plain-JVM
+    * mirror of functions.Hashing.hash32 (which rides Spark's md5). */
+  private def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  test("q129: top-(k+1) lowers to TakeOrderedAndProject — no global sort, no corpus window") {
+    val p = plan(TextQueries.q129(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"priority top-k must be a partial TakeOrdered, not a global Sort+Limit:\n$p")
+  }
+
+  test("q129: sample, priorities, tau, and estimator match a plain-Scala replay") {
+    val k = TextQueries.SampleK
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 1L))
+    val pri = docs.map { case (id, w) =>
+      val u = md5h32(id.toString) + 1L
+      (id, w, (w * 4294967296L) / u)
+    }.sortBy { case (id, _, p) => (-p, id) }
+    assert(pri.length > k + 1, "precondition: corpus larger than the sample")
+    // DLT priorities satisfy p >= w because u <= 2^32
+    pri.foreach { case (id, w, p) => assert(p >= w, s"doc $id: priority $p < weight $w") }
+    val tau = pri(k)._3 // the (k+1)-th priority
+    val expected = pri.take(k).zipWithIndex.map { case ((id, w, p), i) =>
+      (i + 1, id, w, p, math.max(w, tau))
+    }
+    val got = TextQueries.q129(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected.toSeq,
+      s"sample mismatch:\n got ${got.toSeq}\n exp ${expected.toSeq}")
+  }
+
+  test("q130: corpus never shuffles by key — no hashpartitioning exchange anywhere") {
+    val p = plan(VectorQueries.q130(spark, sfDir))
+    // allowed exchanges: the test-fixture roundrobin repartition, the
+    // benchmark collect (SinglePartition), and the final presentation sort
+    // (rangepartitioning). A hashpartitioning exchange would mean the
+    // per-doc max fell back to a corpus-keyed groupBy.
+    assert(!p.contains("hashpartitioning"),
+      s"per-doc argmax must be a map-side fold, not a keyed aggregation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the benchmark array must broadcast")
+  }
+
+  test("q130: flagged set, argmax, and hot counts match a plain-Scala replay") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000d).toLong).toArray
+        (r.getLong(0), v)
+      }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val withNorm = rows.map { case (id, v) => (id, v, math.sqrt(dot(v, v).toDouble)) }
+    val bench = withNorm.filter(_._1 % 10 == 0)
+    val corpus = withNorm.filter(_._1 % 10 != 0)
+    val expected = corpus.flatMap { case (id, v, n) =>
+      val cosines = bench.map { case (bid, bv, bn) => (bid, dot(v, bv).toDouble / (n * bn)) }
+      // lexicographic (cos, -bid) max == smaller bid on ties
+      val (bestBid, maxCos) = cosines.maxBy { case (bid, c) => (c, -bid) }
+      val nHot = cosines.count(_._2 >= VectorQueries.ContamThreshold).toLong
+      if (maxCos >= VectorQueries.ContamThreshold) Some((id, bestBid, maxCos, nHot)) else None
+    }.sortBy { case (id, _, c, _) => (-c, id) }
+    val got = VectorQueries.q130(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty, "precondition: some contamination at this threshold")
+    assert(got.toSeq == expected.toSeq,
+      s"decontamination mismatch:\n got ${got.toSeq}\n exp ${expected.toSeq}")
+  }
+
+  test("q131: expansion is a broadcast join + generate; factors and checksums match a plain replay") {
+    val p = plan(TextQueries.q131(spark, sfDir))
+    assert(p.contains("Generate"), "epoch expansion must be an explode")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "per-language factors must broadcast")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).map { case (l, xs) => (l, xs.length.toLong) }
+    val cMax = counts.values.max
+    val expected = counts.toSeq.sortBy(_._1).map { case (lang, c) =>
+      val factorBp = (cMax * 10000L) / c
+      val perDoc = docs.filter(_._2 == lang).map { case (id, _) =>
+        val extra = if (md5h32(s"$id:mix") % 10000L < factorBp % 10000L) 1L else 0L
+        (id, factorBp / 10000L + extra)
+      }
+      val outRows = perDoc.map(_._2).sum
+      val checksum = perDoc.map { case (id, copies) =>
+        (1L to copies).map(e => id * 31L + e).sum
+      }.sum
+      (lang, c, factorBp, outRows, outRows - c * (factorBp / 10000L), checksum)
+    }
+    val got = TextQueries.q131(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected,
+      s"epoch mix mismatch:\n got ${got.toSeq}\n exp $expected")
+    // every doc yields at least one copy (factor >= 1.0 by construction)
+    got.foreach { case (lang, c, _, outRows, _, _) =>
+      assert(outRows >= c, s"$lang: expansion lost documents ($outRows < $c)")
+    }
+  }
+}
