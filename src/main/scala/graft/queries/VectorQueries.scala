@@ -267,7 +267,100 @@ object VectorQueries {
     FROM m WHERE (best).c >= CAST(0.40 AS DOUBLE)
     ORDER BY max_cos DESC, vec_id"""
 
+  /** q132 — hybrid search (retrieve-then-rerank): lexical retrieval picks
+    * top-20 candidates per query by idf-weighted distinct-term overlap,
+    * then the vector stage reranks those candidates by quantized inner
+    * product against the query embedding — the standard two-stage shape of
+    * production RAG / retrieval pipelines (cheap lexical recall, expensive
+    * semantic precision only on candidates).
+    *
+    * Scale shape: the query frame, its term->idf weights (as one collected
+    * map), and the stage-1 candidates are all tiny and BROADCAST; the
+    * corpus text scan scores lexically via a HOF fold over
+    * array_intersect (map-side), the top-20 lowers to a Partial
+    * WindowGroupLimit, and the rerank joins candidates INTO the embeddings
+    * scan broadcast-side — the corpus never shuffles in either stage. The
+    * idf weight is the cross-engine-exact bits quantizer
+    * length(bin(N DIV df)), and scores/dots are int64, so the gate is
+    * bit-exact. */
+  val HybridQueries = 5
+  val HybridRecall  = 20
+  val HybridTopK    = 5
+
+  def q132(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val toks = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("toks"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val queries = toks.filter(col("doc_id") < HybridQueries)
+      .select(col("doc_id").as("query_id"), col("toks").as("qt"))
+    // one global term set -> df over the whole corpus -> idf map (tiny)
+    val qterms = queries.select(explode(col("qt")).as("term")).distinct()
+    val qtArr = qterms.agg(collect_list(col("term")).as("all_qt"))
+    val df = toks.crossJoin(broadcast(qtArr))
+      .select(col("doc_id"), explode(array_intersect(col("toks"), col("all_qt"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(n))
+      .withColumn("idf", length(bin(expr("n DIV df"))).cast(LongType))
+    val imap = idf.agg(map_from_entries(collect_list(struct(col("term"), col("idf")))).as("imap"))
+    val lex = toks.filter(col("doc_id") >= HybridQueries)
+      .crossJoin(broadcast(queries))
+      .crossJoin(broadcast(imap))
+      .withColumn("lex", aggregate(array_intersect(col("toks"), col("qt")),
+        lit(0L), (s, t) => s + coalesce(element_at(col("imap"), t), lit(0L))))
+      .filter(col("lex") > 0L)
+      .select(col("query_id"), col("doc_id"), col("lex"))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("lex").desc, col("doc_id"))
+    val cand = lex.withColumn("lrank", row_number().over(w1))
+      .filter(col("lrank") <= HybridRecall)
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+    val qvec = emb.filter(col("vec_id") < HybridQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+    val reranked = emb.join(broadcast(cand), emb("vec_id") === cand("doc_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("lex"),
+        Vectors.dotLong(col("qq"), col("qv")).as("dot"))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("doc_id"))
+    reranked.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("lex"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q132Sql: String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val words =
+      s"(CASE WHEN $norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split($norm, ' ') END)"
+    s"""
+    WITH toks AS (SELECT doc_id, list_distinct($words) AS toks FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    q AS (SELECT doc_id AS query_id, toks AS qt FROM toks WHERE doc_id < $HybridQueries),
+    qt AS (SELECT DISTINCT unnest(qt) AS term FROM q),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM toks, qt WHERE list_contains(toks.toks, qt.term) GROUP BY term),
+    idf AS (SELECT term, CAST(length(bin(n // df)) AS BIGINT) AS idf FROM df, n),
+    lex AS (SELECT q.query_id, t.doc_id, CAST(sum(i.idf) AS BIGINT) AS lex
+            FROM q, toks t, idf i
+            WHERE t.doc_id >= $HybridQueries
+              AND list_contains(t.toks, i.term) AND list_contains(q.qt, i.term)
+            GROUP BY q.query_id, t.doc_id),
+    r1 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY lex DESC, doc_id) AS lrank
+           FROM lex WHERE lex > 0),
+    e AS (SELECT vec_id, $qVecSql AS qv FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, qv AS qq FROM e WHERE vec_id < $HybridQueries),
+    d AS (SELECT c.query_id, c.doc_id, c.lex,
+            CAST(list_sum(list_transform(range(1, len(qq)+1), i -> qq[i]*e.qv[i])) AS BIGINT) AS dot
+          FROM r1 c JOIN e ON e.vec_id = c.doc_id JOIN qv ON qv.query_id = c.query_id
+          WHERE c.lrank <= $HybridRecall),
+    r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, doc_id) AS INTEGER) AS rank
+           FROM d)
+    SELECT query_id, rank, doc_id, lex, dot FROM r2 WHERE rank <= $HybridTopK
+    ORDER BY query_id, rank"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q132_hybrid_search" -> (q132 _),
     "q130_semantic_decontaminate" -> (q130 _),
     "q39_lsh_bucket_ann" -> (q39 _),
     "q30_knn_bruteforce_mips" -> (q30 _),
@@ -276,6 +369,7 @@ object VectorQueries {
     "q37_embedding_cosine_pairs" -> (q37 _))
 
   val oracles: Map[String, String] = Map(
+    "q132_hybrid_search" -> q132Sql,
     "q130_semantic_decontaminate" -> q130Sql,
     "q39_lsh_bucket_ann" -> q39Sql,
     "q30_knn_bruteforce_mips" -> q30Sql,

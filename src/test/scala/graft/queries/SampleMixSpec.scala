@@ -87,6 +87,52 @@ class SampleMixSpec extends SparkSpec {
       s"decontamination mismatch:\n got ${got.toSeq}\n exp ${expected.toSeq}")
   }
 
+  test("q132: recall stage retains candidates map-side; rerank broadcasts candidates into the embeddings scan") {
+    val p = plan(VectorQueries.q132(spark, sfDir))
+    assert(p.contains(s"row_number(), ${VectorQueries.HybridRecall}, Partial"),
+      s"stage-1 top-${VectorQueries.HybridRecall} must lower to a Partial WindowGroupLimit:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "candidates and query frames must broadcast")
+  }
+
+  test("q132: reranked top-k matches a plain-Scala two-stage replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val norm = r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim
+        val toks = if (norm.isEmpty) Set.empty[String] else norm.split(" ").toSet
+        (r.getLong(0), toks)
+      }
+    val n = docs.length.toLong
+    val queries = docs.filter(_._1 < VectorQueries.HybridQueries)
+    val qterms = queries.flatMap(_._2).toSet
+    val idf = qterms.map { t =>
+      val df = docs.count(_._2.contains(t)).toLong
+      t -> java.lang.Long.toBinaryString(n / df).length.toLong
+    }.toMap
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map { r =>
+        (r.getLong(0), r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000d).toLong).toArray)
+      }.toMap
+    val expected = queries.sortBy(_._1).flatMap { case (qid, qt) =>
+      val cands = docs.filter(_._1 >= VectorQueries.HybridQueries)
+        .map { case (id, t) => (id, t.intersect(qt).toSeq.map(idf).sum) }
+        .filter(_._2 > 0L)
+        .sortBy { case (id, s) => (-s, id) }
+        .take(VectorQueries.HybridRecall)
+      val qq = emb(qid)
+      cands.map { case (id, s) =>
+        (qid, id, s, emb(id).indices.map(i => qq(i) * emb(id)(i)).sum)
+      }.sortBy { case (_, id, _, dot) => (-dot, id) }
+        .take(VectorQueries.HybridTopK).zipWithIndex
+        .map { case ((q, id, s, dot), i) => (q, i + 1, id, s, dot) }
+    }
+    val got = VectorQueries.q132(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected.toSeq,
+      s"hybrid search mismatch:\n got ${got.toSeq}\n exp ${expected.toSeq}")
+  }
+
   test("q131: expansion is a broadcast join + generate; factors and checksums match a plain replay") {
     val p = plan(TextQueries.q131(spark, sfDir))
     assert(p.contains("Generate"), "epoch expansion must be an explode")
