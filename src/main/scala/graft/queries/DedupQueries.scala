@@ -512,7 +512,103 @@ object DedupQueries {
     ORDER BY split_a, split_b"""
   }
 
+  /** q133 — cross-source overlap matrix: for every pair of sources, a
+    * MinHash-estimated Jaccard of their shingle-set unions next to the
+    * exact value — the corpus-curation question "how much of source A is
+    * already in source B" answered two ways, so the estimator's error is
+    * visible in the result itself (the q117 estimate-vs-truth discipline).
+    *
+    * Scale shape, estimator leg: a per-source signature is the
+    * COMPONENT-WISE MIN over its docs' signatures (min over a union is the
+    * min of mins — the same commutative-monoid argument as HLL register
+    * MAX, so per-source state is k=16 longs, mergeable across any
+    * partitioning, incremental deltas fold for free). The shuffle carries
+    * k rows per source per task; the 190-pair compare is dim-table-sized.
+    * The exact leg is the honest corpus cost: one distinct + one
+    * shingle-keyed self-join — feasible at 100 TB but 10^6x more bytes
+    * than the signature leg, which is the point the output makes. */
+  private val OverlapK = 16
+
+  def q133(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    // mergeable per-source signature: component-wise min over doc sigs
+    val perSrc = shingleHashDf(spark, d)
+      .select(col("doc_id"), Hashing.minhashSignature(col("sh"), OverlapK).as("sig"))
+      .join(src, Seq("doc_id"))
+      .select(col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
+      .groupBy(col("source"), col("pos")).agg(min(col("v")).as("mv"))
+    val aSide = perSrc.select(col("pos"), col("source").as("src_a"), col("mv").as("mva"))
+    val bSide = perSrc.select(col("pos"), col("source").as("src_b"), col("mv").as("mvb"))
+    val est = aSide.join(bSide, Seq("pos"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("mva") === col("mvb"), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("est_bp", expr(s"(n_match * 10000) DIV $OverlapK"))
+    // exact leg: distinct (source, shingle) then a shingle-keyed self-join
+    val srcSh = shingleHashDf(spark, d).join(src, Seq("doc_id"))
+      .select(col("source"), explode(col("sh")).as("h")).distinct()
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = srcSh.select(col("source").as("src_a"), col("h"))
+      .join(srcSh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+    val pairs = sizes.select(col("source").as("src_a"), col("sz").as("sza"))
+      .crossJoin(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("szb"))))
+      .filter(col("src_a") < col("src_b"))
+    val exact = pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .withColumn("n_union", col("sza") + col("szb") - col("inter"))
+      .withColumn("exact_bp", expr("(inter * 10000) DIV n_union"))
+    est.join(exact, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("n_match"), col("est_bp"),
+        col("inter"), col("n_union"), col("exact_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q133Sql: String = {
+    val mhs = (0 until OverlapK)
+      .map(i => s"${Sql.minhash(i)} AS mh$i").mkString(",\n      ")
+    val mins = (0 until OverlapK).map(i => s"min(mh$i) AS m$i").mkString(", ")
+    val matches = (0 until OverlapK)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+    WITH sigs AS (
+      SELECT doc_id, $mhs
+      FROM (${Sql.shBase})),
+    ss AS (
+      SELECT source, $mins
+      FROM sigs JOIN documents USING (doc_id) GROUP BY source),
+    est AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+        CAST($matches AS BIGINT) AS n_match
+      FROM ss a JOIN ss b ON a.source < b.source),
+    ssh AS (
+      SELECT DISTINCT source, h
+      FROM (SELECT source, unnest(sh) AS h
+            FROM (${Sql.shBase}) JOIN documents USING (doc_id))),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM ssh GROUP BY source),
+    it AS (
+      SELECT x.source AS src_a, y.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+      FROM ssh x JOIN ssh y ON x.h = y.h AND x.source < y.source
+      GROUP BY 1, 2),
+    px AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.sz AS sza, b.sz AS szb
+      FROM sz a JOIN sz b ON a.source < b.source),
+    ex AS (
+      SELECT px.src_a, px.src_b,
+        CAST(coalesce(it.inter, 0) AS BIGINT) AS inter,
+        CAST(px.sza + px.szb - coalesce(it.inter, 0) AS BIGINT) AS n_union
+      FROM px LEFT JOIN it USING (src_a, src_b))
+    SELECT e.src_a, e.src_b, e.n_match,
+      CAST((e.n_match * 10000) // $OverlapK AS BIGINT) AS est_bp,
+      ex.inter, ex.n_union,
+      CAST((ex.inter * 10000) // ex.n_union AS BIGINT) AS exact_bp
+    FROM est e JOIN ex USING (src_a, src_b)
+    ORDER BY src_a, src_b"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q133_source_overlap" -> (q133 _),
     "q125_split_leakage" -> (q125 _),
     "q119_novelty_score" -> (q119 _),
     "q106_segment_dedup" -> (q106 _),
@@ -529,6 +625,7 @@ object DedupQueries {
     "q38_dedup_survivors" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
+    "q133_source_overlap" -> q133Sql,
     "q125_split_leakage" -> q125Sql,
     "q119_novelty_score" -> q119Sql,
     "q106_segment_dedup" -> q106Sql,

@@ -133,6 +133,51 @@ class SampleMixSpec extends SparkSpec {
       s"hybrid search mismatch:\n got ${got.toSeq}\n exp ${expected.toSeq}")
   }
 
+  test("q133: both overlap legs match a plain-Scala replay; the signature merge is the monoid fold") {
+    import graft.functions.Hashing
+    val P = Hashing.P
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map { r =>
+        val norm = r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim
+        val th = if (norm.isEmpty) Array.empty[Long] else norm.split(" ").map(md5h32)
+        val sh = if (th.length < 3) Set(md5h32(norm))
+        else th.indices.dropRight(2).map { i =>
+          ((th(i) * Hashing.C1) % P + (th(i + 1) * Hashing.C2) % P + th(i + 2)) % P
+        }.toSet
+        (r.getLong(0), r.getString(2), sh)
+      }
+    val k = 16
+    val bySrc = docs.groupBy(_._2).map { case (s, xs) =>
+      s -> xs.flatMap(_._3).toSet // union of shingle sets
+    }
+    // signature of the union — the replay computes it DIRECTLY, the engine
+    // computes it as a component-wise min over doc signatures: equality IS
+    // the mergeability property (min over union == min of mins)
+    def sig(sh: Set[Long]): Array[Long] = (0 until k).map { i =>
+      sh.map(s => (s * Hashing.MinhashA(i) + Hashing.MinhashB(i)) % P).min
+    }.toArray
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val (sa, sb) = (bySrc(a), bySrc(b))
+      val nMatch = sig(sa).zip(sig(sb)).count { case (x, y) => x == y }.toLong
+      val inter = sa.intersect(sb).size.toLong
+      val union = sa.union(sb).size.toLong
+      (a, b, nMatch, nMatch * 10000L / k, inter, union, inter * 10000L / union)
+    }
+    val got = DedupQueries.defs("q133_source_overlap")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == expected,
+      s"overlap matrix mismatch:\n got ${got.take(5).toSeq}...\n exp ${expected.take(5)}...")
+    // estimator usefulness: with k=16 the mean |est - exact| over 190 pairs
+    // must sit well inside one signature-granularity step (625 bp)
+    val mae = got.map { case (_, _, _, est, _, _, exact) => math.abs(est - exact) }.sum / got.length
+    assert(mae <= 1500, s"MinHash overlap estimator off the rails: MAE $mae bp")
+  }
+
   test("q131: expansion is a broadcast join + generate; factors and checksums match a plain replay") {
     val p = plan(TextQueries.q131(spark, sfDir))
     assert(p.contains("Generate"), "epoch expansion must be an explode")
