@@ -35,10 +35,17 @@ class PlanLockSpec extends SparkSpec {
     * table, so its "plan" is a LocalTableScan — zero regression surface
     * (round-6 gotcha). Its regression cover is the oracle gate plus the
     * hostile-vocab sidecar in BENCH_sf1.json.
-    * Retired this round (off the top set since r5/r6): q22 q23 q27. */
+    * Retired this round (off the top set since r5/r6): q22 q23 q27.
+    *
+    * Refreshed against the 133-query board (total 66.7 s): the top-10 is
+    * q112 q108(exempt) q72 q122 q128 q96 q89 q77 q124 q52 — q128 (audio
+    * content dedup) and q52 (audio decode) added below; everything else
+    * was already locked. */
   private val locked = Seq(
     "q122_trigram_interp",   // board #1: three vocab-sized n-gram joins
     "q124_perplexity_filter",// board #2: q104 subtree + histogram threshold
+    "q128_audio_dedup",      // 133-board top-10: cross-container decode +
+    "q52_audio_decode",      // fingerprint shapes (mapPartitions scans)
     "q118_ivfpq_ann",        // composed ANN: the zero-corpus-shuffle probe
                              // join + Partial top-k is the design claim
     "q111_sq8_ann",          // r7 additions: all landed in the top-10
