@@ -607,7 +607,91 @@ object DedupQueries {
     ORDER BY src_a, src_b"""
   }
 
+  /** q134 — content-defined chunking (CDC) dedup: chunk boundaries fall
+    * AFTER any token whose hash ≡ 0 (mod 8) — a content-derived rule, so
+    * an insertion near the head of a document shifts only the chunks it
+    * touches while every later chunk keeps its identity (fixed-size
+    * segmentation, q106, re-keys everything downstream — CDC is the
+    * rolling-hash discipline storage dedup uses for exactly this reason).
+    * Chunk identity is a position-weighted hash sum mod P, so reordered
+    * token multisets do NOT collide. Per doc: chunk count, chunks shared
+    * with any other document, and the duplicated token mass they cover.
+    * (Production CDC adds min/max chunk-size clamps — FastCDC — omitted
+    * here; expected chunk length is the divisor, 8.)
+    *
+    * Scale shape: chunking is pure map-side array work (boundaries,
+    * slices, weighted folds over materialized token-hash arrays); what
+    * shuffles is (doc_id, clen, chash) — one exchange keyed on the chunk
+    * hash for the sharing count, one join back on the same key, and the
+    * per-doc re-aggregate. No doc×doc comparison anywhere. */
+  def q134(spark: SparkSession, d: String): DataFrame = {
+    val P = Hashing.P
+    val base = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), w => Hashing.hash32(w)).as("th"))
+      .filter(size(col("th")) > 0)
+    val withB = base
+      .withColumn("bnds", filter(sequence(lit(1), size(col("th"))),
+        i => element_at(col("th"), i) % 8L === 0L || i === size(col("th"))))
+      .withColumn("bseq", sequence(lit(1), size(col("bnds"))))
+    // posexplode_outer: exempt from InferFiltersFromGenerate (round-7
+    // gotcha) and row-identical because bseq is provably non-empty (the
+    // last token index is always a boundary and size(th) > 0 here)
+    val chunks = withB
+      .select(col("doc_id"), col("th"), col("bnds"),
+        posexplode_outer(col("bseq")).as(Seq("p0", "ci")))
+      .withColumn("lo", when(col("ci") === 1, lit(1))
+        .otherwise(element_at(col("bnds"), col("ci") - 1) + 1))
+      .withColumn("hi", element_at(col("bnds"), col("ci")))
+      .withColumn("clen", (col("hi") - col("lo") + 1).cast("long"))
+      .withColumn("chash",
+        aggregate(transform(sequence(col("lo"), col("hi")),
+          j => ((j - col("lo") + 1).cast("long") * element_at(col("th"), j)) % P),
+          lit(0L), (s, v) => s + v) % P)
+      .select(col("doc_id"), col("clen"), col("chash"))
+    val counts = chunks.groupBy(col("chash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(counts, Seq("chash"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("clen")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("nd") > 1L, col("clen")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_bp", expr("(dup_tokens * 10000) DIV n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q134Sql: String = s"""
+    WITH t AS (SELECT doc_id, ${Sql.th} AS th FROM documents),
+    b AS (
+      SELECT doc_id, th,
+        list_filter(range(1, len(th) + 1),
+          i -> th[i] % 8 = 0 OR i = len(th)) AS bnds
+      FROM t WHERE len(th) > 0),
+    c AS (
+      SELECT doc_id, th, bnds, unnest(range(1, len(bnds) + 1)) AS ci FROM b),
+    lohi AS (
+      SELECT doc_id, th,
+        (CASE WHEN ci = 1 THEN 1 ELSE bnds[ci - 1] + 1 END) AS lo,
+        bnds[ci] AS hi
+      FROM c),
+    ch AS (
+      SELECT doc_id, CAST(hi - lo + 1 AS BIGINT) AS clen,
+        list_sum(list_transform(range(lo, hi + 1),
+          j -> ((j - lo + 1) * th[j]) % ${Hashing.P})) % ${Hashing.P} AS chash
+      FROM lohi),
+    cnt AS (SELECT chash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chash),
+    j AS (SELECT ch.doc_id, ch.clen, cnt.nd FROM ch JOIN cnt USING (chash))
+    SELECT doc_id,
+      CAST(sum(clen) AS BIGINT) AS n_tokens,
+      CAST(count(*) AS BIGINT) AS n_chunks,
+      CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      CAST(sum(CASE WHEN nd > 1 THEN clen ELSE 0 END) AS BIGINT) AS dup_tokens,
+      CAST((sum(CASE WHEN nd > 1 THEN clen ELSE 0 END) * 10000) // sum(clen) AS BIGINT) AS dup_bp
+    FROM j GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
+    "q134_cdc_chunk_dedup" -> (q134 _),
     "q133_source_overlap" -> (q133 _),
     "q125_split_leakage" -> (q125 _),
     "q119_novelty_score" -> (q119 _),
@@ -625,6 +709,7 @@ object DedupQueries {
     "q38_dedup_survivors" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
+    "q134_cdc_chunk_dedup" -> q134Sql,
     "q133_source_overlap" -> q133Sql,
     "q125_split_leakage" -> q125Sql,
     "q119_novelty_score" -> q119Sql,

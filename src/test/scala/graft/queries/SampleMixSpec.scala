@@ -178,6 +178,58 @@ class SampleMixSpec extends SparkSpec {
     assert(mae <= 1500, s"MinHash overlap estimator off the rails: MAE $mae bp")
   }
 
+  // plain-Scala CDC chunker mirroring q134: boundaries after h%8==0 tokens,
+  // chunk id = position-weighted sum mod P
+  private def cdcChunks(th: Seq[Long]): Seq[(Long, Long)] = {
+    val P = graft.functions.Hashing.P
+    val bnds = (1 to th.length).filter(i => th(i - 1) % 8 == 0 || i == th.length)
+    bnds.indices.map { ci =>
+      val lo = if (ci == 0) 1 else bnds(ci - 1) + 1
+      val hi = bnds(ci)
+      val chash = (lo to hi).map(j => ((j - lo + 1).toLong * th(j - 1)) % P).sum % P
+      ((hi - lo + 1).toLong, chash)
+    }
+  }
+
+  test("q134: per-doc chunk stats match a plain-Scala replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val norm = r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim
+        val th: Seq[Long] = if (norm.isEmpty) Seq.empty else norm.split(" ").toSeq.map(md5h32)
+        (r.getLong(0), th)
+      }.filter(_._2.nonEmpty)
+    val chunks = docs.flatMap { case (id, th) => cdcChunks(th).map { case (l, h) => (id, l, h) } }
+    val sharing = chunks.groupBy(_._3).map { case (h, xs) => h -> xs.map(_._1).distinct.size }
+    val expected = chunks.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, xs) =>
+      val nTok = xs.map(_._2).sum
+      val dup = xs.filter(x => sharing(x._3) > 1)
+      (id, nTok, xs.size.toLong, dup.size.toLong, dup.map(_._2).sum,
+        dup.map(_._2).sum * 10000L / nTok)
+    }
+    val got = DedupQueries.defs("q134_cdc_chunk_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected,
+      s"CDC stats mismatch:\n got ${got.take(5).toSeq}...\n exp ${expected.take(5)}...")
+    assert(expected.exists(_._4 > 0), "precondition: some cross-doc chunk sharing exists")
+  }
+
+  test("q134: content-defined boundaries survive a head insertion (the CDC property)") {
+    // 200 pseudo-random token hashes; insert one token at the front.
+    // Fixed-size segmentation would re-key every downstream segment; CDC
+    // must keep every chunk after the first boundary identical.
+    val th = (1 to 200).map(i => md5h32(s"tok$i"))
+    val shifted = md5h32("inserted") +: th
+    val a = cdcChunks(th).map(_._2)
+    val b = cdcChunks(shifted).map(_._2)
+    val common = a.toSet.intersect(b.toSet)
+    // all chunks except the (at most one) chunk containing the insertion
+    // point must survive under the content-defined rule
+    assert(common.size >= a.size - 1,
+      s"CDC lost ${a.size - common.size} of ${a.size} chunks on a 1-token head insertion")
+    assert(a.size > 10, "precondition: the stream actually chunks")
+  }
+
   test("q131: expansion is a broadcast join + generate; factors and checksums match a plain replay") {
     val p = plan(TextQueries.q131(spark, sfDir))
     assert(p.contains("Generate"), "epoch expansion must be an explode")
