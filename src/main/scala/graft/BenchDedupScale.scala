@@ -40,7 +40,12 @@ object BenchDedupScale {
       "q49_corpus_ngram_dedup" -> (graft.queries.PipelineQueries.q49 _),
       "q106_segment_dedup" -> (DedupQueries.q106 _),
       "q107_bloom_decontaminate" -> (DedupQueries.q107 _),
-      "q108_bpe_merges" -> (graft.queries.TextQueries.q108 _))
+      "q108_bpe_merges" -> (graft.queries.TextQueries.q108 _),
+      // r7 eighth batch: overlap matrix rows stay 190 (pair count is
+      // source-bounded, not corpus-bounded) and CDC chunk rows track the
+      // corpus linearly — both asserted by the recorded cardinalities
+      "q133_source_overlap" -> (DedupQueries.q133 _),
+      "q134_cdc_chunk_dedup" -> (DedupQueries.q134 _))
 
     val results = qs.map { case (name, fn) =>
       MemoRegistry.resetAll()
