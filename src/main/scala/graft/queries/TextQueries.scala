@@ -1116,7 +1116,73 @@ object TextQueries {
       CAST(sum(doc_id * 31 + epoch) AS BIGINT) AS checksum
     FROM e GROUP BY lang ORDER BY lang"""
 
+  /** q135 — distribution matching by rejection sampling: de-bias each
+    * source's length distribution toward the global corpus marginal (the
+    * CCNet/quality-matching move — keep a source's overlong/overshort tail
+    * only at the rate the reference distribution carries it). Per
+    * (source, bucket) the target is want = min(c_sb, (c_s * g_b) DIV g) —
+    * the source's doc budget allocated by the global bucket share, capped
+    * at what the source has (rejection sampling only deletes) — and a doc
+    * survives iff hash32(doc_id || ':rs') clears the expected-count
+    * threshold (want * 2^32) DIV c_sb: deterministic, RNG-state-free,
+    * recomputable per task.
+    *
+    * Scale shape: three dim-sized aggregates (bucket marginal, source
+    * totals, source×bucket cells) broadcast back; the keep decision is a
+    * map-side filter over the corpus scan — no window, no per-group sort
+    * (the q115 threshold discipline, one level deeper). */
+  val LenBuckets = 5L
+
+  def q135(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"),
+      least(expr("n_chars DIV 100"), lit(LenBuckets)).as("bucket"))
+    val g = docs.groupBy(col("bucket")).agg(count(lit(1)).as("gb"))
+    val gt = g.agg(sum(col("gb")).as("gtot"))
+    val s = docs.groupBy(col("source")).agg(count(lit(1)).as("cs"))
+    val sb = docs.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("csb"))
+    val tgt = sb.join(broadcast(s), Seq("source"))
+      .join(broadcast(g), Seq("bucket"))
+      .crossJoin(broadcast(gt))
+      .withColumn("want", least(col("csb"), expr("(cs * gb) DIV gtot")))
+      .withColumn("cut", expr("(want * 4294967296) DIV csb"))
+    val h = graft.functions.Hashing.hash32(
+      concat(col("doc_id").cast(StringType), lit(":rs")))
+    docs.withColumn("h", h)
+      .join(broadcast(tgt), Seq("source", "bucket"))
+      .withColumn("keep", col("h") < col("cut"))
+      .groupBy(col("source"), col("bucket")).agg(
+        max(col("csb")).as("n_docs"),
+        max(col("want")).as("want"),
+        sum(col("keep").cast(LongType)).as("kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(lit(0L))).as("kept_id_sum"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val q135Sql: String = s"""
+    WITH d AS (
+      SELECT doc_id, source, least(n_chars // 100, $LenBuckets) AS bucket
+      FROM documents),
+    g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS gb FROM d GROUP BY bucket),
+    gt AS (SELECT CAST(sum(gb) AS BIGINT) AS gtot FROM g),
+    s AS (SELECT source, CAST(count(*) AS BIGINT) AS cs FROM d GROUP BY source),
+    sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS csb
+           FROM d GROUP BY source, bucket),
+    tgt AS (
+      SELECT sb.source, sb.bucket, csb,
+        least(csb, (cs * gb) // gtot) AS want,
+        (least(csb, (cs * gb) // gtot) * 4294967296) // csb AS cut
+      FROM sb JOIN s USING (source) JOIN g USING (bucket), gt)
+    SELECT d.source, d.bucket,
+      max(t.csb) AS n_docs,
+      max(t.want) AS want,
+      CAST(sum(CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':rs'), 1, 8) AS BIGINT) < t.cut THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      CAST(sum(CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':rs'), 1, 8) AS BIGINT) < t.cut THEN d.doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM d JOIN tgt t ON d.source = t.source AND d.bucket = t.bucket
+    GROUP BY d.source, d.bucket
+    ORDER BY d.source, d.bucket"""
+
   val defs: Map[String, Q] = Map(
+    "q135_distribution_match" -> (q135 _),
     "q129_priority_sample" -> (q129 _),
     "q131_epoch_mix" -> (q131 _),
     "q114_source_cap" -> (q114 _),
@@ -1140,6 +1206,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q135_distribution_match" -> q135Sql,
     "q129_priority_sample" -> q129Sql,
     "q131_epoch_mix" -> q131Sql,
     "q114_source_cap" -> q114Sql,

@@ -230,6 +230,37 @@ class SampleMixSpec extends SparkSpec {
     assert(a.size > 10, "precondition: the stream actually chunks")
   }
 
+  test("q135: selection is broadcast+filter (no window); targets and kept sets match a plain replay") {
+    val p = plan(TextQueries.q135(spark, sfDir))
+    assert(!p.contains("WindowGroupLimit") && !p.contains("windowspecdefinition"),
+      s"rejection sampling must not need a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "per-cell targets must broadcast")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), math.min(r.getLong(2) / 100L, TextQueries.LenBuckets)))
+    val gtot = docs.length.toLong
+    val g = docs.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val cs = docs.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    val expected = docs.groupBy(d => (d._2, d._3)).toSeq.sortBy(_._1).map { case ((src, b), xs) =>
+      val csb = xs.length.toLong
+      val want = math.min(csb, cs(src) * g(b) / gtot)
+      val cut = want * 4294967296L / csb
+      val kept = xs.filter(d => md5h32(s"${d._1}:rs") < cut)
+      (src, b, csb, want, kept.length.toLong, kept.map(_._1).sum)
+    }
+    val got = TextQueries.q135(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected,
+      s"distribution match mismatch:\n got ${got.take(4).toSeq}...\n exp ${expected.take(4)}...")
+    // rejection sampling only deletes, and something must actually be rejected
+    expected.foreach { case (s, b, n, want, kept, _) =>
+      assert(want <= n, s"($s,$b): want $want exceeds cell size $n")
+      assert(kept <= n)
+    }
+    assert(expected.exists { case (_, _, n, want, _, _) => want < n },
+      "precondition: at least one over-represented cell gets downsampled")
+  }
+
   test("q131: expansion is a broadcast join + generate; factors and checksums match a plain replay") {
     val p = plan(TextQueries.q131(spark, sfDir))
     assert(p.contains("Generate"), "epoch expansion must be an explode")
