@@ -292,7 +292,61 @@ object TpchSurface2 {
     WHERE total_rev = (SELECT max(total_rev) FROM rev)
     ORDER BY s_suppkey"""
 
+  /** q136 — TPC-H Q21 shape (waiting supplier): the hardest join topology
+    * in the benchmark — a candidate row must pass BOTH an EXISTS (another
+    * supplier in the same order) and a NOT EXISTS (no OTHER supplier was
+    * also late) against the same fact table. Expressed as the decorrelated
+    * plan Catalyst targets for existence subqueries: one per-order
+    * aggregate (distinct suppliers / distinct LATE suppliers) joined back
+    * on the aggregation key — exists-other <=> n_supp >= 2, and (given the
+    * candidate itself is late) no-other-late <=> n_late = 1. "Late" means
+    * shipped more than 60 days after the order date (this schema carries
+    * no commit/receipt dates). The oracle runs the LITERAL correlated
+    * EXISTS/NOT EXISTS form — two independent formulations, one result.
+    *
+    * Scale shape: the per-order aggregate's exchange (orderkey) satisfies
+    * the join-back's distribution requirement — one shuffle feeds both
+    * sides (the q126 discipline); supplier is a broadcast dim; the final
+    * per-supplier count is dim-sized. */
+  def q136(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+    val perOrder = late.groupBy(col("ok")).agg(
+      countDistinct(col("sk")).as("n_supp"),
+      countDistinct(when(col("late"), col("sk"))).as("n_late"))
+    val waiting = late.filter(col("late"))
+      .select(col("ok"), col("sk")).distinct()
+      .join(perOrder, Seq("ok"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    val s = Tables.supplier(spark, d).select(col("s_suppkey"), col("s_name"))
+    waiting.join(broadcast(s), col("sk") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val q136Sql: String = """
+    WITH L AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk,
+        (date_diff('day', o_orderdate, l_shipdate) > 60) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'),
+    W AS (
+      SELECT DISTINCT ok, sk FROM L l1 WHERE late
+        AND EXISTS (SELECT 1 FROM L l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+        AND NOT EXISTS (SELECT 1 FROM L l3
+                        WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late))
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM W JOIN supplier ON s_suppkey = sk
+    GROUP BY s_name ORDER BY numwait DESC, s_name"""
+
   val defs: Map[String, Q] = Map(
+    "q136_waiting_supplier" -> (q136 _),
     "q126_small_qty_revenue" -> (q126 _),
     "q127_top_supplier" -> (q127 _),
     "q60_volume_by_nation_pair" -> (q60 _),
@@ -304,6 +358,7 @@ object TpchSurface2 {
     "q66_range_join" -> (q66 _))
 
   val oracles: Map[String, String] = Map(
+    "q136_waiting_supplier" -> q136Sql,
     "q126_small_qty_revenue" -> q126Sql,
     "q127_top_supplier" -> q127Sql,
     "q60_volume_by_nation_pair" -> q60Sql,
