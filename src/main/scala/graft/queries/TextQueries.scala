@@ -1181,7 +1181,63 @@ object TextQueries {
     GROUP BY d.source, d.bucket
     ORDER BY d.source, d.bucket"""
 
+  /** q137 — classifier evaluation for the language-ID filter (q40): per
+    * class support, tp/fp/fn, and integer-exact precision/recall/F1 in
+    * permille — the eval-harness step that gates whether a filter is fit
+    * to run over the corpus at all (the deployment sibling of q109/q110's
+    * train/infer pair). F1 chains the integer divisions
+    * (2*p*r DIV (p+r)), so the gate needs no libm on either engine.
+    *
+    * Scale shape: two class-sized conditional aggregates over the scored
+    * corpus (tp/fn by actual class, predicted totals by predicted class),
+    * joined class-on-class — the corpus pays one scoring pass and two
+    * map-side-combinable aggregations; everything after is dim-sized. */
+  def q137(spark: SparkSession, d: String): DataFrame = {
+    val s = q40(spark, d)
+    val byActual = s.groupBy(col("actual_lang").as("lang")).agg(
+      count(lit(1)).as("support"),
+      sum(col("correct").cast(LongType)).as("tp"))
+    val byPred = s.groupBy(col("pred_lang").as("lang")).agg(count(lit(1)).as("pc"))
+    byActual.join(byPred, Seq("lang"), "left")
+      .na.fill(0L, Seq("pc"))
+      .withColumn("fp", col("pc") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("prec_pm",
+        when(col("tp") + col("fp") > 0L, expr("(tp * 1000) DIV (tp + fp)")).otherwise(0L))
+      .withColumn("rec_pm",
+        when(col("support") > 0L, expr("(tp * 1000) DIV support")).otherwise(0L))
+      .withColumn("f1_pm",
+        when(col("prec_pm") + col("rec_pm") > 0L,
+          expr("(2 * prec_pm * rec_pm) DIV (prec_pm + rec_pm)")).otherwise(0L))
+      .select(col("lang"), col("support"), col("tp"), col("fp"), col("fn"),
+        col("prec_pm"), col("rec_pm"), col("f1_pm"))
+      .orderBy(col("lang"))
+  }
+
+  val q137Sql: String = s"""
+    WITH s AS (${q40Sql.replace("ORDER BY doc_id", "")}),
+    a AS (
+      SELECT actual_lang AS lang, CAST(count(*) AS BIGINT) AS support,
+        CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM s GROUP BY 1),
+    p AS (
+      SELECT pred_lang AS lang, CAST(count(*) AS BIGINT) AS pc FROM s GROUP BY 1),
+    j AS (
+      SELECT a.lang, support, tp,
+        coalesce(pc, 0) - tp AS fp, support - tp AS fn
+      FROM a LEFT JOIN p USING (lang)),
+    m AS (
+      SELECT lang, support, tp, fp, fn,
+        (CASE WHEN tp + fp > 0 THEN (tp * 1000) // (tp + fp) ELSE 0 END) AS prec_pm,
+        (CASE WHEN support > 0 THEN (tp * 1000) // support ELSE 0 END) AS rec_pm
+      FROM j)
+    SELECT lang, support, tp, fp, fn, prec_pm, rec_pm,
+      (CASE WHEN prec_pm + rec_pm > 0
+            THEN (2 * prec_pm * rec_pm) // (prec_pm + rec_pm) ELSE 0 END) AS f1_pm
+    FROM m ORDER BY lang"""
+
   val defs: Map[String, Q] = Map(
+    "q137_langid_eval" -> (q137 _),
     "q135_distribution_match" -> (q135 _),
     "q129_priority_sample" -> (q129 _),
     "q131_epoch_mix" -> (q131 _),
@@ -1206,6 +1262,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q137_langid_eval" -> q137Sql,
     "q135_distribution_match" -> q135Sql,
     "q129_priority_sample" -> q129Sql,
     "q131_epoch_mix" -> q131Sql,
