@@ -48,6 +48,7 @@ class PlanLockSpec extends SparkSpec {
     "q52_audio_decode",      // fingerprint shapes (mapPartitions scans)
     "q134_cdc_chunk_dedup",  // 136-board top-10 entrants: CDC chunk
     "q136_waiting_supplier", // shuffle shape; Q21 decorrelated join-back
+    "q123_histogram_quantiles", // 137-board top-10 (sketch bin pipeline)
     "q118_ivfpq_ann",        // composed ANN: the zero-corpus-shuffle probe
                              // join + Partial top-k is the design claim
     "q111_sq8_ann",          // r7 additions: all landed in the top-10
