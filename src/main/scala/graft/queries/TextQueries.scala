@@ -1007,8 +1007,12 @@ object TextQueries {
     * mix would weight by) and u = hash32(doc_id) + 1 is its deterministic
     * uniform in [1, 2^32]; the sample is the top-k by priority and every
     * kept doc's weight estimate is max(w, tau) with tau the (k+1)-th
-    * priority — sum(est) is unbiased for total corpus weight, which is
-    * what lets a 100 TB mix be audited from a 25-row sample.
+    * priority — ZERO when the corpus has at most k docs (the whole corpus
+    * is the sample, so est_w = w exactly, per Duffield–Lund–Thorup's
+    * definition; min-of-sampled would overstate weights and break
+    * unbiasedness on tiny inputs) — sum(est) is unbiased for total corpus
+    * weight, which is what lets a 100 TB mix be audited from a 25-row
+    * sample.
     *
     * Scale shape: priorities are a pure map-side projection and the
     * top-(k+1) lowers to TakeOrderedAndProject — per-partition partial
@@ -1031,7 +1035,11 @@ object TextQueries {
     val wAll = Window.partitionBy(lit(1))
     top
       .withColumn("rank", row_number().over(w0))
-      .withColumn("tau", min(col("priority")).over(wAll))
+      // tau = the (k+1)-th priority; 0 when the corpus has <= k docs
+      // (every doc survives, so est_w = w — the unbiased boundary case)
+      .withColumn("tau",
+        when(count(lit(1)).over(wAll) <= SampleK, lit(0L))
+          .otherwise(min(col("priority")).over(wAll)))
       .filter(col("rank") <= SampleK)
       .select(col("rank"), col("doc_id"), col("w"), col("priority"),
         greatest(col("w"), col("tau")).as("est_w"))
@@ -1049,7 +1057,9 @@ object TextQueries {
       SELECT doc_id, w, priority,
         CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS INTEGER) AS rank
       FROM pr),
-    t AS (SELECT min(priority) AS tau FROM r WHERE rank <= ${SampleK + 1})
+    t AS (SELECT CASE WHEN count(*) <= $SampleK THEN 0
+                 ELSE min(priority) END AS tau
+          FROM r WHERE rank <= ${SampleK + 1})
     SELECT rank, doc_id, w, priority, greatest(w, tau) AS est_w
     FROM r, t WHERE rank <= $SampleK ORDER BY rank"""
 
@@ -1190,7 +1200,11 @@ object TextQueries {
     *
     * Scale shape: two class-sized conditional aggregates over the scored
     * corpus (tp/fn by actual class, predicted totals by predicted class),
-    * joined class-on-class — the corpus pays one scoring pass and two
+    * FULL-outer-joined class-on-class so a label that is predicted but
+    * never appears as an actual class still surfaces (support = 0, its
+    * mispredictions counted as fp) — a left join would silently drop
+    * those false positives and break the sum(fp) == sum(fn) identity of
+    * any single-label eval. The corpus pays one scoring pass and two
     * map-side-combinable aggregations; everything after is dim-sized. */
   def q137(spark: SparkSession, d: String): DataFrame = {
     val s = q40(spark, d)
@@ -1198,8 +1212,8 @@ object TextQueries {
       count(lit(1)).as("support"),
       sum(col("correct").cast(LongType)).as("tp"))
     val byPred = s.groupBy(col("pred_lang").as("lang")).agg(count(lit(1)).as("pc"))
-    byActual.join(byPred, Seq("lang"), "left")
-      .na.fill(0L, Seq("pc"))
+    byActual.join(byPred, Seq("lang"), "full")
+      .na.fill(0L, Seq("support", "tp", "pc"))
       .withColumn("fp", col("pc") - col("tp"))
       .withColumn("fn", col("support") - col("tp"))
       .withColumn("prec_pm",
@@ -1223,9 +1237,11 @@ object TextQueries {
     p AS (
       SELECT pred_lang AS lang, CAST(count(*) AS BIGINT) AS pc FROM s GROUP BY 1),
     j AS (
-      SELECT a.lang, support, tp,
-        coalesce(pc, 0) - tp AS fp, support - tp AS fn
-      FROM a LEFT JOIN p USING (lang)),
+      SELECT coalesce(a.lang, p.lang) AS lang,
+        coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+        coalesce(pc, 0) - coalesce(tp, 0) AS fp,
+        coalesce(support, 0) - coalesce(tp, 0) AS fn
+      FROM a FULL JOIN p ON a.lang = p.lang),
     m AS (
       SELECT lang, support, tp, fp, fn,
         (CASE WHEN tp + fp > 0 THEN (tp * 1000) // (tp + fp) ELSE 0 END) AS prec_pm,

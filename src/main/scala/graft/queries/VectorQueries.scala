@@ -207,16 +207,27 @@ object VectorQueries {
     * repartition the only exchanges are the one-row benchmark collect and
     * the final sort of the (rare) contaminated rows. The groupBy(vec_id)
     * formulation would shuffle one row per corpus doc; this one shuffles
-    * one row per *hit*. Cosines divide exact integer dots by sqrt-norms in
-    * the same IEEE order on both engines, so threshold and tie behavior are
-    * bit-exact; argmax ties break to the smaller benchmark id via the
-    * lexicographic (cos, -bid) fold, mirrored by DuckDB's struct max. */
+    * one row per *hit*. Each corpus×benchmark cosine is computed EXACTLY
+    * ONCE: a `transform` materializes the per-doc (cos, -bid) array (k
+    * small structs, k = benchmark size) and one fold over it accumulates
+    * (best_cos, argmax, n_hot) together — HOF lambdas run interpreted
+    * with no common-subexpression elimination, so a fold + filter pair
+    * re-deriving the cosines would double the flops of the hot path.
+    * Zero-norm (all-zero) vectors are excluded on BOTH sides before any
+    * division: a 0/0 cosine is NaN, and NaN orders above every double in
+    * both engines, so an empty embedding would otherwise flag every doc
+    * as contaminated by it. Cosines divide exact integer dots by
+    * sqrt-norms in the same IEEE order on both engines, so threshold and
+    * tie behavior are bit-exact; argmax ties break to the smaller
+    * benchmark id via the lexicographic (cos, -bid) fold, mirrored by
+    * DuckDB's struct max. */
   val ContamThreshold = 0.40d
 
   def q130(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.parallel(Tables.embeddings(spark, d))
       .select(col("vec_id"), quantized(col("embedding")).as("qv"))
       .withColumn("norm", sqrt(Vectors.dotLong(col("qv"), col("qv")).cast(DoubleType)))
+      .filter(col("norm") > 0d)
     val bench = emb.filter(col("vec_id") % 10 === 0)
       .agg(collect_list(struct(col("vec_id").as("bid"), col("qv").as("bv"),
         col("norm").as("bn"))).as("barr"))
@@ -227,25 +238,27 @@ object VectorQueries {
       dot.cast(DoubleType) / (n * x.getField("bn"))
     }
     corpus.crossJoin(broadcast(bench))
+      .withColumn("cosarr", transform(col("barr"), x =>
+        struct(cosOf(x, col("qv"), col("norm")).as("c"),
+          (-x.getField("bid")).as("nb"))))
       .withColumn("best", aggregate(
-        col("barr"),
-        struct(lit(-2.0d).as("c"), lit(Long.MinValue).as("nb")),
+        col("cosarr"),
+        struct(lit(-2.0d).as("c"), lit(Long.MinValue).as("nb"), lit(0L).as("nh")),
         (acc, x) => {
-          val c = cosOf(x, col("qv"), col("norm"))
-          val negB = -x.getField("bid")
+          val c = x.getField("c")
+          val nh = (acc.getField("nh") +
+            when(c >= lit(ContamThreshold), 1L).otherwise(0L)).as("nh")
           when(c > acc.getField("c") ||
-            (c === acc.getField("c") && negB > acc.getField("nb")),
-            struct(c.as("c"), negB.as("nb"))).otherwise(acc)
+            (c === acc.getField("c") && x.getField("nb") > acc.getField("nb")),
+            struct(c.as("c"), x.getField("nb").as("nb"), nh))
+            .otherwise(struct(acc.getField("c").as("c"),
+              acc.getField("nb").as("nb"), nh))
         }))
-      .withColumn("n_hot",
-        size(filter(col("barr"),
-          x => cosOf(x, col("qv"), col("norm")) >= lit(ContamThreshold)))
-          .cast(LongType))
       .filter(col("best").getField("c") >= lit(ContamThreshold))
       .select(col("vec_id"),
         (-col("best").getField("nb")).as("best_bench"),
         col("best").getField("c").as("max_cos"),
-        col("n_hot"))
+        col("best").getField("nh").as("n_hot"))
       .orderBy(col("max_cos").desc, col("vec_id"))
   }
 
@@ -254,8 +267,8 @@ object VectorQueries {
     n AS (SELECT vec_id, qv,
         sqrt(CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS DOUBLE)) AS nrm
       FROM q),
-    b AS (SELECT vec_id AS bid, qv AS bv, nrm AS bn FROM n WHERE vec_id % 10 = 0),
-    c AS (SELECT vec_id, qv, nrm FROM n WHERE vec_id % 10 <> 0),
+    b AS (SELECT vec_id AS bid, qv AS bv, nrm AS bn FROM n WHERE vec_id % 10 = 0 AND nrm > 0),
+    c AS (SELECT vec_id, qv, nrm FROM n WHERE vec_id % 10 <> 0 AND nrm > 0),
     s AS (SELECT c.vec_id, bid,
         CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*bv[i])) AS DOUBLE) / (nrm * bn) AS cosv
       FROM c CROSS JOIN b),

@@ -315,4 +315,79 @@ class SampleMixSpec extends SparkSpec {
       assert(outRows >= c, s"$lang: expansion lost documents ($outRows < $c)")
     }
   }
+
+  private def fixtureDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
+    new java.io.File(d).deleteOnExit(); d
+  }
+
+  test("q129 boundary: corpus of <= k docs means tau = 0 and est_w = w exactly") {
+    // Duffield–Lund–Thorup: when n <= k the whole corpus IS the sample and
+    // the estimator must be the true weight (tau is the (k+1)-th priority,
+    // which doesn't exist). min-of-sampled-priorities here would overstate
+    // every weight and break sum(est_w) unbiasedness.
+    import spark.implicits._
+    val d = fixtureDir("q129tiny")
+    val n = TextQueries.SampleK - 5
+    (1L to n.toLong).map(i => (i, s"doc $i text", "en", "web", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextQueries.q129(spark, d).collect()
+    assert(rows.length == n, s"all $n docs must be kept, got ${rows.length}")
+    rows.foreach { r =>
+      val (w, estW) = (r.getLong(2), r.getLong(4))
+      assert(estW == w, s"doc ${r.getLong(1)}: est_w $estW != w $w (tau must be 0)")
+    }
+  }
+
+  test("q130 boundary: zero-norm vectors are excluded, never NaN-flagged") {
+    // An all-zero embedding has cosine 0/0 = NaN against everything, and
+    // NaN sorts above every double in both engines — without the norm > 0
+    // guard a single empty benchmark vector would flag the ENTIRE corpus
+    // as contaminated with max_cos = NaN.
+    import spark.implicits._
+    val d = fixtureDir("q130zero")
+    val dim = 8
+    def vec(seed: Int): Array[Float] = Array.tabulate(dim)(i => ((seed * 31 + i) % 7 - 3).toFloat)
+    val rows = Seq(
+      (10L, Array.fill(dim)(0f), 0),          // bench (id%10==0), ZERO vector
+      (20L, vec(1), 0),                       // bench, real
+      (1L, Array.fill(dim)(0f), 1),           // corpus, ZERO vector
+      (2L, vec(1), 1),                        // corpus, identical to bench 20 -> cos 1.0
+      (3L, vec(9), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = VectorQueries.q130(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    got.foreach { case (id, bid, cos, _) =>
+      assert(!cos.isNaN, s"NaN cosine leaked for doc $id")
+      assert(bid != 10L, "zero-norm benchmark vector must not win the argmax")
+      assert(id != 1L, "zero-norm corpus vector must not be flagged")
+    }
+    // cos(v, v) = d/(sqrt(d)*sqrt(d)) is ~1.0 but not bit-exactly 1.0
+    assert(got.exists { case (id, bid, cos, _) => id == 2L && bid == 20L && cos > 0.999d },
+      s"the genuine duplicate must still flag: ${got.toSeq}")
+  }
+
+  test("q137 boundary: a predicted-only class surfaces with support 0 and its fp counted") {
+    // If label X is predicted but never the actual class, a left join from
+    // actual classes drops X's row entirely — its false positives vanish
+    // and sum(fp) != sum(fn). The full outer join must zero-fill support/tp.
+    import spark.implicits._
+    val d = fixtureDir("q137pred")
+    val docs = Seq(
+      (1L, "the and of to is that", "en"),   // pred en, actual en
+      (2L, "der die das und ist nicht", "en"), // pred de, actual en -> de is predicted-only
+      (3L, "le la les des est une", "fr"))   // pred fr, actual fr
+    docs.map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextQueries.q137(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val de = rows.find(_._1 == "de")
+    assert(de.contains(("de", 0L, 0L, 1L, 0L)),
+      s"predicted-only class must appear with support=0 tp=0 fp=1 fn=0; got $de in ${rows.toSeq}")
+    assert(rows.map(_._4).sum == rows.map(_._5).sum,
+      s"single-label identity sum(fp) == sum(fn) must hold: ${rows.toSeq}")
+  }
 }
