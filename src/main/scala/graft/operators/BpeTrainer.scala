@@ -229,19 +229,33 @@ object BpeTrainer {
     * merge learning applies) count as ONE opaque token, the unsplittable-
     * unknown convention.
     *
-    * Scale shape: tokenization is a pure map-side projection — the merge
-    * chain rides the plan as `steps` literal replaces (a production 50k-
-    * merge vocab would compile the chain into a trie/custom Expression,
-    * but the semantics are these literals); the only shuffle is the
-    * per-document count aggregation. */
-  def subwordCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    * Scale shape: tokenization is a pure map-side projection, and the
+    * whole merge table rides the plan as ONE `BpeEncode` expression
+    * (constant plan size — a production 50k-merge vocab compiles and
+    * applies the same as 10 merges; `BpeApplySpec` proves the expression
+    * bit-equal to the literal replace chain it replaces); the only
+    * shuffle is the per-document count aggregation. */
+  def subwordCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    subwordCountsWith(docs,
+      graft.functions.expressions.BpeEncode.bpeEncode(
+        col("word"), merges.map(m => (m.left_sym, m.right_sym))))
+
+  /** The same contract via the literal replace chain — `steps` nested
+    * `replace` calls, the definitional semantics `BpeEncode` compiles.
+    * Kept as the parity-spec reference; unshippable at production merge
+    * counts (plan size and codegen scale with the vocabulary). */
+  def subwordCountsLiteral(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    subwordCountsWith(docs,
+      merges.foldLeft(encode(col("word"))) { (c, m) =>
+        call_function("replace", c,
+          lit(s" ${m.left_sym}; ${m.right_sym};"), lit(s" ${m.merged};"))
+      })
+
+  private def subwordCountsWith(docs: DataFrame,
+      encN: org.apache.spark.sql.Column): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(Text.tokens(col("text"))).as("word"))
     val oov = col("word").contains(";") || col("word").rlike("[^\\x00-\\x7F]")
-    val encN = merges.foldLeft(encode(col("word"))) { (c, m) =>
-      call_function("replace", c,
-        lit(s" ${m.left_sym}; ${m.right_sym};"), lit(s" ${m.merged};"))
-    }
     // each symbol ends in ';', so symbols = count of ';' in the encoding
     val nSub = when(oov, lit(1L))
       .otherwise((length(encN) - length(translate(encN, ";", ""))).cast(LongType))

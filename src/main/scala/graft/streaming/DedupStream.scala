@@ -30,21 +30,6 @@ object DedupStream {
     .add("doc_id", LongType).add("text", StringType)
     .add("ingest_batch", LongType)
 
-  /** Read a batch-partitioned parquet dir that may not exist yet (first
-    * microbatch): missing dir = empty table. */
-  private def readOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
-
-  private def writeBatchPartition(df: DataFrame, dir: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(dir)
-
   /** Latest delivery wins: collapse a batch-stamped table to one row per
     * doc_id, keeping the highest ingest_batch. A doc_id redelivered in a
     * later batch (edited content) would otherwise keep BOTH rows — the
@@ -88,14 +73,14 @@ object DedupStream {
       .withColumn("rn", row_number().over(winner))
       .filter(col("rn") === 1).drop("rn")
       .localCheckpoint(true)
-    writeBatchPartition(delta.withColumn("ingest_batch", lit(batchId)), archiveDir)
+    BatchStore.writePartition(delta, batchId, archiveDir)
     // Store = signatures of strictly-earlier batches; a replayed batch's
     // own partition (from the crashed attempt) is excluded, then
     // overwritten below. A doc the current delta redelivers is ALSO
     // excluded from the store leg: its old signature must not surface it
     // as an "other" doc (the pair (doc, doc) is meaningless and the stale
     // sketch no longer describes any live content).
-    val storeSigs = latestPerDoc(readOr(spark, storeDir, sigSchema)
+    val storeSigs = latestPerDoc(BatchStore.readOr(spark, storeDir, sigSchema)
         .filter(col("ingest_batch") < batchId))
       .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("sig"))
@@ -110,14 +95,14 @@ object DedupStream {
       .localCheckpoint(eager = true)
     val needed = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val corpus = latestPerDoc(readOr(spark, archiveDir, docSchema)
+    val corpus = latestPerDoc(BatchStore.readOr(spark, archiveDir, docSchema)
         .filter(col("ingest_batch") <= batchId)
         .join(needed, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("text"))
     val pairs = IncrementalDedup.verifyPairs(cand, corpus, threshold)
       .localCheckpoint(true)
-    writeBatchPartition(pairs.withColumn("ingest_batch", lit(batchId)), pairsDir)
-    writeBatchPartition(deltaSigs.withColumn("ingest_batch", lit(batchId)), storeDir)
+    BatchStore.writePartition(pairs, batchId, pairsDir)
+    BatchStore.writePartition(deltaSigs, batchId, storeDir)
     deltaSigs.unpersist()
     ()
   }
@@ -143,21 +128,17 @@ object DedupStream {
     * writer that owns the stream (e.g. between microbatches or every N
     * batches via `start(compactEvery = N)`); cross-process callers take
     * the store's TableLock first. */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    KeyedStore.recover(spark, dir)
-    if (fs.exists(p)) {
-      // the rewrite write streams from the live dir (the delete happens
-      // only after the sibling completes) — no in-memory materialization
-      // of what can be a corpus-sized archive
-      KeyedStore.rewriteSwap(spark, dir) { tmp =>
-        latestPerDoc(spark.read.parquet(dir))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("ingest_batch").parquet(tmp)
-      }
+  def compact(spark: SparkSession, dir: String): Unit =
+    // the rewrite write streams from the live dir (the delete happens only
+    // after the sibling completes) — no in-memory materialization of what
+    // can be a corpus-sized archive. Surviving rows KEEP their original
+    // ingest_batch stamps (unlike the sketch stores' collapseToLatest),
+    // because the dedup loop's partition-exclusion reads depend on them.
+    BatchStore.compactWith(spark, dir, docSchema) { (_, tmp) =>
+      latestPerDoc(spark.read.parquet(dir))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("ingest_batch").parquet(tmp)
     }
-  }
 
   /** Attach the dedup loop to a streaming Dataset of (doc_id, text).
     * `compactEvery` > 0 folds the maintenance pass into the loop: after
@@ -167,15 +148,10 @@ object DedupStream {
   def start(docs: DataFrame, storeDir: String, archiveDir: String,
             pairsDir: String, checkpointDir: String,
             threshold: Double = 0.5, compactEvery: Int = 0): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        runBatch(batch.sparkSession, batch, batchId,
-          storeDir, archiveDir, pairsDir, threshold)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          compact(batch.sparkSession, storeDir)
-          compact(batch.sparkSession, archiveDir)
-        }
-      }
-      .start()
+    BatchStore.loop(docs, checkpointDir, compactEvery) { (s, batch, batchId) =>
+      runBatch(s, batch, batchId, storeDir, archiveDir, pairsDir, threshold)
+    } { s =>
+      compact(s, storeDir)
+      compact(s, archiveDir)
+    }
 }

@@ -31,64 +31,34 @@ object SketchStream {
     .add("source", StringType).add("idx", LongType).add("m", LongType)
     .add("ingest_batch", LongType)
 
-  private def readOr(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(regSchema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], regSchema)
-  }
-
   /** One microbatch: build the delta's register table and write it as this
     * batch's partition. Public so replay idempotence is testable without a
     * streaming harness. */
   def runBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                storeDir: String): Unit = {
     KeyedStore.recover(spark, storeDir)
-    val delta = HllSketch.registers(HllSketch.ranked(
-        batch.select(col("doc_id"), col("source"), col("text"))))
-      .withColumn("ingest_batch", lit(batchId))
-    delta.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(storeDir)
+    BatchStore.writePartition(
+      HllSketch.registers(HllSketch.ranked(
+        batch.select(col("doc_id"), col("source"), col("text")))),
+      batchId, storeDir)
   }
 
   /** The live register table: max-merge across every batch partition. */
-  def registers(spark: SparkSession, storeDir: String): DataFrame = {
-    KeyedStore.recover(spark, storeDir)
-    HllSketch.registers(readOr(spark, storeDir), valueCol = "m")
-  }
+  def registers(spark: SparkSession, storeDir: String): DataFrame =
+    HllSketch.registers(BatchStore.read(spark, storeDir, regSchema), valueCol = "m")
 
   /** Collapse the batch-partition history to one register row per
     * (source, idx) in a single partition, via the crash-recoverable
     * rewrite swap. Reads before and after are identical (MAX of MAXes);
     * what changes is the partition count the per-read merge scans. */
-  def compact(spark: SparkSession, storeDir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val maxBatch = readOr(spark, storeDir).agg(max(col("ingest_batch"))).head()
-    if (maxBatch.isNullAt(0)) return
-    val keepBatch = maxBatch.getLong(0)
-    val collapsed = registers(spark, storeDir)
-      .withColumn("ingest_batch", lit(keepBatch))
-      .coalesce(1)
-    KeyedStore.rewriteSwap(spark, storeDir) { tmp =>
-      collapsed.write.mode(SaveMode.Overwrite)
-        .partitionBy("ingest_batch").parquet(tmp)
-    }
-  }
+  def compact(spark: SparkSession, storeDir: String): Unit =
+    BatchStore.collapseToLatest(spark, storeDir, regSchema)(
+      live => HllSketch.registers(live, valueCol = "m"))
 
   /** Wire a (doc_id, source, text) stream into the maintenance loop. */
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
             compactEvery: Int = 0): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        runBatch(batch.sparkSession, batch, batchId, storeDir)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compact(batch.sparkSession, storeDir)
-      }
-      .start()
+    BatchStore.loop(docs, checkpointDir, compactEvery)(
+      (s, batch, batchId) => runBatch(s, batch, batchId, storeDir))(
+      s => compact(s, storeDir))
 }

@@ -42,6 +42,14 @@ class PlanLockSpec extends SparkSpec {
     * content dedup) and q52 (audio decode) added below; everything else
     * was already locked. */
   private val locked = Seq(
+    // BENCH_r07 driver-board top-10 entrants (the official record, not the
+    // friendlier builder rerun): hybrid search (#1), semantic decontaminate
+    // (#2), source overlap (#5). q130/q132's no-hashpartitioning spec
+    // assertions are necessary but a golden also catches shape drift they
+    // can't (a lost broadcast, an extra exchange below the fold).
+    "q132_hybrid_search",
+    "q130_semantic_decontaminate",
+    "q133_source_overlap",
     "q122_trigram_interp",   // board #1: three vocab-sized n-gram joins
     "q124_perplexity_filter",// board #2: q104 subtree + histogram threshold
     "q128_audio_dedup",      // 133-board top-10: cross-container decode +

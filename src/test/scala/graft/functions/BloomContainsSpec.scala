@@ -99,4 +99,18 @@ class BloomContainsSpec extends SparkSpec {
       }
     }
   }
+
+  test("non-bigint arrays are rejected at ANALYSIS time, not misread at execution") {
+    // ArrayData.getLong on an array<int> child would silently read garbage;
+    // checkInputDataTypes must fail the plan before it ever runs
+    val bits = buildBits(Seq(1L))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1, 2, 3)).toDF("arr")
+        .select(BloomContains.countContained(col("arr"), bits, M, K))
+        .collect()
+    }
+    assert(e.getMessage.contains("array<bigint>") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"),
+      s"unexpected analysis error: ${e.getMessage}")
+  }
 }
