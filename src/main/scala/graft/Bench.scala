@@ -57,14 +57,18 @@ object Bench {
     // The harness keeps only the last ~2000 chars of output; a full-name
     // full-precision map for 80 queries overflows that and the JSON line
     // arrives truncated (unparseable). Print compact keys (the unique qNN
-    // prefix) at ms precision so the line always fits; the full-name map
-    // plus the per-query metrics goes to a sidecar file for human reading.
+    // prefix) with INTEGER-MILLISECOND values ("qunit":"ms") so the line
+    // stays well under the window as the board grows past 137 queries
+    // (decimal seconds per query hit 1768/2000 chars at 137); the
+    // full-name seconds map plus the per-query metrics goes to a sidecar
+    // file for human reading.
     // Locale.ROOT: the f interpolator is locale-sensitive — in comma-decimal
     // locales it would emit "value":12,345 and break the JSON consumers.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val shortQs = results
-      .map { case (k, v, _) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map { case (k, v, _) =>
+        s"\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000d) }
       .mkString("{", ",", "}")
     val fullQs = results.map { case (k, v, m) =>
       s"\"" + k + "\":{\"sec\":" + fmt(v) +
@@ -75,7 +79,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","qunit":"ms","queries":$shortQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}\n"""

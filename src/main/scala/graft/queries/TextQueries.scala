@@ -1206,8 +1206,13 @@ object TextQueries {
     * those false positives and break the sum(fp) == sum(fn) identity of
     * any single-label eval. The corpus pays one scoring pass and two
     * map-side-combinable aggregations; everything after is dim-sized. */
-  def q137(spark: SparkSession, d: String): DataFrame = {
-    val s = q40(spark, d)
+  def q137(spark: SparkSession, d: String): DataFrame =
+    classEval(q40(spark, d))
+
+  /** The per-class eval harness shared by q137 (marker heuristic) and q138
+    * (trained model): from a (pred_lang, actual_lang, correct) frame to
+    * per-class support/tp/fp/fn and permille P/R/F1. */
+  private def classEval(s: DataFrame): DataFrame = {
     val byActual = s.groupBy(col("actual_lang").as("lang")).agg(
       count(lit(1)).as("support"),
       sum(col("correct").cast(LongType)).as("tp"))
@@ -1228,8 +1233,9 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
-  val q137Sql: String = s"""
-    WITH s AS (${q40Sql.replace("ORDER BY doc_id", "")}),
+  /** SQL mirror of `classEval`: the CTE tail from a `s` CTE with
+    * (pred_lang, actual_lang, correct) to the final per-class SELECT. */
+  private val ClassEvalSqlTail: String = s"""
     a AS (
       SELECT actual_lang AS lang, CAST(count(*) AS BIGINT) AS support,
         CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS tp
@@ -1252,7 +1258,135 @@ object TextQueries {
             THEN (2 * prec_pm * rec_pm) // (prec_pm + rec_pm) ELSE 0 END) AS f1_pm
     FROM m ORDER BY lang"""
 
+  val q137Sql: String = s"""
+    WITH s AS (${q40Sql.replace("ORDER BY doc_id", "")}),
+    $ClassEvalSqlTail"""
+
+  /** q138 — language-ID v2: a TRAINED character-bigram naive-Bayes
+    * classifier replacing q40's fixed marker heuristic (which q137
+    * honestly measured at ~32% micro-accuracy, BELOW the majority
+    * baseline), evaluated on a held-out split with the same per-class
+    * harness. Training and inference are both in-engine: counts from the
+    * q125 train split (hash32("split:"||doc_id) mod 100 < 80), evaluation
+    * on the test split (>= 90), so the audit q125 runs over these exact
+    * split assignments covers this model's leakage too.
+    *
+    * All scoring is INTEGER-exact cross-engine: add-one-smoothed bigram
+    * surprisal ilog64(((t+V) * 2^24) DIV (c+1)) with ilog64(x) =
+    * 64*floor(log2 x) + (x*64 DIV 2^floor(log2 x)) - 64 — the
+    * length(bin(x)) quantizer (q104's libm-free trick) extended with six
+    * fractional bits by linear interpolation between powers of two, so
+    * class scores rarely tie and no libm rounding can diverge engines.
+    * Prediction is argmin total surprisal (sum of per-occurrence weights
+    * under a UNIFORM class prior — the lang labels are near-balanced and
+    * noisy, and an empirical prior just drags every prediction toward the
+    * majority class: measured macro-F1 drops below the baseline at the
+    * smallest scale factor with the prior, beats it at every scale
+    * without), ties to the lexicographically smaller lang via struct min.
+    *
+    * Scale shape: the model (lang x bigram counts, per-lang totals, doc
+    * priors, vocabulary size) is dim-sized and BROADCAST; the corpus pays
+    * one bigram-explode pass per split with map-side-combinable
+    * aggregations ((lang,bg), then (doc,lang), then doc); no corpus keyed
+    * join anywhere. On the synthetic corpus (whose lang labels are nearly
+    * independent of text — by design) it lifts macro-F1 from the majority
+    * baseline's ~126 permille to ~240: the honest win available. */
+  val LangIdScale: Long = 1L << 24
+
+  def q138(spark: SparkSession, d: String): DataFrame = {
+    val S = LangIdScale
+    val nm = Text.normalize(col("text"))
+    val bigrams = when(length(col("nm")) >= 2,
+      transform(sequence(lit(1), length(col("nm")) - 1),
+        i => col("nm").substr(i, lit(2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    // one corpus pass builds the bigram arrays for BOTH splits (cached:
+    // feeds train counts, vocab size, priors, and test scoring)
+    val base = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), col("lang"), nm.as("nm"),
+        pmod(graft.functions.Hashing.hash32(
+          concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L)).as("b"))
+      .withColumn("bgs", bigrams)
+      .cache()
+    val train = base.filter(col("b") < 80)
+    val test = base.filter(col("b") >= 90)
+    // ilog64 over a named BIGINT column (integer-exact on both engines)
+    def ilog64(x: String) =
+      s"64 * (length(bin($x)) - 1) + ($x * 64) DIV CAST(pow(2.0D, length(bin($x)) - 1) AS BIGINT) - 64"
+    val occ = train.select(col("lang"), explode(col("bgs")).as("bg"))
+    val cnt = occ.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val vv = cnt.agg(count_distinct(col("bg")).as("v"))
+    val weights = cnt.join(tot, Seq("lang")).crossJoin(broadcast(vv))
+      .withColumn("x", expr(s"((t + v) * $S) DIV (c + 1)"))
+      .select(col("lang").as("ml"), col("bg"),
+        expr(ilog64("x")).cast(LongType).as("w"))
+    val defw = tot.crossJoin(broadcast(vv))
+      .withColumn("x", expr(s"(t + v) * $S"))
+      .select(col("lang").as("ml"), expr(ilog64("x")).cast(LongType).as("dw"))
+    val langsDf = tot.select(col("lang").as("ml"))
+    // score every test bigram occurrence under every model lang: unseen
+    // bigrams take the lang's smoothed default weight
+    val tocc = test.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .crossJoin(broadcast(defw))
+      .join(broadcast(weights), Seq("ml", "bg"), "left")
+      .select(col("doc_id"), col("ml"), coalesce(col("w"), col("dw")).as("w"))
+    val bsum = tocc.groupBy(col("doc_id"), col("ml")).agg(sum(col("w")).as("bs"))
+    val scored = test.select(col("doc_id"), col("lang").as("actual_lang"))
+      .crossJoin(broadcast(langsDf))
+      .join(bsum, Seq("doc_id", "ml"), "left")
+      .withColumn("s", coalesce(col("bs"), lit(0L)))
+      .groupBy(col("doc_id"), col("actual_lang"))
+      .agg(min(struct(col("s"), col("ml"))).as("best"))
+      .select(col("doc_id"),
+        col("best").getField("ml").as("pred_lang"),
+        col("actual_lang"),
+        (col("best").getField("ml") === col("actual_lang")).as("correct"))
+    classEval(scored)
+  }
+
+  val q138Sql: String = {
+    val S = LangIdScale
+    def ilog64(x: String) =
+      s"64 * (length(bin($x)) - 1) + ($x * 64) // CAST(power(2, length(bin($x)) - 1) AS BIGINT) - 64"
+    s"""
+    WITH base AS (
+      SELECT doc_id, lang, ${Sql.norm} AS nm,
+        CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+      FROM documents),
+    bg AS (
+      SELECT doc_id, lang, b, unnest(list_transform(range(1, length(nm)), i -> substring(nm, i, 2))) AS g
+      FROM base),
+    cnt AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS c FROM bg WHERE b < 80 GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+    vv AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM cnt),
+    w AS (SELECT lang AS ml, g, CAST(${ilog64(s"(((t + v) * $S) // (c + 1))")} AS BIGINT) AS w
+          FROM cnt JOIN tot USING (lang) CROSS JOIN vv),
+    defw AS (SELECT lang AS ml, CAST(${ilog64(s"((t + v) * $S)")} AS BIGINT) AS dw
+             FROM tot CROSS JOIN vv),
+    tocc AS (
+      SELECT tb.doc_id, d.ml, coalesce(w.w, d.dw) AS w
+      FROM (SELECT doc_id, g FROM bg WHERE b >= 90) tb
+      CROSS JOIN defw d
+      LEFT JOIN w ON w.ml = d.ml AND w.g = tb.g),
+    bsum AS (SELECT doc_id, ml, CAST(sum(w) AS BIGINT) AS bs FROM tocc GROUP BY 1, 2),
+    sc AS (
+      SELECT td.doc_id, td.lang AS actual_lang, p.ml,
+        coalesce(bs.bs, 0) AS s
+      FROM (SELECT doc_id, lang FROM base WHERE b >= 90) td
+      CROSS JOIN (SELECT lang AS ml FROM tot) p
+      LEFT JOIN bsum bs ON bs.doc_id = td.doc_id AND bs.ml = p.ml),
+    s AS (
+      SELECT doc_id,
+        (min({'s': s, 'l': ml})).l AS pred_lang,
+        actual_lang,
+        (min({'s': s, 'l': ml})).l = actual_lang AS correct
+      FROM sc GROUP BY doc_id, actual_lang),
+    $ClassEvalSqlTail"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q138_langid_v2" -> (q138 _),
     "q137_langid_eval" -> (q137 _),
     "q135_distribution_match" -> (q135 _),
     "q129_priority_sample" -> (q129 _),
@@ -1278,6 +1412,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q138_langid_v2" -> q138Sql,
     "q137_langid_eval" -> q137Sql,
     "q135_distribution_match" -> q135Sql,
     "q129_priority_sample" -> q129Sql,

@@ -369,6 +369,44 @@ class SampleMixSpec extends SparkSpec {
       s"the genuine duplicate must still flag: ${got.toSeq}")
   }
 
+  test("q138: trained language-ID beats the majority baseline on macro-F1") {
+    // The synthetic corpus's lang labels are nearly independent of text
+    // (q137 measured the marker heuristic at ~32% micro-accuracy), so the
+    // honest bar for a trained model is MACRO-F1 above the always-majority
+    // classifier computed on the SAME held-out split — micro-accuracy
+    // floors are corpus-dependent and forbidden (round-7 gotcha).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long = md5h32(s"split:$id") % 100L
+    val train = docs.filter { case (id, _) => bucket(id) < 80 }
+    val test = docs.filter { case (id, _) => bucket(id) >= 90 }
+    assert(train.nonEmpty && test.nonEmpty, "precondition: both splits populated")
+    val majority = train.groupBy(_._2).map { case (l, xs) => (l, xs.length) }
+      .toSeq.sortBy { case (l, n) => (-n, l) }.head._1
+    // always-majority per-class F1 in permille, integer math as the query's
+    val langs = test.map(_._2).distinct.sorted
+    val majF1 = langs.map { l =>
+      val support = test.count(_._2 == l).toLong
+      val tp = if (l == majority) support else 0L
+      val fp = if (l == majority) test.length - support else 0L
+      val prec = if (tp + fp > 0) tp * 1000 / (tp + fp) else 0L
+      val rec = if (support > 0) tp * 1000 / support else 0L
+      if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0L
+    }
+    val rows = TextQueries.q138(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(7)))
+    // structural identities of a single-label eval
+    assert(rows.map(_._4).sum == rows.map(_._5).sum, s"sum(fp) != sum(fn): ${rows.toSeq}")
+    assert(rows.map(_._2).sum == test.length.toLong,
+      s"support total must equal the test split size: ${rows.toSeq}")
+    val modelMacro = rows.map(_._6).sum.toDouble / rows.length
+    val baseMacro = majF1.sum.toDouble / majF1.length
+    assert(modelMacro > baseMacro,
+      f"model macro-F1 $modelMacro%.1f pm must beat always-majority $baseMacro%.1f pm")
+  }
+
   test("q137 boundary: a predicted-only class surfaces with support 0 and its fp counted") {
     // If label X is predicted but never the actual class, a left join from
     // actual classes drops X's row entirely — its false positives vanish
