@@ -23,6 +23,14 @@ object BenchDedupScale {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_docs")
+    // subset filter (comma-separated qNN prefixes) + rep count: the 100x
+    // point runs q20/q22/q23 once each (warmup + 1 timed) — a decade above
+    // the routine 10x sidecar, where median-of-3 over the full family
+    // would take most of an hour for one datum
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val outFile = if (copies == 10) "BENCH_sf1.json" else s"BENCH_sf1_${copies}x.json"
     val spark = ScaleCorpus.session()
 
     val base = Tables.documents(spark, sfDir)
@@ -47,19 +55,21 @@ object BenchDedupScale {
       "q133_source_overlap" -> (DedupQueries.q133 _),
       "q134_cdc_chunk_dedup" -> (DedupQueries.q134 _))
 
-    val results = qs.map { case (name, fn) =>
-      MemoRegistry.resetAll()
-      spark.catalog.clearCache()
-      var rows = 0L
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        rows = fn(spark, scaleDir).count()
-        (System.nanoTime() - t0) / 1e9
+    val results = qs
+      .filter { case (name, _) => only.forall(_.contains(name.takeWhile(_ != '_'))) }
+      .map { case (name, fn) =>
+        MemoRegistry.resetAll()
+        spark.catalog.clearCache()
+        var rows = 0L
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          rows = fn(spark, scaleDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warmup (builds + caches this query's own signature tables)
+        val sec = (1 to reps).map(_ => once()).sorted.apply((reps - 1) / 2)
+        (name, sec, rows)
       }
-      once() // warmup (builds + caches this query's own signature tables)
-      val sec = Seq(once(), once(), once()).sorted.apply(1)
-      (name, sec, rows)
-    }
 
     val qJson = results.map { case (n, s, r) =>
       s""""${n.takeWhile(_ != '_')}":{"sec":${ScaleCorpus.fmt(s)},"rows":$r}"""
@@ -67,7 +77,7 @@ object BenchDedupScale {
     val line = s"""{"metric":"dedup_scale","unit":"sec","n_docs":$nDocs,""" +
       s""""copies":$copies,"base_sf":"$sfDir","queries":$qJson,""" +
       s""""total":${ScaleCorpus.fmt(results.map(_._2).sum)}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()
