@@ -654,6 +654,96 @@ object TextQueries {
       y = 1 AS actual
     FROM fd ORDER BY doc_id"""
 
+  /** q139 — classifier RANKING quality: AUC of the q110 scorer via the
+    * Mann-Whitney U statistic, integer-exact. Threshold metrics (q137's
+    * P/R/F1) evaluate one operating point; a corpus-filter score is used
+    * as a RANKER (keep the top-X% by quality), so the eval harness needs
+    * the threshold-free ranking metric too. The perceptron margin is an
+    * integer (integer weights x integer features), so tie groups are
+    * exact: with competition rank r and group size c, a tied doc's
+    * doubled average rank is 2r + c - 1, and
+    * AUC = (sum_pos 2*avgrank - n_pos(n_pos+1)) / (2 n_pos n_neg),
+    * emitted in permille by integer division — no floats anywhere, both
+    * engines agree bit-for-bit.
+    *
+    * Scale shape: one corpus pass for integer margins (map-side), a
+    * margin-keyed aggregate (distinct-margin-sized — far below the
+    * corpus), a cumulative window over DISTINCT margins only, and a
+    * scalar reduce. At 10^9+ distinct margins the cumulative rank would
+    * move to a range-partitioned prefix sum; u2*1000 needs
+    * n_pos*n_neg < 2^52, i.e. re-scale past ~10^8 docs per class. */
+  def q139(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = q110(spark, d)
+      .select(col("score"), col("actual").cast(LongType).as("pos"))
+    val grp = s.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grp
+      .withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("avg2", lit(2L) * (col("before") + 1L) + col("c") - 1L)
+      .agg(sum(col("p") * col("avg2")).as("pr2"),
+        sum(col("p")).as("n_pos"),
+        sum(col("c") - col("p")).as("n_neg"))
+      .withColumn("u2", col("pr2") - col("n_pos") * (col("n_pos") + 1L))
+      .withColumn("auc_pm",
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr("(u2 * 1000) DIV (2 * n_pos * n_neg)")).otherwise(500L))
+      .select(col("n_pos"), col("n_neg"), col("u2"), col("auc_pm"))
+      .orderBy(col("n_pos"))
+  }
+
+  val q139Sql: String = s"""
+    WITH s AS (${q110Sql.replace("ORDER BY doc_id", "")}),
+    g AS (SELECT score, CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS p
+          FROM s GROUP BY 1),
+    r AS (SELECT *, coalesce(sum(c) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM g),
+    a AS (SELECT CAST(sum(p * (2 * (bef + 1) + c - 1)) AS BIGINT) AS pr2,
+            CAST(sum(p) AS BIGINT) AS n_pos,
+            CAST(sum(c - p) AS BIGINT) AS n_neg
+          FROM r)
+    SELECT n_pos, n_neg,
+      pr2 - n_pos * (n_pos + 1) AS u2,
+      CASE WHEN n_pos > 0 AND n_neg > 0
+           THEN ((pr2 - n_pos * (n_pos + 1)) * 1000) // (2 * n_pos * n_neg)
+           ELSE 500 END AS auc_pm
+    FROM a ORDER BY n_pos"""
+
+  /** q141 — tokenizer fertility by language: subword-per-word ratio
+    * (permille) per lang under the learned BPE table — the standard
+    * tokenizer-equity metric (a vocabulary trained on a skewed mix
+    * over-fragments under-represented languages; fertility is how that's
+    * measured and gated). Second consumer of the BpeEncode expression:
+    * the whole merge table rides one plan node here exactly as in q112.
+    *
+    * Scale shape: q112's map-side tokenize (constant-size plan) + one
+    * (doc_id) join to the lang column + a lang-sized aggregate. */
+  def q141(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(spark, d))
+    val merges = graft.operators.BpeTrainer.train(docs, BpeSteps)
+    graft.operators.BpeTrainer.subwordCounts(docs, merges)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("fertility_pm", expr("(n_subwords * 1000) DIV n_words"))
+      .orderBy(col("lang"))
+  }
+
+  val q141Sql: String = s"""
+    WITH sc AS (${q112Sql.replace("ORDER BY doc_id", "")})
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(sc.n_words) AS BIGINT) AS n_words,
+      CAST(sum(sc.n_subwords) AS BIGINT) AS n_subwords,
+      (CAST(sum(sc.n_subwords) AS BIGINT) * 1000) // CAST(sum(sc.n_words) AS BIGINT) AS fertility_pm
+    FROM sc JOIN documents d USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang"""
+
   /** Exact floor(log2(den/num)) for a POSITIVE rational den/num >= 1 —
     * the cross-engine-exact logarithm the LM family's quantizer needs one
     * step beyond integers (q104/q113's bits(n) only quantizes integer
@@ -1386,6 +1476,8 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q141_tokenizer_fertility" -> (q141 _),
+    "q139_classifier_auc" -> (q139 _),
     "q138_langid_v2" -> (q138 _),
     "q137_langid_eval" -> (q137 _),
     "q135_distribution_match" -> (q135 _),
@@ -1412,6 +1504,8 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q141_tokenizer_fertility" -> q141Sql,
+    "q139_classifier_auc" -> q139Sql,
     "q138_langid_v2" -> q138Sql,
     "q137_langid_eval" -> q137Sql,
     "q135_distribution_match" -> q135Sql,

@@ -372,7 +372,84 @@ object VectorQueries {
     ORDER BY query_id, rank"""
   }
 
+  /** q140 — ANN index RECALL evaluation: recall@k of the IVF same-cell
+    * pruned search (q31's shape) against the brute-force L2 ground truth,
+    * per query — the eval harness that decides whether an index's speed
+    * is paid for with acceptable accuracy loss (every production vector
+    * store ships this gate; until now the board had the indexes and the
+    * exact path but not the comparison). Integer-exact: quantized L2
+    * distances, deterministic (dist, id) tie-break on both legs, permille
+    * recall by integer division.
+    *
+    * Scale shape: queries broadcast into both legs; the truth leg is the
+    * one honest full-corpus scan (ground truth IS brute force — at 100 TB
+    * it runs once per index build on a sampled query set, which is what
+    * 10 fixed query ids model); the approx leg prunes to same-cell
+    * candidates. Top-k per query lowers to WindowGroupLimit partials on a
+    * 10-key partition; the hit join is k-row x k-row per query. */
+  val RecallK = 10
+
+  def q140(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("qv"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("qv").as("qq"))
+    val cands = emb.filter(col("vec_id") >= 10)
+    def topK(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("neighbor_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= RecallK)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val truth = topK(cands.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.l2SqLong(col("qq"), col("qv")).as("dist")))
+    val approx = topK(cands.join(broadcast(queries), col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.l2SqLong(col("qq"), col("qv")).as("dist")))
+    val nTrue = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+    val nApprox = approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    nTrue
+      .join(nApprox, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_approx", "n_hit"))
+      .withColumn("recall_pm", expr("(n_hit * 1000) DIV n_true"))
+      .orderBy(col("query_id"))
+  }
+
+  val q140Sql: String = s"""
+    WITH e AS (SELECT vec_id, label, $qVecSql AS qv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, qv AS qq FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, label, qv AS cv FROM e WHERE vec_id >= 10),
+    ts AS (SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(range(1, len(qq)+1), i -> (qq[i]-cv[i])*(qq[i]-cv[i]))) AS BIGINT) AS dist
+      FROM q CROSS JOIN c),
+    truth AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rk FROM ts)
+      WHERE rk <= $RecallK),
+    asx AS (SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(range(1, len(qq)+1), i -> (qq[i]-cv[i])*(qq[i]-cv[i]))) AS BIGINT) AS dist
+      FROM q JOIN c ON q.qlabel = c.label),
+    approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rk FROM asx)
+      WHERE rk <= $RecallK),
+    nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM truth GROUP BY 1),
+    na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx FROM approx GROUP BY 1),
+    nh AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+           FROM truth t JOIN approx a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           GROUP BY 1)
+    SELECT nt.query_id, n_true,
+      coalesce(n_approx, 0) AS n_approx,
+      coalesce(n_hit, 0) AS n_hit,
+      (coalesce(n_hit, 0) * 1000) // n_true AS recall_pm
+    FROM nt LEFT JOIN na USING (query_id) LEFT JOIN nh USING (query_id)
+    ORDER BY nt.query_id"""
+
   val defs: Map[String, Q] = Map(
+    "q140_ann_recall" -> (q140 _),
     "q132_hybrid_search" -> (q132 _),
     "q130_semantic_decontaminate" -> (q130 _),
     "q39_lsh_bucket_ann" -> (q39 _),
@@ -382,6 +459,7 @@ object VectorQueries {
     "q37_embedding_cosine_pairs" -> (q37 _))
 
   val oracles: Map[String, String] = Map(
+    "q140_ann_recall" -> q140Sql,
     "q132_hybrid_search" -> q132Sql,
     "q130_semantic_decontaminate" -> q130Sql,
     "q39_lsh_bucket_ann" -> q39Sql,

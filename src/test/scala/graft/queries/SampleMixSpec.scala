@@ -407,6 +407,36 @@ class SampleMixSpec extends SparkSpec {
       f"model macro-F1 $modelMacro%.1f pm must beat always-majority $baseMacro%.1f pm")
   }
 
+  test("q139: AUC matches a plain-Scala Mann-Whitney replay with exact tie handling") {
+    val rows = TextQueries.q139(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val (nPos, nNeg, u2, aucPm) =
+      (rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2), rows(0).getLong(3))
+    // replay from q110's scored frame with naive pairwise counting:
+    // U = #(pos > neg) + #(pos == neg)/2, doubled to stay integer
+    val scored = TextQueries.q110(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getBoolean(3)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "precondition: both classes present")
+    val u2Ref = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    assert((nPos, nNeg) == (pos.length.toLong, neg.length.toLong))
+    assert(u2 == u2Ref, s"U2 mismatch: $u2 vs pairwise $u2Ref")
+    assert(aucPm == u2Ref * 1000 / (2L * pos.length * neg.length))
+    assert(aucPm >= 0L && aucPm <= 1000L)
+  }
+
+  test("q140: recall identities — truth is a full top-k, hits bounded by both legs") {
+    val rows = VectorQueries.q140(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 10, s"one row per query vector: ${rows.length}")
+    rows.foreach { case (qid, nTrue, nApprox, nHit, recPm) =>
+      assert(nTrue == VectorQueries.RecallK.toLong, s"q$qid: corpus must fill top-k")
+      assert(nHit <= math.min(nTrue, nApprox), s"q$qid: hits exceed a leg")
+      assert(recPm == nHit * 1000 / nTrue, s"q$qid: permille arithmetic")
+    }
+  }
+
   test("q137 boundary: a predicted-only class surfaces with support 0 and its fp counted") {
     // If label X is predicted but never the actual class, a left join from
     // actual classes drops X's row entirely — its false positives vanish
