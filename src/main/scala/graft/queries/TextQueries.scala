@@ -27,39 +27,49 @@ object TextQueries {
 
   /** Language-ID: stopword-profile voting (argmax over per-language marker
     * hits, ties to the alphabetically-first code). */
-  def q40(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
+  /** Attach the marker scores (materialized first — the argmax references
+    * each score several times, and lambda-heavy score exprs must not be
+    * re-expanded per reference) and the `pred_lang` argmax to a frame with
+    * a `text` column. Map-side; shared by q40 and the q143 dataset card. */
+  private def withPredLang(docs: DataFrame): DataFrame = {
     val scores = Text.langScores(col("text"))
-    val scored = docs.select(
-      (col("doc_id") +: col("lang").as("actual_lang") +:
-        scores.map { case (code, c) => c.cast(LongType).as(s"s_$code") }): _*)
     val codes = Text.LangMarkers.map(_._1)
+    val scored = docs.select(
+      (col("*") +: scores.map { case (code, c) => c.cast(LongType).as(s"s_$code") }): _*)
     val pred = codes.foldRight(lit(codes.last)) { (code, rest) =>
       val isMax = codes.filter(_ != code)
         .map(o => col(s"s_$code") >= col(s"s_$o")).reduce(_ && _)
       when(isMax, lit(code)).otherwise(rest)
     }
     scored.withColumn("pred_lang", pred)
+  }
+
+  def q40(spark: SparkSession, d: String): DataFrame =
+    withPredLang(Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang").as("actual_lang"), col("text")))
       .select(col("doc_id"), col("pred_lang"), col("actual_lang"),
         (col("pred_lang") === col("actual_lang")).as("correct"))
       .orderBy(col("doc_id"))
-  }
 
-  val q40Sql: String = {
-    val scoreCols = Text.LangMarkers
-      .map { case (code, ms) => s"CAST(${Sql.markerCount(ms)} AS BIGINT) AS s_$code" }
-      .mkString(",\n        ")
+  /** The marker-score projection + argmax CASE chain, shared by q40's
+    * oracle and the q143 dataset card (which inlines the same map-side
+    * prediction). */
+  private val LangScoreColsSql: String = Text.LangMarkers
+    .map { case (code, ms) => s"CAST(${Sql.markerCount(ms)} AS BIGINT) AS s_$code" }
+    .mkString(",\n        ")
+  private val PredLangCaseSql: String = {
     val codes = Text.LangMarkers.map(_._1)
-    val pred = codes.dropRight(1).foldRight(s"'${codes.last}'") { (code, rest) =>
+    codes.dropRight(1).foldRight(s"'${codes.last}'") { (code, rest) =>
       val cond = codes.filter(_ != code).map(o => s"s_$code >= s_$o").mkString(" AND ")
       s"CASE WHEN $cond THEN '$code' ELSE $rest END"
     }
-    s"""
-    SELECT doc_id, pred_lang, actual_lang, pred_lang = actual_lang AS correct FROM (
-      SELECT doc_id, lang AS actual_lang, $pred AS pred_lang FROM (
-        SELECT doc_id, lang, $scoreCols FROM documents))
-    ORDER BY doc_id"""
   }
+
+  val q40Sql: String = s"""
+    SELECT doc_id, pred_lang, actual_lang, pred_lang = actual_lang AS correct FROM (
+      SELECT doc_id, lang AS actual_lang, $PredLangCaseSql AS pred_lang FROM (
+        SELECT doc_id, lang, $LangScoreColsSql FROM documents))
+    ORDER BY doc_id"""
 
   /** Quality scoring: token count, stopword permille, chars-per-token
     * permille, punctuation count; `passed` is the corpus filter verdict.
@@ -743,6 +753,150 @@ object TextQueries {
       (CAST(sum(sc.n_subwords) AS BIGINT) * 1000) // CAST(sum(sc.n_words) AS BIGINT) AS fertility_pm
     FROM sc JOIN documents d USING (doc_id)
     GROUP BY d.lang ORDER BY d.lang"""
+
+  /** q142 — vocabulary coverage / OOV rate: freeze the top-N training-split
+    * tokens as the model vocabulary (count desc, token asc — fully
+    * deterministic), then measure the out-of-vocabulary token rate per
+    * source on the held-out test split. The tokenizer-coverage gate every
+    * corpus refresh runs: a source whose OOV rate jumps is drifting away
+    * from the vocabulary the deployed model was trained with.
+    *
+    * Scale shape: token counts are one token-keyed map-side-combinable
+    * aggregate; the vocabulary is N rows, BROADCAST into the test scan
+    * (left join + null test — no corpus shuffle on the probe side beyond
+    * the final source-sized aggregate). The top-N window runs over the
+    * DISTINCT-token table, not the corpus. */
+  val VocabN = 24
+
+  def q142(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, d).select(
+      col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"),
+      pmod(graft.functions.Hashing.hash32(
+        concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L)).as("b"))
+    val trainToks = base.filter(col("b") < 80)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+    val vocab = trainToks.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= VocabN).select(col("tok"))
+    base.filter(col("b") >= 90)
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_pm", expr("(n_oov * 1000) DIV n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q142Sql: String = s"""
+    WITH base AS (
+      SELECT doc_id, source, ${Sql.words} AS toks,
+        CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+      FROM documents),
+    tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(toks) AS tok FROM base WHERE b < 80) GROUP BY 1),
+    vocab AS (SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM tc)
+      WHERE rk <= $VocabN),
+    te AS (SELECT source, unnest(toks) AS tok FROM base WHERE b >= 90)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      (CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        // CAST(count(*) AS BIGINT) AS oov_pm
+    FROM te LEFT JOIN vocab v USING (tok)
+    GROUP BY source ORDER BY source"""
+
+  /** q143 — per-source DATASET CARD: the one-table datasheet a corpus
+    * release ships (docs, token mass, exact-duplicate exposure, quality
+    * pass rate, modal predicted language, mean length) — every column a
+    * rollup of an operator already on the board, composed into the
+    * user-facing summary artifact.
+    *
+    * Scale shape: everything except the duplicate flag is a map-side
+    * projection into one source-keyed aggregate. The duplicate flag pays
+    * the q20 fingerprint shuffle (group fingerprints, keep those with
+    * >= 2 docs corpus-wide, join back on fingerprint) — the honest dedup
+    * cost, shared shape with q20. The modal language is a source-keyed
+    * count + a window over source x lang rows (dim-sized). */
+  def q143(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.parallel(Tables.documents(spark, d))
+    val base = withPredLang(docs.select(col("doc_id"), col("source"),
+        col("n_chars"), col("text")))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("pred_lang"),
+        Text.md5Fingerprint(col("text")).as("fp"),
+        Text.tokenCount(col("text")).cast(LongType).as("nt"),
+        Text.stopwordCount(col("text")).cast(LongType).as("ns"))
+      .withColumn("stop_pm",
+        when(col("nt") > 0L, floor(col("ns") * 1000d / col("nt")).cast(LongType))
+          .otherwise(lit(0L)))
+      .withColumn("passed",
+        col("nt") >= 10L && col("nt") <= 1000L && col("stop_pm") <= 600L)
+    val dupFp = base.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L).select(col("fp"), lit(1L).as("is_dup"))
+    val flagged = base.join(dupFp, Seq("fp"), "left")
+    val agg = flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"),
+      sum(col("passed").cast(LongType)).as("n_passed"),
+      sum(col("n_chars")).as("sum_chars"))
+    val modal = base.groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("lc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("lc").desc, col("pred_lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("pred_lang").as("top_lang"))
+    agg.join(modal, Seq("source"))
+      .withColumn("pass_pm", expr("(n_passed * 1000) DIV n_docs"))
+      .withColumn("avg_chars", expr("sum_chars DIV n_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+        col("pass_pm"), col("top_lang"), col("avg_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q143Sql: String = s"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars, $PredLangCaseSql AS pred_lang,
+        md5(${Sql.norm}) AS fp, n_tokens, n_stop
+      FROM (
+        SELECT doc_id, source, n_chars, text,
+          CAST(len(${Sql.words}) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(${Sql.words}, t -> t IN (${Text.StopWords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS n_stop,
+          $LangScoreColsSql
+        FROM documents)),
+    base AS (
+      SELECT *,
+        (CASE WHEN n_tokens > 0
+              THEN CAST(floor(n_stop * 1000.0 / n_tokens) AS BIGINT) ELSE 0 END) AS stop_pm
+      FROM scored),
+    flagged AS (
+      SELECT base.*, (n_tokens >= 10 AND n_tokens <= 1000 AND stop_pm <= 600) AS passed,
+        CASE WHEN fp IN (SELECT fp FROM base GROUP BY fp HAVING count(*) >= 2)
+             THEN 1 ELSE 0 END AS is_dup
+      FROM base),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+        CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM flagged GROUP BY 1),
+    modal AS (
+      SELECT source, pred_lang AS top_lang FROM (
+        SELECT source, pred_lang, row_number() OVER (
+            PARTITION BY source ORDER BY count(*) DESC, pred_lang ASC) AS rk
+        FROM base GROUP BY source, pred_lang)
+      WHERE rk = 1)
+    SELECT a.source, n_docs, n_tokens, n_dup_docs,
+      (n_passed * 1000) // n_docs AS pass_pm,
+      top_lang,
+      sum_chars // n_docs AS avg_chars
+    FROM agg a JOIN modal USING (source)
+    ORDER BY a.source"""
 
   /** Exact floor(log2(den/num)) for a POSITIVE rational den/num >= 1 —
     * the cross-engine-exact logarithm the LM family's quantizer needs one
@@ -1476,6 +1630,8 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q143_dataset_card" -> (q143 _),
+    "q142_oov_rate" -> (q142 _),
     "q141_tokenizer_fertility" -> (q141 _),
     "q139_classifier_auc" -> (q139 _),
     "q138_langid_v2" -> (q138 _),
@@ -1504,6 +1660,8 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q143_dataset_card" -> q143Sql,
+    "q142_oov_rate" -> q142Sql,
     "q141_tokenizer_fertility" -> q141Sql,
     "q139_classifier_auc" -> q139Sql,
     "q138_langid_v2" -> q138Sql,
