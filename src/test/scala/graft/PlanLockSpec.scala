@@ -50,6 +50,13 @@ class PlanLockSpec extends SparkSpec {
     "q132_hybrid_search",
     "q130_semantic_decontaminate",
     "q133_source_overlap",
+    // round-8 closing-board top-10 entrants: trained language-ID (#2,
+    // one cached bigram pass + broadcast model joins) and tokenizer
+    // fertility (#3, the BpeEncode node + one doc_id join; its merge-table
+    // fingerprint is data-derived — a regen diff is informative, q112
+    // precedent)
+    "q138_langid_v2",
+    "q141_tokenizer_fertility",
     "q122_trigram_interp",   // board #1: three vocab-sized n-gram joins
     "q124_perplexity_filter",// board #2: q104 subtree + histogram threshold
     "q128_audio_dedup",      // 133-board top-10: cross-container decode +
