@@ -459,7 +459,129 @@ object MultimodalQueries {
     FROM fps f JOIN grp g USING (n_samples, fp)
     ORDER BY f.doc_id"""
 
+  /** q144 — image NEAR-dup by Hamming-banded perceptual hash: q121 finds
+    * exact aHash clusters; this finds images whose hashes differ in a few
+    * bits — the re-encoded / slightly-edited duplicates a crawl is full
+    * of. Every cluster of 5 docs shares one pixel formula, but each
+    * variant v = doc_id % 5 INVERTS the pixel column x = (v*w)/8 at
+    * y = 0 (a deterministic "edit"), so in-cluster hashes differ by the
+    * few sampled-grid bits that edit touches (plus mean-threshold
+    * ripple) while cross-cluster hashes are ~32 bits apart. Candidates
+    * come from SimHash-style banding — the 64-bit hash splits into four
+    * 16-bit bands, a pair is a candidate iff SOME band matches exactly —
+    * then the Hamming verify keeps pairs within `HamT` bits. The oracle
+    * replays generator + decode + banding + popcount from the formula
+    * alone, so both codec paths must stay pixel-lossless under edits.
+    *
+    * Scale shape: decode+hash is one mapPartitions pass; what shuffles is
+    * four (band, 16-bit value) rows per image — the q22/q25 banding
+    * discipline applied to a binary modality. In-bucket pairing is
+    * bounded by bucket size (16-bit bands over ~uniform hashes); the
+    * verify is popcount on two longs. No image ever compares against the
+    * whole corpus. */
+  val HamT = 12
+
+  def q144(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val c = id / 5
+        val v = (id % 5).toInt
+        val w = (c % 13 + 4).toInt
+        val h = (c % 11 + 4).toInt
+        val px = v * w / 8
+        // c*x / c*y cross terms: without them the luma surface is linear
+        // in (x, y) with cluster-independent slopes, and 8x8-sampled
+        // hashes of DIFFERENT content collide within a few bits
+        val rgb = (x: Int, y: Int) => {
+          val r = ((c * 31 + x * 7 + y * 3 + c * x * 5 + c * y * 2) % 256).toInt
+          val g = ((c * 17 + x * 5 + y * 11 + c * x * 3 + c * y * 7) % 256).toInt
+          val b = ((c * 23 + x * 13 + y + c * x * 11 + c * y * 5) % 256).toInt
+          if (x == px && y == 0) ((255 - r) << 16) | ((255 - g) << 8) | (255 - b)
+          else (r << 16) | (g << 8) | b
+        }
+        val bytes =
+          if (id % 2 == 0) Multimodal.encodePng(w, h, rgb)
+          else Multimodal.encodeBmp(w, h, rgb)
+        (id, bytes)
+      })
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "application/octet-stream")
+    val hashes = Multimodal.decodeImageAHash(media).toDF()
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      .localCheckpoint(true) // one decode pass feeds bands + both join legs
+    val bands = hashes.select(col("doc_id"), posexplode(array(
+      expr("hash_hi % 65536"), expr("hash_hi DIV 65536"),
+      expr("hash_lo % 65536"), expr("hash_lo DIV 65536")))
+      .as(Seq("bidx", "bval")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"),
+        col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a")), Seq("doc_a"))
+      .join(hashes.select(col("doc_id").as("doc_b"),
+        col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b")), Seq("doc_b"))
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("long"))
+      .filter(col("hamming") <= HamT)
+      .withColumn("same_content", expr("doc_a DIV 5 = doc_b DIV 5"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("same_content"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q144Sql: String = s"""
+    WITH dims AS (
+      SELECT doc_id, doc_id // 5 AS c, CAST(doc_id % 5 AS BIGINT) AS v,
+        ((doc_id // 5) % 13) + 4 AS w, ((doc_id // 5) % 11) + 4 AS h
+      FROM documents),
+    g0 AS (
+      SELECT d.doc_id, gi.i, gj.j,
+        ((d.c*31 + ((gi.i*d.w)//8)*7  + ((gj.j*d.h)//8)*3 + d.c*((gi.i*d.w)//8)*5  + d.c*((gj.j*d.h)//8)*2) % 256) AS r,
+        ((d.c*17 + ((gi.i*d.w)//8)*5  + ((gj.j*d.h)//8)*11 + d.c*((gi.i*d.w)//8)*3  + d.c*((gj.j*d.h)//8)*7) % 256) AS gg,
+        ((d.c*23 + ((gi.i*d.w)//8)*13 + ((gj.j*d.h)//8) + d.c*((gi.i*d.w)//8)*11 + d.c*((gj.j*d.h)//8)*5) % 256) AS bb,
+        ((gi.i*d.w)//8 = (d.v*d.w)//8 AND (gj.j*d.h)//8 = 0) AS edited
+      FROM dims d, (SELECT unnest(range(0, 8)) AS i) gi,
+                   (SELECT unnest(range(0, 8)) AS j) gj),
+    g AS (
+      SELECT doc_id, i, j,
+        CASE WHEN edited
+             THEN (255000 - (r*299 + gg*587 + bb*114)) // 1000
+             ELSE (r*299 + gg*587 + bb*114) // 1000 END AS gray
+      FROM g0),
+    m AS (SELECT doc_id, CAST(sum(gray) // 64 AS BIGINT) AS mean FROM g GROUP BY doc_id),
+    bits AS (
+      SELECT g.doc_id, g.i, g.j,
+        CASE WHEN g.gray >= m.mean THEN 1 ELSE 0 END AS b
+      FROM g JOIN m USING (doc_id)),
+    hashes AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN j*8 + i < 32 THEN b * CAST(2 ** (j*8 + i) AS BIGINT) ELSE 0 END) AS BIGINT) AS hash_hi,
+        CAST(sum(CASE WHEN j*8 + i >= 32 THEN b * CAST(2 ** (j*8 + i - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, u.bidx,
+        CASE u.bidx WHEN 0 THEN hash_hi % 65536 WHEN 1 THEN hash_hi // 65536
+                    WHEN 2 THEN hash_lo % 65536 ELSE hash_lo // 65536 END AS bval
+      FROM hashes, (SELECT unnest(range(0, 4)) AS bidx) u),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.bidx = y.bidx AND x.bval = y.bval AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b,
+      CAST(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming,
+      (doc_a // 5 = doc_b // 5) AS same_content
+    FROM cand
+    JOIN hashes a ON a.doc_id = doc_a
+    JOIN hashes b ON b.doc_id = doc_b
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= $HamT
+    ORDER BY doc_a, doc_b"""
+
   val defs: Map[String, Q] = Map(
+    "q144_image_neardup" -> (q144 _),
     "q128_audio_dedup" -> (q128 _),
     "q121_image_dedup" -> (q121 _),
     "q51_image_decode" -> (q51 _),
@@ -470,6 +592,7 @@ object MultimodalQueries {
     "q99_mkv_demux" -> (q99 _))
 
   val oracles: Map[String, String] = Map(
+    "q144_image_neardup" -> q144Sql,
     "q128_audio_dedup" -> q128Sql,
     "q121_image_dedup" -> q121Sql,
     "q51_image_decode" -> q51Sql,
