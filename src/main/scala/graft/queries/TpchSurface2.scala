@@ -345,7 +345,93 @@ object TpchSurface2 {
     FROM W JOIN supplier ON s_suppkey = sk
     GROUP BY s_name ORDER BY numwait DESC, s_name"""
 
+  /** q145 — TPC-H Q11 shape (important stock): groups whose aggregate
+    * exceeds a FRACTION OF THE GLOBAL TOTAL — the scalar-subquery-in-
+    * HAVING topology (Q11 runs it over partsupp; this testdata ships no
+    * partsupp, so the same shape runs over lineitem revenue per part:
+    * parts carrying more than 1.5x the MEAN per-part revenue share —
+    * the mean-relative form keeps the predicate meaningful at every
+    * scale factor, where Q11's absolute fraction must be rescaled by
+    * hand). All arithmetic is
+    * integer millicents (price_cents * (1000 - disc_milli)) so the share
+    * predicate and the ppm output are bit-exact cross-engine with no
+    * decimal-scale or double-summation hazards; sums stay < 2^63 up to
+    * ~10^8 lineitems per partition-free total (re-scale to cents at
+    * larger corpora).
+    *
+    * Scale shape: one part-keyed map-side-combinable aggregate; the
+    * global total is a scalar broadcast back into the HAVING filter — no
+    * second fact scan, no window. The having-over-global pattern costs
+    * one 1-row exchange beyond plain group-by. */
+  def q145(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d).select(col("l_partkey"),
+      (col("l_extendedprice").cast(dec2) * 100).cast("long") .as("pc"),
+      (col("l_discount").cast(dec3) * 1000).cast("long").as("dm"))
+      .select(col("l_partkey"), (col("pc") * (lit(1000L) - col("dm"))).as("rev"))
+    val byPart = li.groupBy(col("l_partkey")).agg(sum(col("rev")).as("part_rev"))
+    val total = byPart.agg(sum(col("part_rev")).as("total_rev"),
+      count(lit(1)).as("n_parts"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("part_rev") * col("n_parts") * 2L > col("total_rev") * 3L)
+      .select(col("l_partkey"), col("part_rev"),
+        expr("(part_rev * 1000000) DIV total_rev").as("share_ppm"))
+      .orderBy(col("share_ppm").desc, col("l_partkey"))
+  }
+
+  val q145Sql: String = """
+    WITH li AS (
+      SELECT l_partkey,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
+          (1000 - CAST(CAST(l_discount AS DECIMAL(5,3)) * 1000 AS BIGINT)) AS rev
+      FROM lineitem),
+    bp AS (SELECT l_partkey, CAST(sum(rev) AS BIGINT) AS part_rev FROM li GROUP BY 1),
+    t AS (SELECT CAST(sum(part_rev) AS BIGINT) AS total_rev,
+          CAST(count(*) AS BIGINT) AS n_parts FROM bp)
+    SELECT l_partkey, part_rev,
+      (part_rev * 1000000) // total_rev AS share_ppm
+    FROM bp, t
+    WHERE part_rev * n_parts * 2 > total_rev * 3
+    ORDER BY share_ppm DESC, l_partkey"""
+
+  /** q146 — TPC-H Q13 shape (customer distribution): LEFT join customers
+    * to their qualifying orders, count per customer INCLUDING the
+    * zero-order customers, then histogram the counts — the two-level
+    * group-by whose first level must preserve empty groups (an inner
+    * join would silently drop the c_count = 0 bucket, the most important
+    * row of the report).
+    *
+    * Scale shape: the orders side pre-aggregates to (custkey, count)
+    * BEFORE the join — the join input is per-customer, not per-order —
+    * then a left join from customers and a count-keyed histogram
+    * aggregate. Both aggregates map-side combine; the join key is the
+    * first aggregate's distribution. */
+  def q146(spark: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, d).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q146Sql: String = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(coalesce(pc.c_count, 0) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS c_count
+        FROM orders WHERE o_orderpriority <> '1-URGENT'
+        GROUP BY o_custkey) pc
+      ON c_custkey = pc.o_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
   val defs: Map[String, Q] = Map(
+    "q146_custdist" -> (q146 _),
+    "q145_important_parts" -> (q145 _),
     "q136_waiting_supplier" -> (q136 _),
     "q126_small_qty_revenue" -> (q126 _),
     "q127_top_supplier" -> (q127 _),
@@ -358,6 +444,8 @@ object TpchSurface2 {
     "q66_range_join" -> (q66 _))
 
   val oracles: Map[String, String] = Map(
+    "q146_custdist" -> q146Sql,
+    "q145_important_parts" -> q145Sql,
     "q136_waiting_supplier" -> q136Sql,
     "q126_small_qty_revenue" -> q126Sql,
     "q127_top_supplier" -> q127Sql,
