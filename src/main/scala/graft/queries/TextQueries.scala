@@ -898,6 +898,77 @@ object TextQueries {
     FROM agg a JOIN modal USING (source)
     ORDER BY a.source"""
 
+  /** q147 — HTML main-text extraction under oracle: every document is
+    * deterministically wrapped into a full HTML page (head/title, script
+    * and style blocks that must be skipped wholesale, inline b/i tags
+    * around every 7th token, named + numeric entities, one anchor), then
+    * the native `HtmlExtract` expression recovers the visible text and
+    * link statistics in ONE codegen'd scan — the crawl pipeline's first
+    * operator, the step before any dedup/quality/language stage can run.
+    * The oracle recomputes the EXPECTED extraction from the raw text
+    * column and the wrapping formula alone (the multimodal-query
+    * discipline: the engine side only matches if strip + entity decode +
+    * whitespace fold are exactly right — a sloppy scanner cannot pass
+    * the hash compare).
+    *
+    * Scale shape: pure map-side projection (one expression, no UDF
+    * boundary, no regex engine); what aggregates is nothing — per-doc
+    * rows go straight out. */
+  def q147(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(spark, d))
+    val id = col("doc_id").cast(StringType)
+    val wrapped = transform(Text.tokens(col("text")), (t, i) =>
+      when(pmod(i, lit(7)) === 3, concat(lit("<b>"), t, lit("</b>")))
+        .when(pmod(i, lit(7)) === 5, concat(lit("<i>"), t, lit("</i>")))
+        .otherwise(t))
+    val html = concat(
+      lit("<html><head><title>T"), id,
+      lit("</title><script>var x = "), id,
+      lit(";</script><style>p { color: red; }</style></head><body><h1>Doc&nbsp;"), id,
+      lit("</h1><p>"), array_join(wrapped, " "),
+      lit("</p><p>5 &lt; 7 &amp;&amp; 9 &gt; 2, grade &#65;</p><a href=\"https://example.com/doc/"), id,
+      lit("\">ref "), id, lit("</a></body></html>"))
+    docs.select(col("doc_id"),
+        graft.functions.expressions.HtmlExtract.htmlExtract(html).as("x"),
+        length(html).cast(LongType).as("html_chars"))
+      .select(col("doc_id"), col("html_chars"),
+        length(col("x.text")).cast(LongType).as("text_chars"),
+        col("x.n_links").cast(LongType).as("n_links"),
+        col("x.link_chars").cast(LongType).as("link_chars"),
+        md5(col("x.text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q147Sql: String = s"""
+    WITH w AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids, ${Sql.norm} AS nrm,
+        ${Sql.words} AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, ids, nrm,
+        coalesce(array_to_string(list_transform(range(0, len(toks)), i ->
+          CASE WHEN i % 7 = 3 THEN '<b>' || toks[i+1] || '</b>'
+               WHEN i % 7 = 5 THEN '<i>' || toks[i+1] || '</i>'
+               ELSE toks[i+1] END), ' '), '') AS body
+      FROM w),
+    e AS (
+      SELECT doc_id, ids,
+        length('<html><head><title>T' || ids || '</title><script>var x = ' || ids
+          || ';</script><style>p { color: red; }</style></head><body><h1>Doc&nbsp;' || ids
+          || '</h1><p>' || body
+          || '</p><p>5 &lt; 7 &amp;&amp; 9 &gt; 2, grade &#65;</p><a href="https://example.com/doc/' || ids
+          || '">ref ' || ids || '</a></body></html>') AS html_chars,
+        trim(regexp_replace(
+          'T' || ids || ' Doc ' || ids || ' ' || nrm ||
+          ' 5 < 7 && 9 > 2, grade A ref ' || ids, '\\s+', ' ', 'g')) AS xt
+      FROM b)
+    SELECT doc_id, CAST(html_chars AS BIGINT) AS html_chars,
+      CAST(length(xt) AS BIGINT) AS text_chars,
+      CAST(1 AS BIGINT) AS n_links,
+      CAST(3 + length(ids) AS BIGINT) AS link_chars,
+      md5(xt) AS text_md5
+    FROM e ORDER BY doc_id"""
+
   /** Exact floor(log2(den/num)) for a POSITIVE rational den/num >= 1 —
     * the cross-engine-exact logarithm the LM family's quantizer needs one
     * step beyond integers (q104/q113's bits(n) only quantizes integer
@@ -1630,6 +1701,7 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q147_html_extract" -> (q147 _),
     "q143_dataset_card" -> (q143 _),
     "q142_oov_rate" -> (q142 _),
     "q141_tokenizer_fertility" -> (q141 _),
@@ -1660,6 +1732,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q147_html_extract" -> q147Sql,
     "q143_dataset_card" -> q143Sql,
     "q142_oov_rate" -> q142Sql,
     "q141_tokenizer_fertility" -> q141Sql,

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.expressions.HtmlExtract
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Edge-case contract for the HtmlExtract scanner: q147's oracle covers the
+  * well-formed wrapping formula; these pin the scanner's behavior on the
+  * malformed input a real crawl delivers. */
+class HtmlExtractSpec extends SparkSpec {
+
+  private def run(html: String): (String, Int, Int) = {
+    val r = HtmlExtract.extract(UTF8String.fromString(html))
+    (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2))
+  }
+
+  test("strips tags, folds whitespace, decodes entities") {
+    assert(run("<p>a  b</p><p>c</p>") == (("a b c", 0, 0)))
+    assert(run("x&amp;y &lt;3&gt; &quot;q&quot; &apos;a&apos;&nbsp;z") ==
+      (("x&y <3> \"q\" 'a' z", 0, 0)))
+    assert(run("&#65;&#66; &#8364;") == (("AB €", 0, 0)))
+  }
+
+  test("script and style content is skipped wholesale, even with markup inside") {
+    assert(run("a<script>if (x < 1) { y = '<p>no</p>'; }</script>b") == (("a b", 0, 0)))
+    assert(run("a<style>p > span { color: red; }</style>b") == (("a b", 0, 0)))
+    // unclosed script swallows the rest — the conservative reading
+    assert(run("a<script>var x = 1;") == (("a", 0, 0)))
+  }
+
+  test("link statistics: counts anchors and their non-space text chars") {
+    assert(run("""x <a href="u">click me</a> y <a>2nd</a>""") == (("x click me y 2nd", 2, 10)))
+    // malformed: closing anchor with none open must not underflow
+    assert(run("a</a>b<a>c") == (("a b c", 1, 1)))
+  }
+
+  test("malformed input never throws: unclosed tags, bare ampersands, truncation") {
+    assert(run("a<b") == (("a", 0, 0)))
+    assert(run("fish & chips &unknown; &toolongentity123; x") ==
+      (("fish & chips &unknown; &toolongentity123; x", 0, 0)))
+    assert(run("") == (("", 0, 0)))
+    assert(run("<>" ) == (("", 0, 0)))
+  }
+
+  test("both eval paths agree through a real projection") {
+    import spark.implicits._
+    val html = """<html><body><h1>T</h1><a href="u">L 1</a>&nbsp;end</body></html>"""
+    val viaDf = Seq(html).toDF("h")
+      .select(HtmlExtract.htmlExtract(col("h")).as("x"))
+      .select(col("x.text"), col("x.n_links"), col("x.link_chars"))
+      .collect().head
+    val direct = run(html)
+    assert((viaDf.getString(0), viaDf.getInt(1), viaDf.getInt(2)) == direct)
+    assert(direct == (("T L 1 end", 1, 2)))
+  }
+}
