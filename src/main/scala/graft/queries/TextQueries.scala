@@ -969,6 +969,100 @@ object TextQueries {
       md5(xt) AS text_md5
     FROM e ORDER BY doc_id"""
 
+  /** q148 — pipeline FUNNEL report: the per-stage retention audit every
+    * production corpus build publishes (how many documents survived
+    * language filtering, then quality, then dedup, then the length cap —
+    * and where the mass went). Stages compose operators already on the
+    * board: q40's language prediction, q41's quality rule, q20's
+    * fingerprint dedup (survivor = min doc_id among docs still alive at
+    * that stage), and a length cap. Integer drop rates; stage names make
+    * the output a report, not a debug dump.
+    *
+    * Scale shape: stage flags are ONE map-side projection over the corpus
+    * (each stage's predicate ANDs onto the previous), the dedup stage
+    * pays the one fingerprint-keyed aggregate (on stage-2 survivors
+    * only), and the funnel itself is a single global aggregate emitting
+    * five counters that explode into five report rows — corpus-size
+    * independent output. */
+  def q148(spark: SparkSession, d: String): DataFrame = {
+    val base = withPredLang(Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), col("n_chars"), col("text")))
+      .select(col("doc_id"), col("n_chars"), col("pred_lang"),
+        Text.md5Fingerprint(col("text")).as("fp"),
+        Text.tokenCount(col("text")).cast(LongType).as("nt"),
+        Text.stopwordCount(col("text")).cast(LongType).as("ns"))
+      .withColumn("f1", col("pred_lang") === "en")
+      .withColumn("f2", col("f1") && col("nt") >= 20L && col("nt") <= 1000L &&
+        when(col("nt") > 0L, floor(col("ns") * 1000d / col("nt")).cast(LongType))
+          .otherwise(0L) <= 600L)
+    // dedup runs over stage-2 survivors: canonical = min doc_id per fp
+    val canon = base.filter(col("f2")).groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canon_id"))
+    val flagged = base.join(canon, Seq("fp"), "left")
+      .withColumn("f3", col("f2") && col("doc_id") === col("canon_id"))
+      .withColumn("f4", col("f3") && col("n_chars") <= 400L)
+    val counters = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(col("f1").cast(LongType)).as("n1"),
+      sum(col("f2").cast(LongType)).as("n2"),
+      sum(col("f3").cast(LongType)).as("n3"),
+      sum(col("f4").cast(LongType)).as("n4"))
+    counters.select(explode(array(
+        struct(lit(1L).as("stage"), lit("language_en").as("stage_name"),
+          col("n0").as("n_in"), col("n1").as("n_out")),
+        struct(lit(2L).as("stage"), lit("quality").as("stage_name"),
+          col("n1").as("n_in"), col("n2").as("n_out")),
+        struct(lit(3L).as("stage"), lit("exact_dedup").as("stage_name"),
+          col("n2").as("n_in"), col("n3").as("n_out")),
+        struct(lit(4L).as("stage"), lit("length_cap").as("stage_name"),
+          col("n3").as("n_in"), col("n4").as("n_out")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.stage_name"),
+        col("s.n_in"), col("s.n_out"))
+      .withColumn("drop_pm",
+        when(col("n_in") > 0L, expr("((n_in - n_out) * 1000) DIV n_in"))
+          .otherwise(0L))
+      .orderBy(col("stage"))
+  }
+
+  val q148Sql: String = s"""
+    WITH scored AS (
+      SELECT doc_id, n_chars, $PredLangCaseSql AS pred_lang,
+        md5(${Sql.norm}) AS fp, n_tokens, n_stop
+      FROM (
+        SELECT doc_id, n_chars, text,
+          CAST(len(${Sql.words}) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(${Sql.words}, t -> t IN (${Text.StopWords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS n_stop,
+          $LangScoreColsSql
+        FROM documents)),
+    base AS (
+      SELECT *,
+        (pred_lang = 'en') AS f1,
+        (pred_lang = 'en' AND n_tokens >= 20 AND n_tokens <= 1000 AND
+         (CASE WHEN n_tokens > 0
+               THEN CAST(floor(n_stop * 1000.0 / n_tokens) AS BIGINT) ELSE 0 END) <= 600) AS f2
+      FROM scored),
+    canon AS (
+      SELECT fp, min(doc_id) AS canon_id FROM base WHERE f2 GROUP BY fp),
+    flagged AS (
+      SELECT base.*, (f2 AND doc_id = canon_id) AS f3,
+        (f2 AND doc_id = canon_id AND n_chars <= 400) AS f4
+      FROM base LEFT JOIN canon USING (fp)),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM flagged),
+    stages AS (
+      SELECT 1 AS stage, 'language_en' AS stage_name, n0 AS n_in, n1 AS n_out FROM c
+      UNION ALL SELECT 2, 'quality', n1, n2 FROM c
+      UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM c
+      UNION ALL SELECT 4, 'length_cap', n3, n4 FROM c)
+    SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_in, n_out,
+      CASE WHEN n_in > 0 THEN ((n_in - n_out) * 1000) // n_in ELSE 0 END AS drop_pm
+    FROM stages ORDER BY stage"""
+
   /** Exact floor(log2(den/num)) for a POSITIVE rational den/num >= 1 —
     * the cross-engine-exact logarithm the LM family's quantizer needs one
     * step beyond integers (q104/q113's bits(n) only quantizes integer
@@ -1701,6 +1795,7 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q148_pipeline_funnel" -> (q148 _),
     "q147_html_extract" -> (q147 _),
     "q143_dataset_card" -> (q143 _),
     "q142_oov_rate" -> (q142 _),
@@ -1732,6 +1827,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q148_pipeline_funnel" -> q148Sql,
     "q147_html_extract" -> q147Sql,
     "q143_dataset_card" -> q143Sql,
     "q142_oov_rate" -> q142Sql,
