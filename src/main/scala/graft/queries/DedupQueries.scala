@@ -292,6 +292,57 @@ object DedupQueries {
     GROUP BY doc_id HAVING count(DISTINCT train.s) >= 3
     ORDER BY doc_id"""
 
+  /** q149 — per-source CONTAMINATION report: q78's exact shingle-overlap
+    * decontamination rolled up to the governance artifact a release
+    * review reads — per source: training docs, contaminated docs (>= 3
+    * shingles shared with the held-out benchmark), contamination rate,
+    * and the worst document's overlap. A corpus-wide contaminated list
+    * (q78) tells you WHAT to drop; this tells you WHICH FEED is leaking
+    * eval data and how badly — the difference between cleanup and root
+    * cause.
+    *
+    * Scale shape: q78's shingle-keyed join + per-doc aggregate, then one
+    * source-sized rollup with a left join keeping zero-contamination
+    * sources in the report (dropping them would hide exactly the healthy
+    * baseline the rate is judged against). */
+  def q149(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val perSource = train.groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+    val contaminated = q78(spark, d) // doc_id, n_shared_shingles
+      .join(train, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(col("n_shared_shingles")).as("worst_overlap"))
+    perSource.join(contaminated, Seq("source"), "left")
+      .na.fill(0L, Seq("n_contaminated", "worst_overlap"))
+      .withColumn("contam_pm", expr("(n_contaminated * 1000) DIV n_train"))
+      .select(col("source"), col("n_train"), col("n_contaminated"),
+        col("contam_pm"), col("worst_overlap"))
+      .orderBy(col("source"))
+  }
+
+  val q149Sql: String = s"""
+    WITH sh AS (${Sql.shBase}),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 50 <> 0),
+    bad AS (
+      SELECT doc_id, CAST(count(DISTINCT train.s) AS BIGINT) AS n_shared
+      FROM train JOIN bench ON train.s = bench.s
+      GROUP BY doc_id HAVING count(DISTINCT train.s) >= 3),
+    td AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0),
+    ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train FROM td GROUP BY 1),
+    cs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated,
+        CAST(max(n_shared) AS BIGINT) AS worst_overlap
+      FROM bad JOIN td USING (doc_id) GROUP BY 1)
+    SELECT ps.source, n_train,
+      coalesce(n_contaminated, 0) AS n_contaminated,
+      (coalesce(n_contaminated, 0) * 1000) // n_train AS contam_pm,
+      coalesce(worst_overlap, 0) AS worst_overlap
+    FROM ps LEFT JOIN cs USING (source)
+    ORDER BY ps.source"""
+
   /** Incremental dedup: the delta (doc_id % 10 = 0 plays the day's new
     * arrivals, ~10% of the corpus) is LSH-joined against the stored corpus
     * signatures plus itself and Jaccard-verified — store x store pairs are
@@ -698,6 +749,7 @@ object DedupQueries {
     "q106_segment_dedup" -> (q106 _),
     "q107_bloom_decontaminate" -> (q107 _),
     "q101_incremental_dedup" -> (q101 _),
+    "q149_contamination_report" -> (q149 _),
     "q78_decontamination" -> (q78 _),
     "q20_dedup_exact" -> (q20 _),
     "q21_minhash_signatures" -> (q21 _),
@@ -716,6 +768,7 @@ object DedupQueries {
     "q106_segment_dedup" -> q106Sql,
     "q107_bloom_decontaminate" -> q107Sql,
     "q101_incremental_dedup" -> q101Sql,
+    "q149_contamination_report" -> q149Sql,
     "q78_decontamination" -> q78Sql,
     "q20_dedup_exact" -> q20Sql,
     "q21_minhash_signatures" -> q21Sql,
