@@ -343,6 +343,46 @@ object DedupQueries {
     FROM ps LEFT JOIN cs USING (source)
     ORDER BY ps.source"""
 
+  /** q150 — segment-dedup SAVINGS by source: what cross-document
+    * boilerplate removal (q106's duplicated-8-token-segment rewrite)
+    * actually buys, per feed — total token mass in, kept tokens out,
+    * savings permille, and how many docs were touched. The capacity-
+    * planning counterpart of q149: q149 says which feed leaks eval data;
+    * this says which feed ships redundant boilerplate and how much
+    * storage/compute the span-level dedup recovers from it.
+    *
+    * Scale shape: q106's chunk-hash-keyed shuffle (its only exchange),
+    * one doc_id join to the source column, one source-sized rollup. */
+  def q150(spark: SparkSession, d: String): DataFrame = {
+    val rewritten = q106(spark, d) // doc_id, n_segments, n_dup_segments, kept_tokens, ...
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"),
+      Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+    rewritten.join(docs, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("kept_tokens")).as("kept_tokens"),
+        sum((col("n_dup_segments") > 0L).cast("long")).as("n_docs_touched"))
+      .withColumn("savings_pm",
+        expr("((total_tokens - kept_tokens) * 1000) DIV total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("kept_tokens"), col("n_docs_touched"), col("savings_pm"))
+      .orderBy(col("source"))
+  }
+
+  lazy val q150Sql: String = s"""
+    WITH rw AS (${q106Sql.replace("ORDER BY doc_id", "")}),
+    td AS (SELECT doc_id, source, CAST(len(${Sql.words}) AS BIGINT) AS n_tokens
+           FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(sum(rw.kept_tokens) AS BIGINT) AS kept_tokens,
+      CAST(sum(CASE WHEN rw.n_dup_segments > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+      ((CAST(sum(n_tokens) AS BIGINT) - CAST(sum(rw.kept_tokens) AS BIGINT)) * 1000)
+        // CAST(sum(n_tokens) AS BIGINT) AS savings_pm
+    FROM rw JOIN td USING (doc_id)
+    GROUP BY source ORDER BY source"""
+
   /** Incremental dedup: the delta (doc_id % 10 = 0 plays the day's new
     * arrivals, ~10% of the corpus) is LSH-joined against the stored corpus
     * signatures plus itself and Jaccard-verified — store x store pairs are
@@ -749,6 +789,7 @@ object DedupQueries {
     "q106_segment_dedup" -> (q106 _),
     "q107_bloom_decontaminate" -> (q107 _),
     "q101_incremental_dedup" -> (q101 _),
+    "q150_segment_savings" -> (q150 _),
     "q149_contamination_report" -> (q149 _),
     "q78_decontamination" -> (q78 _),
     "q20_dedup_exact" -> (q20 _),
@@ -768,6 +809,7 @@ object DedupQueries {
     "q106_segment_dedup" -> q106Sql,
     "q107_bloom_decontaminate" -> q107Sql,
     "q101_incremental_dedup" -> q101Sql,
+    "q150_segment_savings" -> q150Sql,
     "q149_contamination_report" -> q149Sql,
     "q78_decontamination" -> q78Sql,
     "q20_dedup_exact" -> q20Sql,
