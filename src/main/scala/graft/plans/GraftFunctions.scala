@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{DotLong, L2SqLong, MinhashSig, NfcNormalize, SimHash32, Str2IntHash}
+import graft.functions.expressions.{DotLong, HtmlExtract, L2SqLong, MinhashSig, NfcNormalize, SimHash32, Str2IntHash}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Cast, Literal}
 import org.apache.spark.sql.types.StringType
@@ -60,6 +60,16 @@ object GraftFunctions {
       exprs => {
         arity("graft_l2sq", exprs, min = 2, max = 2)
         L2SqLong(exprs.head, exprs(1))
+      },
+      "scala_udf")
+    // html_extract(html) -> struct(text, n_links, link_chars): the crawl
+    // pipeline's boilerplate stripper, exposed on the SQL surface so a
+    // saved query can run extraction without the Scala API
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_extract",
+      exprs => {
+        arity("html_extract", exprs, min = 1, max = 1)
+        HtmlExtract(Cast(exprs.head, StringType))
       },
       "scala_udf")
   }

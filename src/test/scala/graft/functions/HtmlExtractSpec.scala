@@ -43,6 +43,15 @@ class HtmlExtractSpec extends SparkSpec {
     assert(run("<>" ) == (("", 0, 0)))
   }
 
+  test("registered on the SQL surface as html_extract") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT html_extract('<p>a</p><a href="u">b c</a>') AS x""")
+      .select(col("x.text"), col("x.n_links"), col("x.link_chars"))
+      .collect().head
+    assert((r.getString(0), r.getInt(1), r.getInt(2)) == (("a b c", 1, 2)))
+  }
+
   test("both eval paths agree through a real projection") {
     import spark.implicits._
     val html = """<html><body><h1>T</h1><a href="u">L 1</a>&nbsp;end</body></html>"""
