@@ -979,11 +979,15 @@ object TextQueries {
     * the output a report, not a debug dump.
     *
     * Scale shape: stage flags are ONE map-side projection over the corpus
-    * (each stage's predicate ANDs onto the previous), the dedup stage
-    * pays the one fingerprint-keyed aggregate (on stage-2 survivors
-    * only), and the funnel itself is a single global aggregate emitting
-    * five counters that explode into five report rows — corpus-size
-    * independent output. */
+    * (each stage's predicate ANDs onto the previous), MATERIALIZED before
+    * fan-out — the scored frame feeds both the dedup aggregate and the
+    * join-back, and without the cut Catalyst inlines the full
+    * lambda-heavy scoring chain (tokens/langScores, no CSE in
+    * interpreted HOFs) into the canon-side filter: measured 2.2 s -> the
+    * checkpoint pays one scoring pass. The dedup stage pays the one
+    * fingerprint-keyed aggregate (on stage-2 survivors only), and the
+    * funnel itself is a single global aggregate emitting counters that
+    * explode into five report rows — corpus-size independent output. */
   def q148(spark: SparkSession, d: String): DataFrame = {
     val base = withPredLang(Tables.parallel(Tables.documents(spark, d))
       .select(col("doc_id"), col("n_chars"), col("text")))
@@ -995,6 +999,8 @@ object TextQueries {
       .withColumn("f2", col("f1") && col("nt") >= 20L && col("nt") <= 1000L &&
         when(col("nt") > 0L, floor(col("ns") * 1000d / col("nt")).cast(LongType))
           .otherwise(0L) <= 600L)
+      .select(col("doc_id"), col("n_chars"), col("fp"), col("f1"), col("f2"))
+      .localCheckpoint(true)
     // dedup runs over stage-2 survivors: canonical = min doc_id per fp
     val canon = base.filter(col("f2")).groupBy(col("fp"))
       .agg(min(col("doc_id")).as("canon_id"))
