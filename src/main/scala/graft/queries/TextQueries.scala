@@ -770,10 +770,13 @@ object TextQueries {
 
   def q142(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized: the token arrays feed BOTH the train-count leg and the
+    // test-probe leg — unmaterialized, each leg re-runs the tokenize chain
     val base = Tables.documents(spark, d).select(
       col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"),
       pmod(graft.functions.Hashing.hash32(
         concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L)).as("b"))
+      .localCheckpoint(true)
     val trainToks = base.filter(col("b") < 80)
       .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
