@@ -429,7 +429,78 @@ object TpchSurface2 {
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC"""
 
+  /** q151 — TPC-H Q8 shape (national market share): the widest join
+    * topology on the board — lineitem to part (type filter), supplier to
+    * its nation (the share's numerator flag), orders to customer to
+    * nation to region (the market scope filter), grouped by order year
+    * with a CONDITIONAL share aggregate. All revenue in integer
+    * millicents (q145's discipline) so numerator, denominator, and the
+    * ppm share are bit-exact — no decimal division anywhere.
+    *
+    * Scale shape: nation/region broadcast always; part and supplier are
+    * hinted broadcast at test scale (both SF-scaled — AQE would pick the
+    * same here; at warehouse scale they degrade to shuffle joins on the
+    * fact table's own keys); orders/customer join on their keys. ONE
+    * pass over the fact table, one 3-row aggregate out. */
+  def q151(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        ((col("l_extendedprice").cast(dec2) * 100).cast("long") *
+          (lit(1000L) - (col("l_discount").cast(dec3) * 1000).cast("long"))).as("vol"))
+    val p = Tables.part(spark, d).filter(col("p_type") === "MEDIUM")
+      .select(col("p_partkey"))
+    val s = Tables.supplier(spark, d).select(col("s_suppkey"), col("s_nationkey"))
+    val sn = Tables.nation(spark, d)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1999-01-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val c = Tables.customer(spark, d).select(col("c_custkey"), col("c_nationkey"))
+    val cn = Tables.nation(spark, d)
+      .select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+    val r = Tables.region(spark, d).filter(col("r_name") === "EUROPE")
+      .select(col("r_regionkey"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("snk"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(col("vol")).as("total_vol"),
+        sum(when(col("supp_nation") === "NATION_1", col("vol")).otherwise(0L))
+          .as("nation_vol"))
+      .withColumn("share_ppm", expr("(nation_vol * 1000000) DIV total_vol"))
+      .orderBy(col("o_year"))
+  }
+
+  val q151Sql: String = """
+    SELECT o_year,
+      CAST(sum(vol) AS BIGINT) AS total_vol,
+      CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END) AS BIGINT) AS nation_vol,
+      (CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END) AS BIGINT) * 1000000)
+        // CAST(sum(vol) AS BIGINT) AS share_ppm
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n1.n_name AS supp_nation,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
+          (1000 - CAST(CAST(l_discount AS DECIMAL(5,3)) * 1000 AS BIGINT)) AS vol
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_type = 'MEDIUM'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY o_year ORDER BY o_year"""
+
   val defs: Map[String, Q] = Map(
+    "q151_market_share" -> (q151 _),
     "q146_custdist" -> (q146 _),
     "q145_important_parts" -> (q145 _),
     "q136_waiting_supplier" -> (q136 _),
@@ -444,6 +515,7 @@ object TpchSurface2 {
     "q66_range_join" -> (q66 _))
 
   val oracles: Map[String, String] = Map(
+    "q151_market_share" -> q151Sql,
     "q146_custdist" -> q146Sql,
     "q145_important_parts" -> q145Sql,
     "q136_waiting_supplier" -> q136Sql,
