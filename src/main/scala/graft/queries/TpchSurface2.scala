@@ -499,7 +499,56 @@ object TpchSurface2 {
         AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY o_year ORDER BY o_year"""
 
+  /** q152 — TPC-H Q16 shape (supplier diversity): per (p_brand, p_size)
+    * bucket, the DISTINCT supplier count over non-MEDIUM parts, EXCLUDING
+    * a blocklist computed by subquery (suppliers with more than twice
+    * the MEAN returned-line count — the "customer complaints" stand-in
+    * this schema supports, mean-relative so the predicate bites at every
+    * scale factor). The two plan features this adds to the board's join
+    * inventory: a NOT-IN anti join feeding an aggregation, and
+    * count(DISTINCT) under GROUP BY (the RewriteDistinctAggregates
+    * Expand path).
+    *
+    * Scale shape: the blocklist is supplier-cardinality-sized (an
+    * aggregate with HAVING) and anti-joins the fact rows before the
+    * distinct aggregate — at test scale it broadcasts, at warehouse
+    * scale it degrades to a key-distributed anti join; the distinct agg
+    * shuffles (brand, size, suppkey) partials map-side. */
+  def q152(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"))
+    val rcounts = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("rc"))
+    val stats = rcounts.agg(sum(col("rc")).as("total_rc"),
+      count(lit(1)).as("n_supp"))
+    val blocked = rcounts.crossJoin(broadcast(stats))
+      .filter(col("rc") * col("n_supp") > col("total_rc") * 2L)
+      .select(col("l_suppkey").as("bad_supp"))
+    val p = Tables.part(spark, d).filter(col("p_type") =!= "MEDIUM")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(blocked, col("l_suppkey") === col("bad_supp"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size").cast(LongType).as("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  val q152Sql: String = """
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+      CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type <> 'MEDIUM'
+    WHERE l_suppkey NOT IN (
+      WITH rc AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS rc
+                  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+           st AS (SELECT CAST(sum(rc) AS BIGINT) AS total_rc,
+                  CAST(count(*) AS BIGINT) AS n_supp FROM rc)
+      SELECT l_suppkey FROM rc, st WHERE rc * n_supp > total_rc * 2)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size"""
+
   val defs: Map[String, Q] = Map(
+    "q152_supplier_diversity" -> (q152 _),
     "q151_market_share" -> (q151 _),
     "q146_custdist" -> (q146 _),
     "q145_important_parts" -> (q145 _),
@@ -515,6 +564,7 @@ object TpchSurface2 {
     "q66_range_join" -> (q66 _))
 
   val oracles: Map[String, String] = Map(
+    "q152_supplier_diversity" -> q152Sql,
     "q151_market_share" -> q151Sql,
     "q146_custdist" -> q146Sql,
     "q145_important_parts" -> q145Sql,
