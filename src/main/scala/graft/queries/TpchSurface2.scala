@@ -547,7 +547,54 @@ object TpchSurface2 {
     GROUP BY p_brand, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_size"""
 
+  /** q153 — TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    * the join whose residual condition is an OR of three
+    * brand/size/quantity conjunction branches — the optimizer stress Q19
+    * exists for: the common `p_partkey = l_partkey` conjunct must still
+    * drive a key join (not a nested-loop filter), with the disjunction
+    * evaluated as a post-join residual, and each branch's part-side
+    * conjuncts still push into the part scan as an OR filter. Revenue in
+    * integer millicents (q145's discipline), plus the qualifying line
+    * count so the gate pins membership, not just the sum.
+    *
+    * Scale shape: one fact pass, part broadcast at test scale (key join +
+    * residual under any strategy at warehouse scale), 1-row output. */
+  def q153(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d).select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      ((col("l_extendedprice").cast(dec2) * 100).cast("long") *
+        (lit(1000L) - (col("l_discount").cast(dec3) * 1000).cast("long"))).as("rev"))
+    val p = Tables.part(spark, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("psz"))
+    val branch1 = col("p_brand") === "Brand#1" &&
+      col("psz").between(1L, 10L) && col("qty").between(1L, 20L)
+    val branch2 = col("p_brand") === "Brand#2" &&
+      col("psz").between(5L, 25L) && col("qty").between(10L, 35L)
+    val branch3 = col("p_brand") === "Brand#3" &&
+      col("psz").between(10L, 40L) && col("qty").between(20L, 50L)
+    li.join(p, col("l_partkey") === col("p_partkey") &&
+        (branch1 || branch2 || branch3))
+      .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("n_lines"))
+  }
+
+  val q153Sql: String = """
+    SELECT CAST(sum(rev) AS BIGINT) AS revenue,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
+          (1000 - CAST(CAST(l_discount AS DECIMAL(5,3)) * 1000 AS BIGINT)) AS rev
+      FROM lineitem) li
+    JOIN (SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS psz FROM part) p
+    ON l_partkey = p_partkey AND (
+      (p_brand = 'Brand#1' AND psz BETWEEN 1 AND 10 AND qty BETWEEN 1 AND 20) OR
+      (p_brand = 'Brand#2' AND psz BETWEEN 5 AND 25 AND qty BETWEEN 10 AND 35) OR
+      (p_brand = 'Brand#3' AND psz BETWEEN 10 AND 40 AND qty BETWEEN 20 AND 50))
+    ORDER BY n_lines"""
+
   val defs: Map[String, Q] = Map(
+    "q153_disjunctive_revenue" -> (q153 _),
     "q152_supplier_diversity" -> (q152 _),
     "q151_market_share" -> (q151 _),
     "q146_custdist" -> (q146 _),
@@ -564,6 +611,7 @@ object TpchSurface2 {
     "q66_range_join" -> (q66 _))
 
   val oracles: Map[String, String] = Map(
+    "q153_disjunctive_revenue" -> q153Sql,
     "q152_supplier_diversity" -> q152Sql,
     "q151_market_share" -> q151Sql,
     "q146_custdist" -> q146Sql,
