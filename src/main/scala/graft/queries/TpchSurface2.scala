@@ -5,9 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Second wave of SQL-surface coverage (TPC-H Q7/Q12/Q14/Q18/Q22 shapes):
-  * conditional aggregation, IN-subqueries with HAVING, anti-join with a
-  * scalar-subquery threshold, year-bucketed multi-join volumes. */
+/** Second wave of SQL-surface coverage — the TPC-H join-topology
+  * inventory beyond TpchSurface's Q1/Q4/Q5 basics: Q7/Q12/Q14/Q18/Q22
+  * (conditional aggregation, IN-subqueries with HAVING, anti-join with a
+  * scalar-subquery threshold, year-bucketed multi-join volumes), Q17/Q15
+  * (correlated scalar aggregate, global-max scalar subquery), Q21 (the
+  * exists + not-exists double correlation), and the round-8 additions
+  * Q11/Q13/Q8/Q16/Q19 (global-share HAVING, zero-preserving custdist,
+  * seven-table market share, NOT-IN blocklist under count-distinct,
+  * disjunctive join residual). */
 object TpchSurface2 {
 
   type Q = (SparkSession, String) => DataFrame
