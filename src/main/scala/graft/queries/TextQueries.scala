@@ -1072,6 +1072,56 @@ object TextQueries {
       CASE WHEN n_in > 0 THEN ((n_in - n_out) * 1000) // n_in ELSE 0 END AS drop_pm
     FROM stages ORDER BY stage"""
 
+  /** q154 — CURRICULUM ordering: assign every document a training phase
+    * by difficulty proxy (length bands — short documents first, the
+    * easy-to-hard schedule), with a DETERMINISTIC shuffle inside each
+    * phase (hash32(doc_id || ':cur'), doc_id tiebreak — the q103
+    * restartable-shuffle discipline: any task subset recomputes the same
+    * order). The gate pins the ORDER itself, not just membership: the
+    * per-phase checksum sums rank * doc_id over the phase's shuffled
+    * sequence, so a single transposition changes the hash.
+    *
+    * Scale shape: phase assignment is map-side; the within-phase ranking
+    * is a phase-partitioned window — the one honest sort curriculum
+    * construction pays once per epoch (at 100 TB it runs as a
+    * range-partitioned sort per phase, exactly what the window lowers
+    * to); output is phase-count-sized. */
+  def q154(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      .withColumn("phase",
+        when(col("n_chars") < 250L, 1L).when(col("n_chars") < 300L, 2L)
+          .when(col("n_chars") < 350L, 3L).otherwise(4L))
+      .withColumn("h", graft.functions.Hashing.hash32(
+        concat(col("doc_id").cast(StringType), lit(":cur"))))
+    val w = Window.partitionBy(col("phase"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs.withColumn("rank", row_number().over(w).cast(LongType))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("rank") * col("doc_id")).as("ord_checksum"))
+      .orderBy(col("phase"))
+  }
+
+  val q154Sql: String = s"""
+    WITH p AS (
+      SELECT doc_id, n_chars,
+        (CASE WHEN n_chars < 250 THEN 1 WHEN n_chars < 300 THEN 2
+              WHEN n_chars < 350 THEN 3 ELSE 4 END) AS phase,
+        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 8) AS BIGINT) AS h
+      FROM documents),
+    r AS (
+      SELECT phase, doc_id, n_chars,
+        CAST(row_number() OVER (PARTITION BY phase ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rank
+      FROM p)
+    SELECT CAST(phase AS BIGINT) AS phase, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(min(n_chars) AS BIGINT) AS min_chars,
+      CAST(max(n_chars) AS BIGINT) AS max_chars,
+      CAST(sum(rank * doc_id) AS BIGINT) AS ord_checksum
+    FROM r GROUP BY phase ORDER BY phase"""
+
   /** Exact floor(log2(den/num)) for a POSITIVE rational den/num >= 1 —
     * the cross-engine-exact logarithm the LM family's quantizer needs one
     * step beyond integers (q104/q113's bits(n) only quantizes integer
@@ -1804,6 +1854,7 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q154_curriculum" -> (q154 _),
     "q148_pipeline_funnel" -> (q148 _),
     "q147_html_extract" -> (q147 _),
     "q143_dataset_card" -> (q143 _),
@@ -1836,6 +1887,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q154_curriculum" -> q154Sql,
     "q148_pipeline_funnel" -> q148Sql,
     "q147_html_extract" -> q147Sql,
     "q143_dataset_card" -> q143Sql,
