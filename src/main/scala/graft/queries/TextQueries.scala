@@ -1122,6 +1122,66 @@ object TextQueries {
       CAST(sum(rank * doc_id) AS BIGINT) AS ord_checksum
     FROM r GROUP BY phase ORDER BY phase"""
 
+  /** q155 — per-source SPLIT DRIFT gate: compares the mean token count of
+    * each source's train split against its test split (the q125/q138
+    * split assignments), emitting the test/train ratio in permille
+    * (1000 = no drift) by integer cross-multiplication — the check a
+    * training run makes before trusting held-out metrics: a source whose
+    * splits differ materially (upstream re-crawl mid-ingest, a
+    * doc_id-correlated content change) invalidates its evals. Sources
+    * missing either split surface with ratio 0 rather than disappearing.
+    *
+    * Scale shape: one map-side token-count projection, one
+    * (source, split) aggregate, a source-on-source self-join of the
+    * dim-sized result. */
+  def q155(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("source"),
+      Text.tokenCount(col("text")).cast(LongType).as("nt"),
+      pmod(graft.functions.Hashing.hash32(
+        concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L)).as("b"))
+    val agg = base
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") >= 90, "test"))
+      .filter(col("split").isNotNull)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("nt")).as("tok"))
+    val tr = agg.filter(col("split") === "train")
+      .select(col("source"), col("n").as("n_train"), col("tok").as("tok_train"))
+    val te = agg.filter(col("split") === "test")
+      .select(col("source"), col("n").as("n_test"), col("tok").as("tok_test"))
+    tr.join(te, Seq("source"), "full")
+      .na.fill(0L, Seq("n_train", "tok_train", "n_test", "tok_test"))
+      .withColumn("ratio_pm",
+        when(col("n_train") > 0L && col("n_test") > 0L && col("tok_train") > 0L,
+          expr("(tok_test * n_train * 1000) DIV (tok_train * n_test)"))
+          .otherwise(0L))
+      .select(col("source"), col("n_train"), col("n_test"),
+        col("tok_train"), col("tok_test"), col("ratio_pm"))
+      .orderBy(col("source"))
+  }
+
+  val q155Sql: String = s"""
+    WITH base AS (
+      SELECT source, CAST(len(${Sql.words}) AS BIGINT) AS nt,
+        CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+      FROM documents),
+    agg AS (
+      SELECT source, (CASE WHEN b < 80 THEN 'train' ELSE 'test' END) AS split,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(nt) AS BIGINT) AS tok
+      FROM base WHERE b < 80 OR b >= 90
+      GROUP BY 1, 2),
+    tr AS (SELECT source, n AS n_train, tok AS tok_train FROM agg WHERE split = 'train'),
+    te AS (SELECT source, n AS n_test, tok AS tok_test FROM agg WHERE split = 'test')
+    SELECT coalesce(tr.source, te.source) AS source,
+      coalesce(n_train, 0) AS n_train, coalesce(n_test, 0) AS n_test,
+      coalesce(tok_train, 0) AS tok_train, coalesce(tok_test, 0) AS tok_test,
+      (CASE WHEN coalesce(n_train, 0) > 0 AND coalesce(n_test, 0) > 0
+                 AND coalesce(tok_train, 0) > 0
+            THEN (tok_test * n_train * 1000) // (tok_train * n_test)
+            ELSE 0 END) AS ratio_pm
+    FROM tr FULL JOIN te ON tr.source = te.source
+    ORDER BY source"""
+
   /** Exact floor(log2(den/num)) for a POSITIVE rational den/num >= 1 —
     * the cross-engine-exact logarithm the LM family's quantizer needs one
     * step beyond integers (q104/q113's bits(n) only quantizes integer
@@ -1854,6 +1914,7 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q155_split_drift" -> (q155 _),
     "q154_curriculum" -> (q154 _),
     "q148_pipeline_funnel" -> (q148 _),
     "q147_html_extract" -> (q147 _),
@@ -1887,6 +1948,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q155_split_drift" -> q155Sql,
     "q154_curriculum" -> q154Sql,
     "q148_pipeline_funnel" -> q148Sql,
     "q147_html_extract" -> q147Sql,
