@@ -448,7 +448,49 @@ object VectorQueries {
     FROM nt LEFT JOIN na USING (query_id) LEFT JOIN nh USING (query_id)
     ORDER BY nt.query_id"""
 
+  /** q156 — embedding-table HEALTH audit: per label cell, vector count,
+    * all-zero vectors (the rows that NaN-poison any cosine pipeline —
+    * q130's zero-norm lesson turned into a standing report), degenerate
+    * constant vectors, and exact integer squared-norm mass (sum and max
+    * of the quantized self-dot — no sqrt, no float summation). The
+    * pre-flight check an index build or decontamination pass runs before
+    * trusting an embedding column.
+    *
+    * Scale shape: one map-side projection (self-dot per vector), one
+    * label-sized aggregate. */
+  def q156(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("label").cast(LongType).as("label"),
+        quantized(col("embedding")).as("qv"))
+      .withColumn("sq", Vectors.dotLong(col("qv"), col("qv")))
+      .withColumn("is_const",
+        size(array_distinct(col("qv"))) === 1)
+    emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum((col("sq") === 0L).cast(LongType)).as("n_zero"),
+        sum(col("is_const").cast(LongType)).as("n_const"),
+        sum(col("sq")).as("sum_sq_norm"),
+        max(col("sq")).as("max_sq_norm"))
+      .orderBy(col("label"))
+  }
+
+  val q156Sql: String = s"""
+    WITH q AS (
+      SELECT CAST(label AS BIGINT) AS label, $qVecSql AS qv FROM embeddings),
+    s AS (
+      SELECT label,
+        CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS BIGINT) AS sq,
+        (len(list_distinct(qv)) = 1) AS is_const
+      FROM q)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+      CAST(sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      CAST(sum(CASE WHEN is_const THEN 1 ELSE 0 END) AS BIGINT) AS n_const,
+      CAST(sum(sq) AS BIGINT) AS sum_sq_norm,
+      CAST(max(sq) AS BIGINT) AS max_sq_norm
+    FROM s GROUP BY label ORDER BY label"""
+
   val defs: Map[String, Q] = Map(
+    "q156_embedding_health" -> (q156 _),
     "q140_ann_recall" -> (q140 _),
     "q132_hybrid_search" -> (q132 _),
     "q130_semantic_decontaminate" -> (q130 _),
@@ -459,6 +501,7 @@ object VectorQueries {
     "q37_embedding_cosine_pairs" -> (q37 _))
 
   val oracles: Map[String, String] = Map(
+    "q156_embedding_health" -> q156Sql,
     "q140_ann_recall" -> q140Sql,
     "q132_hybrid_search" -> q132Sql,
     "q130_semantic_decontaminate" -> q130Sql,
