@@ -1182,6 +1182,41 @@ object TextQueries {
     FROM tr FULL JOIN te ON tr.source = te.source
     ORDER BY source"""
 
+  /** q157 — split MANIFEST: the reproducibility artifact a corpus release
+    * pins next to its data — per split (the q125 train/valid/test hash
+    * assignment): document count, token mass, and two order-independent
+    * membership checksums (bit_xor of doc_ids and sum of doc_id^2), so a
+    * downstream consumer can verify it reconstructed EXACTLY the same
+    * split membership from the published rule — any added, dropped, or
+    * substituted doc_id moves at least one checksum.
+    *
+    * Scale shape: one map-side projection, one 3-row aggregate. */
+  def q157(spark: SparkSession, d: String): DataFrame = {
+    val b = pmod(graft.functions.Hashing.hash32(
+      concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L))
+    Tables.documents(spark, d).select(col("doc_id"),
+        Text.tokenCount(col("text")).cast(LongType).as("nt"),
+        when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(col("doc_id") * col("doc_id")).as("sum_sq_ids"))
+      .orderBy(col("split"))
+  }
+
+  val q157Sql: String = s"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(nt) AS BIGINT) AS n_tokens,
+      CAST(bit_xor(doc_id) AS BIGINT) AS xor_ids,
+      CAST(sum(doc_id * doc_id) AS BIGINT) AS sum_sq_ids
+    FROM (
+      SELECT doc_id, CAST(len(${Sql.words}) AS BIGINT) AS nt,
+        (CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END) AS split
+      FROM (SELECT *, CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+            FROM documents))
+    GROUP BY split ORDER BY split"""
+
   /** Exact floor(log2(den/num)) for a POSITIVE rational den/num >= 1 —
     * the cross-engine-exact logarithm the LM family's quantizer needs one
     * step beyond integers (q104/q113's bits(n) only quantizes integer
@@ -1914,6 +1949,7 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q157_split_manifest" -> (q157 _),
     "q155_split_drift" -> (q155 _),
     "q154_curriculum" -> (q154 _),
     "q148_pipeline_funnel" -> (q148 _),
@@ -1948,6 +1984,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q157_split_manifest" -> q157Sql,
     "q155_split_drift" -> q155Sql,
     "q154_curriculum" -> q154Sql,
     "q148_pipeline_funnel" -> q148Sql,
