@@ -47,6 +47,19 @@ object Hashing {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
+  /** The CANONICAL train/valid/test bucket in [0, 100): every split-aware
+    * query (q125 leakage audit, q138 language-ID, q142 OOV, q155 drift,
+    * q157 manifest) derives membership from THIS formula — one copy, so a
+    * salt or threshold edit cannot silently desynchronize split
+    * membership between the queries that assume they agree. Buckets
+    * < 80 = train, < 90 = valid, else test. */
+  def splitBucket(id: Column): Column =
+    pmod(hash32(concat(lit("split:"), id.cast("string"))), lit(100L))
+
+  /** The DuckDB mirror of [[splitBucket]] for oracle SQL. */
+  def splitBucketSql(idExpr: String): String =
+    s"CAST('0x' || substring(md5('split:' || CAST($idExpr AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
   /** Combine three consecutive token hashes into a 3-gram shingle hash.
     * Mod-P after each product so intermediates stay < 3*2^33. */
   def shingleHash(h1: Column, h2: Column, h3: Column): Column =

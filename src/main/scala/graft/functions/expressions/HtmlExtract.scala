@@ -102,21 +102,34 @@ object HtmlExtract {
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<') {
-        val closing = i + 1 < n && s.charAt(i + 1) == '/'
-        val name = tagName(if (closing) i + 2 else i + 1)
-        if (!closing && (name == "script" || name == "style")) {
-          // skip to the matching close tag wholesale
-          val end = s.indexOf(s"</$name>", i)
-          i = if (end < 0) n else end + name.length + 3
+        if (s.startsWith("<!--", i)) {
+          // comments skip to their own terminator, NOT the first '>' —
+          // conditional comments and commented-out markup contain '>'
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
         } else {
-          if (name == "a") {
-            if (closing) { if (linkDepth > 0) linkDepth -= 1 }
-            else nLinks += 1
+          val closing = i + 1 < n && s.charAt(i + 1) == '/'
+          val name = tagName(if (closing) i + 2 else i + 1)
+          if (!closing && (name == "script" || name == "style")) {
+            // skip to the matching close tag wholesale
+            val end = s.indexOf(s"</$name>", i)
+            i = if (end < 0) n else end + name.length + 3
+          } else {
+            val gt = s.indexOf('>', i)
+            // '<a .../>' self-closes: count the link but never open the
+            // depth — an unclosed depth would tag the whole remaining
+            // document as link text and saturate the density signal
+            val selfClosing = gt > i && s.charAt(gt - 1) == '/'
+            if (name == "a") {
+              if (closing) { if (linkDepth > 0) linkDepth -= 1 }
+              else {
+                nLinks += 1
+                // the open-anchor depth turns on AFTER the tag itself
+                if (!selfClosing) linkDepth += 1
+              }
+            }
+            i = if (gt < 0) n else gt + 1
           }
-          val gt = s.indexOf('>', i)
-          // the open-anchor depth turns on AFTER the tag itself
-          if (!closing && name == "a") linkDepth += 1
-          i = if (gt < 0) n else gt + 1
         }
         pendingSpace = true // every tag separates text runs
       } else if (c == '&') {

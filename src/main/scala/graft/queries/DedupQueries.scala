@@ -556,7 +556,7 @@ object DedupQueries {
     * the split tag is a map-side hash; the matrix fold is <= 6 rows. */
   def q125(spark: SparkSession, d: String): DataFrame = {
     def splitOf(c: org.apache.spark.sql.Column) = {
-      val b = pmod(Hashing.hash32(concat(lit("split:"), c.cast("string"))), lit(100L))
+      val b = Hashing.splitBucket(c)
       when(b < 80, "train").when(b < 90, "valid").otherwise("test")
     }
     def matrix(pairs: DataFrame, cntName: String): DataFrame =
@@ -578,8 +578,8 @@ object DedupQueries {
 
   val q125Sql: String = {
     def splitSql(doc: String) =
-      s"""(CASE WHEN CAST('0x' || substring(md5('split:' || $doc), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
-           WHEN CAST('0x' || substring(md5('split:' || $doc), 1, 8) AS BIGINT) % 100 < 90 THEN 'valid'
+      s"""(CASE WHEN ${Hashing.splitBucketSql(doc)} < 80 THEN 'train'
+           WHEN ${Hashing.splitBucketSql(doc)} < 90 THEN 'valid'
            ELSE 'test' END)"""
     s"""
     WITH cpairs AS (${q22Sql.replace("ORDER BY doc_a, doc_b", "")}),

@@ -774,8 +774,7 @@ object TextQueries {
     // test-probe leg — unmaterialized, each leg re-runs the tokenize chain
     val base = Tables.documents(spark, d).select(
       col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"),
-      pmod(graft.functions.Hashing.hash32(
-        concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L)).as("b"))
+      graft.functions.Hashing.splitBucket(col("doc_id")).as("b"))
       .localCheckpoint(true)
     val trainToks = base.filter(col("b") < 80)
       .select(explode(col("toks")).as("tok"))
@@ -796,7 +795,7 @@ object TextQueries {
   val q142Sql: String = s"""
     WITH base AS (
       SELECT doc_id, source, ${Sql.words} AS toks,
-        CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+        ${graft.functions.Hashing.splitBucketSql("doc_id")} AS b
       FROM documents),
     tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
            FROM (SELECT unnest(toks) AS tok FROM base WHERE b < 80) GROUP BY 1),
@@ -837,6 +836,11 @@ object TextQueries {
           .otherwise(lit(0L)))
       .withColumn("passed",
         col("nt") >= 10L && col("nt") <= 1000L && col("stop_pm") <= 600L)
+      // materialized: three consumers below (dup aggregate, join-back,
+      // modal-language aggregate) — unmaterialized, Catalyst re-inlines
+      // the lambda-heavy scoring chain into each subtree (the q148
+      // lesson; interpreted HOFs get no CSE)
+      .localCheckpoint(true)
     val dupFp = base.groupBy(col("fp")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2L).select(col("fp"), lit(1L).as("is_dup"))
     val flagged = base.join(dupFp, Seq("fp"), "left")
@@ -1137,8 +1141,7 @@ object TextQueries {
   def q155(spark: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(spark, d).select(col("source"),
       Text.tokenCount(col("text")).cast(LongType).as("nt"),
-      pmod(graft.functions.Hashing.hash32(
-        concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L)).as("b"))
+      graft.functions.Hashing.splitBucket(col("doc_id")).as("b"))
     val agg = base
       .withColumn("split",
         when(col("b") < 80, "train").when(col("b") >= 90, "test"))
@@ -1163,7 +1166,7 @@ object TextQueries {
   val q155Sql: String = s"""
     WITH base AS (
       SELECT source, CAST(len(${Sql.words}) AS BIGINT) AS nt,
-        CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+        ${graft.functions.Hashing.splitBucketSql("doc_id")} AS b
       FROM documents),
     agg AS (
       SELECT source, (CASE WHEN b < 80 THEN 'train' ELSE 'test' END) AS split,
@@ -1192,8 +1195,7 @@ object TextQueries {
     *
     * Scale shape: one map-side projection, one 3-row aggregate. */
   def q157(spark: SparkSession, d: String): DataFrame = {
-    val b = pmod(graft.functions.Hashing.hash32(
-      concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L))
+    val b = graft.functions.Hashing.splitBucket(col("doc_id"))
     Tables.documents(spark, d).select(col("doc_id"),
         Text.tokenCount(col("text")).cast(LongType).as("nt"),
         when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split"))
@@ -1213,7 +1215,7 @@ object TextQueries {
     FROM (
       SELECT doc_id, CAST(len(${Sql.words}) AS BIGINT) AS nt,
         (CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END) AS split
-      FROM (SELECT *, CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+      FROM (SELECT *, ${graft.functions.Hashing.splitBucketSql("doc_id")} AS b
             FROM documents))
     GROUP BY split ORDER BY split"""
 
@@ -1867,8 +1869,7 @@ object TextQueries {
     // feeds train counts, vocab size, priors, and test scoring)
     val base = Tables.parallel(Tables.documents(spark, d))
       .select(col("doc_id"), col("lang"), nm.as("nm"),
-        pmod(graft.functions.Hashing.hash32(
-          concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L)).as("b"))
+        graft.functions.Hashing.splitBucket(col("doc_id")).as("b"))
       .withColumn("bgs", bigrams)
       .cache()
     val train = base.filter(col("b") < 80)
@@ -1915,7 +1916,7 @@ object TextQueries {
     s"""
     WITH base AS (
       SELECT doc_id, lang, ${Sql.norm} AS nm,
-        CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+        ${graft.functions.Hashing.splitBucketSql("doc_id")} AS b
       FROM documents),
     bg AS (
       SELECT doc_id, lang, b, unnest(list_transform(range(1, length(nm)), i -> substring(nm, i, 2))) AS g

@@ -53,9 +53,16 @@ object BatchStore {
   }
 
   /** Stamp `df` with this batch id and replace exactly that partition:
-    * the write half of the replay discipline. */
-  def writePartition(df: DataFrame, batchId: Long, dir: String): Unit =
+    * the write half of the replay discipline. Recovers FIRST — a write
+    * into the crash window of an interrupted rewrite swap (dir deleted,
+    * completed `.rewrite` sibling waiting) would recreate the dir with
+    * one partition and make the next recover discard the sibling (the
+    * whole pre-crash history) as stale. Structural here so no stream can
+    * forget it. */
+  def writePartition(df: DataFrame, batchId: Long, dir: String): Unit = {
+    KeyedStore.recover(df.sparkSession, dir)
     writePartitioned(df.withColumn("ingest_batch", lit(batchId)), dir)
+  }
 
   /** Dynamic-overwrite write of an already-stamped frame (used by writers
     * that carry rows for several batches, e.g. compaction keeping original
@@ -91,6 +98,11 @@ object BatchStore {
     * No-op on an empty store. */
   def collapseToLatest(spark: SparkSession, dir: String, schema: StructType)(
       collapse: DataFrame => DataFrame): Unit = {
+    // recover BEFORE the existence check and the maxBatch read: in the
+    // crashed-swap state the live dir is absent and the `.rewrite`
+    // sibling holds the data — unrecovered, this maintenance pass would
+    // silently no-op (or compute keepBatch from a post-crash remnant)
+    KeyedStore.recover(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return

@@ -35,6 +35,21 @@ class HtmlExtractSpec extends SparkSpec {
     assert(run("a</a>b<a>c") == (("a b c", 1, 1)))
   }
 
+  test("comments skip to their own terminator, not the first '>'") {
+    assert(run("a<!-- if x > 1 show banner -->b") == (("a b", 0, 0)))
+    assert(run("a<!--[if lt IE 9]><p>old</p><![endif]-->b") == (("a b", 0, 0)))
+    // unclosed comment swallows the rest, like an unclosed script
+    assert(run("a<!-- never closed") == (("a", 0, 0)))
+  }
+
+  test("self-closing anchors count as links but never open the depth") {
+    // an unclosed depth would tag the whole remaining document as link
+    // text and saturate the density signal
+    assert(run("""<a href="u"/>lots of article text""") ==
+      (("lots of article text", 1, 0)))
+    assert(run("""<a href="u"/>x<a>y</a>z""") == (("x y z", 2, 1)))
+  }
+
   test("malformed input never throws: unclosed tags, bare ampersands, truncation") {
     assert(run("a<b") == (("a", 0, 0)))
     assert(run("fish & chips &unknown; &toolongentity123; x") ==
