@@ -316,7 +316,8 @@ object DedupQueries {
         max(col("n_shared_shingles")).as("worst_overlap"))
     perSource.join(contaminated, Seq("source"), "left")
       .na.fill(0L, Seq("n_contaminated", "worst_overlap"))
-      .withColumn("contam_pm", expr("(n_contaminated * 1000) DIV n_train"))
+      .withColumn("contam_pm",
+        expr("CASE WHEN n_train > 0 THEN (n_contaminated * 1000) DIV n_train ELSE 0 END"))
       .select(col("source"), col("n_train"), col("n_contaminated"),
         col("contam_pm"), col("worst_overlap"))
       .orderBy(col("source"))
@@ -338,7 +339,8 @@ object DedupQueries {
       FROM bad JOIN td USING (doc_id) GROUP BY 1)
     SELECT ps.source, n_train,
       coalesce(n_contaminated, 0) AS n_contaminated,
-      (coalesce(n_contaminated, 0) * 1000) // n_train AS contam_pm,
+      (CASE WHEN n_train > 0
+        THEN (coalesce(n_contaminated, 0) * 1000) // n_train ELSE 0 END) AS contam_pm,
       coalesce(worst_overlap, 0) AS worst_overlap
     FROM ps LEFT JOIN cs USING (source)
     ORDER BY ps.source"""

@@ -741,7 +741,8 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),
         sum(col("n_subwords")).as("n_subwords"))
-      .withColumn("fertility_pm", expr("(n_subwords * 1000) DIV n_words"))
+      .withColumn("fertility_pm",
+        expr("CASE WHEN n_words > 0 THEN (n_subwords * 1000) DIV n_words ELSE 0 END"))
       .orderBy(col("lang"))
   }
 
@@ -750,7 +751,9 @@ object TextQueries {
     SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
       CAST(sum(sc.n_words) AS BIGINT) AS n_words,
       CAST(sum(sc.n_subwords) AS BIGINT) AS n_subwords,
-      (CAST(sum(sc.n_subwords) AS BIGINT) * 1000) // CAST(sum(sc.n_words) AS BIGINT) AS fertility_pm
+      (CASE WHEN CAST(sum(sc.n_words) AS BIGINT) > 0
+        THEN (CAST(sum(sc.n_subwords) AS BIGINT) * 1000) // CAST(sum(sc.n_words) AS BIGINT)
+        ELSE 0 END) AS fertility_pm
     FROM sc JOIN documents d USING (doc_id)
     GROUP BY d.lang ORDER BY d.lang"""
 
@@ -1853,7 +1856,13 @@ object TextQueries {
     * priors, vocabulary size) is dim-sized and BROADCAST; the corpus pays
     * one bigram-explode pass per split with map-side-combinable
     * aggregations ((lang,bg), then (doc,lang), then doc); no corpus keyed
-    * join anywhere. On the synthetic corpus (whose lang labels are nearly
+    * join anywhere. Test scoring aggregates occurrences to
+    * (doc, bigram, n) BEFORE the per-class weight join, so the class
+    * count multiplies only the distinct-bigram frame (bounded by
+    * charset^2 per doc), not raw occurrences — at a realistic 100-200
+    * language model the widest frame in the plan stays corpus-pass-sized.
+    * q158 deploys the same trained weights corpus-wide as map-side
+    * literals (zero scoring shuffle). On the synthetic corpus (whose lang labels are nearly
     * independent of text — by design) it lifts macro-F1 from the majority
     * baseline's ~126 permille to ~240: the honest win available. */
   val LangIdScale: Long = 1L << 24
@@ -1889,12 +1898,18 @@ object TextQueries {
       .withColumn("x", expr(s"(t + v) * $S"))
       .select(col("lang").as("ml"), expr(ilog64("x")).cast(LongType).as("dw"))
     val langsDf = tot.select(col("lang").as("ml"))
-    // score every test bigram occurrence under every model lang: unseen
-    // bigrams take the lang's smoothed default weight
-    val tocc = test.select(col("doc_id"), explode(col("bgs")).as("bg"))
+    // score per DISTINCT (doc, bigram) — occurrences aggregate to a count
+    // BEFORE the per-class weight join, so the widest frame is
+    // distinct-bigram-sized and the class count multiplies only the
+    // post-shrink frame, never raw occurrences. Unseen bigrams take the
+    // lang's smoothed default weight.
+    val tbg = test.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("nn"))
+    val tocc = tbg
       .crossJoin(broadcast(defw))
       .join(broadcast(weights), Seq("ml", "bg"), "left")
-      .select(col("doc_id"), col("ml"), coalesce(col("w"), col("dw")).as("w"))
+      .select(col("doc_id"), col("ml"),
+        (coalesce(col("w"), col("dw")) * col("nn")).as("w"))
     val bsum = tocc.groupBy(col("doc_id"), col("ml")).agg(sum(col("w")).as("bs"))
     val scored = test.select(col("doc_id"), col("lang").as("actual_lang"))
       .crossJoin(broadcast(langsDf))
@@ -1929,8 +1944,9 @@ object TextQueries {
     defw AS (SELECT lang AS ml, CAST(${ilog64(s"((t + v) * $S)")} AS BIGINT) AS dw
              FROM tot CROSS JOIN vv),
     tocc AS (
-      SELECT tb.doc_id, d.ml, coalesce(w.w, d.dw) AS w
-      FROM (SELECT doc_id, g FROM bg WHERE b >= 90) tb
+      SELECT tb.doc_id, d.ml, coalesce(w.w, d.dw) * tb.nn AS w
+      FROM (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS nn
+            FROM bg WHERE b >= 90 GROUP BY 1, 2) tb
       CROSS JOIN defw d
       LEFT JOIN w ON w.ml = d.ml AND w.g = tb.g),
     bsum AS (SELECT doc_id, ml, CAST(sum(w) AS BIGINT) AS bs FROM tocc GROUP BY 1, 2),
@@ -1949,7 +1965,119 @@ object TextQueries {
     $ClassEvalSqlTail"""
   }
 
+  /** q158 — trained language-ID DEPLOYED corpus-wide: the q138 model
+    * (char-bigram naive Bayes trained on the b<80 split) applied to EVERY
+    * document — the shape a production funnel actually runs, replacing
+    * the q40 heuristic with the trained model (reference's language
+    * tagging lives in per-replicator enrichment columns, e.g.
+    * lib/webhookdb/replicator/column.rb converter registry; here it's a
+    * corpus-wide trained stage).
+    *
+    * Scale shape — the q110 discipline on a multi-class model: training
+    * is the q138 map-side-combinable pass; then the trained weights
+    * (langs x charset^2 bigrams — dim-sized by construction, since
+    * normalize() collapses the charset) are collected ONCE and shipped
+    * back as plan literals: a map bigram -> per-lang weight vector plus a
+    * per-lang default vector. Scoring is then a pure PROJECTION —
+    * aggregate(bgs, zeros, zip_with(+)) over the literal map — zero
+    * scoring shuffle, zero corpus join, class count multiplies only the
+    * per-row arithmetic. The widest corpus frame is the one bigram-array
+    * projection regardless of language count (the class-count sidecar
+    * measures this at 5 vs 50 langs). At a model too big for plan
+    * literals (~10^6+ weights) the same scoring drops to one broadcast
+    * join against the (bg, weight-vector) frame — still shuffle-free. */
+  def q158(spark: SparkSession, d: String): DataFrame = {
+    val S = LangIdScale
+    val nm = Text.normalize(col("text"))
+    val bigrams = when(length(col("nm")) >= 2,
+      transform(sequence(lit(1), length(col("nm")) - 1),
+        i => col("nm").substr(i, lit(2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val base = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), col("lang"), nm.as("nm"),
+        graft.functions.Hashing.splitBucket(col("doc_id")).as("b"))
+      .withColumn("bgs", bigrams)
+    def ilog64(x: String) =
+      s"64 * (length(bin($x)) - 1) + ($x * 64) DIV CAST(pow(2.0D, length(bin($x)) - 1) AS BIGINT) - 64"
+    val occ = base.filter(col("b") < 80)
+      .select(col("lang"), explode(col("bgs")).as("bg"))
+    val cnt = occ.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val vv = cnt.agg(count_distinct(col("bg")).as("v"))
+    val weights = cnt.join(tot, Seq("lang")).crossJoin(broadcast(vv))
+      .withColumn("x", expr(s"((t + v) * $S) DIV (c + 1)"))
+      .select(col("lang").as("ml"), col("bg"),
+        expr(ilog64("x")).cast(LongType).as("w"))
+    val defw = tot.crossJoin(broadcast(vv))
+      .withColumn("x", expr(s"(t + v) * $S"))
+      .select(col("lang").as("ml"), expr(ilog64("x")).cast(LongType).as("dw"))
+    // collect the dim-sized model to the driver (integer-exact, so the
+    // collected literals are deterministic) and ship it as plan literals
+    val langs: Seq[String] =
+      tot.select(col("lang")).collect().map(_.getString(0)).sorted.toSeq
+    val idx = langs.zipWithIndex.toMap
+    val dwByLang = defw.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val defaults: Seq[Long] = langs.map(dwByLang)
+    val wmap: Map[String, Seq[Long]] = weights.collect()
+      .groupBy(_.getString(1))
+      .map { case (bg, rows) =>
+        val arr = defaults.toArray
+        rows.foreach(r => arr(idx(r.getString(0))) = r.getLong(2))
+        bg -> arr.toSeq
+      }
+    val wlit = typedlit(wmap)
+    val dlit = typedlit(defaults)
+    val llit = typedlit(langs)
+    val scores = aggregate(col("bgs"), array_repeat(lit(0L), langs.length),
+      (acc, bg) => zip_with(acc, coalesce(element_at(wlit, bg), dlit),
+        (a, w) => a + w))
+    base.select(col("doc_id"),
+        array_min(zip_with(scores, llit,
+          (s, l) => struct(s.as("s"), l.as("l")))).as("best"))
+      .select(col("doc_id"),
+        col("best").getField("l").as("pred_lang"),
+        col("best").getField("s").as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q158Sql: String = {
+    val S = LangIdScale
+    def ilog64(x: String) =
+      s"64 * (length(bin($x)) - 1) + ($x * 64) // CAST(power(2, length(bin($x)) - 1) AS BIGINT) - 64"
+    s"""
+    WITH base AS (
+      SELECT doc_id, lang, ${Sql.norm} AS nm,
+        ${graft.functions.Hashing.splitBucketSql("doc_id")} AS b
+      FROM documents),
+    bg AS (
+      SELECT doc_id, lang, b, unnest(list_transform(range(1, length(nm)), i -> substring(nm, i, 2))) AS g
+      FROM base),
+    cnt AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS c FROM bg WHERE b < 80 GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+    vv AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM cnt),
+    w AS (SELECT lang AS ml, g, CAST(${ilog64(s"(((t + v) * $S) // (c + 1))")} AS BIGINT) AS w
+          FROM cnt JOIN tot USING (lang) CROSS JOIN vv),
+    defw AS (SELECT lang AS ml, CAST(${ilog64(s"((t + v) * $S)")} AS BIGINT) AS dw
+             FROM tot CROSS JOIN vv),
+    ab AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS nn FROM bg GROUP BY 1, 2),
+    tocc AS (
+      SELECT a.doc_id, d.ml, coalesce(w.w, d.dw) * a.nn AS w
+      FROM ab a CROSS JOIN defw d LEFT JOIN w ON w.ml = d.ml AND w.g = a.g),
+    bsum AS (SELECT doc_id, ml, CAST(sum(w) AS BIGINT) AS bs FROM tocc GROUP BY 1, 2),
+    sc AS (
+      SELECT b.doc_id, p.ml, coalesce(bs.bs, 0) AS s
+      FROM base b
+      CROSS JOIN (SELECT lang AS ml FROM tot) p
+      LEFT JOIN bsum bs ON bs.doc_id = b.doc_id AND bs.ml = p.ml)
+    SELECT doc_id,
+      (min({'s': s, 'l': ml})).l AS pred_lang,
+      (min({'s': s, 'l': ml})).s AS score
+    FROM sc GROUP BY doc_id
+    ORDER BY doc_id"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q158_langid_deploy" -> (q158 _),
     "q157_split_manifest" -> (q157 _),
     "q155_split_drift" -> (q155 _),
     "q154_curriculum" -> (q154 _),
@@ -1985,6 +2113,7 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q158_langid_deploy" -> q158Sql,
     "q157_split_manifest" -> q157Sql,
     "q155_split_drift" -> q155Sql,
     "q154_curriculum" -> q154Sql,

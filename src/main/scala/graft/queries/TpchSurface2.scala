@@ -380,7 +380,8 @@ object TpchSurface2 {
     byPart.crossJoin(broadcast(total))
       .filter(col("part_rev") * col("n_parts") * 2L > col("total_rev") * 3L)
       .select(col("l_partkey"), col("part_rev"),
-        expr("(part_rev * 1000000) DIV total_rev").as("share_ppm"))
+        expr("CASE WHEN total_rev > 0 THEN (part_rev * 1000000) DIV total_rev ELSE 0 END")
+          .as("share_ppm"))
       .orderBy(col("share_ppm").desc, col("l_partkey"))
   }
 
@@ -394,7 +395,8 @@ object TpchSurface2 {
     t AS (SELECT CAST(sum(part_rev) AS BIGINT) AS total_rev,
           CAST(count(*) AS BIGINT) AS n_parts FROM bp)
     SELECT l_partkey, part_rev,
-      (part_rev * 1000000) // total_rev AS share_ppm
+      (CASE WHEN total_rev > 0
+        THEN (part_rev * 1000000) // total_rev ELSE 0 END) AS share_ppm
     FROM bp, t
     WHERE part_rev * n_parts * 2 > total_rev * 3
     ORDER BY share_ppm DESC, l_partkey"""
@@ -479,7 +481,8 @@ object TpchSurface2 {
       .agg(sum(col("vol")).as("total_vol"),
         sum(when(col("supp_nation") === "NATION_1", col("vol")).otherwise(0L))
           .as("nation_vol"))
-      .withColumn("share_ppm", expr("(nation_vol * 1000000) DIV total_vol"))
+      .withColumn("share_ppm",
+        expr("CASE WHEN total_vol > 0 THEN (nation_vol * 1000000) DIV total_vol ELSE 0 END"))
       .orderBy(col("o_year"))
   }
 
@@ -487,8 +490,9 @@ object TpchSurface2 {
     SELECT o_year,
       CAST(sum(vol) AS BIGINT) AS total_vol,
       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END) AS BIGINT) AS nation_vol,
-      (CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END) AS BIGINT) * 1000000)
-        // CAST(sum(vol) AS BIGINT) AS share_ppm
+      (CASE WHEN CAST(sum(vol) AS BIGINT) > 0
+        THEN (CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(sum(vol) AS BIGINT) ELSE 0 END) AS share_ppm
     FROM (
       SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n1.n_name AS supp_nation,
         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
