@@ -13,13 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * run on raw crawl bytes BEFORE any dedup/quality/language stage, so it
   * has to be cheap, deterministic, and inside codegen).
   *
-  * One linear scan per document, no DOM, no regex:
+  * One linear scan per document, no DOM, no regex — and the scan is
+  * hardened for REAL crawl bytes, not just normalized HTML:
   *  - `<script>`/`<style>` elements are skipped wholesale (content and
-  *    tags; lowercase tag names — the normalized-crawl contract);
+  *    tags); tag names match CASE-INSENSITIVELY (`</SCRIPT>`,
+  *    `</Style >` with whitespace before `>` both close), and an
+  *    unterminated raw-text element swallows to EOF (the HTML5 rule);
+  *  - tag scanning is QUOTE-AWARE: a `>` inside a quoted attribute value
+  *    (`<a href="a>b">`, inline onclick handlers) does not end the tag;
   *  - every other tag is stripped and treated as a WHITESPACE separator
   *    (block/inline distinction collapses under whitespace folding);
-  *  - entities decode: `&amp; &lt; &gt; &quot; &apos; &nbsp;` and numeric
-  *    `&#NN;`; unknown entities pass through literally;
+  *  - entities decode: the full Latin-1/punctuation named set below
+  *    (`&amp; &mdash; &euro; ...`), decimal `&#NN;` and hex `&#xNN;`
+  *    (code points above U+10FFFF and surrogates rejected); unknown
+  *    entities pass through literally;
   *  - whitespace (incl. decoded nbsp) collapses to single spaces, trimmed.
   *
   * Besides the text it returns link statistics — `n_links` (anchor count)
@@ -67,6 +74,39 @@ object HtmlExtract {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
+  /** Named entities (case-sensitive, per the HTML spec): the core XML
+    * five plus the Latin-1 + general-punctuation set that dominates real
+    * crawl text. Unknown names pass through literally. */
+  private val entities: Map[String, Int] = Map(
+    "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"', "apos" -> '\'',
+    "nbsp" -> ' ',
+    // general punctuation
+    "ndash" -> 0x2013, "mdash" -> 0x2014, "hellip" -> 0x2026,
+    "lsquo" -> 0x2018, "rsquo" -> 0x2019, "sbquo" -> 0x201A,
+    "ldquo" -> 0x201C, "rdquo" -> 0x201D, "bdquo" -> 0x201E,
+    "dagger" -> 0x2020, "Dagger" -> 0x2021, "bull" -> 0x2022,
+    "permil" -> 0x2030, "lsaquo" -> 0x2039, "rsaquo" -> 0x203A,
+    "prime" -> 0x2032, "Prime" -> 0x2033, "minus" -> 0x2212,
+    "trade" -> 0x2122, "euro" -> 0x20AC,
+    // Latin-1 supplement
+    "iexcl" -> 0xA1, "cent" -> 0xA2, "pound" -> 0xA3, "curren" -> 0xA4,
+    "yen" -> 0xA5, "brvbar" -> 0xA6, "sect" -> 0xA7, "uml" -> 0xA8,
+    "copy" -> 0xA9, "ordf" -> 0xAA, "laquo" -> 0xAB, "not" -> 0xAC,
+    "shy" -> 0xAD, "reg" -> 0xAE, "macr" -> 0xAF, "deg" -> 0xB0,
+    "plusmn" -> 0xB1, "sup2" -> 0xB2, "sup3" -> 0xB3, "acute" -> 0xB4,
+    "micro" -> 0xB5, "para" -> 0xB6, "middot" -> 0xB7, "cedil" -> 0xB8,
+    "sup1" -> 0xB9, "ordm" -> 0xBA, "raquo" -> 0xBB, "frac14" -> 0xBC,
+    "frac12" -> 0xBD, "frac34" -> 0xBE, "iquest" -> 0xBF,
+    "times" -> 0xD7, "divide" -> 0xF7, "szlig" -> 0xDF,
+    "agrave" -> 0xE0, "aacute" -> 0xE1, "acirc" -> 0xE2, "atilde" -> 0xE3,
+    "auml" -> 0xE4, "aring" -> 0xE5, "aelig" -> 0xE6, "ccedil" -> 0xE7,
+    "egrave" -> 0xE8, "eacute" -> 0xE9, "ecirc" -> 0xEA, "euml" -> 0xEB,
+    "igrave" -> 0xEC, "iacute" -> 0xED, "icirc" -> 0xEE, "iuml" -> 0xEF,
+    "eth" -> 0xF0, "ntilde" -> 0xF1, "ograve" -> 0xF2, "oacute" -> 0xF3,
+    "ocirc" -> 0xF4, "otilde" -> 0xF5, "ouml" -> 0xF6, "oslash" -> 0xF8,
+    "ugrave" -> 0xF9, "uacute" -> 0xFA, "ucirc" -> 0xFB, "uuml" -> 0xFC,
+    "yacute" -> 0xFD, "thorn" -> 0xFE, "yuml" -> 0xFF)
+
   /** The kernel — shared by interpreted eval and generated code. */
   def extract(u: UTF8String): InternalRow = {
     val s = u.toString
@@ -99,6 +139,44 @@ object HtmlExtract {
       b.toString
     }
 
+    /** Index of the tag-ending '>' at/after `from`, skipping over quoted
+      * attribute values — a '>' inside `href="a>b"` or an onclick handler
+      * must not end the tag. -1 if the tag never closes. */
+    def tagEnd(from: Int): Int = {
+      var j = from
+      var quote: Char = 0
+      while (j < n) {
+        val ch = s.charAt(j)
+        if (quote != 0) { if (ch == quote) quote = 0 }
+        else if (ch == '"' || ch == '\'') quote = ch
+        else if (ch == '>') return j
+        j += 1
+      }
+      -1
+    }
+
+    /** Index AFTER the case-insensitive close tag `</name [ws] >` at/after
+      * `from`; n if absent (HTML5: unterminated raw text runs to EOF). */
+    def closeTagEnd(name: String, from: Int): Int = {
+      var j = from
+      while (j >= 0 && j < n) {
+        j = s.indexOf("</", j)
+        if (j < 0) return n
+        var k = j + 2
+        var m = 0
+        while (m < name.length && k < n &&
+          Character.toLowerCase(s.charAt(k)) == name.charAt(m)) {
+          k += 1; m += 1
+        }
+        if (m == name.length) {
+          while (k < n && isWs(s.charAt(k))) k += 1
+          if (k < n && s.charAt(k) == '>') return k + 1
+        }
+        j += 2
+      }
+      n
+    }
+
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<') {
@@ -111,11 +189,13 @@ object HtmlExtract {
           val closing = i + 1 < n && s.charAt(i + 1) == '/'
           val name = tagName(if (closing) i + 2 else i + 1)
           if (!closing && (name == "script" || name == "style")) {
-            // skip to the matching close tag wholesale
-            val end = s.indexOf(s"</$name>", i)
-            i = if (end < 0) n else end + name.length + 3
+            // skip to the matching close tag wholesale (case-insensitive,
+            // whitespace tolerated before '>'): first past the open tag
+            // itself, then to the element's close tag
+            val open = tagEnd(i + 1)
+            i = closeTagEnd(name, if (open < 0) n else open + 1)
           } else {
-            val gt = s.indexOf('>', i)
+            val gt = tagEnd(i + 1)
             // '<a .../>' self-closes: count the link but never open the
             // depth — an unclosed depth would tag the whole remaining
             // document as link text and saturate the density signal
@@ -134,20 +214,27 @@ object HtmlExtract {
         pendingSpace = true // every tag separates text runs
       } else if (c == '&') {
         val semi = s.indexOf(';', i)
-        if (semi > i && semi - i <= 8) {
+        if (semi > i && semi - i <= 10) {
           val ent = s.substring(i + 1, semi)
-          val decoded: Int = ent match {
-            case "amp" => '&'
-            case "lt" => '<'
-            case "gt" => '>'
-            case "quot" => '"'
-            case "apos" => '\''
-            case "nbsp" => ' '
-            case _ if ent.startsWith("#") && ent.length > 1 &&
-              ent.drop(1).forall(ch => ch >= '0' && ch <= '9') =>
-              ent.drop(1).toInt
-            case _ => -1
-          }
+          val decoded: Int =
+            if (ent.length > 1 && ent.charAt(0) == '#') {
+              val body = ent.substring(1)
+              // digit caps keep the parses overflow-safe (max valid code
+              // point 0x10FFFF is 6 hex / 7 decimal digits)
+              val cp =
+                if ((body.charAt(0) == 'x' || body.charAt(0) == 'X') &&
+                  body.length > 1 && body.length <= 7 &&
+                  body.substring(1).forall(ch =>
+                    (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') ||
+                      (ch >= 'A' && ch <= 'F')))
+                  java.lang.Integer.parseInt(body.substring(1), 16)
+                else if (body.length <= 7 &&
+                  body.forall(ch => ch >= '0' && ch <= '9'))
+                  body.toInt
+                else -1
+              // reject beyond-Unicode and surrogate code points
+              if (cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) -1 else cp
+            } else entities.getOrElse(ent, -1)
           if (decoded >= 0) {
             if (decoded <= Char.MaxValue) appendChar(decoded.toChar)
             else Character.toChars(decoded).foreach(appendChar)

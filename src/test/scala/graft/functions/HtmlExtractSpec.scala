@@ -19,13 +19,13 @@ class HtmlExtractSpec extends SparkSpec {
     assert(run("<p>a  b</p><p>c</p>") == (("a b c", 0, 0)))
     assert(run("x&amp;y &lt;3&gt; &quot;q&quot; &apos;a&apos;&nbsp;z") ==
       (("x&y <3> \"q\" 'a' z", 0, 0)))
-    assert(run("&#65;&#66; &#8364;") == (("AB €", 0, 0)))
+    assert(run("&#65;&#66; &#8364;") == (("AB \u20AC", 0, 0)))
   }
 
   test("script and style content is skipped wholesale, even with markup inside") {
     assert(run("a<script>if (x < 1) { y = '<p>no</p>'; }</script>b") == (("a b", 0, 0)))
     assert(run("a<style>p > span { color: red; }</style>b") == (("a b", 0, 0)))
-    // unclosed script swallows the rest — the conservative reading
+    // unclosed script swallows the rest \u2014 the conservative reading
     assert(run("a<script>var x = 1;") == (("a", 0, 0)))
   }
 
@@ -56,6 +56,33 @@ class HtmlExtractSpec extends SparkSpec {
       (("fish & chips &unknown; &toolongentity123; x", 0, 0)))
     assert(run("") == (("", 0, 0)))
     assert(run("<>" ) == (("", 0, 0)))
+  }
+
+  test("a '>' inside a quoted attribute value does not end the tag") {
+    assert(run("""a <a href="x>y">t</a> b""") == (("a t b", 1, 1)))
+    assert(run("""a <img alt='5 > 3'> b""") == (("a b", 0, 0)))
+    assert(run("""<div onclick="if (a>b) go()">x</div>""") == (("x", 0, 0)))
+    // quote closes, then the real '>' ends the tag
+    assert(run("""<span title="a>b" id=c>d</span>""") == (("d", 0, 0)))
+  }
+
+  test("raw-text close tags match case-insensitively with optional whitespace") {
+    assert(run("a<SCRIPT>var x = 1;</SCRIPT>b") == (("a b", 0, 0)))
+    assert(run("a<script>x</ScRiPt>b") == (("a b", 0, 0)))
+    assert(run("a<style>p { color: red }</style >b") == (("a b", 0, 0)))
+    // '</scripted>' is NOT a script close tag \u2014 scan continues to the real one
+    assert(run("a<script>x</scripted>y</script>b") == (("a b", 0, 0)))
+    // quoted '>' inside the open tag's attributes doesn't start the raw text
+    assert(run("""a<script type="a>b">var x;</script>c""") == (("a c", 0, 0)))
+  }
+
+  test("hex and extended named entities decode; invalid code points stay literal") {
+    assert(run("&#x41;&#X42; &#x20AC;") == (("AB \u20AC", 0, 0)))
+    assert(run("em&mdash;dash &hellip; &copy;2024 caf&eacute;") ==
+      (("em\u2014dash \u2026 \u00A92024 caf\u00E9", 0, 0)))
+    // surrogates, beyond-Unicode, and overlong digit runs pass through
+    assert(run("&#xD800; &#1114112; &#x110000;") ==
+      (("&#xD800; &#1114112; &#x110000;", 0, 0)))
   }
 
   test("registered on the SQL surface as html_extract") {
