@@ -81,13 +81,27 @@ object BatchStore {
     * the stream's own foreachBatch (or under the store's TableLock from
     * other processes). */
   def compactWith(spark: SparkSession, dir: String, schema: StructType)(
+      rewrite: (DataFrame, String) => Unit): Unit =
+    compactImpl(spark, dir)(d => readOr(spark, d, schema))(rewrite)
+
+  /** Schema-inferring variant: the live reader carries the store's own
+    * on-disk schema (the dir is guaranteed non-missing inside the
+    * rewrite). Use when one maintenance pass compacts stores of
+    * DIFFERENT schemas — passing store A's declared schema while
+    * rewriting store B would silently mis-read B. */
+  def compactWith(spark: SparkSession, dir: String)(
+      rewrite: (DataFrame, String) => Unit): Unit =
+    compactImpl(spark, dir)(d => spark.read.parquet(d))(rewrite)
+
+  private def compactImpl(spark: SparkSession, dir: String)(
+      read: String => DataFrame)(
       rewrite: (DataFrame, String) => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     KeyedStore.recover(spark, dir)
     if (fs.exists(p))
       KeyedStore.rewriteSwap(spark, dir) { tmp =>
-        rewrite(readOr(spark, dir, schema), tmp)
+        rewrite(read(dir), tmp)
       }
   }
 

@@ -134,8 +134,8 @@ object DedupStream {
     // can be a corpus-sized archive. Surviving rows KEEP their original
     // ingest_batch stamps (unlike the sketch stores' collapseToLatest),
     // because the dedup loop's partition-exclusion reads depend on them.
-    BatchStore.compactWith(spark, dir, docSchema) { (_, tmp) =>
-      latestPerDoc(spark.read.parquet(dir))
+    BatchStore.compactWith(spark, dir) { (live, tmp) =>
+      latestPerDoc(live)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("ingest_batch").parquet(tmp)
     }

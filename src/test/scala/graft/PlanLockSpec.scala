@@ -57,6 +57,12 @@ class PlanLockSpec extends SparkSpec {
     // precedent)
     "q138_langid_v2",
     "q141_tokenizer_fertility",
+    // BENCH_r08 driver-board top-10: the remaining unlocked members (the
+    // rule is "lock the official board, not the friendlier rerun" — both
+    // were wall-only noise on the driver run, but the lock is cheap and
+    // catches the shape drift the noise could mask)
+    "q137_langid_eval",
+    "q116_cms_topk",
     "q122_trigram_interp",   // board #1: three vocab-sized n-gram joins
     "q124_perplexity_filter",// board #2: q104 subtree + histogram threshold
     "q128_audio_dedup",      // 133-board top-10: cross-container decode +
@@ -129,14 +135,50 @@ class PlanLockSpec extends SparkSpec {
     * placeholder the gid literal and sort the group lists, keeping the
     * part that matters (which columns are null'd per group). */
   private val expandArgs = "^(\\s*)Arguments: \\[(\\[.*\\])\\], (\\[.*gid#x.*\\])$".r
+  private val gidList = "^(\\s*)(Input|Keys|Results)( \\[\\d+\\]): \\[(.*gid#x.*)\\]$".r
+  private val gidHashPart =
+    "^(\\s*)Arguments: hashpartitioning\\((.*gid#x.*)\\), (\\S+), \\[plan_id=x\\]$".r
+
+  /** Split a printed expression list on top-level ", " only (commas inside
+    * CASE/function parens or nested brackets don't separate items). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(' || c == '[') { depth += 1; cur.append(c) }
+      else if (c == ')' || c == ']') { depth -= 1; cur.append(c) }
+      else if (c == ',' && depth == 0 && i + 1 < s.length && s.charAt(i + 1) == ' ') {
+        out += cur.toString; cur.clear(); i += 1
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  private def sortedList(s: String): String = splitTop(s).sorted.mkString(", ")
+
   private def canonExpandGroups(line: String): String = line match {
     case expandArgs(indent, groups, out) =>
       val canon = groups.stripPrefix("[").stripSuffix("]")
         .split("\\], \\[")
-        .map(_.replaceAll(", \\d+$", ", <g>"))
+        .map(g => sortedList(g.replaceAll(", \\d+$", ", <g>")))
         .sorted
         .mkString("[", "], [", "]")
-      s"${indent}Arguments: [$canon], $out"
+      val canonOut = sortedList(out.stripPrefix("[").stripSuffix("]"))
+      s"${indent}Arguments: [$canon], [$canonOut]"
+    // the distinct-rewrite gid column's POSITION in downstream lists also
+    // rides the exprId HashMap iteration order — sort those lists too
+    // (which columns flow matters; their print order doesn't)
+    case gidList(indent, kind, count, cols) =>
+      s"$indent$kind$count: [${sortedList(cols)}]"
+    case gidHashPart(indent, args, mode) =>
+      val parts = splitTop(args)
+      val canon = (sortedList(parts.init.mkString(", ")), parts.last)
+      s"${indent}Arguments: hashpartitioning(${canon._1}, ${canon._2}), $mode, [plan_id=x]"
     case _ => line.replaceAll("gid#x = \\d+", "gid#x = <g>")
   }
 
