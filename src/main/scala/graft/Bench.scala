@@ -66,10 +66,23 @@ object Bench {
     // locales it would emit "value":12,345 and break the JSON consumers.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val shortQs = results
-      .map { case (k, v, _) =>
-        s"\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000d) }
-      .mkString("{", ",", "}")
+    // Self-truncating: the line keeps the MOST EXPENSIVE queries up to a
+    // character budget sized so line + sbt trailer always fit the 2000-char
+    // window regardless of board growth; dropped entries are the cheapest
+    // (least informative) ones, counted in "qomitted", and every query is
+    // always in bench_detail.json. Kept entries print in name order for
+    // stable round-over-round diffs.
+    val entries = results.map { case (k, v, _) =>
+      (k, s"\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000d)) }
+    val budget = 1600
+    val keep = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var used = 0
+    results.sortBy(-_._2).foreach { case (k, _, _) =>
+      val e = entries.find(_._1 == k).get
+      if (used + e._2.length + 1 <= budget) { keep += e; used += e._2.length + 1 }
+    }
+    val omitted = results.size - keep.size
+    val shortQs = keep.sortBy(_._1).map(_._2).mkString("{", ",", "}")
     val fullQs = results.map { case (k, v, m) =>
       s"\"" + k + "\":{\"sec\":" + fmt(v) +
         s""","inputBytes":${m.inputBytes},"inputRecords":${m.inputRecords}""" +
@@ -79,7 +92,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","qunit":"ms","queries":$shortQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","qunit":"ms","qomitted":$omitted,"queries":$shortQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}\n"""

@@ -71,6 +71,24 @@ object TableLock {
     } finally lock.unlock()
   }
 
+  /** Hold the writer locks of SEVERAL tables at once (a dedup loop's
+    * store + archive, a maintenance pass touching both): dirs are
+    * normalized, deduplicated, and acquired in SORTED order, so any two
+    * holders that overlap on any subset acquire in the same global order
+    * and cannot deadlock. Reentrancy carries through (each layer is the
+    * single-dir lock). */
+  def withLocks[A](dirs: Seq[String], ttlMs: Long = DefaultTtlMs,
+                   acquireTimeoutMs: Long = DefaultAcquireTimeoutMs,
+                   pollMs: Long = 25L)(f: => A): A = {
+    val sorted = dirs.map(d => Paths.get(d).toAbsolutePath.normalize.toString)
+      .distinct.sorted.toList
+    def go(rest: List[String]): A = rest match {
+      case Nil => f
+      case h :: t => withLock(h, ttlMs, acquireTimeoutMs, pollMs)(go(t))
+    }
+    go(sorted)
+  }
+
   /** Non-blocking probe — the `avoid_writes?` analog (`base.rb:1304-1330`:
     * the reference asks pg_locks whether the table is locked/vacuuming and
     * RESCHEDULES lower-priority work instead of queueing). True when a

@@ -82,26 +82,38 @@ object BatchStore {
     * other processes). */
   def compactWith(spark: SparkSession, dir: String, schema: StructType)(
       rewrite: (DataFrame, String) => Unit): Unit =
-    compactImpl(spark, dir)(d => readOr(spark, d, schema))(rewrite)
+    compactImpl(spark, dir)(d => Some(readOr(spark, d, schema)))(rewrite)
 
   /** Schema-inferring variant: the live reader carries the store's own
-    * on-disk schema (the dir is guaranteed non-missing inside the
-    * rewrite). Use when one maintenance pass compacts stores of
+    * on-disk schema. Use when one maintenance pass compacts stores of
     * DIFFERENT schemas — passing store A's declared schema while
-    * rewriting store B would silently mis-read B. */
+    * rewriting store B would silently mis-read B. A dir holding no
+    * visible data yet (e.g. only a writer-lease sidecar, before the
+    * first microbatch lands) is skipped — nothing to compact, and
+    * schema inference would fail on it. */
   def compactWith(spark: SparkSession, dir: String)(
       rewrite: (DataFrame, String) => Unit): Unit =
-    compactImpl(spark, dir)(d => spark.read.parquet(d))(rewrite)
+    compactImpl(spark, dir) { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasData = fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (hasData) Some(spark.read.parquet(d)) else None
+    }(rewrite)
 
   private def compactImpl(spark: SparkSession, dir: String)(
-      read: String => DataFrame)(
+      read: String => Option[DataFrame])(
       rewrite: (DataFrame, String) => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     KeyedStore.recover(spark, dir)
     if (fs.exists(p))
-      KeyedStore.rewriteSwap(spark, dir) { tmp =>
-        rewrite(read(dir), tmp)
+      read(dir).foreach { live =>
+        KeyedStore.rewriteSwap(spark, dir) { tmp =>
+          rewrite(live, tmp)
+        }
       }
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{IncrementalDedup, KeyedStore}
+import graft.operators.{IncrementalDedup, KeyedStore, TableLock}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -139,6 +139,36 @@ object DedupStream {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("ingest_batch").parquet(tmp)
     }
+
+  /** Cross-process variant of [[runBatch]]: the whole microbatch (store
+    * read through partition write) runs under the writer locks of every
+    * dir it touches, in TableLock's sorted-order multi-acquire. Use this
+    * as the foreachBatch body when an EXTERNAL maintenance process (a
+    * separate driver running [[maintain]]) shares the storage — without
+    * the locks, a partition written between maintenance's rewrite-build
+    * and its swap would be silently dropped by the swap. When the stream
+    * is the only writer (maintenance folded into its own foreachBatch via
+    * `start(compactEvery = N)`), plain runBatch needs no locks. */
+  def runBatchLocked(spark: SparkSession, batch: DataFrame, batchId: Long,
+                     storeDir: String, archiveDir: String, pairsDir: String,
+                     threshold: Double = 0.5): Unit =
+    TableLock.withLocks(Seq(storeDir, archiveDir, pairsDir)) {
+      runBatch(spark, batch, batchId, storeDir, archiveDir, pairsDir, threshold)
+    }
+
+  /** External maintenance entry point: compact the store and archive from
+    * OUTSIDE the stream's foreachBatch — a separate maintenance driver on
+    * shared storage — serialized against live microbatches by the same
+    * per-dir writer locks [[runBatchLocked]] takes. Compaction is
+    * read-equivalent (latestPerDoc resolves identically before and
+    * after), so the only coordination needed is mutual exclusion of the
+    * swap against concurrent partition writes, which the locks provide.
+    * Each dir is compacted under its own lock (no need to freeze the pair
+    * store while the sig store rewrites). */
+  def maintain(spark: SparkSession, storeDir: String, archiveDir: String): Unit = {
+    TableLock.withLocks(Seq(storeDir))(compact(spark, storeDir))
+    TableLock.withLocks(Seq(archiveDir))(compact(spark, archiveDir))
+  }
 
   /** Attach the dedup loop to a streaming Dataset of (doc_id, text).
     * `compactEvery` > 0 folds the maintenance pass into the loop: after
