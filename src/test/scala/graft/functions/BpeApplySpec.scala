@@ -65,6 +65,30 @@ class BpeApplySpec extends SparkSpec {
         s"fallback divergence on '$w' with $table")
   }
 
+  test("LARGE fallback table: 2000 interacting merges with duplicate pairs " +
+    "replay exactly like the literal chain") {
+    // a production-sized table that VIOLATES the funnel preconditions
+    // everywhere (duplicate pairs over a 4-symbol alphabet, so later
+    // duplicates re-fire on the products of earlier merges): the exact
+    // sequential-replay fallback must stay bit-identical to the
+    // definitional chain at this scale, not just on toy tables
+    val alpha = "abcd"
+    def sym(i: Int): String = alpha((i % 4)).toString
+    val big = (0 until 2000).map { i =>
+      // mix single chars and previously-producible composites
+      if (i % 5 == 4) (sym(i) + sym(i / 2), sym(i / 3))
+      else (sym(i), sym(i / 4))
+    }
+    assert(!new BpeEncode.MergeTable(big).fastPathOk,
+      "duplicate pairs must disable the fast path")
+    val words = Seq("abcd", "aabbccdd", "abcabcabc", "dddd", "cbadcbad",
+      "aaaaaaaaaa", "abdcba", "ccccabab", "badcab", "a", "")
+    words.foreach { w =>
+      assert(kernel(w, big) == literalChain(w, big),
+        s"large-fallback divergence on '$w'")
+    }
+  }
+
   test("fast path handles back-to-back runs the way literal replace does") {
     // " a; a; a; a;" -> "aa aa", the resume-after-replacement contract
     val t = Seq(("a", "a"))
