@@ -60,6 +60,7 @@ object BenchAnnScale {
       "q31_ivf_label_pruned_ann" -> (queries.VectorQueries.q31 _),
       "q39_lsh_bucket_ann" -> (queries.VectorQueries.q39 _),
       "q58_pq_ann" -> (queries.PipelineQueries.q58 _),
+      "q118_ivfpq_ann" -> (queries.PipelineQueries.q118 _),
       "q54_kmeans" -> (queries.PipelineQueries.q54 _))
 
     val results = qs.map { case (name, fn) =>
@@ -81,7 +82,8 @@ object BenchAnnScale {
     val line = s"""{"metric":"ann_scale","unit":"sec","n_vectors":$nVecs,""" +
       s""""copies":$copies,"base_sf":"$sfDir","queries":$qJson,""" +
       s""""total":${ScaleCorpus.fmt(results.map(_._2).sum)}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1_ann.json"),
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_sf1_ann.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()

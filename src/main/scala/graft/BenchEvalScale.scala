@@ -27,9 +27,13 @@ object BenchEvalScale {
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_eval")
     val spark = ScaleCorpus.session()
 
-    val qs: Seq[String] = Seq(
-      "q138_langid_v2", "q139_classifier_auc", "q142_oov_rate",
-      "q143_dataset_card", "q147_html_extract", "q148_pipeline_funnel")
+    // SPARK_GRAFT_SCALE_QUERIES narrows the set (comma-separated names)
+    // for deep-scale runs where the full family would be hours
+    val qs: Seq[String] = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(
+        "q138_langid_v2", "q139_classifier_auc", "q142_oov_rate",
+        "q143_dataset_card", "q147_html_extract", "q148_pipeline_funnel"))
 
     val rounds = Seq(1, copies).map { c =>
       val dir = s"$scaleDir/${c}x"
@@ -70,7 +74,8 @@ object BenchEvalScale {
     }
     val line =
       s"""{"metric":"eval_scale","unit":"sec",${parts.mkString(",")},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1_eval.json"),
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_sf1_eval.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()

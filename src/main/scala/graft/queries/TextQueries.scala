@@ -1997,32 +1997,36 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), nm.as("nm"),
         graft.functions.Hashing.splitBucket(col("doc_id")).as("b"))
       .withColumn("bgs", bigrams)
-    def ilog64(x: String) =
-      s"64 * (length(bin($x)) - 1) + ($x * 64) DIV CAST(pow(2.0D, length(bin($x)) - 1) AS BIGINT) - 64"
-    val occ = base.filter(col("b") < 80)
+      .cache()
+    // ONE training pass over the corpus: the (lang, bigram) count table is
+    // dim-sized (langs x charset^2) and collected ONCE; smoothing and the
+    // ilog64 quantization happen driver-side in the exact same integer
+    // arithmetic the q138 expression (and the SQL oracle) evaluate —
+    // floor(log2 x) via leading zeros == length(bin(x)) - 1, truncating
+    // long division == DIV. Collecting derived frames separately would
+    // recompute the corpus explode once per collect.
+    val cntRows = base.filter(col("b") < 80)
       .select(col("lang"), explode(col("bgs")).as("bg"))
-    val cnt = occ.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
-    val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
-    val vv = cnt.agg(count_distinct(col("bg")).as("v"))
-    val weights = cnt.join(tot, Seq("lang")).crossJoin(broadcast(vv))
-      .withColumn("x", expr(s"((t + v) * $S) DIV (c + 1)"))
-      .select(col("lang").as("ml"), col("bg"),
-        expr(ilog64("x")).cast(LongType).as("w"))
-    val defw = tot.crossJoin(broadcast(vv))
-      .withColumn("x", expr(s"(t + v) * $S"))
-      .select(col("lang").as("ml"), expr(ilog64("x")).cast(LongType).as("dw"))
-    // collect the dim-sized model to the driver (integer-exact, so the
-    // collected literals are deterministic) and ship it as plan literals
-    val langs: Seq[String] =
-      tot.select(col("lang")).collect().map(_.getString(0)).sorted.toSeq
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
+      .collect()
+    def ilog64(x: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      64L * e + (x * 64L) / (1L << e) - 64L
+    }
+    val byLang = cntRows.groupBy(_.getString(0))
+    val langs: Seq[String] = byLang.keys.toSeq.sorted
     val idx = langs.zipWithIndex.toMap
-    val dwByLang = defw.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val defaults: Seq[Long] = langs.map(dwByLang)
-    val wmap: Map[String, Seq[Long]] = weights.collect()
-      .groupBy(_.getString(1))
+    val v = cntRows.iterator.map(_.getString(1)).toSet.size.toLong
+    val tot: Map[String, Long] =
+      byLang.map { case (l, rows) => l -> rows.iterator.map(_.getLong(2)).sum }
+    val defaults: Seq[Long] = langs.map(l => ilog64((tot(l) + v) * S))
+    val wmap: Map[String, Seq[Long]] = cntRows.groupBy(_.getString(1))
       .map { case (bg, rows) =>
         val arr = defaults.toArray
-        rows.foreach(r => arr(idx(r.getString(0))) = r.getLong(2))
+        rows.foreach { r =>
+          val l = r.getString(0)
+          arr(idx(l)) = ilog64(((tot(l) + v) * S) / (r.getLong(2) + 1L))
+        }
         bg -> arr.toSeq
       }
     val wlit = typedlit(wmap)
