@@ -385,6 +385,81 @@ object DedupQueries {
     FROM rw JOIN td USING (doc_id)
     GROUP BY source ORDER BY source"""
 
+  /** q167 — first-occurrence-wins span dedup (C4-style surgical removal).
+    * q106 deletes a duplicated 8-token segment from EVERY document (pure
+    * savings rewrite); this is the policy a pretraining corpus actually
+    * wants: exactly ONE canonical copy of each span survives — the
+    * earliest (doc_id, span_idx) occurrence — and later occurrences
+    * (including repeats within one document) are stripped before the doc
+    * is reassembled. Reports, per document, the span counts in/removed,
+    * surviving token mass, and an md5 of the rewritten text so the gate
+    * pins the REWRITE itself, not just the counts.
+    *
+    * Scale shape: span ownership is ONE map-side-combinable min-struct
+    * aggregate keyed by span content (no window, no per-span sort), the
+    * keep filter is a keyed join back, and reassembly is a doc_id-keyed
+    * collect bounded by document length — shuffles touch (span) and
+    * (doc_id) keys only, never document pairs. The span frame is
+    * materialized before the explode (the inline-generate trap). */
+  def q167(spark: SparkSession, d: String): DataFrame = {
+    val S = SegTokens
+    val sp = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"),
+        when(col("n") === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), expr(s"(n + ${S - 1}) div $S").cast("int")),
+            i => concat_ws(" ", slice(col("t"), (i - 1) * S + 1, lit(S)))))
+          .as("spans"))
+      .cache()
+    val ex = sp.select(col("doc_id"), posexplode(col("spans")).as(Seq("idx", "span")))
+    val owners = ex.groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("o"))
+    val kept = ex.join(owners, Seq("span"))
+      .where(col("doc_id") === col("o.doc_id") && col("idx") === col("o.idx"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("span"), " ")).cast("long")).as("n_tok"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("span")))),
+          s => s.getField("span"))).as("text2"))
+    sp.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_spans_removed"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tokens_out"),
+        md5(coalesce(col("text2"), lit("")).cast("binary")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: SegTokens initializes later in this object (r8 gotcha — an eager
+  // val here interpolates 0)
+  lazy val q167Sql: String = {
+    val S = SegTokens
+    s"""
+    WITH b AS (SELECT doc_id, ${Sql.words} AS t FROM documents),
+    bs AS (SELECT doc_id,
+        (CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, (len(t) + ${S - 1}) // $S + 1),
+           i -> array_to_string(t[(i-1)*$S+1:(i-1)*$S+$S], ' ')) END) AS spans
+      FROM b),
+    ex AS (SELECT doc_id, unnest(range(1, len(spans) + 1)) AS idx,
+                  unnest(spans) AS span FROM bs),
+    kept AS (SELECT doc_id, idx, span FROM (
+        SELECT doc_id, idx, span,
+          row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+        FROM ex) WHERE rn = 1),
+    reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        CAST(sum(len(string_split(span, ' '))) AS BIGINT) AS n_tok,
+        string_agg(span, ' ' ORDER BY idx) AS text2
+      FROM kept GROUP BY doc_id)
+    SELECT bs.doc_id, CAST(len(spans) AS BIGINT) AS n_spans,
+      CAST(len(spans) AS BIGINT) - coalesce(n_kept, 0) AS n_spans_removed,
+      coalesce(n_tok, 0) AS n_tokens_out,
+      md5(coalesce(text2, '')) AS text_md5
+    FROM bs LEFT JOIN reb USING (doc_id) ORDER BY bs.doc_id"""
+  }
+
   /** Incremental dedup: the delta (doc_id % 10 = 0 plays the day's new
     * arrivals, ~10% of the corpus) is LSH-joined against the stored corpus
     * signatures plus itself and Jaccard-verified — store x store pairs are
@@ -784,6 +859,7 @@ object DedupQueries {
     FROM j GROUP BY doc_id ORDER BY doc_id"""
 
   val defs: Map[String, Q] = Map(
+    "q167_span_dedup" -> (q167 _),
     "q134_cdc_chunk_dedup" -> (q134 _),
     "q133_source_overlap" -> (q133 _),
     "q125_split_leakage" -> (q125 _),
@@ -804,6 +880,7 @@ object DedupQueries {
     "q38_dedup_survivors" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
+    "q167_span_dedup" -> q167Sql,
     "q134_cdc_chunk_dedup" -> q134Sql,
     "q133_source_overlap" -> q133Sql,
     "q125_split_leakage" -> q125Sql,

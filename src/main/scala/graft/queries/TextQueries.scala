@@ -2080,7 +2080,180 @@ object TextQueries {
     ORDER BY doc_id"""
   }
 
+  /** q165 — PII linkage / k-anonymity rollup. q46 detects and REDACTS
+    * per-row PII (`operators`-level hygiene); this is the corpus-level
+    * privacy GOVERNANCE report a release gate needs on top: which
+    * identifier VALUES recur across documents and can therefore link
+    * records. Every document is deterministically salted with synthetic
+    * PII (emails, a US-style phone, an IPv4 — counts vary by doc_id),
+    * the engine extracts the concrete values per class and reports, per
+    * class: distinct values, LINKED values (appearing in >= 2 distinct
+    * docs), the max document fan-out of any single value, and total
+    * occurrences. The salt formula makes the classes genuinely differ:
+    * emails embed doc_id (never link), phones collide only mod
+    * lcm(900,10000), IPs collide mod 256 — so the report separates
+    * k-anonymous classes from linking ones, which is the distinction the
+    * operator exists to surface.
+    *
+    * Scale shape: map-side regex extraction (patterns in the
+    * class/bounded-quantifier subset where Java regex and RE2 agree),
+    * arrays materialized in a projection before the explode, then ONE
+    * shuffle keyed (class, value) — never doc×doc; the per-class rollup
+    * is map-side combinable and the output is class-bounded. */
+  def q165(spark: SparkSession, d: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\b\\d{3}-555-\\d{4}\\b"
+    val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val id = col("doc_id")
+    val ids = id.cast(StringType)
+    val synth = concat(
+      col("text"),
+      lit(" contact user"), ids, lit("@mail.example.com"),
+      when(id % 3 === 0,
+        concat(lit(" cc admin"), ids, lit("@corp.example.org")))
+        .otherwise(lit("")),
+      when(id % 5 =!= 0,
+        concat(lit(" call "), (id % 900 + 100).cast(StringType),
+          lit("-555-"), lpad((id % 10000).cast(StringType), 4, "0")))
+        .otherwise(lit("")),
+      lit(" from 10."), (id % 256).cast(StringType),
+      lit("."), ((id * 7) % 256).cast(StringType),
+      lit("."), ((id * 13) % 256).cast(StringType))
+    val base = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), synth.as("s"))
+    def leg(cls: String, pat: String): DataFrame =
+      base.select(col("doc_id"),
+          regexp_extract_all(col("s"), lit(pat), lit(0)).as("vs"))
+        .select(col("doc_id"), lit(cls).as("pii_class"),
+          explode(col("vs")).as("v"))
+    val vals = leg("email", emailPat)
+      .unionByName(leg("phone", phonePat))
+      .unionByName(leg("ip", ipPat))
+    vals.groupBy(col("pii_class"), col("v"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .groupBy(col("pii_class"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_linked_values"),
+        max(col("n_docs")).as("max_doc_fanout"),
+        sum(col("n_occ")).as("n_occurrences"))
+      .orderBy(col("pii_class"))
+  }
+
+  val q165Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-555-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    s"""
+    WITH s AS (
+      SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+          || (CASE WHEN doc_id % 3 = 0
+              THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
+              ELSE '' END)
+          || (CASE WHEN doc_id % 5 <> 0
+              THEN ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END)
+          || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+          || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) AS s
+      FROM documents),
+    vals AS (
+      SELECT doc_id, 'email' AS pii_class, unnest(regexp_extract_all(s, '$email')) AS v FROM s
+      UNION ALL
+      SELECT doc_id, 'phone' AS pii_class, unnest(regexp_extract_all(s, '$phone')) AS v FROM s
+      UNION ALL
+      SELECT doc_id, 'ip' AS pii_class, unnest(regexp_extract_all(s, '$ip')) AS v FROM s),
+    g AS (
+      SELECT pii_class, v,
+        count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      FROM vals GROUP BY 1, 2)
+    SELECT pii_class,
+      CAST(count(*) AS BIGINT) AS n_values,
+      CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_linked_values,
+      CAST(max(n_docs) AS BIGINT) AS max_doc_fanout,
+      CAST(sum(n_occ) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q166 — the LINEAR-cost long-document shape for q47's Gopher
+    * repetition signals, plus the keep gate. q47 computes top-unigram /
+    * top-bigram shares with in-row array HOFs — O(tokens²) PER DOCUMENT,
+    * which is the right call for bounded web pages (zero shuffles) but
+    * blows up on book/code-file corpora where single documents reach
+    * 10^5+ tokens (10^10 comparisons per doc, one task). This variant
+    * trades two (doc, gram)-keyed shuffles for per-doc O(tokens):
+    * explode → count → per-doc max, so the worst document costs what its
+    * length costs. Same permille signals, plus the 300‰/200‰ keep
+    * decision a pretraining filter actually applies. Pick q47 under
+    * bounded doc length, q166 when the length distribution is heavy-
+    * tailed — the crossover is measured in `BENCH_sf1_longdoc.json`.
+    *
+    * Scale shape: the token arrays materialize ONCE into a cached narrow
+    * frame (the r7 explode-of-inline-array trap), then two
+    * map-side-combinable (doc, gram) aggregations take a per-doc max —
+    * all keyed by doc_id, no corpus-wide state, report is per-doc. */
+  def q166(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast(LongType))
+      .cache()
+    val top1 = base.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top1"))
+    val bigrams = when(col("n") >= 2,
+      transform(sequence(lit(1), (col("n") - 1).cast("int")),
+        i => concat(element_at(col("t"), i), lit(" "),
+          element_at(col("t"), i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val top2 = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+    base.select(col("doc_id"), col("n"))
+      .join(top1, Seq("doc_id"), "left")
+      .join(top2, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top1", "top2"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("top1"), col("top2"),
+        expr("CASE WHEN n > 0 THEN top1 * 1000 DIV n ELSE 0 END").as("rep1_pm"),
+        expr("CASE WHEN n > 1 THEN top2 * 1000 DIV (n - 1) ELSE 0 END").as("rep2_pm"))
+      .withColumn("keep", col("rep1_pm") <= 300 && col("rep2_pm") <= 200)
+      .orderBy(col("doc_id"))
+  }
+
+  val q166Sql: String = s"""
+    WITH b AS (
+      SELECT doc_id, ${Sql.words} AS t FROM documents),
+    bn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM b),
+    u1 AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top1 FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM bn)
+        GROUP BY 1, 2)
+      GROUP BY 1),
+    u2 AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top2 FROM (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+              FROM bn)
+        GROUP BY 1, 2)
+      GROUP BY 1)
+    SELECT bn.doc_id, n AS n_tokens,
+      coalesce(top1, 0) AS top1, coalesce(top2, 0) AS top2,
+      (CASE WHEN n > 0 THEN coalesce(top1, 0) * 1000 // n ELSE 0 END) AS rep1_pm,
+      (CASE WHEN n > 1 THEN coalesce(top2, 0) * 1000 // (n - 1) ELSE 0 END) AS rep2_pm,
+      ((CASE WHEN n > 0 THEN coalesce(top1, 0) * 1000 // n ELSE 0 END) <= 300 AND
+       (CASE WHEN n > 1 THEN coalesce(top2, 0) * 1000 // (n - 1) ELSE 0 END) <= 200) AS keep
+    FROM bn
+    LEFT JOIN u1 USING (doc_id)
+    LEFT JOIN u2 USING (doc_id)
+    ORDER BY bn.doc_id"""
+
   val defs: Map[String, Q] = Map(
+    "q166_repetition_linear" -> (q166 _),
+    "q165_pii_linkage" -> (q165 _),
     "q158_langid_deploy" -> (q158 _),
     "q157_split_manifest" -> (q157 _),
     "q155_split_drift" -> (q155 _),
@@ -2117,6 +2290,8 @@ object TextQueries {
     "q100_url_canonicalize" -> (q100 _))
 
   val oracles: Map[String, String] = Map(
+    "q166_repetition_linear" -> q166Sql,
+    "q165_pii_linkage" -> q165Sql,
     "q158_langid_deploy" -> q158Sql,
     "q157_split_manifest" -> q157Sql,
     "q155_split_drift" -> q155Sql,
