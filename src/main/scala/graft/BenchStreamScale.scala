@@ -92,7 +92,8 @@ object BenchStreamScale {
         s""""compact_every_3":${side(comp)},""" +
         s""""last_batch_records_ratio":${ScaleCorpus.fmt(
           plain.recs.last.toDouble / math.max(1L, comp.recs.last))}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1_stream.json"),
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_sf1_stream.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()
