@@ -1110,4 +1110,45 @@ object Multimodal {
         }
       })
   }
+
+  final case class FrameSignature(doc_id: Long, frame_idx: Long, width: Long,
+                                  height: Long, sig: Long)
+
+  /** Per-frame CONTENT signature for cross-video frame matching: a
+    * position-weighted checksum of the decoded pixels —
+    * sum of (r*65536 + g*256 + b) * (y*width + x + 1) over the frame.
+    * Unlike px_sum (a decode checksum, permutation-invariant), the
+    * positional weight makes distinct frames collide only by genuine
+    * content equality for formula-generated fixtures, so a keyed equi-join
+    * on (sig, width, height) is the video analogue of q144's image-hash
+    * banding: frame pairs form strictly inside signature buckets, never
+    * video x video. Exact integer arithmetic — an external SQL oracle
+    * reproduces it bit-for-bit from the generator formulas. */
+  def videoFrameSignatures(media: DataFrame,
+                           idCol: String = "doc_id"): Dataset[FrameSignature] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col("media.bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeFrameContainer(bytes).toSeq.flatMap { frames =>
+          frames.zipWithIndex.flatMap { case (f, i) =>
+            decodeImage(f).map { img =>
+              val w = img.getWidth
+              var sig = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y) & 0xFFFFFF
+                  sig += p.toLong * (y.toLong * w + x + 1)
+                  x += 1
+                }
+                y += 1
+              }
+              FrameSignature(id, i.toLong, w.toLong, img.getHeight.toLong, sig)
+            }
+          }
+        }
+      })
+  }
 }

@@ -580,7 +580,91 @@ object MultimodalQueries {
     WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= $HamT
     ORDER BY doc_a, doc_b"""
 
+  /** q168 — cross-VIDEO near-dup by shared frames: the q144 discipline on
+    * the video modality. Every group of 4 videos shows the same scene
+    * sequence shifted by its variant (variant v's frame f is scene v+f),
+    * so within a group, videos v_a and v_b genuinely share 6-|v_a-v_b|
+    * frames — re-cut/re-intro'd copies of one broadcast, the real shape of
+    * video dup in a crawl. The engine path is REAL end-to-end: PNG-encoded
+    * frames in the engine's container, demuxed and codec-decoded
+    * executor-side, per-frame position-weighted content signatures
+    * ([[Multimodal.videoFrameSignatures]]), then an equi-join on
+    * (signature, dims) — frame pairs form strictly inside signature
+    * buckets, video x video is never materialized. Pairs sharing >= 3
+    * frames are reported with their overlap permille.
+    *
+    * Scale shape: signatures are ~6 rows x 4 longs per video (~10^-5 of
+    * media bytes); the one shuffle keys by signature value; the pair
+    * rollup is map-side combinable; decode cost is one codec pass per
+    * video, embarrassingly parallel. The oracle replays the signature
+    * arithmetic bit-for-bit from the generator formulas. */
+  def q168(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val v = (id % 4).toInt
+        val w = (g % 7 + 3).toInt
+        val h = (g % 5 + 3).toInt
+        val frames = (0 until 6).map { f =>
+          val s = v + f
+          Multimodal.encodePng(w, h, (x, y) => {
+            val r = ((g * 31 + s * 19 + x * 7 + y * 3 + g * x * 5 + g * y * 2) % 256).toInt
+            val gg = ((g * 17 + s * 29 + x * 5 + y * 11 + g * x * 3 + g * y * 7) % 256).toInt
+            val b = ((g * 23 + s * 37 + x * 13 + y + g * x * 11 + g * y * 5) % 256).toInt
+            (r << 16) | (gg << 8) | b
+          })
+        }
+        (id, Multimodal.encodeFrameContainer(frames))
+      })
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "video/x-graft-frames")
+    val sigs = Multimodal.videoFrameSignatures(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("sig"))
+      .localCheckpoint(true) // one demux+decode pass feeds both join legs
+    sigs.as("x").join(sigs.as("y"),
+        col("x.sig") === col("y.sig") && col("x.width") === col("y.width") &&
+          col("x.height") === col("y.height") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+      .withColumn("overlap_pm", expr("(n_shared * 1000) DIV 6"))
+      .withColumn("same_group", expr("doc_a DIV 4 = doc_b DIV 4"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q168Sql: String = """
+    WITH base AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+        ((doc_id // 4) % 7) + 3 AS w, ((doc_id // 4) % 5) + 3 AS h
+      FROM documents),
+    fr AS (SELECT doc_id, g, v, w, h, unnest(range(0, 6)) AS f FROM base),
+    px AS (
+      SELECT doc_id, g, w, h, f, v + f AS s, gx.x, gy.y
+      FROM fr, (SELECT unnest(range(0, 9)) AS x) gx,
+               (SELECT unnest(range(0, 7)) AS y) gy
+      WHERE gx.x < w AND gy.y < h),
+    sigs AS (
+      SELECT doc_id, w, h, f,
+        CAST(sum((((g*31 + s*19 + x*7 + y*3 + g*x*5 + g*y*2) % 256) * 65536
+                + ((g*17 + s*29 + x*5 + y*11 + g*x*3 + g*y*7) % 256) * 256
+                + ((g*23 + s*37 + x*13 + y + g*x*11 + g*y*5) % 256))
+              * (y*w + x + 1)) AS BIGINT) AS sig
+      FROM px GROUP BY doc_id, w, h, f)
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      CAST(count(*) AS BIGINT) AS n_shared,
+      (CAST(count(*) AS BIGINT) * 1000) // 6 AS overlap_pm,
+      (x.doc_id // 4 = y.doc_id // 4) AS same_group
+    FROM sigs x JOIN sigs y
+      ON x.sig = y.sig AND x.w = y.w AND x.h = y.h AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+    HAVING count(*) >= 3
+    ORDER BY doc_a, doc_b"""
+
   val defs: Map[String, Q] = Map(
+    "q168_video_neardup" -> (q168 _),
     "q144_image_neardup" -> (q144 _),
     "q128_audio_dedup" -> (q128 _),
     "q121_image_dedup" -> (q121 _),
@@ -592,6 +676,7 @@ object MultimodalQueries {
     "q99_mkv_demux" -> (q99 _))
 
   val oracles: Map[String, String] = Map(
+    "q168_video_neardup" -> q168Sql,
     "q144_image_neardup" -> q144Sql,
     "q128_audio_dedup" -> q128Sql,
     "q121_image_dedup" -> q121Sql,

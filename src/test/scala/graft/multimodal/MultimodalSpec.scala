@@ -307,4 +307,26 @@ class MultimodalSpec extends SparkSpec {
     // px_sum: 4 pixels, r=(i+1) g=x b=y -> sum = 4(i+1) + 2*1 + 2*1
     assert(got.map(_.px_sum).toSeq == Seq(4L * 1 + 2 + 2, 4L * 4 + 2 + 2))
   }
+
+  test("frame content signatures are position-weighted, not just pixel sums") {
+    import spark.implicits._
+    // frame B is frame A with its two rows swapped: same pixel multiset,
+    // different layout. px_sum-style checksums collide; the positional
+    // signature must not. Identical frames (A == C) must collide exactly.
+    val a = Multimodal.encodePng(2, 2, (x, y) => (y << 16) | (x << 8) | 7)
+    val b = Multimodal.encodePng(2, 2, (x, y) => ((1 - y) << 16) | (x << 8) | 7)
+    val df = Multimodal.asMedia(
+      Seq((1L, Multimodal.encodeFrameContainer(Seq(a, b, a))))
+        .toDF("doc_id", "payload"),
+      "payload", "video/x-graft-frames")
+    val got = Multimodal.videoFrameSignatures(df).collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0L, 1L, 2L))
+    assert(got(0).sig == got(2).sig)    // identical content -> identical sig
+    assert(got(0).sig != got(1).sig)    // permuted pixels -> different sig
+    // hand computation: pixel (x,y) = y*65536 + x*256 + 7, weight y*2+x+1
+    val expected = (for (y <- 0 until 2; x <- 0 until 2)
+      yield (y.toLong * 65536 + x * 256 + 7) * (y * 2 + x + 1)).sum
+    assert(got(0).sig == expected)
+    assert(got.forall(s => s.width == 2 && s.height == 2))
+  }
 }
