@@ -16,14 +16,14 @@ object SparkEntry {
     TpchSurface.q02(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchSurface.defs ++ TpchSurface2.defs ++ TpchSurface3.defs ++ ReplicationQueries.defs ++ DedupQueries.defs ++
+    TpchSurface.defs ++ TpchSurface2.defs ++ TpchSurface3.defs ++ TpchSurface4.defs ++ ReplicationQueries.defs ++ DedupQueries.defs ++
       VectorQueries.defs ++ TextQueries.defs ++ ExtraQueries.defs ++ IcsQueries.defs ++
       BackfillQueries.defs ++ FeedSinkQueries.defs ++ ProtocolQueries.defs ++
       MultimodalQueries.defs ++ DeterminismQueries.defs ++ PipelineQueries.defs ++
       SketchQueries.defs
 
   def oracleSql: Map[String, String] =
-    TpchSurface.oracles ++ TpchSurface2.oracles ++ TpchSurface3.oracles ++ ReplicationQueries.oracles ++ DedupQueries.oracles ++
+    TpchSurface.oracles ++ TpchSurface2.oracles ++ TpchSurface3.oracles ++ TpchSurface4.oracles ++ ReplicationQueries.oracles ++ DedupQueries.oracles ++
       VectorQueries.oracles ++ TextQueries.oracles ++ ExtraQueries.oracles ++ IcsQueries.oracles ++
       BackfillQueries.oracles ++ FeedSinkQueries.oracles ++ ProtocolQueries.oracles ++
       MultimodalQueries.oracles ++ DeterminismQueries.oracles ++ PipelineQueries.oracles ++
