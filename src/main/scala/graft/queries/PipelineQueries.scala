@@ -373,6 +373,77 @@ object PipelineQueries {
       md5(array_to_string(t[start:least(start + $ChunkLen - 1, n)], ' ')) AS fp
     FROM kept ORDER BY doc_id, chunk_idx"""
 
+  private val SeqLen = 512L
+  private val PackBucket = 64L
+
+  /** q174 — cross-document SEQUENCE PACKING: concatenate the corpus token
+    * stream in deterministic doc order and cut it into fixed 512-token
+    * training windows (the concat-and-chunk step every pretraining run
+    * performs after filtering; q95 chunks WITHIN a doc, this packs ACROSS
+    * docs). The global token offset is a TWO-LEVEL cumulative sum — a
+    * window partitioned by contiguous doc buckets (parallel, each bucket
+    * local), plus an exclusive prefix over the tiny bucket-totals frame —
+    * so no operator ever moves the corpus into one partition (the naive
+    * global-ORDER window would). Per window it reports how many documents
+    * contribute, how many start there, and the filled token count (= 512
+    * everywhere but the final window) — the packing-efficiency /
+    * boundary-fragmentation numbers a data-loader build is gated on.
+    * Each doc spans (n_tok/512 + 1) windows at most, so the exploded
+    * frame is tokens/512 + n_docs rows — linear, never doc x window. */
+  def q174(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Tables.documents(spark, d)
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast(LongType).as("n"))
+      .where(col("n") > 0)
+      .withColumn("bucket", expr(s"doc_id DIV $PackBucket"))
+    val local = lens.withColumn("cum_in",
+      sum(col("n")).over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // bucket-totals frame: one row per 64 docs — the only global-ordered
+    // window runs over THIS, not the corpus (at another 10^4x, nest the
+    // same two-level step once more)
+    val offsets = lens.groupBy(col("bucket")).agg(sum(col("n")).as("bt"))
+      .withColumn("boff",
+        sum(col("bt")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("bt"))
+      .select(col("bucket"), col("boff"))
+    val placed = local.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"),
+        (col("boff") + col("cum_in") - col("n")).as("start"), col("n"))
+      .withColumn("start_seq", expr(s"start DIV $SeqLen"))
+      .withColumn("end_seq", expr(s"(start + n - 1) DIV $SeqLen"))
+    placed
+      .select(col("doc_id"), col("start"), col("n"), col("start_seq"),
+        explode(sequence(col("start_seq"), col("end_seq"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("start_seq") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_doc_starts"),
+        sum(least(col("start") + col("n"), (col("seq_id") + 1) * SeqLen) -
+          greatest(col("start"), col("seq_id") * SeqLen)).as("n_tokens"))
+      .orderBy(col("seq_id"))
+  }
+
+  val q174Sql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(${TextSql.norm}, ' ')) AS BIGINT) AS n
+      FROM documents WHERE length(${TextSql.norm}) > 0
+    ), pos AS (
+      SELECT doc_id, n,
+        CAST(sum(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+      FROM toks
+    ), spans AS (
+      SELECT doc_id, start, n, start // $SeqLen AS start_seq,
+        unnest(range(start // $SeqLen, (start + n - 1) // $SeqLen + 1)) AS seq_id
+      FROM pos)
+    SELECT seq_id, count(*) AS n_docs,
+      CAST(sum(CASE WHEN start_seq = seq_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_doc_starts,
+      CAST(sum(least(start + n, (seq_id + 1) * $SeqLen)
+        - greatest(start, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY seq_id ORDER BY seq_id"""
+
   // ---------------------------------------------- q92/q93 layout utilities
 
   /** q92 — salted join ([[graft.operators.SaltedJoin]]): lineitem keyed
@@ -1045,6 +1116,7 @@ object PipelineQueries {
     "q92_salted_join" -> (q92 _),
     "q93_per_key_cap" -> (q93 _),
     "q95_doc_chunking" -> (q95 _),
+    "q174_sequence_pack" -> (q174 _),
     "q96_semantic_dedup" -> (q96 _))
 
   val oracles: Map[String, String] = Map(
@@ -1065,6 +1137,7 @@ object PipelineQueries {
     "q92_salted_join" -> q92Sql,
     "q93_per_key_cap" -> q93Sql,
     "q95_doc_chunking" -> q95Sql,
+    "q174_sequence_pack" -> q174Sql,
     "q96_semantic_dedup" -> q96Sql)
 }
 

@@ -133,4 +133,23 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(cluster == cid.toLong && d == dd, s"vec $id")
     }
   }
+
+  test("q174: packing conserves tokens, fills every non-final window") {
+    val rows = PipelineQueries.q174(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // windows are contiguous from 0
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    // every window but the last holds exactly 512 tokens; the last <= 512
+    rows.init.foreach { case (s, _, _, nt) => assert(nt == 512L, s"seq $s") }
+    assert(rows.last._4 <= 512L && rows.last._4 > 0L)
+    // token conservation: windows sum to the corpus token count
+    val corpusToks = Tables.documents(spark, sfDir)
+      .select(graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(rows.map(_._4).sum == corpusToks)
+    // each window's docs = starts + at most one carry-in from the previous
+    rows.foreach { case (s, nd, nds, _) =>
+      assert(nd == nds || nd == nds + 1, s"seq $s")
+    }
+  }
 }
