@@ -444,6 +444,73 @@ object PipelineQueries {
         - greatest(start, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
     FROM spans GROUP BY seq_id ORDER BY seq_id"""
 
+  /** q175 — EPOCH-SHUFFLED sequence packing: q174's concat-and-chunk, but
+    * over the per-epoch pseudo-random document order every pretraining
+    * run actually uses (deterministic: order by a salted md5-derived
+    * 32-bit hash of the doc id, epoch 1 here). This is the general case
+    * of the two-level cumsum — the contiguous buckets can no longer be
+    * id ranges, so they become HASH RANGES (the top bits of the order
+    * key): still contiguous in the shuffle order, still parallel, and
+    * the bucket-offset prefix still runs over the tiny totals frame. One
+    * window boundary now packs an arbitrary doc pair, which is exactly
+    * what the report measures: fragmentation under shuffling matches
+    * q174's within a window or two (conservation is identical). */
+  def q175(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Tables.documents(spark, d)
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast(LongType).as("n"))
+      .where(col("n") > 0)
+      .withColumn("h", graft.functions.Hashing.hash32(
+        concat(lit("pack:1:"), col("doc_id").cast("string"))))
+      .withColumn("bucket", expr("h DIV 67108864")) // 2^26: 64 hash ranges
+    val local = lens.withColumn("cum_in",
+      sum(col("n")).over(Window.partitionBy(col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = lens.groupBy(col("bucket")).agg(sum(col("n")).as("bt"))
+      .withColumn("boff",
+        sum(col("bt")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("bt"))
+      .select(col("bucket"), col("boff"))
+    val placed = local.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"),
+        (col("boff") + col("cum_in") - col("n")).as("start"), col("n"))
+      .withColumn("start_seq", expr(s"start DIV $SeqLen"))
+      .withColumn("end_seq", expr(s"(start + n - 1) DIV $SeqLen"))
+    placed
+      .select(col("start"), col("n"), col("start_seq"),
+        explode(sequence(col("start_seq"), col("end_seq"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("start_seq") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_doc_starts"),
+        sum(least(col("start") + col("n"), (col("seq_id") + 1) * SeqLen) -
+          greatest(col("start"), col("seq_id") * SeqLen)).as("n_tokens"))
+      .orderBy(col("seq_id"))
+  }
+
+  val q175Sql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(${TextSql.norm}, ' ')) AS BIGINT) AS n,
+        CAST('0x' || substring(md5('pack:1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          AS BIGINT) AS h
+      FROM documents WHERE length(${TextSql.norm}) > 0
+    ), pos AS (
+      SELECT doc_id, n,
+        CAST(sum(n) OVER (ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+      FROM toks
+    ), spans AS (
+      SELECT doc_id, start, n, start // $SeqLen AS start_seq,
+        unnest(range(start // $SeqLen, (start + n - 1) // $SeqLen + 1)) AS seq_id
+      FROM pos)
+    SELECT seq_id, count(*) AS n_docs,
+      CAST(sum(CASE WHEN start_seq = seq_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_doc_starts,
+      CAST(sum(least(start + n, (seq_id + 1) * $SeqLen)
+        - greatest(start, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY seq_id ORDER BY seq_id"""
+
   // ---------------------------------------------- q92/q93 layout utilities
 
   /** q92 — salted join ([[graft.operators.SaltedJoin]]): lineitem keyed
@@ -1117,6 +1184,7 @@ object PipelineQueries {
     "q93_per_key_cap" -> (q93 _),
     "q95_doc_chunking" -> (q95 _),
     "q174_sequence_pack" -> (q174 _),
+    "q175_shuffled_pack" -> (q175 _),
     "q96_semantic_dedup" -> (q96 _))
 
   val oracles: Map[String, String] = Map(
@@ -1138,6 +1206,7 @@ object PipelineQueries {
     "q93_per_key_cap" -> q93Sql,
     "q95_doc_chunking" -> q95Sql,
     "q174_sequence_pack" -> q174Sql,
+    "q175_shuffled_pack" -> q175Sql,
     "q96_semantic_dedup" -> q96Sql)
 }
 

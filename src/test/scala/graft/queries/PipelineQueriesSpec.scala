@@ -152,4 +152,19 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(nd == nds || nd == nds + 1, s"seq $s")
     }
   }
+
+  test("q175: shuffled packing preserves window geometry, reorders content") {
+    val id = PipelineQueries.q174(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val sh = PipelineQueries.q175(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // same corpus, same window length -> same window count and token fill
+    assert(sh.map(_._1).toSeq == id.map(_._1).toSeq)
+    assert(sh.map(_._3).sum == id.map(_._3).sum)
+    sh.init.foreach { case (s, _, nt) => assert(nt == 512L, s"seq $s") }
+    // the shuffle actually reorders: per-window doc counts must differ
+    // somewhere (doc-id order and hash order agreeing everywhere would
+    // mean the hash is degenerate)
+    assert(sh.map(_._2).toSeq != id.map(_._2).toSeq)
+  }
 }
