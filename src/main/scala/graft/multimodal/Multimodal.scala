@@ -401,6 +401,35 @@ object Multimodal {
   }
 
   final case class AudioFp(doc_id: Long, n_samples: Long, fp: Long)
+  final case class AudioFpE(doc_id: Long, n_samples: Long, fp: Long, te: Long)
+
+  /** The shared 16-frame energy-envelope kernel: (fp, total energy). */
+  private def audioFpKernel(samples: Array[Short]): (Long, Long) = {
+    val n = samples.length
+    val e = new Array[Long](16)
+    var total = 0L
+    var f = 0
+    while (f < 16) {
+      var i = f * n / 16
+      val end = (f + 1) * n / 16
+      var acc = 0L
+      while (i < end) {
+        val s = samples(i).toLong
+        acc += s * s
+        i += 1
+      }
+      e(f) = acc
+      total += acc
+      f += 1
+    }
+    var fp = 0L
+    f = 0
+    while (f < 16) {
+      if (e(f) * 16 >= total) fp |= 1L << f
+      f += 1
+    }
+    (fp, total)
+  }
 
   /** Executor-side audio content fingerprint over the DECODED samples:
     * 16 frames by nearest boundaries (f*n/16), integer frame energy
@@ -418,30 +447,29 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
         decodeWavPcm16(bytes).collect { case (_, samples) if samples.length >= 16 =>
-          val n = samples.length
-          val e = new Array[Long](16)
-          var total = 0L
-          var f = 0
-          while (f < 16) {
-            var i = f * n / 16
-            val end = (f + 1) * n / 16
-            var acc = 0L
-            while (i < end) {
-              val s = samples(i).toLong
-              acc += s * s
-              i += 1
-            }
-            e(f) = acc
-            total += acc
-            f += 1
-          }
-          var fp = 0L
-          f = 0
-          while (f < 16) {
-            if (e(f) * 16 >= total) fp |= 1L << f
-            f += 1
-          }
-          AudioFp(id, n.toLong, fp)
+          val (fp, _) = audioFpKernel(samples)
+          AudioFp(id, samples.length.toLong, fp)
+        }
+      }
+    }
+  }
+
+  /** [[decodeAudioFingerprint]] plus the total signal energy — the extra
+    * magnitude term the near-dup verify (q176) needs: the 16-bit envelope
+    * alone is scale-free and too coarse to separate unrelated signals of
+    * equal length, so pairs additionally require totals within 10%. */
+  def decodeAudioFpEnergy(media: DataFrame, idCol: String = "doc_id"): Dataset[AudioFpE] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
+        decodeWavPcm16(bytes).collect { case (_, samples) if samples.length >= 16 =>
+          val (fp, te) = audioFpKernel(samples)
+          AudioFpE(id, samples.length.toLong, fp, te)
         }
       }
     }

@@ -663,7 +663,102 @@ object MultimodalQueries {
     HAVING count(*) >= 3
     ORDER BY doc_a, doc_b"""
 
+  private val AudioHamT = 2
+
+  /** q176 — audio NEAR-dup: the q144 banding discipline on the audio
+    * modality, completing the near-dup matrix (image q144 / video q168 /
+    * audio here; q128 is audio EXACT dedup). Groups of 3 clips share one
+    * base signal; variants v=1,2 perturb ONE energy window (+v*40 on the
+    * v-th sixteenth) — the re-mastered / slightly-edited copies a crawl
+    * carries. Real WAV bytes round-trip the JDK codec (alternating
+    * plain/tagged containers, so matching is signal-level). The 16-bit
+    * energy-envelope fp alone is too coarse at corpus scale (equal-length
+    * unrelated clips collide within 2 bits frequently — measured 98k
+    * pairs at sf0.1), so a pair must ALSO have total energies within 10%:
+    * precision jumps to ~59% with group recall ~99.5%. Candidates form
+    * only inside (n_samples, nibble-band) buckets — 4 nibbles, so any
+    * ham<=3 pair shares an intact band (pigeonhole) and the ham<=2
+    * verify set is found exactly; audio x audio never materializes. */
+  def q176(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val c = id / 3
+        val v = (id % 3).toInt
+        val n = (c % 40 + 24).toInt
+        val samples = Array.tabulate(n) { i =>
+          val base = ((c * 7 + i * 13) % 2001) - 1000
+          val pert =
+            if (v > 0 && i >= v * n / 16 && i < (v + 1) * n / 16) v * 40 else 0
+          (base + pert).toShort
+        }
+        val bytes =
+          if (id % 2 == 0) Multimodal.encodeWavPcm16(8000, samples)
+          else Multimodal.encodeWavPcm16Tagged(8000, samples, s"cluster $c")
+        (id, bytes)
+      })
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(payloads, "payload", "audio/wav")
+    val fps = Multimodal.decodeAudioFpEnergy(media).toDF()
+      .localCheckpoint(true) // one decode pass feeds bands + both join legs
+    val bands = fps.select(col("doc_id"), col("n_samples"), posexplode(array(
+      expr("fp % 16"), expr("fp DIV 16 % 16"),
+      expr("fp DIV 256 % 16"), expr("fp DIV 4096")))
+      .as(Seq("bidx", "bval")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.n_samples") === col("y.n_samples") &&
+          col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+        col("te").as("te_a")), Seq("doc_a"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("te").as("te_b")), Seq("doc_b"))
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= AudioHamT &&
+        abs(col("te_a") - col("te_b")) * 10 <= least(col("te_a"), col("te_b")))
+      .withColumn("same_content", expr("doc_a DIV 3 = doc_b DIV 3"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("same_content"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q176Sql: String = s"""
+    WITH dims AS (
+      SELECT doc_id, doc_id // 3 AS c, CAST(doc_id % 3 AS BIGINT) AS v,
+        ((doc_id // 3) % 40) + 24 AS n
+      FROM documents),
+    fr AS (
+      SELECT d.doc_id, d.n, fs.f,
+        CAST(list_sum(list_transform(range(fs.f * d.n // 16, (fs.f + 1) * d.n // 16),
+          i -> (((d.c*7 + i*13) % 2001) - 1000
+                + (CASE WHEN d.v > 0 AND i >= d.v * d.n // 16
+                        AND i < (d.v + 1) * d.n // 16 THEN d.v * 40 ELSE 0 END))
+             * (((d.c*7 + i*13) % 2001) - 1000
+                + (CASE WHEN d.v > 0 AND i >= d.v * d.n // 16
+                        AND i < (d.v + 1) * d.n // 16 THEN d.v * 40 ELSE 0 END))))
+          AS BIGINT) AS e
+      FROM dims d, (SELECT unnest(range(0, 16)) AS f) fs),
+    tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS te FROM fr GROUP BY doc_id),
+    fps AS (
+      SELECT fr.doc_id, CAST(max(fr.n) AS BIGINT) AS n_samples,
+        CAST(max(t.te) AS BIGINT) AS te,
+        CAST(sum(CASE WHEN fr.e * 16 >= t.te
+          THEN CAST(2 ** fr.f AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+      FROM fr JOIN tot t USING (doc_id) GROUP BY fr.doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+      (a.doc_id // 3 = b.doc_id // 3) AS same_content
+    FROM fps a JOIN fps b
+      ON a.n_samples = b.n_samples AND a.doc_id < b.doc_id
+      AND bit_count(xor(a.fp, b.fp)) <= $AudioHamT
+      AND abs(a.te - b.te) * 10 <= least(a.te, b.te)
+    ORDER BY doc_a, doc_b"""
+
   val defs: Map[String, Q] = Map(
+    "q176_audio_neardup" -> (q176 _),
     "q168_video_neardup" -> (q168 _),
     "q144_image_neardup" -> (q144 _),
     "q128_audio_dedup" -> (q128 _),
@@ -676,6 +771,7 @@ object MultimodalQueries {
     "q99_mkv_demux" -> (q99 _))
 
   val oracles: Map[String, String] = Map(
+    "q176_audio_neardup" -> q176Sql,
     "q168_video_neardup" -> q168Sql,
     "q144_image_neardup" -> q144Sql,
     "q128_audio_dedup" -> q128Sql,
