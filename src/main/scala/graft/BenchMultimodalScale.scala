@@ -41,7 +41,7 @@ object BenchMultimodalScale {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq(
         "q121_image_dedup", "q144_image_neardup", "q128_audio_dedup",
-        "q168_video_neardup"))
+        "q168_video_neardup", "q176_audio_neardup"))
 
     val base = Tables.documents(spark, sfDir)
     val nBase = base.count()

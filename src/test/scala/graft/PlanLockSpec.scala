@@ -67,6 +67,9 @@ class PlanLockSpec extends SparkSpec {
     "q124_perplexity_filter",// board #2: q104 subtree + histogram threshold
     "q128_audio_dedup",      // 133-board top-10: cross-container decode +
     "q52_audio_decode",      // fingerprint shapes (mapPartitions scans)
+    "q176_audio_neardup",    // r9 near-dup matrix: banded-candidate shape
+    "q168_video_neardup",    // (a lost band key or localCheckpoint would
+                             // quietly go payload x payload)
     "q134_cdc_chunk_dedup",  // 136-board top-10 entrants: CDC chunk
     "q136_waiting_supplier", // shuffle shape; Q21 decorrelated join-back
     "q123_histogram_quantiles", // 137-board top-10 (sketch bin pipeline)
