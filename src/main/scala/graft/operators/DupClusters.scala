@@ -63,4 +63,92 @@ object DupClusters {
           s"component's diameter exceeds maxIters; raise maxIters")
     labels
   }
+
+  /** Connected components by alternating large-star / small-star contraction
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): converges in
+    * O(log^2 n) rounds regardless of component DIAMETER, where `assign`'s
+    * label propagation pays one round per hop. Same output contract as
+    * `assign`: (doc_id, cluster_id = min id in component) for every doc
+    * appearing in a pair.
+    *
+    * Scale shape: each round is two grouped joins over the EDGE list only
+    * (never the corpus), and the edge list shrinks as trees flatten into
+    * stars. Convergence is detected exactly — the edge set is a star forest
+    * iff no node appears as both a child and a root — not by a hash
+    * signature, so a collision can never yield split clusters. Use this
+    * over `assign` when dup chains can be long (CDC segment graphs,
+    * crawl-revision chains); `assign` stays preferable only when the
+    * diameter is known-small and the per-round constant matters.
+    */
+  def assignStar(pairs: DataFrame, maxIters: Int = 64): DataFrame =
+    assignStarWithRounds(pairs, maxIters)._1
+
+  /** As `assignStar`, also returning the round count (for specs and the
+    * scale sidecar's rounds-vs-diameter evidence). */
+  def assignStarWithRounds(pairs: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var star = isStarForest(edges)
+    while (!star && rounds < maxIters) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      rounds += 1
+      star = isStarForest(edges)
+    }
+    if (!star)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIters rounds (needs " +
+          s"~log^2 of the largest component; raise maxIters)")
+    // star forest: every canonical edge is (root=component min, child)
+    val labels = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
+      .union(edges.select(col("u").as("doc_id"), col("u").as("cluster_id")))
+      .distinct()
+    // self-loop-only and duplicate-pair docs carry no edge — label = self
+    val out = nodes.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    (out, rounds)
+  }
+
+  /** Large-star: every node attaches its strictly-LARGER neighbors to the
+    * minimum of its closed neighborhood. Connectivity-preserving; edges
+    * stay canonical (u < v) because m <= center < larger neighbor. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("u").as("a"), col("v").as("b"))
+      .union(edges.select(col("v").as("a"), col("u").as("b")))
+    val mins = nbrs.groupBy("a")
+      .agg(min(col("b")).as("nmin"))
+      .select(col("a"), least(col("nmin"), col("a")).as("m"))
+    nbrs.join(mins, Seq("a"))
+      .filter(col("b") > col("a"))
+      .select(col("m").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node attaches its SMALLER neighbors (and itself) to
+    * the minimum among them, flattening chains into stars. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    // direct larger -> smaller, so the center a sees only smaller neighbors
+    val nbrs = edges.select(col("v").as("a"), col("u").as("b"))
+    val mins = nbrs.groupBy("a").agg(min(col("b")).as("m"))
+    val rewired = nbrs.join(mins, Seq("a"))
+      .filter(col("b") =!= col("m"))
+      .select(col("m").as("u"), col("b").as("v"))
+    val center = mins.select(col("m").as("u"), col("a").as("v"))
+    rewired.union(center).distinct()
+  }
+
+  /** Exact convergence predicate: a canonical edge set is a star forest iff
+    * no node appears both as a smaller endpoint (root) and a larger endpoint
+    * (child). Runs on the (small) edge list only. */
+  private def isStarForest(edges: DataFrame): Boolean =
+    edges.select(col("u")).intersect(edges.select(col("v"))).isEmpty
 }

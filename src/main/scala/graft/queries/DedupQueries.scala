@@ -177,6 +177,19 @@ object DedupQueries {
   def q29(spark: SparkSession, d: String): DataFrame =
     clustersDf(spark, d).orderBy(col("doc_id"))
 
+  /** q29's components computed by large-star/small-star contraction
+    * (`DupClusters.assignStar`) instead of min-label propagation: same
+    * result under the same recursive-CTE oracle, but the round count is
+    * O(log^2 n) instead of O(component diameter) — the variant to run when
+    * dup chains can be long (crawl revisions, CDC segment graphs). */
+  def q177(spark: SparkSession, d: String): DataFrame =
+    graft.operators.DupClusters.assignStar(
+      q23(spark, d).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  // lazy: q29Sql is initialized below (object vals init top-to-bottom)
+  lazy val q177Sql: String = q29Sql
+
   val q29Sql: String = s"""
     WITH RECURSIVE dup_pairs AS (${q23Sql.replace("ORDER BY doc_a, doc_b", "")}),
     edges AS (SELECT doc_a AS u, doc_b AS v FROM dup_pairs
@@ -877,6 +890,7 @@ object DedupQueries {
     "q24_simhash" -> (q24 _),
     "q25_simhash_near_dups" -> (q25 _),
     "q29_dup_clusters" -> (q29 _),
+    "q177_star_clusters" -> (q177 _),
     "q38_dedup_survivors" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
@@ -898,5 +912,6 @@ object DedupQueries {
     "q24_simhash" -> q24Sql,
     "q25_simhash_near_dups" -> q25Sql,
     "q29_dup_clusters" -> q29Sql,
+    "q177_star_clusters" -> q177Sql,
     "q38_dedup_survivors" -> q38Sql)
 }

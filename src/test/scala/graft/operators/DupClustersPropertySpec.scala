@@ -33,9 +33,13 @@ class DupClustersPropertySpec extends SparkSpec {
     val pairs = edges.map { case (a, b) => (a.min(b), a.max(b)) }
       .filter(e => e._1 != e._2).distinct
     if (pairs.nonEmpty) {
+      val expected = unionFind(pairs)
       val got = DupClusters.assign(pairs.toDF("doc_a", "doc_b"), maxIters = 100)
         .as[(Long, Long)].collect().toMap
-      assert(got == unionFind(pairs), s"edges=$pairs")
+      assert(got == expected, s"edges=$pairs")
+      val gotStar = DupClusters.assignStar(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotStar == expected, s"star contraction diverged: edges=$pairs")
     }
   }
 
@@ -49,5 +53,26 @@ class DupClustersPropertySpec extends SparkSpec {
 
   test("a long chain converges to one component (worst-case diameter)") {
     check((0L until 30L).map(i => (i, i + 1)))
+  }
+
+  test("star contraction round count is logarithmic in the chain length") {
+    // a 512-hop path: label propagation would need 512 rounds; star
+    // contraction must land in O(log^2 n) — assert a hard single-digit-ish
+    // bound so a regression to per-hop convergence fails loudly
+    val pairs = (0L until 512L).map(i => (i, i + 1))
+    val (labels, rounds) =
+      DupClusters.assignStarWithRounds(pairs.toDF("doc_a", "doc_b"))
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 513 && got.forall(_._2 == 0L))
+    assert(rounds <= 12, s"star contraction took $rounds rounds on a 512-path")
+  }
+
+  test("star contraction handles self-loops, duplicates, and empty input") {
+    import org.apache.spark.sql.functions._
+    val pairs = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val got = DupClusters.assignStar(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DupClusters.assignStar(empty).filter(lit(true)).count() == 0)
   }
 }
