@@ -511,6 +511,66 @@ object PipelineQueries {
         - greatest(start, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
     FROM spans GROUP BY seq_id ORDER BY seq_id"""
 
+  private val PpsSamples = 100L
+
+  /** q178 — weight-proportional (PPS) SYSTEMATIC sampling: pick ~k docs
+    * with probability proportional to token count, deterministically and
+    * in ONE pass. Classic survey-sampling systematic selection: lay the
+    * docs on the cumulative-weight axis (the same two-level cumsum as
+    * q174 — bucket-local windows + a tiny bucket-offset prefix, never a
+    * corpus-wide single-partition window), take every (total/k)-th weight
+    * unit, and keep each doc once per selection point its interval covers
+    * (long docs can be hit multiple times — that multiplicity IS the PPS
+    * weight, reported as n_hits). All arithmetic is integer, so selection
+    * is exact across engines — no ln()/float jitter at the boundaries the
+    * way Efraimidis-Spirakis keys would be. A weighted epoch-sampler in a
+    * training-data pipeline is exactly this with weight = quality score.
+    */
+  def q178(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Tables.documents(spark, d)
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast(LongType).as("n"))
+      .where(col("n") > 0)
+      .withColumn("bucket", expr(s"doc_id DIV $PackBucket"))
+    val local = lens.withColumn("cw",
+      sum(col("n")).over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = lens.groupBy(col("bucket")).agg(sum(col("n")).as("bt"))
+      .withColumn("boff",
+        sum(col("bt")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("bt"))
+      .select(col("bucket"), col("boff"))
+    val total = lens.agg(sum(col("n")).as("tw"))
+    local.join(broadcast(offsets), Seq("bucket"))
+      .crossJoin(broadcast(total))
+      .withColumn("stride", greatest(expr(s"tw DIV $PpsSamples"), lit(1L)))
+      .withColumn("cum", col("boff") + col("cw"))
+      .withColumn("n_hits",
+        expr("cum DIV stride") - expr("(cum - n) DIV stride"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n").as("weight"),
+        col("n_hits").cast(LongType).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q178Sql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(${TextSql.norm}, ' ')) AS BIGINT) AS n
+      FROM documents WHERE length(${TextSql.norm}) > 0
+    ), pos AS (
+      SELECT doc_id, n,
+        CAST(sum(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        CAST(sum(n) OVER () AS BIGINT) AS tw
+      FROM toks)
+    SELECT doc_id, n AS weight,
+      CAST(cum // greatest(tw // $PpsSamples, 1)
+        - (cum - n) // greatest(tw // $PpsSamples, 1) AS BIGINT) AS n_hits
+    FROM pos
+    WHERE cum // greatest(tw // $PpsSamples, 1)
+      - (cum - n) // greatest(tw // $PpsSamples, 1) > 0
+    ORDER BY doc_id"""
+
   // ---------------------------------------------- q92/q93 layout utilities
 
   /** q92 — salted join ([[graft.operators.SaltedJoin]]): lineitem keyed
@@ -1185,6 +1245,7 @@ object PipelineQueries {
     "q95_doc_chunking" -> (q95 _),
     "q174_sequence_pack" -> (q174 _),
     "q175_shuffled_pack" -> (q175 _),
+    "q178_pps_sample" -> (q178 _),
     "q96_semantic_dedup" -> (q96 _))
 
   val oracles: Map[String, String] = Map(
@@ -1207,6 +1268,7 @@ object PipelineQueries {
     "q95_doc_chunking" -> q95Sql,
     "q174_sequence_pack" -> q174Sql,
     "q175_shuffled_pack" -> q175Sql,
+    "q178_pps_sample" -> q178Sql,
     "q96_semantic_dedup" -> q96Sql)
 }
 

@@ -298,13 +298,59 @@ object SketchQueries {
     FROM est e JOIN ranked r ON e.rf = r.rf AND e.k = r.rn
     ORDER BY e.rf, e.q_bp"""
 
+  // ---------------------------------------------------------------------
+  // q179 — Misra-Gries heavy hitters with exact recount
+
+  private val MgK = 40
+
+  /** q179 — corpus heavy hitters via Misra-Gries candidate pruning
+    * ([[graft.operators.MisraGries]], constant k-1-counter state per task)
+    * followed by an EXACT recount of the <= k-1 survivors. MG guarantees
+    * every token with frequency > n/k is retained by the one-pass prune,
+    * so filtering the recount at that threshold reproduces the true
+    * heavy-hitter set — the oracle is a plain GROUP BY/HAVING, and the
+    * result is independent of the sketch's (bounded) undercount. Where
+    * q116's CMS answers point queries on a fixed hash grid, MG answers
+    * "which items are frequent" without enumerating the vocabulary: the
+    * full-corpus groupBy shuffles every distinct token; this shuffles only
+    * the <= k-1 candidates' partial counts. */
+  def q179(spark: SparkSession, d: String): DataFrame = {
+    // explode_outer: exempt from InferFiltersFromGenerate, so the tokens()
+    // regex chain is not duplicated into a pushed-down size() filter;
+    // identical rows because null/empty arrays are filtered right after
+    val toks = Tables.documents(spark, d)
+      .select(explode_outer(Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val candidates = graft.operators.MisraGries.summarize(toks, MgK).map(_._1)
+    val n = toks.count()
+    toks.filter(col("tok").isin(candidates: _*))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * MgK > n)
+      .select(col("tok"), col("cnt").cast(LongType).as("cnt"),
+        floor(col("cnt") * 1000d / n).cast(LongType).as("share_pm"))
+      .orderBy(col("tok"))
+  }
+
+  val q179Sql: String = s"""
+    WITH toks AS (
+      SELECT unnest(${Sql.words}) AS tok FROM documents
+      WHERE length(${Sql.norm}) > 0
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+      CAST(floor(count(*) * 1000.0 / n) AS BIGINT) AS share_pm
+    FROM toks, tot GROUP BY tok, n HAVING count(*) * $MgK > n
+    ORDER BY tok"""
+
   val defs: Map[String, Q] = Map(
+    "q179_mg_heavy_hitters" -> (q179 _),
     "q123_histogram_quantiles" -> (q123 _),
     "q116_cms_topk" -> (q116 _),
     "q117_hll_distinct" -> (q117 _),
     "q120_incremental_hll" -> (q120 _))
 
   val oracles: Map[String, String] = Map(
+    "q179_mg_heavy_hitters" -> q179Sql,
     "q123_histogram_quantiles" -> q123Sql,
     "q116_cms_topk" -> q116Sql,
     "q117_hll_distinct" -> q117Sql,
