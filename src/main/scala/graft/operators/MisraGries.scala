@@ -36,6 +36,20 @@ object MisraGries {
     m.toSeq.sortBy { case (t, c) => (-c, t) }
   }
 
+  /** Merge pre-computed summaries (e.g. per-microbatch store partitions)
+    * with the same rule the treeAggregate combiner uses. Mergeability
+    * (Agarwal et al.) makes the retention/undercount bounds hold for the
+    * TOTAL stream regardless of how it was split — this is what lets a
+    * streaming store keep one k-1-row summary per batch and fold at read
+    * time. Summaries are folded in the given order; callers pass a
+    * deterministic order (e.g. batch id) for reproducible counts. */
+  def mergeSummaries(summaries: Iterable[Seq[(String, Long)]], k: Int): Seq[(String, Long)] = {
+    require(k >= 2, "k must be >= 2")
+    val acc = mutable.Map.empty[String, Long]
+    summaries.foreach { s => merge(acc, mutable.Map(s: _*), k) }
+    acc.toSeq.sortBy { case (t, c) => (-c, t) }
+  }
+
   /** Classic MG step: increment a tracked item, adopt into a free counter,
     * or decrement everything (dropping zeros) when all k-1 are taken. */
   private def add(m: mutable.Map[String, Long], item: String, k: Int): mutable.Map[String, Long] = {

@@ -1225,6 +1225,42 @@ object PipelineQueries {
 
   val q105Sql: String = kmeansSql("vec_id % 5 = 0")
 
+  /** q180 — prototypicality PRUNING (coreset selection): cluster the
+    * embedding corpus (q54's integer Lloyd's), then per cluster drop every
+    * vector at or below the cluster's mean distance-to-centroid — the
+    * "prototypical" redundant core — keeping the hard/atypical examples
+    * that matter at scale (the SSL-style data-pruning recipe: with
+    * abundant data, keep HARD examples). The cut uses the integer
+    * floor-mean (sum DIV count), never a float average: sums here exceed
+    * 2^53, where double-rounded means diverge between engines.
+    *
+    * Scale shape: the per-cluster stats are a k-row map-side-combinable
+    * aggregate; the cut itself is a broadcast join + map-side filter. No
+    * per-cluster window (a partitionBy(cluster) window at k=4 would drag
+    * the whole corpus into 4 partitions).
+    */
+  def q180(spark: SparkSession, d: String): DataFrame = {
+    val vecs = quantized(spark, d)
+    val assigned = assign(vecs, trainCentroids(vecs))
+      .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"), col("dist"))
+    val cuts = assigned.groupBy(col("cluster"))
+      .agg(expr("sum(dist) DIV count(1)").as("mean_dist"))
+    assigned.join(broadcast(cuts), Seq("cluster"))
+      .filter(col("dist") > col("mean_dist"))
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  lazy val q180Sql: String = {
+    val base = q54Sql.replace("ORDER BY vec_id", "")
+    s"""
+    WITH base AS ($base),
+    cuts AS (SELECT cluster, CAST(sum(dist) AS BIGINT) // count(*) AS mean_dist
+             FROM base GROUP BY cluster)
+    SELECT b.vec_id, b.cluster, b.dist FROM base b JOIN cuts USING (cluster)
+    WHERE b.dist > mean_dist ORDER BY vec_id"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q46_pii_redaction" -> (q46 _),
     "q47_repetition_signals" -> (q47 _),
@@ -1246,6 +1282,7 @@ object PipelineQueries {
     "q174_sequence_pack" -> (q174 _),
     "q175_shuffled_pack" -> (q175 _),
     "q178_pps_sample" -> (q178 _),
+    "q180_prototype_prune" -> (q180 _),
     "q96_semantic_dedup" -> (q96 _))
 
   val oracles: Map[String, String] = Map(
@@ -1269,6 +1306,7 @@ object PipelineQueries {
     "q174_sequence_pack" -> q174Sql,
     "q175_shuffled_pack" -> q175Sql,
     "q178_pps_sample" -> q178Sql,
+    "q180_prototype_prune" -> q180Sql,
     "q96_semantic_dedup" -> q96Sql)
 }
 
