@@ -571,6 +571,100 @@ object PipelineQueries {
       - (cum - n) // greatest(tw // $PpsSamples, 1) > 0
     ORDER BY doc_id"""
 
+  /** q181 — inverted-index build statistics: per token, document frequency,
+    * collection frequency, and an ORDER-INSENSITIVE postings checksum
+    * (bit_xor of the engine-shared hash over each (doc_id, tf) posting).
+    * The checksum is the scale decision: a real postings list per token
+    * (sort_array(collect_list(...))) concentrates a hot token's entire
+    * posting set in one reducer row, while the xor fold is commutative and
+    * map-side-combinable — constant reducer state per token, any corpus
+    * size, and it still certifies posting-set equality across engines. */
+  def q181(spark: SparkSession, d: String): DataFrame = {
+    // explode_outer: InferFiltersFromGenerate discipline (see q179)
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+    val tf = toks.groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.select(col("word"), col("tf"),
+      graft.functions.Hashing.hash32(
+        concat_ws(":", col("doc_id"), col("tf"))).as("sig"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).cast(LongType).as("df"),
+        sum(col("tf")).cast(LongType).as("cf"),
+        expr("bit_xor(sig)").cast(LongType).as("postings_sig"))
+      .orderBy(col("word"))
+  }
+
+  val q181Sql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(${TextSql.norm}, ' ')) AS word
+      FROM documents WHERE length(${TextSql.norm}) > 0
+    ), tf AS (
+      SELECT word, doc_id, count(*) AS tf FROM toks GROUP BY word, doc_id
+    )
+    SELECT word, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+      CAST(bit_xor(CAST('0x' || substring(md5(
+        CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)), 1, 8) AS BIGINT))
+        AS BIGINT) AS postings_sig
+    FROM tf GROUP BY word ORDER BY word"""
+
+  /** q182 — link-analysis importance ([[graft.operators.RankPropagation]]):
+    * integer fixed-point PageRank, three power iterations, over the
+    * high-quantity co-supply graph (suppliers sharing an order with
+    * l_quantity > 45; symmetric by construction, so no dangling mass).
+    * The crawl-pipeline shape: importance scores over a link graph feed
+    * source weighting the way q178 consumes per-doc weights. Scaled-integer
+    * rank arithmetic (DIV-based damping) keeps the three iterations
+    * bit-exact against the oracle's unrolled replay. */
+  def q182(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .filter(col("l_quantity") > 45d)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.s") =!= col("b.s"))
+      .select(col("a.s").as("src"), col("b.s").as("dst"))
+      .distinct()
+    graft.operators.RankPropagation.ranks(edges, iters = 3)
+      .select(col("node").cast(LongType).as("supp"),
+        col("r").cast(LongType).as("score"))
+      .orderBy(col("supp"))
+  }
+
+  val q182Sql: String = {
+    val S = graft.operators.RankPropagation.Scale
+    s"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+      WHERE l_quantity > 45
+    ), edges AS MATERIALIZED (
+      SELECT DISTINCT a.s AS src, b.s AS dst FROM li a JOIN li b
+      ON a.o = b.o AND a.s <> b.s
+    ), deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST($S AS BIGINT) AS r FROM deg),
+    r1 AS MATERIALIZED (
+      SELECT n.node, CAST((15 * $S + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+      FROM (SELECT node FROM r0) n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.r // deg.d) AS s FROM edges e
+        JOIN r0 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) c USING (node)
+    ), r2 AS MATERIALIZED (
+      SELECT n.node, CAST((15 * $S + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+      FROM (SELECT node FROM r1) n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.r // deg.d) AS s FROM edges e
+        JOIN r1 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) c USING (node)
+    ), r3 AS MATERIALIZED (
+      SELECT n.node, CAST((15 * $S + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+      FROM (SELECT node FROM r2) n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.r // deg.d) AS s FROM edges e
+        JOIN r2 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) c USING (node)
+    )
+    SELECT node AS supp, r AS score FROM r3 ORDER BY supp"""
+  }
+
   // ---------------------------------------------- q92/q93 layout utilities
 
   /** q92 — salted join ([[graft.operators.SaltedJoin]]): lineitem keyed
@@ -1283,6 +1377,8 @@ object PipelineQueries {
     "q175_shuffled_pack" -> (q175 _),
     "q178_pps_sample" -> (q178 _),
     "q180_prototype_prune" -> (q180 _),
+    "q181_inverted_index" -> (q181 _),
+    "q182_graph_importance" -> (q182 _),
     "q96_semantic_dedup" -> (q96 _))
 
   val oracles: Map[String, String] = Map(
@@ -1307,6 +1403,8 @@ object PipelineQueries {
     "q175_shuffled_pack" -> q175Sql,
     "q178_pps_sample" -> q178Sql,
     "q180_prototype_prune" -> q180Sql,
+    "q181_inverted_index" -> q181Sql,
+    "q182_graph_importance" -> q182Sql,
     "q96_semantic_dedup" -> q96Sql)
 }
 
