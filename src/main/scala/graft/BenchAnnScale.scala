@@ -61,7 +61,10 @@ object BenchAnnScale {
       "q39_lsh_bucket_ann" -> (queries.VectorQueries.q39 _),
       "q58_pq_ann" -> (queries.PipelineQueries.q58 _),
       "q118_ivfpq_ann" -> (queries.PipelineQueries.q118 _),
-      "q54_kmeans" -> (queries.PipelineQueries.q54 _))
+      "q54_kmeans" -> (queries.PipelineQueries.q54 _),
+      // prototypicality pruning rides the same k-means chain; its extra
+      // cost must stay the k-row cut aggregate + broadcast filter
+      "q180_prototype_prune" -> (queries.PipelineQueries.q180 _))
 
     val results = qs.map { case (name, fn) =>
       spark.catalog.clearCache()

@@ -609,6 +609,76 @@ object PipelineQueries {
         AS BIGINT) AS postings_sig
     FROM tf GROUP BY word ORDER BY word"""
 
+  private val BmQuery = Seq("join", "hash", "filter")
+  private val BmTopK = 20
+
+  /** q183 — BM25 ranked retrieval over the inverted-index statistics, in
+    * EXACT integer arithmetic: k1 = 6/5 and b = 3/4 are kept as rationals
+    * and multiplied through (avgdl = T/N never materializes as a float), so
+    * the tf leg is score_tf = 44*T*tf / (20*T*tf + 6*T + 18*dl*N) — one
+    * integer division at the end; idf uses the engine's ilog64 quantizer
+    * over ((2N-2df+1)*2^20) DIV (2df+1), the same 64-subdivision base-2
+    * log q138's naive Bayes scores with. No ln()/libm surface anywhere, so
+    * ranking ties break identically across engines.
+    *
+    * Scale shape: the tf frame is filtered to the query terms BEFORE any
+    * aggregation (predicate pushdown to the scan), per-doc length is one
+    * map-side agg, and the query-term df/idf frame is query-sized and
+    * broadcast. Top-k by (score, doc_id) is the argmax-struct pattern —
+    * a total sort of the scored frame bounded by docs matching any term. */
+  def q183(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("t"), count(lit(1)).as("n"))
+    val qtf = toks.filter(col("word").isin(BmQuery: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    def ilog64(x: String) =
+      s"64 * (length(bin($x)) - 1) + ($x * 64) DIV CAST(pow(2.0D, length(bin($x)) - 1) AS BIGINT) - 64"
+    val idf = df.crossJoin(broadcast(totals))
+      .withColumn("x", expr("greatest(((2*n - 2*df + 1) * 1048576) DIV (2*df + 1), 1)"))
+      .select(col("word"), expr(ilog64("x")).as("idf"))
+    qtf.join(broadcast(idf), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("term_score",
+        expr("(idf * 44 * t * tf * 1000) DIV (20 * t * tf + 6 * t + 18 * dl * n)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).cast(LongType).as("score"),
+        count(lit(1)).cast(LongType).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(BmTopK)
+  }
+
+  val q183Sql: String = {
+    val terms = BmQuery.map(w => s"'$w'").mkString(", ")
+    def ilog64(x: String) =
+      s"64 * (length(bin($x)) - 1) + ($x * 64) // CAST(power(2, length(bin($x)) - 1) AS BIGINT) - 64"
+    s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(${TextSql.norm}, ' ')) AS word
+      FROM documents WHERE length(${TextSql.norm}) > 0
+    ), dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    totals AS (SELECT CAST(sum(dl) AS BIGINT) AS t, count(*) AS n FROM dl),
+    qtf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+            WHERE word IN ($terms) GROUP BY doc_id, word),
+    df AS (SELECT word, count(*) AS df FROM qtf GROUP BY word),
+    idf AS (SELECT word,
+        ${ilog64("greatest(((2*n - 2*df + 1) * 1048576) // (2*df + 1), 1)")} AS idf
+      FROM df, totals),
+    scored AS (
+      SELECT q.doc_id,
+        (idf.idf * 44 * t.t * q.tf * 1000)
+          // (20 * t.t * q.tf + 6 * t.t + 18 * dl.dl * t.n) AS term_score
+      FROM qtf q JOIN idf USING (word) JOIN dl USING (doc_id), totals t)
+    SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score,
+      CAST(count(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT $BmTopK"""
+  }
+
   /** q182 — link-analysis importance ([[graft.operators.RankPropagation]]):
     * integer fixed-point PageRank, three power iterations, over the
     * high-quantity co-supply graph (suppliers sharing an order with
@@ -1379,6 +1449,7 @@ object PipelineQueries {
     "q180_prototype_prune" -> (q180 _),
     "q181_inverted_index" -> (q181 _),
     "q182_graph_importance" -> (q182 _),
+    "q183_bm25_search" -> (q183 _),
     "q96_semantic_dedup" -> (q96 _))
 
   val oracles: Map[String, String] = Map(
@@ -1405,6 +1476,7 @@ object PipelineQueries {
     "q180_prototype_prune" -> q180Sql,
     "q181_inverted_index" -> q181Sql,
     "q182_graph_importance" -> q182Sql,
+    "q183_bm25_search" -> q183Sql,
     "q96_semantic_dedup" -> q96Sql)
 }
 
