@@ -298,6 +298,90 @@ object ExtraQueries {
     FROM sess GROUP BY user_id, session_idx
     ORDER BY user_id, session_idx"""
 
+  /** q184 — fuzzy (edit-distance <= 3) self-join over part names WITHOUT
+    * an all-pairs comparison: deletion-neighborhood blocking (FastSS
+    * family). Candidates are pairs sharing any <=3-deletion variant —
+    * COMPLETE for Levenshtein <= 3, because an optimal alignment yields a
+    * common string reachable from each side by deleting at most the
+    * alignment's edited positions — then verified by exact levenshtein.
+    * The oracle is the brute-force all-pairs join, so the gate proves the
+    * blocking lost nothing. Signature count is O(len^3) per NAME (the
+    * distinct-name table, usually dictionary-sized), never pairs-of-names;
+    * the join shuffles (variant, name) rows only — the entity-resolution
+    * shape that survives a billion-row record table with a bounded
+    * dictionary. */
+  def q184(spark: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(spark, d).select(col("p_name").as("name")).distinct()
+    val del = "transform(sequence(1, length(variant)), i -> " +
+      "concat(substring(variant, 1, i - 1), substring(variant, i + 1, length(variant))))"
+    def expand(v: DataFrame): DataFrame = v
+      .select(col("name"), explode_outer(expr(del)).as("variant"))
+      .filter(col("variant").isNotNull)
+    val d0 = names.select(col("name"), col("name").as("variant"))
+    val d1 = expand(d0)
+    val d2 = expand(d1)
+    val sigs = d0.union(d1).union(d2).union(expand(d2)).distinct()
+    val cands = sigs.select(col("variant"), col("name").as("name_a"))
+      .join(sigs.select(col("variant"), col("name").as("name_b")), Seq("variant"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+      .distinct()
+    cands
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("dist") <= 3)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val q184Sql: String = """
+    WITH p AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+      CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM p a JOIN p b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    ORDER BY name_a, name_b"""
+
+  /** q185 — trailing-window anomaly detection over the event stream: an
+    * event is anomalous when its value sits more than two standard
+    * deviations above/below the mean of the user's previous 10 events
+    * (at least 5 of history). The z-score test is kept in INTEGER
+    * arithmetic by clearing denominators — (n*v - s)^2 > 4*(n*q - s^2)
+    * with cent-quantized values, trailing sum s and sum-of-squares q —
+    * so no sqrt/float variance surface exists. Per-user row-frame
+    * windows: the shuffle is keyed by user_id (high cardinality), never
+    * a global order. */
+  def q185(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("ts_ms"),
+      (col("value").cast(dec2) * 100).cast(LongType).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(-10, -1)
+    e.withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("q", sum(col("v") * col("v")).over(w))
+      .filter(col("n") >= 5 &&
+        (col("n") * col("v") - col("s")) * (col("n") * col("v") - col("s")) >
+          lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("v"),
+        col("n").cast(LongType).as("hist_n"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
+  val q185Sql: String = """
+    WITH base AS (
+      SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      FROM events),
+    stats AS (
+      SELECT *, count(*) OVER w AS n, sum(v) OVER w AS s,
+        sum(v * v) OVER w AS q
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, ts_ms, v, CAST(n AS BIGINT) AS hist_n
+    FROM stats
+    WHERE n >= 5 AND (n*v - s) * (n*v - s) > 4 * (n*q - s*s)
+    ORDER BY user_id, ts_ms, event_id"""
+
   /** Table profiling (data-quality QA): row count, per-column null and
     * distinct cardinalities, numeric bounds — one aggregation pass. */
   def q67(spark: SparkSession, d: String): DataFrame = {
@@ -457,6 +541,8 @@ object ExtraQueries {
     "q34_asof_click_purchase" -> (q34 _),
     "q35_pricing_expand" -> (q35 _),
     "q36_sessionization" -> (q36 _),
+    "q184_fuzzy_join" -> (q184 _),
+    "q185_event_anomaly" -> (q185 _),
     "q67_table_profile" -> (q67 _),
     "q68_windowed_event_stats" -> (q68 _),
     "q69_interval_join" -> (q69 _))
@@ -474,6 +560,8 @@ object ExtraQueries {
     "q34_asof_click_purchase" -> q34Sql,
     "q35_pricing_expand" -> q35Sql,
     "q36_sessionization" -> q36Sql,
+    "q184_fuzzy_join" -> q184Sql,
+    "q185_event_anomaly" -> q185Sql,
     "q67_table_profile" -> q67Sql,
     "q68_windowed_event_stats" -> q68Sql,
     "q69_interval_join" -> q69Sql)
