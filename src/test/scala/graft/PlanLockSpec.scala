@@ -70,6 +70,14 @@ class PlanLockSpec extends SparkSpec {
     "q176_audio_neardup",    // r9 near-dup matrix: banded-candidate shape
     "q168_video_neardup",    // (a lost band key or localCheckpoint would
                              // quietly go payload x payload)
+    "q177_star_clusters",    // 185-board #7: like q96, the contraction loop
+                             // is behind eager localCheckpoints (gotcha
+                             // noted round 6) — the golden still locks the
+                             // pair-generation subtree and the final label
+                             // join; loop-shape drift is covered by the CC
+                             // sidecar's round counts
+    "q182_graph_importance", // eager power iteration: golden locks the
+                             // edge build + final projection shape
     "q134_cdc_chunk_dedup",  // 136-board top-10 entrants: CDC chunk
     "q136_waiting_supplier", // shuffle shape; Q21 decorrelated join-back
     "q123_histogram_quantiles", // 137-board top-10 (sketch bin pipeline)
