@@ -382,6 +382,34 @@ object ExtraQueries {
     WHERE n >= 5 AND (n*v - s) * (n*v - s) > 4 * (n*q - s*s)
     ORDER BY user_id, ts_ms, event_id"""
 
+  /** q187 — k-anonymity audit (privacy governance, the release-gate
+    * counterpart of q165's PII linkage): group the customer table by its
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * bucket) and report every equivalence class smaller than k=5 — the
+    * classes where a joined external dataset could re-identify members.
+    * Bucketing is integer (cents DIV 100000), never a float division whose
+    * floor could straddle engines. One map-side-combinable aggregation;
+    * output is bounded by the quasi-identifier domain, not the table. */
+  def q187(spark: SparkSession, d: String): DataFrame = {
+    Tables.customer(spark, d)
+      .select(col("c_nationkey").cast(LongType).as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 100000")
+          .as("bal_bucket"))
+      .groupBy(col("nation"), col("segment"), col("bal_bucket"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .filter(col("n") < 5)
+      .orderBy(col("nation"), col("segment"), col("bal_bucket"))
+  }
+
+  val q187Sql: String = """
+    SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+      CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS bal_bucket,
+      CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY 1, 2, 3 HAVING count(*) < 5
+    ORDER BY nation, segment, bal_bucket"""
+
   /** Table profiling (data-quality QA): row count, per-column null and
     * distinct cardinalities, numeric bounds — one aggregation pass. */
   def q67(spark: SparkSession, d: String): DataFrame = {
@@ -543,6 +571,7 @@ object ExtraQueries {
     "q36_sessionization" -> (q36 _),
     "q184_fuzzy_join" -> (q184 _),
     "q185_event_anomaly" -> (q185 _),
+    "q187_k_anonymity" -> (q187 _),
     "q67_table_profile" -> (q67 _),
     "q68_windowed_event_stats" -> (q68 _),
     "q69_interval_join" -> (q69 _))
@@ -562,6 +591,7 @@ object ExtraQueries {
     "q36_sessionization" -> q36Sql,
     "q184_fuzzy_join" -> q184Sql,
     "q185_event_anomaly" -> q185Sql,
+    "q187_k_anonymity" -> q187Sql,
     "q67_table_profile" -> q67Sql,
     "q68_windowed_event_stats" -> q68Sql,
     "q69_interval_join" -> q69Sql)

@@ -579,9 +579,11 @@ object PipelineQueries {
     * posting set in one reducer row, while the xor fold is commutative and
     * map-side-combinable — constant reducer state per token, any corpus
     * size, and it still certifies posting-set equality across engines. */
-  def q181(spark: SparkSession, d: String): DataFrame = {
+  /** The q181 index body over an arbitrary docs frame — shared with the
+    * incremental maintenance path (q186), whose deltas each run this. */
+  private def indexOf(docs: DataFrame): DataFrame = {
     // explode_outer: InferFiltersFromGenerate discipline (see q179)
-    val toks = Tables.documents(spark, d)
+    val toks = docs
       .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("word"))
       .filter(col("word").isNotNull)
     val tf = toks.groupBy(col("word"), col("doc_id"))
@@ -593,6 +595,27 @@ object PipelineQueries {
       .agg(count(lit(1)).cast(LongType).as("df"),
         sum(col("tf")).cast(LongType).as("cf"),
         expr("bit_xor(sig)").cast(LongType).as("postings_sig"))
+  }
+
+  def q181(spark: SparkSession, d: String): DataFrame =
+    indexOf(Tables.documents(spark, d)).orderBy(col("word"))
+
+  /** q186 — INCREMENTAL inverted-index maintenance, gated the q120 way:
+    * the corpus arrives as three disjoint deltas (doc_id mod 3), each
+    * builds its own partial index, and the partials MERGE into the final
+    * state — which must equal the batch q181 bit-for-bit, because every
+    * index statistic is a commutative monoid over disjoint doc sets
+    * (df/cf sum, postings checksum xor). This is the property that lets
+    * a daily ingest update the index without rescanning the corpus. */
+  def q186(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val partials = (0 until 3).map(i =>
+      indexOf(docs.filter(col("doc_id") % 3 === i)))
+    partials.reduce(_ union _)
+      .groupBy(col("word"))
+      .agg(sum(col("df")).cast(LongType).as("df"),
+        sum(col("cf")).cast(LongType).as("cf"),
+        expr("bit_xor(postings_sig)").cast(LongType).as("postings_sig"))
       .orderBy(col("word"))
   }
 
@@ -1448,6 +1471,7 @@ object PipelineQueries {
     "q178_pps_sample" -> (q178 _),
     "q180_prototype_prune" -> (q180 _),
     "q181_inverted_index" -> (q181 _),
+    "q186_incremental_index" -> (q186 _),
     "q182_graph_importance" -> (q182 _),
     "q183_bm25_search" -> (q183 _),
     "q96_semantic_dedup" -> (q96 _))
@@ -1475,6 +1499,9 @@ object PipelineQueries {
     "q178_pps_sample" -> q178Sql,
     "q180_prototype_prune" -> q180Sql,
     "q181_inverted_index" -> q181Sql,
+    // q186's oracle IS q181's single-pass SQL: the merged partials must
+    // equal the batch recompute (disjoint-delta sums + xor are mergeable)
+    "q186_incremental_index" -> q181Sql,
     "q182_graph_importance" -> q182Sql,
     "q183_bm25_search" -> q183Sql,
     "q96_semantic_dedup" -> q96Sql)
