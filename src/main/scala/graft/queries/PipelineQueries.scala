@@ -632,6 +632,67 @@ object PipelineQueries {
         AS BIGINT) AS postings_sig
     FROM tf GROUP BY word ORDER BY word"""
 
+  /** q188 — word-association mining: pointwise mutual information over
+    * adjacent token co-occurrence (the statistic skip-gram embeddings and
+    * collocation extractors start from). Score = ilog64 of
+    * (cooc * T * 1024) DIV (c_a * c_b) — the PMI ratio in integer
+    * arithmetic, quantized by the engine's 64-subdivision base-2 log, so
+    * ranking is exact across engines. Unordered pairs via least/greatest;
+    * co-occurrence support floor of 5 keeps the association table
+    * vocabulary-bounded. One pair aggregation + two vocabulary-sized
+    * broadcast joins — the corpus shuffles once, as (l, r) pair rows. */
+  def q188(spark: SparkSession, d: String): DataFrame = {
+    val withTok = Tables.documents(spark, d)
+      .select(Text.tokens(col("text")).as("t"))
+      .select(col("t"), size(col("t")).as("n"))
+      .where(col("n") >= 2) // sequence(1, n-1) needs n >= 2 (the [1,0] gotcha)
+    val pairs = withTok.select(explode_outer(expr(
+        "transform(sequence(1, n - 1), i -> struct(" +
+          "least(element_at(t, i), element_at(t, i + 1)) AS l, " +
+          "greatest(element_at(t, i), element_at(t, i + 1)) AS r))")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+    val words = Tables.documents(spark, d)
+      .select(explode_outer(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+    val cnt = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val tot = words.agg(count(lit(1)).as("t_all"))
+    def ilog64(x: String) =
+      s"64 * (length(bin($x)) - 1) + ($x * 64) DIV CAST(pow(2.0D, length(bin($x)) - 1) AS BIGINT) - 64"
+    pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= 5)
+      .join(broadcast(cnt.select(col("word").as("l"), col("c").as("ca"))), Seq("l"))
+      .join(broadcast(cnt.select(col("word").as("r"), col("c").as("cb"))), Seq("r"))
+      .crossJoin(broadcast(tot))
+      .withColumn("x", expr("greatest((cooc * t_all * 1024) DIV (ca * cb), 1)"))
+      .select(col("l"), col("r"), col("cooc").cast(LongType).as("cooc"),
+        expr(ilog64("x")).cast(LongType).as("score"))
+      .orderBy(col("score").desc, col("l"), col("r"))
+      .limit(30)
+  }
+
+  val q188Sql: String = {
+    def ilog64(x: String) =
+      s"64 * (length(bin($x)) - 1) + ($x * 64) // CAST(power(2, length(bin($x)) - 1) AS BIGINT) - 64"
+    s"""
+    WITH toks AS (
+      SELECT string_split(${TextSql.norm}, ' ') AS t FROM documents
+      WHERE length(${TextSql.norm}) > 0
+    ), words AS (SELECT unnest(t) AS word FROM toks),
+    cnt AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+    tot AS (SELECT count(*) AS t_all FROM words),
+    pairs AS (
+      SELECT least(t[i], t[i+1]) AS l, greatest(t[i], t[i+1]) AS r
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+    ), co AS (SELECT l, r, count(*) AS cooc FROM pairs GROUP BY l, r
+              HAVING count(*) >= 5)
+    SELECT l, r, CAST(cooc AS BIGINT) AS cooc,
+      CAST(${ilog64("greatest((cooc * t_all * 1024) // (a.c * b.c), 1)")} AS BIGINT)
+        AS score
+    FROM co JOIN cnt a ON a.word = l JOIN cnt b ON b.word = r, tot
+    ORDER BY score DESC, l, r LIMIT 30"""
+  }
+
   private val BmQuery = Seq("join", "hash", "filter")
   private val BmTopK = 20
 
@@ -1472,6 +1533,7 @@ object PipelineQueries {
     "q180_prototype_prune" -> (q180 _),
     "q181_inverted_index" -> (q181 _),
     "q186_incremental_index" -> (q186 _),
+    "q188_pmi_associations" -> (q188 _),
     "q182_graph_importance" -> (q182 _),
     "q183_bm25_search" -> (q183 _),
     "q96_semantic_dedup" -> (q96 _))
@@ -1502,6 +1564,7 @@ object PipelineQueries {
     // q186's oracle IS q181's single-pass SQL: the merged partials must
     // equal the batch recompute (disjoint-delta sums + xor are mergeable)
     "q186_incremental_index" -> q181Sql,
+    "q188_pmi_associations" -> q188Sql,
     "q182_graph_importance" -> q182Sql,
     "q183_bm25_search" -> q183Sql,
     "q96_semantic_dedup" -> q96Sql)

@@ -664,6 +664,61 @@ object TextQueries {
       y = 1 AS actual
     FROM fd ORDER BY doc_id"""
 
+  /** q189 — classifier CALIBRATION report (reliability diagram): q110's
+    * integer scores cut into ten equal-width score-RANGE bins, each bin
+    * reporting population and empirical positive rate. Range bins (not
+    * rank deciles) keep the computation map-side — the min/max are two
+    * broadcast scalars and the bin id is integer arithmetic per row,
+    * where an ntile would drag the corpus through one globally-ordered
+    * partition. A monotone pos_pm column is what "scores are calibrated"
+    * looks like; the report is the gate a filter-threshold change is
+    * judged against (q139 ranks, this calibrates). */
+  def q189(spark: SparkSession, d: String): DataFrame = {
+    val norm = Text.normalize(col("text"))
+    val feats = Tables.documents(spark, d).select(
+      col("doc_id"),
+      when(col("n_chars") >= 300, 1L).otherwise(-1L).as("y"),
+      lit(1L).as("b"),
+      size(Text.tokens(col("text"))).cast(LongType).as("nt"),
+      length(translate(norm, " ", "")).cast(LongType).as("sl"))
+    val run = graft.operators.LinearClassifier.trainBatchPerceptron(
+      feats, "y", Seq("b", "nt", "sl"), PerceptronEpochs)
+    val w = graft.operators.LinearClassifier.pocketWeights(run)
+    val s = graft.operators.LinearClassifier.score(Seq("b", "nt", "sl"), w)
+    val scored = feats.select(s.as("score"), (col("y") === 1L).as("actual"))
+    val bounds = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("(score - lo) DIV ((hi - lo) DIV 10 + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("actual").cast(LongType)).cast(LongType).as("n_pos"))
+      .withColumn("pos_pm", expr("(n_pos * 1000) DIV n"))
+      .orderBy(col("bin"))
+  }
+
+  val q189Sql: String = s"""WITH $perceptronCtes,
+    uw AS (SELECT CAST(0 AS BIGINT) AS epoch, CAST(0 AS BIGINT) AS w_bias,
+             CAST(0 AS BIGINT) AS w_tokens, CAST(0 AS BIGINT) AS w_sumlen
+           UNION ALL SELECT epoch, w_bias, w_tokens, w_sumlen FROM u),
+    pw AS (SELECT w_bias, w_tokens, w_sumlen FROM uw
+           WHERE epoch = (SELECT pe FROM p) - 1),
+    fd AS (SELECT doc_id,
+      CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
+      CAST(len(${Sql.words}) AS BIGINT) AS nt,
+      CAST(length(replace(${Sql.norm}, ' ', '')) AS BIGINT) AS sl
+      FROM documents),
+    scored AS (SELECT
+      CAST((SELECT w_bias FROM pw) + (SELECT w_tokens FROM pw)*nt
+           + (SELECT w_sumlen FROM pw)*sl AS BIGINT) AS score,
+      y = 1 AS actual FROM fd),
+    bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM scored)
+    SELECT (score - lo) // ((hi - lo) // 10 + 1) AS bin,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      (CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        // count(*) AS pos_pm
+    FROM scored, bounds GROUP BY 1 ORDER BY bin"""
+
   /** q139 — classifier RANKING quality: AUC of the q110 scorer via the
     * Mann-Whitney U statistic, integer-exact. Threshold metrics (q137's
     * P/R/F1) evaluate one operating point; a corpus-filter score is used
@@ -2276,6 +2331,7 @@ object TextQueries {
     "q113_bigram_surprisal" -> (q113 _),
     "q112_bpe_tokenize" -> (q112 _),
     "q110_classifier_inference" -> (q110 _),
+    "q189_calibration" -> (q189 _),
     "q109_quality_classifier" -> (q109 _),
     "q108_bpe_merges" -> (q108 _),
     "q104_unigram_surprisal" -> (q104 _),
@@ -2314,6 +2370,7 @@ object TextQueries {
     "q113_bigram_surprisal" -> q113Sql,
     "q112_bpe_tokenize" -> q112Sql,
     "q110_classifier_inference" -> q110Sql,
+    "q189_calibration" -> q189Sql,
     "q109_quality_classifier" -> q109Sql,
     "q108_bpe_merges" -> q108Sql,
     "q104_unigram_surprisal" -> q104Sql,
