@@ -342,7 +342,42 @@ object SketchQueries {
     FROM toks, tot GROUP BY tok, n HAVING count(*) * $MgK > n
     ORDER BY tok"""
 
+  // ---------------------------------------------------------------------
+  // q190 — exact order statistics by domain binary search
+
+  /** q190 — EXACT median/p90/p99 of the cent-quantized lineitem price via
+    * [[graft.operators.DistributedSelect]]: log2(domain) map-side counting
+    * passes over a cached column instead of a global sort (the q123
+    * histogram sketch's exact companion — sketch for many approximate
+    * quantiles in one pass, domain search for one exact rank in ~24).
+    * The oracle sorts, the engine never does. */
+  def q190(spark: SparkSession, d: String): DataFrame = {
+    val v = Tables.lineitem(spark, d)
+      .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"))
+      .cache()
+    val n = v.count()
+    val med = graft.operators.DistributedSelect.kth(v, (n + 1) / 2)
+    val p90 = graft.operators.DistributedSelect.kth(v, (9 * n + 9) / 10)
+    val p99 = graft.operators.DistributedSelect.kth(v, (99 * n + 99) / 100)
+    v.unpersist()
+    spark.range(1).select(lit(n).as("n"), lit(med).as("median_cents"),
+      lit(p90).as("p90_cents"), lit(p99).as("p99_cents"))
+  }
+
+  val q190Sql: String = """
+    WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 AS cents FROM lineitem),
+    nn AS (SELECT count(*) AS n FROM v),
+    ranked AS (SELECT cents, row_number() OVER (ORDER BY cents) AS r FROM v)
+    SELECT n,
+      (SELECT cents FROM ranked, nn WHERE r = (n + 1) // 2) AS median_cents,
+      (SELECT cents FROM ranked, nn WHERE r = (9 * n + 9) // 10) AS p90_cents,
+      (SELECT cents FROM ranked, nn WHERE r = (99 * n + 99) // 100) AS p99_cents
+    FROM nn"""
+
   val defs: Map[String, Q] = Map(
+    "q190_exact_percentiles" -> (q190 _),
     "q179_mg_heavy_hitters" -> (q179 _),
     "q123_histogram_quantiles" -> (q123 _),
     "q116_cms_topk" -> (q116 _),
@@ -350,6 +385,7 @@ object SketchQueries {
     "q120_incremental_hll" -> (q120 _))
 
   val oracles: Map[String, String] = Map(
+    "q190_exact_percentiles" -> q190Sql,
     "q179_mg_heavy_hitters" -> q179Sql,
     "q123_histogram_quantiles" -> q123Sql,
     "q116_cms_topk" -> q116Sql,
