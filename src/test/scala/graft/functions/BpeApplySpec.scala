@@ -89,6 +89,26 @@ class BpeApplySpec extends SparkSpec {
     }
   }
 
+  test("decode(encode) is the identity — the tokenizer is lossless") {
+    // the delimited symbol string " s1; s2; ...;" must reconstruct the
+    // word by stripping delimiters: symbols contain no space/';' (corpus
+    // tokens with the delimiter are excluded on both engines), so any
+    // residue would mean the encoder dropped or duplicated characters —
+    // the contract a training pipeline's detokenization relies on
+    def decode(enc: String): String = enc.replace(";", "").replace(" ", "")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = BpeTrainer.train(docs, 10)
+    val pairs = merges.map(m => (m.left_sym, m.right_sym))
+    val words = docs.select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .filter(!col("w").contains(";") && !col("w").rlike("[^\\x00-\\x7F]"))
+      .distinct().collect().map(_.getString(0))
+    words.foreach(w => assert(decode(kernel(w, pairs)) == w, s"lossy on '$w'"))
+    // fallback path too (adversarial table)
+    val dup = Seq(("b", "c"), ("a", "b"), ("a", "bc"), ("ab", "c"))
+    Seq("abc", "abcabc", "aabbcc", "x", "aaaa").foreach(w =>
+      assert(decode(kernel(w, dup)) == w, s"fallback lossy on '$w'"))
+  }
+
   test("fast path handles back-to-back runs the way literal replace does") {
     // " a; a; a; a;" -> "aa aa", the resume-after-replacement contract
     val t = Seq(("a", "a"))
