@@ -340,6 +340,36 @@ object ExtraQueries {
     WHERE levenshtein(a.name, b.name) <= 3
     ORDER BY name_a, name_b"""
 
+  /** q191 — entity resolution CAPSTONE: canonical entity ids over the
+    * fuzzy-match graph. q184's deletion-neighborhood pairs become edges;
+    * `DupClusters.assignStar` contracts them to connected components in
+    * O(log^2 n) rounds (name-variant chains are exactly the chainy-graph
+    * case star contraction exists for: A~B~C where A!~C). Each name maps
+    * to its component's lexicographic minimum — the survivorship rule of
+    * a dedup/ER pipeline. Oracle: recursive-CTE closure over the
+    * all-pairs edge list. String ids ride through the contraction
+    * unchanged (min/least on strings is the same total order in both
+    * engines for ASCII names). */
+  def q191(spark: SparkSession, d: String): DataFrame = {
+    val pairs = q184(spark, d).select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
+    graft.operators.DupClusters.assignStar(pairs)
+      .select(col("doc_id").as("name"), col("cluster_id").as("canonical"))
+      .orderBy(col("name"))
+  }
+
+  val q191Sql: String = """
+    WITH RECURSIVE p AS (SELECT DISTINCT p_name AS name FROM part),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b FROM p a JOIN p b
+      ON a.name < b.name AND levenshtein(a.name, b.name) <= 3),
+    edges AS (SELECT name_a AS u, name_b AS v FROM pairs
+              UNION ALL SELECT name_b, name_a FROM pairs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+    SELECT u AS name, min(r) AS canonical FROM reach GROUP BY u ORDER BY name"""
+
   /** q185 — trailing-window anomaly detection over the event stream: an
     * event is anomalous when its value sits more than two standard
     * deviations above/below the mean of the user's previous 10 events
@@ -572,6 +602,7 @@ object ExtraQueries {
     "q184_fuzzy_join" -> (q184 _),
     "q185_event_anomaly" -> (q185 _),
     "q187_k_anonymity" -> (q187 _),
+    "q191_entity_clusters" -> (q191 _),
     "q67_table_profile" -> (q67 _),
     "q68_windowed_event_stats" -> (q68 _),
     "q69_interval_join" -> (q69 _))
@@ -592,6 +623,7 @@ object ExtraQueries {
     "q184_fuzzy_join" -> q184Sql,
     "q185_event_anomaly" -> q185Sql,
     "q187_k_anonymity" -> q187Sql,
+    "q191_entity_clusters" -> q191Sql,
     "q67_table_profile" -> q67Sql,
     "q68_windowed_event_stats" -> q68Sql,
     "q69_interval_join" -> q69Sql)
