@@ -28,14 +28,22 @@ object DistributedSelect {
     require(!bounds.isNullAt(0), "kth of an empty frame")
     var lo = bounds.getLong(0)
     var hi = bounds.getLong(1)
+    var lastCnt = -1L
     while (lo < hi) {
       // hi - lo >= 0, so this midpoint floors correctly for negative lo
       // too (caveat: a domain wider than Long.Max/2 would overflow the
       // difference — no quantized column is)
       val mid = lo + (hi - lo) / 2
       val cnt = values.filter(c <= mid).count()
+      lastCnt = cnt
       if (cnt >= k) hi = mid else lo = mid + 1
     }
+    // enforce the documented k <= n upper bound: an out-of-range rank
+    // otherwise converges silently onto max(values). Reuse the last probe
+    // when it already certifies the result (cnt >= k at the final hi).
+    if (lastCnt < k && values.filter(c <= lo).count() < k)
+      throw new IllegalArgumentException(
+        s"rank k=$k exceeds the row count (column max reached first)")
     lo
   }
 }

@@ -12,8 +12,9 @@ import scala.collection.mutable
   * exceeds n/k, with per-item undercount at most n/k.
   *
   * Scale shape: executor state is a constant-size map (k-1 entries); the
-  * driver sees only depth-2 treeAggregate combiners of that size — the same
-  * discipline as [[BloomFilter.build]]. The summary is a candidate PRUNER:
+  * driver sees only numPartitions * (k-1) summary rows, folded in partition
+  * order for determinism — summary state, not data, the same discipline as
+  * [[BloomFilter.build]]'s bitset. The summary is a candidate PRUNER:
   * callers recount the <=k-1 candidates exactly in a second (filtered,
   * map-side-combinable) pass, so downstream results never depend on the
   * sketch's counting error, only on its retention guarantee.
@@ -22,17 +23,29 @@ object MisraGries {
 
   /** One-pass candidate summary of `items` (first column, cast to string;
     * nulls skipped). Returns (item, undercounted weight), count-descending
-    * with item tiebreak. At most k-1 entries. */
+    * with item tiebreak. At most k-1 entries.
+    *
+    * DETERMINISM: MG merge is order-sensitive in its counts (every merge
+    * order satisfies the bounds, but different orders can keep different
+    * near-threshold candidates), and treeAggregate combines partition
+    * summaries in task-COMPLETION order. So partition summaries are
+    * collected with their index — numPartitions * (k-1) rows, summary
+    * state like the Bloom/codebook collects, never data — and folded in
+    * partition order: same input + partitioning => same summary, which is
+    * what makes MgStream's replayed-microbatch partitions byte-stable. */
   def summarize(items: DataFrame, k: Int): Seq[(String, Long)] = {
     require(k >= 2, "k must be >= 2")
     val name = items.columns.head
     val ds = items.select(col(name).cast("string"))
       .filter(col(name).isNotNull)
       .as(Encoders.STRING)
-    val m = ds.rdd.treeAggregate(mutable.Map.empty[String, Long])(
-      seqOp = (acc, item) => add(acc, item, k),
-      combOp = (a, b) => merge(a, b, k),
-      depth = 2)
+    val parts = ds.rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = it.foldLeft(mutable.Map.empty[String, Long])((acc, x) => add(acc, x, k))
+      Iterator.single((i, m.toSeq))
+    }.collect().sortBy(_._1)
+    val m = parts.foldLeft(mutable.Map.empty[String, Long]) { case (acc, (_, s)) =>
+      merge(acc, mutable.Map(s: _*), k)
+    }
     m.toSeq.sortBy { case (t, c) => (-c, t) }
   }
 

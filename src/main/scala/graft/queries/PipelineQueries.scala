@@ -635,12 +635,17 @@ object PipelineQueries {
   /** q188 — word-association mining: pointwise mutual information over
     * adjacent token co-occurrence (the statistic skip-gram embeddings and
     * collocation extractors start from). Score = ilog64 of
-    * (cooc * T * 1024) DIV (c_a * c_b) — the PMI ratio in integer
+    * ((cooc * 2^20) DIV c_a) * T DIV c_b — the PMI ratio in integer
     * arithmetic, quantized by the engine's 64-subdivision base-2 log, so
-    * ranking is exact across engines. Unordered pairs via least/greatest;
-    * co-occurrence support floor of 5 keeps the association table
-    * vocabulary-bounded. One pair aggregation + two vocabulary-sized
-    * broadcast joins — the corpus shuffles once, as (l, r) pair rows. */
+    * ranking is exact across engines. The division by c_a comes FIRST:
+    * cooc <= c_a bounds that quotient by 2^20, so the widest intermediate
+    * is 2^20 * T — overflow-safe to ~10^12-token corpora, where the naive
+    * cooc*T product of two corpus-linear counts wraps at ~10^9 tokens
+    * (and wraps SILENTLY on the Spark side while DuckDB errors).
+    * Unordered pairs via least/greatest; co-occurrence support floor of 5
+    * keeps the association table vocabulary-bounded. One pair aggregation
+    * + two vocabulary-sized broadcast joins — the corpus shuffles once,
+    * as (l, r) pair rows. */
   def q188(spark: SparkSession, d: String): DataFrame = {
     val withTok = Tables.documents(spark, d)
       .select(Text.tokens(col("text")).as("t"))
@@ -664,7 +669,7 @@ object PipelineQueries {
       .join(broadcast(cnt.select(col("word").as("l"), col("c").as("ca"))), Seq("l"))
       .join(broadcast(cnt.select(col("word").as("r"), col("c").as("cb"))), Seq("r"))
       .crossJoin(broadcast(tot))
-      .withColumn("x", expr("greatest((cooc * t_all * 1024) DIV (ca * cb), 1)"))
+      .withColumn("x", expr("greatest(((cooc * 1048576) DIV ca) * t_all DIV cb, 1)"))
       .select(col("l"), col("r"), col("cooc").cast(LongType).as("cooc"),
         expr(ilog64("x")).cast(LongType).as("score"))
       .orderBy(col("score").desc, col("l"), col("r"))
@@ -687,7 +692,7 @@ object PipelineQueries {
     ), co AS (SELECT l, r, count(*) AS cooc FROM pairs GROUP BY l, r
               HAVING count(*) >= 5)
     SELECT l, r, CAST(cooc AS BIGINT) AS cooc,
-      CAST(${ilog64("greatest((cooc * t_all * 1024) // (a.c * b.c), 1)")} AS BIGINT)
+      CAST(${ilog64("greatest(((cooc * 1048576) // a.c) * t_all // b.c, 1)")} AS BIGINT)
         AS score
     FROM co JOIN cnt a ON a.word = l JOIN cnt b ON b.word = r, tot
     ORDER BY score DESC, l, r LIMIT 30"""

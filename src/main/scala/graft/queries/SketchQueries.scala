@@ -317,10 +317,14 @@ object SketchQueries {
   def q179(spark: SparkSession, d: String): DataFrame = {
     // explode_outer: exempt from InferFiltersFromGenerate, so the tokens()
     // regex chain is not duplicated into a pushed-down size() filter;
-    // identical rows because null/empty arrays are filtered right after
+    // identical rows because null/empty arrays are filtered right after.
+    // cached: three passes read this (MG summarize, total count, recount) —
+    // uncached, each re-tokenizes the whole corpus (the repeated-pass
+    // discipline; bench isolation clears it between queries)
     val toks = Tables.documents(spark, d)
       .select(explode_outer(Text.tokens(col("text"))).as("tok"))
       .filter(col("tok").isNotNull)
+      .cache()
     val candidates = graft.operators.MisraGries.summarize(toks, MgK).map(_._1)
     val n = toks.count()
     toks.filter(col("tok").isin(candidates: _*))

@@ -674,18 +674,9 @@ object TextQueries {
     * looks like; the report is the gate a filter-threshold change is
     * judged against (q139 ranks, this calibrates). */
   def q189(spark: SparkSession, d: String): DataFrame = {
-    val norm = Text.normalize(col("text"))
-    val feats = Tables.documents(spark, d).select(
-      col("doc_id"),
-      when(col("n_chars") >= 300, 1L).otherwise(-1L).as("y"),
-      lit(1L).as("b"),
-      size(Text.tokens(col("text"))).cast(LongType).as("nt"),
-      length(translate(norm, " ", "")).cast(LongType).as("sl"))
-    val run = graft.operators.LinearClassifier.trainBatchPerceptron(
-      feats, "y", Seq("b", "nt", "sl"), PerceptronEpochs)
-    val w = graft.operators.LinearClassifier.pocketWeights(run)
-    val s = graft.operators.LinearClassifier.score(Seq("b", "nt", "sl"), w)
-    val scored = feats.select(s.as("score"), (col("y") === 1L).as("actual"))
+    // the scorer IS q110 (the q139 reuse pattern) — one training chain,
+    // no drift between the inference and calibration views of it
+    val scored = q110(spark, d).select(col("score"), col("actual"))
     val bounds = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
     scored.crossJoin(broadcast(bounds))
       .withColumn("bin", expr("(score - lo) DIV ((hi - lo) DIV 10 + 1)"))

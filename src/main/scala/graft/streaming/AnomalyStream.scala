@@ -11,8 +11,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * query uses — (n*v - s)^2 > 4*(n*q - s^2) — so the stream's verdicts
   * equal the batch window's verdicts event-for-event (spec-gated).
   *
-  * Ordering contract: events must arrive time-ordered per user ACROSS
-  * microbatches (within a batch they are sorted here). That is the
+  * Ordering contract: events must arrive (ts_ms, event_id)-ordered per
+  * user ACROSS microbatches — the event_id tiebreak matters, because the
+  * batch window orders by it too and two same-millisecond events split
+  * across batches would otherwise see each other in a different order
+  * than q185's frame. Within a batch they are sorted here. That is the
   * contract a replayed ingest log satisfies; out-of-order arrival needs a
   * watermark-delayed reorder buffer upstream, which would change the
   * emission time but not the verdicts.

@@ -44,26 +44,26 @@ object MgStream {
       MisraGries.summarize(toks, k).toDF("tok", "cnt"), batchId, storeDir)
   }
 
-  /** The live candidate summary: fold the per-batch summaries in batch-id
-    * order. The collect is bounded by construction (<= k-1 rows per batch
-    * partition; compaction collapses history to one) — summary state, not
-    * data. */
-  def candidates(spark: SparkSession, storeDir: String, k: Int = DefaultK): Seq[(String, Long)] = {
-    val rows = BatchStore.read(spark, storeDir, schema)
-      .select(col("tok"), col("cnt"), col("ingest_batch")).collect()
-    val byBatch = rows.groupBy(_.getLong(2)).toSeq.sortBy(_._1)
+  /** The one read-time fold, shared by the live read and compaction: the
+    * collect is bounded by construction (<= k-1 rows per batch partition;
+    * compaction collapses history to one) — summary state, not data. */
+  private def foldSummaries(live: DataFrame, k: Int): Seq[(String, Long)] = {
+    val byBatch = live.select(col("tok"), col("cnt"), col("ingest_batch"))
+      .collect().groupBy(_.getLong(2)).toSeq.sortBy(_._1)
       .map(_._2.map(r => (r.getString(0), r.getLong(1))).toSeq)
     MisraGries.mergeSummaries(byBatch, k)
   }
+
+  /** The live candidate summary: fold the per-batch summaries in batch-id
+    * order. */
+  def candidates(spark: SparkSession, storeDir: String, k: Int = DefaultK): Seq[(String, Long)] =
+    foldSummaries(BatchStore.read(spark, storeDir, schema), k)
 
   /** Collapse the batch history to one merged-summary partition. */
   def compact(spark: SparkSession, storeDir: String, k: Int = DefaultK): Unit =
     BatchStore.collapseToLatest(spark, storeDir, schema) { live =>
       import spark.implicits._
-      val byBatch = live.select(col("tok"), col("cnt"), col("ingest_batch"))
-        .collect().groupBy(_.getLong(2)).toSeq.sortBy(_._1)
-        .map(_._2.map(r => (r.getString(0), r.getLong(1))).toSeq)
-      MisraGries.mergeSummaries(byBatch, k).toDF("tok", "cnt")
+      foldSummaries(live, k).toDF("tok", "cnt")
     }
 
   /** Wire a (doc_id, text) stream into the maintenance loop. */

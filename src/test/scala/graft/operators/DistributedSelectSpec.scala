@@ -33,4 +33,10 @@ class DistributedSelectSpec extends SparkSpec {
     assert(DistributedSelect.kth(two, 1) == -5L)
     assert(DistributedSelect.kth(two, 2) == 3L)
   }
+
+  test("a rank past the row count fails loudly instead of returning the max") {
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    intercept[IllegalArgumentException](DistributedSelect.kth(df, 4L))
+    intercept[IllegalArgumentException](DistributedSelect.kth(Seq(7L).toDF("v"), 2L))
+  }
 }

@@ -19,7 +19,9 @@ class AnomalyStreamSpec extends SparkSpec {
   test("stateful stream reproduces the batch trailing-window verdicts") {
     val quantized = AnomalyStream.quantized(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect()
-      .sortBy { case (_, _, ts, _) => ts } // time-ordered ingest contract
+      // the ingest contract: (ts, event_id)-ordered — the id tiebreak keeps
+      // same-millisecond events in the batch window's order across batches
+      .sortBy { case (id, _, ts, _) => (ts, id) }
       .toSeq
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, Long)]
