@@ -361,9 +361,9 @@ object SketchQueries {
         .as("cents"))
       .cache()
     val n = v.count()
-    val med = graft.operators.DistributedSelect.kth(v, (n + 1) / 2)
-    val p90 = graft.operators.DistributedSelect.kth(v, (9 * n + 9) / 10)
-    val p99 = graft.operators.DistributedSelect.kth(v, (99 * n + 99) / 100)
+    // one synchronized search: all three ranks share each round's scan
+    val Seq(med, p90, p99) = graft.operators.DistributedSelect.kthMulti(v,
+      Seq((n + 1) / 2, (9 * n + 9) / 10, (99 * n + 99) / 100))
     v.unpersist()
     spark.range(1).select(lit(n).as("n"), lit(med).as("median_cents"),
       lit(p90).as("p90_cents"), lit(p99).as("p99_cents"))

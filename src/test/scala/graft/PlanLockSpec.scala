@@ -78,6 +78,14 @@ class PlanLockSpec extends SparkSpec {
                              // sidecar's round counts
     "q182_graph_importance", // eager power iteration: golden locks the
                              // edge build + final projection shape
+    "q190_exact_percentiles",// 191-board #1: the golden only sees the
+                             // literal result frame (the counting rounds
+                             // are driver-orchestrated aggregates) —
+                             // DistributedSelectSpec covers the search;
+                             // the lock pins the output contract
+    "q191_entity_clusters",  // 191-board #2: q96-style (contraction
+                             // behind eager localCheckpoints); locks the
+                             // fuzzy-pair subtree + label join
     "q134_cdc_chunk_dedup",  // 136-board top-10 entrants: CDC chunk
     "q136_waiting_supplier", // shuffle shape; Q21 decorrelated join-back
     "q123_histogram_quantiles", // 137-board top-10 (sketch bin pipeline)

@@ -34,6 +34,15 @@ class DistributedSelectSpec extends SparkSpec {
     assert(DistributedSelect.kth(two, 2) == 3L)
   }
 
+  test("kthMulti matches per-rank kth on shared rounds") {
+    val xs = Seq(5L, -2L, 9L, 9L, 0L, 3L, 3L, 14L, -7L, 6L)
+    val df = xs.toDF("v").cache()
+    val sorted = xs.sorted
+    val ks = Seq(1L, 3L, 5L, 10L)
+    assert(DistributedSelect.kthMulti(df, ks) == ks.map(k => sorted(k.toInt - 1)))
+    df.unpersist()
+  }
+
   test("a rank past the row count fails loudly instead of returning the max") {
     val df = Seq(1L, 2L, 3L).toDF("v")
     intercept[IllegalArgumentException](DistributedSelect.kth(df, 4L))
