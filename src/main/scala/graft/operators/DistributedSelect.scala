@@ -26,6 +26,46 @@ object DistributedSelect {
   def kth(values: DataFrame, k: Long): Long =
     kthMulti(values, Seq(k)).head
 
+  /** Per-GROUP exact rank selection, all groups sharing each round's scan:
+    * the frame's columns are (group: String, v: integer); `ranks` gives
+    * each group's 1-indexed target rank. Every round broadcasts the active
+    * groups' midpoints, joins them on (tiny, dimension-sized), and counts
+    * per group in one map-side-combinable aggregate — so per-source
+    * medians over any corpus cost log2(domain) scans total, not a
+    * per-group sort or a partitionBy(group) window that would drag each
+    * group into one partition. Driver state is O(groups): a dimension
+    * table, not data. */
+  def groupKth(values: DataFrame, ranks: Map[String, Long]): Map[String, Long] = {
+    require(ranks.nonEmpty && ranks.values.forall(_ >= 1), "ranks are 1-indexed")
+    val Seq(g, v) = values.columns.toSeq.take(2)
+    val spark = values.sparkSession
+    import spark.implicits._
+    val init = values.groupBy(col(g)).agg(
+      min(col(v)).cast("long").as("lo"), max(col(v)).cast("long").as("hi"),
+      count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ranks.foreach { case (grp, k) =>
+      val n = init.getOrElse(grp, throw new IllegalArgumentException(s"no rows for group $grp"))._3
+      require(k <= n, s"rank $k exceeds group $grp's row count $n")
+    }
+    var lo = ranks.map { case (grp, _) => grp -> init(grp)._1 }
+    var hi = ranks.map { case (grp, _) => grp -> init(grp)._2 }
+    while (ranks.keys.exists(grp => lo(grp) < hi(grp))) {
+      val mids = ranks.keys.filter(grp => lo(grp) < hi(grp))
+        .map(grp => grp -> (lo(grp) + (hi(grp) - lo(grp)) / 2)).toMap
+      val midDf = mids.toSeq.toDF(g, "__mid")
+      val counts = values.join(broadcast(midDf), Seq(g))
+        .groupBy(col(g))
+        .agg(sum(when(col(v) <= col("__mid"), 1L).otherwise(0L)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      mids.foreach { case (grp, mid) =>
+        if (counts.getOrElse(grp, 0L) >= ranks(grp)) hi += grp -> mid
+        else lo += grp -> (mid + 1)
+      }
+    }
+    ranks.keys.map(grp => grp -> lo(grp)).toMap
+  }
+
   /** All requested ranks in one synchronized domain search: one counting
     * aggregate per round covering every still-open rank's midpoint. */
   def kthMulti(values: DataFrame, ks: Seq[Long]): Seq[Long] = {

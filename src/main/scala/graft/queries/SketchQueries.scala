@@ -380,8 +380,46 @@ object SketchQueries {
       (SELECT cents FROM ranked, nn WHERE r = (99 * n + 99) // 100) AS p99_cents
     FROM nn"""
 
+  /** q192 — per-SOURCE exact median document length via the group-wise
+    * domain search ([[graft.operators.DistributedSelect.groupKth]]): all
+    * sources share each round's counting scan (broadcast midpoints +
+    * one map-side-combinable conditional count), so the whole report
+    * costs log2(length domain) scans — no per-source sort, no
+    * partitionBy(source) window concentrating each source in one
+    * partition. The corpus-relative length reference a per-source
+    * filtering policy is calibrated against. */
+  def q192(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val lens = Tables.documents(spark, d)
+      .select(col("source"), Text.tokenCount(col("text")).cast(LongType).as("ntok"))
+      .where(col("ntok") > 0)
+      .cache()
+    val ns = lens.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val med = graft.operators.DistributedSelect.groupKth(
+      lens, ns.map { case (s, n) => s -> ((n + 1) / 2) })
+    lens.unpersist()
+    med.toSeq.map { case (s, m) => (s, ns(s), m) }
+      .toDF("source", "n_docs", "median_tokens")
+      .orderBy(col("source"))
+  }
+
+  val q192Sql: String = s"""
+    WITH lens AS (
+      SELECT source, CAST(len(${Sql.words}) AS BIGINT) AS ntok FROM documents
+    ), nz AS (SELECT source, ntok FROM lens WHERE ntok > 0),
+    ranked AS (
+      SELECT source, ntok,
+        row_number() OVER (PARTITION BY source ORDER BY ntok) AS r,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM nz)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+      CAST(ntok AS BIGINT) AS median_tokens
+    FROM ranked WHERE r = (n + 1) // 2 ORDER BY source"""
+
   val defs: Map[String, Q] = Map(
     "q190_exact_percentiles" -> (q190 _),
+    "q192_source_median" -> (q192 _),
     "q179_mg_heavy_hitters" -> (q179 _),
     "q123_histogram_quantiles" -> (q123 _),
     "q116_cms_topk" -> (q116 _),
@@ -390,6 +428,7 @@ object SketchQueries {
 
   val oracles: Map[String, String] = Map(
     "q190_exact_percentiles" -> q190Sql,
+    "q192_source_median" -> q192Sql,
     "q179_mg_heavy_hitters" -> q179Sql,
     "q123_histogram_quantiles" -> q123Sql,
     "q116_cms_topk" -> q116Sql,

@@ -48,4 +48,21 @@ class DistributedSelectSpec extends SparkSpec {
     intercept[IllegalArgumentException](DistributedSelect.kth(df, 4L))
     intercept[IllegalArgumentException](DistributedSelect.kth(Seq(7L).toDF("v"), 2L))
   }
+
+  test("groupKth matches per-group sorted order on random data") {
+    val seed = org.scalacheck.rng.Seed(29L)
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-500L, 500L)))
+    val xs = gen.apply(Gen.Parameters.default, seed).get
+    val byG = xs.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    val ranks = byG.map { case (g, vs) => g -> ((vs.size + 1L) / 2L) }
+    val got = DistributedSelect.groupKth(xs.toDF("g", "v").repartition(5), ranks)
+    byG.foreach { case (g, vs) =>
+      assert(got(g) == vs((ranks(g) - 1).toInt), s"group $g")
+    }
+    intercept[IllegalArgumentException](
+      DistributedSelect.groupKth(xs.toDF("g", "v"), Map("a" -> 10000L)))
+    intercept[IllegalArgumentException](
+      DistributedSelect.groupKth(xs.toDF("g", "v"), Map("zz" -> 1L)))
+  }
 }
