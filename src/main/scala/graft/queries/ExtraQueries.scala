@@ -440,6 +440,40 @@ object ExtraQueries {
     GROUP BY 1, 2, 3 HAVING count(*) < 5
     ORDER BY nation, segment, bal_bucket"""
 
+  /** q193 — time-decayed trending scores: per event type, the sum of
+    * cent-quantized values halved once per day of age (half-life = 1 day,
+    * anchored at the table's max timestamp). The decay is EXACT integer
+    * arithmetic — v DIV 2^age_days, with 2^age exact in a double up to
+    * 2^52 and the age capped at 62 — so no float decay product ever
+    * enters the sum. Map-side: one broadcast max-ts scalar, one
+    * map-side-combinable aggregate; the recency-weighted popularity
+    * signal a feed ranker or trending report starts from. */
+  def q193(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select(col("event_type"),
+      unix_millis(col("ts")).as("ts_ms"),
+      (col("value").cast(dec2) * 100).cast(LongType).as("v"))
+    val mx = e.agg(max(col("ts_ms")).as("mx"))
+    e.crossJoin(broadcast(mx))
+      .withColumn("age_d", expr("least((mx - ts_ms) DIV 86400000, 62)"))
+      .withColumn("dv", expr("v DIV CAST(pow(2.0D, age_d) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("dv")).cast(LongType).as("decayed_score"),
+        count(lit(1)).cast(LongType).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val q193Sql: String = """
+    WITH base AS (
+      SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      FROM events),
+    mx AS (SELECT max(ts_ms) AS mx FROM base)
+    SELECT event_type,
+      CAST(sum(v // CAST(power(2, least((mx - ts_ms) // 86400000, 62)) AS BIGINT))
+        AS BIGINT) AS decayed_score,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM base, mx GROUP BY event_type ORDER BY event_type"""
+
   /** Table profiling (data-quality QA): row count, per-column null and
     * distinct cardinalities, numeric bounds — one aggregation pass. */
   def q67(spark: SparkSession, d: String): DataFrame = {
@@ -603,6 +637,7 @@ object ExtraQueries {
     "q185_event_anomaly" -> (q185 _),
     "q187_k_anonymity" -> (q187 _),
     "q191_entity_clusters" -> (q191 _),
+    "q193_decayed_trending" -> (q193 _),
     "q67_table_profile" -> (q67 _),
     "q68_windowed_event_stats" -> (q68 _),
     "q69_interval_join" -> (q69 _))
@@ -624,6 +659,7 @@ object ExtraQueries {
     "q185_event_anomaly" -> q185Sql,
     "q187_k_anonymity" -> q187Sql,
     "q191_entity_clusters" -> q191Sql,
+    "q193_decayed_trending" -> q193Sql,
     "q67_table_profile" -> q67Sql,
     "q68_windowed_event_stats" -> q68Sql,
     "q69_interval_join" -> q69Sql)
