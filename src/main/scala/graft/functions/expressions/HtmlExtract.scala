@@ -152,7 +152,12 @@ object HtmlExtract {
         else if (ch == '>') return j
         j += 1
       }
-      -1
+      // Reached EOF inside an unterminated quote (real crawl bytes:
+      // <p style="color:red>) or a tag that never closes. A single
+      // malformed tag must not erase the rest of the document, so fall
+      // back to the quote-blind scan: worst case loses text up to one
+      // '>', never to EOF. (-1 only when no '>' exists at all.)
+      s.indexOf('>', from)
     }
 
     /** Index AFTER the case-insensitive close tag `</name [ws] >` at/after

@@ -146,9 +146,18 @@ object DupClusters {
     rewired.union(center).distinct()
   }
 
-  /** Exact convergence predicate: a canonical edge set is a star forest iff
-    * no node appears both as a smaller endpoint (root) and a larger endpoint
-    * (child). Runs on the (small) edge list only. */
-  private def isStarForest(edges: DataFrame): Boolean =
-    edges.select(col("u")).intersect(edges.select(col("v"))).isEmpty
+  /** Exact convergence predicate: a canonical, deduplicated edge set is a
+    * star forest iff (a) no node appears both as a smaller endpoint (root)
+    * and a larger endpoint (child), AND (b) every child has exactly ONE
+    * root. (a) alone is satisfied by any bipartite roots/children edge set —
+    * a child with two roots (a "V") would pass and split its component into
+    * two cluster ids. One grouped pass over the (small) edge list only. */
+  private def isStarForest(edges: DataFrame): Boolean = {
+    val sides = edges.select(col("u").as("n"), lit(1L).as("r"), lit(0L).as("c"))
+      .union(edges.select(col("v").as("n"), lit(0L).as("r"), lit(1L).as("c")))
+    sides.groupBy("n")
+      .agg(sum(col("r")).as("roots"), sum(col("c")).as("parents"))
+      .filter((col("roots") > 0 && col("parents") > 0) || col("parents") > 1)
+      .isEmpty
+  }
 }

@@ -732,8 +732,14 @@ object PipelineQueries {
     qtf.join(broadcast(idf), Seq("word"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(totals))
+      // overflow ordering (q188's discipline): divide the large corpus-sized
+      // product through FIRST — 44*t*tf*1000 DIV denom is in [0, 2200*1000]
+      // — then scale by the small idf (< 4096). Multiplying idf into the
+      // numerator first would wrap int64 at t*tf ~ 7e10 (a 1e9-token corpus
+      // with tf~100); this order holds to t*tf ~ 2e14, i.e. ~1e12-token
+      // corpora at tf~100, matching q188's documented headroom.
       .withColumn("term_score",
-        expr("(idf * 44 * t * tf * 1000) DIV (20 * t * tf + 6 * t + 18 * dl * n)"))
+        expr("idf * ((44 * t * tf * 1000) DIV (20 * t * tf + 6 * t + 18 * dl * n))"))
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).cast(LongType).as("score"),
         count(lit(1)).cast(LongType).as("n_terms"))
@@ -759,8 +765,8 @@ object PipelineQueries {
       FROM df, totals),
     scored AS (
       SELECT q.doc_id,
-        (idf.idf * 44 * t.t * q.tf * 1000)
-          // (20 * t.t * q.tf + 6 * t.t + 18 * dl.dl * t.n) AS term_score
+        idf.idf * ((44 * t.t * q.tf * 1000)
+          // (20 * t.t * q.tf + 6 * t.t + 18 * dl.dl * t.n)) AS term_score
       FROM qtf q JOIN idf USING (word) JOIN dl USING (doc_id), totals t)
     SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score,
       CAST(count(*) AS BIGINT) AS n_terms

@@ -117,12 +117,29 @@ object BatchStore {
       }
   }
 
-  /** The common sketch-store compaction: collapse the whole history with
-    * `collapse` (a read-equivalent merge — MAX registers, SUM cells, ...)
-    * into ONE partition stamped with the highest live batch id, so a
-    * subsequent replay of that batch still lands strictly-not-earlier.
-    * No-op on an empty store. */
-  def collapseToLatest(spark: SparkSession, dir: String, schema: StructType)(
+  /** Reserved partition id for compacted history: strictly LOWER than any
+    * real batch id (Structured Streaming batch ids are >= 0), so reads
+    * that merge in batch-id order still replay history before any live
+    * batch. */
+  val HistoryBatch: Long = -1L
+
+  /** The common sketch-store compaction: collapse every partition EXCEPT
+    * the current max batch (including any prior sentinel) with `collapse`
+    * (a read-equivalent merge — MAX registers, SUM cells, ...) into ONE
+    * partition stamped with the reserved [[HistoryBatch]] sentinel, and
+    * keep the max batch's own partition untouched.
+    *
+    * Why the sentinel, not the max batch id: foreachBatch is
+    * at-least-once, and the one redeliverable batch at any moment is the
+    * CURRENT max (batch N exists only after N-1's checkpoint commit). If
+    * compaction stamped the merged history with that id — as this method
+    * originally did — a crash between foreachBatch and checkpoint commit
+    * would redeliver the batch and its dynamic partition overwrite would
+    * replace the collapsed partition with only that batch's delta,
+    * silently discarding all pre-compaction history. With history under
+    * the sentinel, the redelivered batch replaces only its own identical
+    * delta. No-op on an empty store. */
+  def collapseHistory(spark: SparkSession, dir: String, schema: StructType)(
       collapse: DataFrame => DataFrame): Unit = {
     // recover BEFORE the existence check and the maxBatch read: in the
     // crashed-swap state the live dir is absent and the `.rewrite`
@@ -135,10 +152,15 @@ object BatchStore {
     val maxBatch = readOr(spark, dir, schema).agg(max(col("ingest_batch"))).head()
     if (maxBatch.isNullAt(0)) return
     val keepBatch = maxBatch.getLong(0)
+    // only the sentinel left (or a degenerate all-history store): nothing
+    // newer to protect, and re-collapsing one partition is a no-op
+    if (keepBatch == HistoryBatch) return
     compactWith(spark, dir, schema) { (live, tmp) =>
-      collapse(live)
-        .withColumn("ingest_batch", lit(keepBatch))
+      val latest = live.filter(col("ingest_batch") === keepBatch)
+      collapse(live.filter(col("ingest_batch") =!= keepBatch))
+        .withColumn("ingest_batch", lit(HistoryBatch))
         .coalesce(1)
+        .unionByName(latest)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("ingest_batch").parquet(tmp)
     }

@@ -41,9 +41,10 @@ object CmsStream {
     BatchStore.read(spark, storeDir, regSchema).groupBy(col("r"), col("j"))
       .agg(sum(col("cnt")).as("cnt"))
 
-  /** Collapse the batch-partition history to one summed partition. */
+  /** Collapse the batch-partition history (all but the redeliverable max
+    * batch) into the summed sentinel partition. */
   def compact(spark: SparkSession, storeDir: String): Unit =
-    BatchStore.collapseToLatest(spark, storeDir, regSchema)(
+    BatchStore.collapseHistory(spark, storeDir, regSchema)(
       live => live.groupBy(col("r"), col("j")).agg(sum(col("cnt")).as("cnt")))
 
   /** Wire a (doc_id, text) stream into the maintenance loop. */

@@ -132,7 +132,7 @@ object DedupStream {
     // the rewrite write streams from the live dir (the delete happens only
     // after the sibling completes) — no in-memory materialization of what
     // can be a corpus-sized archive. Surviving rows KEEP their original
-    // ingest_batch stamps (unlike the sketch stores' collapseToLatest),
+    // ingest_batch stamps (unlike the sketch stores' collapseHistory),
     // because the dedup loop's partition-exclusion reads depend on them.
     BatchStore.compactWith(spark, dir) { (live, tmp) =>
       latestPerDoc(live)

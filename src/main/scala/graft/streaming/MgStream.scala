@@ -59,9 +59,10 @@ object MgStream {
   def candidates(spark: SparkSession, storeDir: String, k: Int = DefaultK): Seq[(String, Long)] =
     foldSummaries(BatchStore.read(spark, storeDir, schema), k)
 
-  /** Collapse the batch history to one merged-summary partition. */
+  /** Collapse the batch history (all but the redeliverable max batch)
+    * into the merged-summary sentinel partition. */
   def compact(spark: SparkSession, storeDir: String, k: Int = DefaultK): Unit =
-    BatchStore.collapseToLatest(spark, storeDir, schema) { live =>
+    BatchStore.collapseHistory(spark, storeDir, schema) { live =>
       import spark.implicits._
       foldSummaries(live, k).toDF("tok", "cnt")
     }

@@ -47,12 +47,13 @@ object SketchStream {
   def registers(spark: SparkSession, storeDir: String): DataFrame =
     HllSketch.registers(BatchStore.read(spark, storeDir, regSchema), valueCol = "m")
 
-  /** Collapse the batch-partition history to one register row per
-    * (source, idx) in a single partition, via the crash-recoverable
-    * rewrite swap. Reads before and after are identical (MAX of MAXes);
-    * what changes is the partition count the per-read merge scans. */
+  /** Collapse the batch-partition history (all but the redeliverable max
+    * batch) to one register row per (source, idx) in the sentinel
+    * partition, via the crash-recoverable rewrite swap. Reads before and
+    * after are identical (MAX of MAXes); what changes is the partition
+    * count the per-read merge scans. */
   def compact(spark: SparkSession, storeDir: String): Unit =
-    BatchStore.collapseToLatest(spark, storeDir, regSchema)(
+    BatchStore.collapseHistory(spark, storeDir, regSchema)(
       live => HllSketch.registers(live, valueCol = "m"))
 
   /** Wire a (doc_id, source, text) stream into the maintenance loop. */

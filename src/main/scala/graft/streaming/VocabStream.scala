@@ -40,9 +40,10 @@ object VocabStream {
     BatchStore.read(spark, storeDir, schema)
       .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
 
-  /** Collapse the batch history to one summed partition. */
+  /** Collapse the batch history (all but the redeliverable max batch)
+    * into the summed sentinel partition. */
   def compact(spark: SparkSession, storeDir: String): Unit =
-    BatchStore.collapseToLatest(spark, storeDir, schema)(
+    BatchStore.collapseHistory(spark, storeDir, schema)(
       live => live.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt")))
 
   /** Wire a (doc_id, text) stream into the maintenance loop. */

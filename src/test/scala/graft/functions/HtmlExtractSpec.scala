@@ -66,6 +66,16 @@ class HtmlExtractSpec extends SparkSpec {
     assert(run("""<span title="a>b" id=c>d</span>""") == (("d", 0, 0)))
   }
 
+  test("an unterminated quote loses at most one tag, not the rest of the doc") {
+    // real crawl bytes: the attribute quote never closes — the quote-aware
+    // scan must fall back to the first '>' instead of eating to EOF
+    assert(run("""a <p style="color:red> one two</p> three""") ==
+      (("a one two three", 0, 0)))
+    assert(run("""<a href="x>text</a> after""") == (("text after", 1, 4)))
+    // unterminated quote AND no '>' at all: rest of tag dropped, no throw
+    assert(run("""keep <img alt="oops""") == (("keep", 0, 0)))
+  }
+
   test("raw-text close tags match case-insensitively with optional whitespace") {
     assert(run("a<SCRIPT>var x = 1;</SCRIPT>b") == (("a b", 0, 0)))
     assert(run("a<script>x</ScRiPt>b") == (("a b", 0, 0)))

@@ -67,6 +67,21 @@ class DupClustersPropertySpec extends SparkSpec {
     assert(rounds <= 12, s"star contraction took $rounds rounds on a 512-path")
   }
 
+  test("V-shaped shared children do not pass the star-forest check early") {
+    // Bipartite roots/children sets satisfy the WEAK "no node is both root
+    // and child" predicate at round 0, but children 10 and 11 each have two
+    // roots — declaring convergence here split the component into per-root
+    // cluster ids and emitted duplicate doc_id rows. The exact predicate
+    // must force contraction until every child has exactly one root.
+    val pairs = Seq((1L, 10L), (5L, 10L), (2L, 11L), (5L, 11L))
+    val got = DupClusters.assignStar(pairs.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect()
+    assert(got.length == got.map(_._1).distinct.length,
+      s"duplicate doc_id rows: ${got.sorted.toSeq}")
+    assert(got.toMap == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> 1L),
+      s"got ${got.sorted.toSeq}")
+  }
+
   test("star contraction handles self-loops, duplicates, and empty input") {
     import org.apache.spark.sql.functions._
     val pairs = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")

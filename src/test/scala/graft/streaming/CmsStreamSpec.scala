@@ -58,6 +58,14 @@ class CmsStreamSpec extends SparkSpec {
     CmsStream.compact(spark, store)
     assert(regMap(CmsStream.registers(spark, store)) == before)
     assert(spark.read.parquet(store)
-      .select(col("ingest_batch")).distinct().count() == 1)
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(BatchStore.HistoryBatch, 1L))
+    // the crash window the sentinel exists for: the max batch redelivered
+    // AFTER compaction (crash before checkpoint commit) replaces only its
+    // own delta — under collapse-to-max-batch it would have replaced the
+    // whole merged history with one batch's cells
+    CmsStream.runBatch(spark, b1.toDF("doc_id", "text"), 1L, store)
+    assert(regMap(CmsStream.registers(spark, store)) == before,
+      "redelivery after compaction discarded pre-compaction history")
   }
 }

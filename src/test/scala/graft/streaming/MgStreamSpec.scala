@@ -70,8 +70,17 @@ class MgStreamSpec extends SparkSpec {
     MgStream.compact(spark, store, K)
     assert(MgStream.candidates(spark, store, K) == before,
       "compaction must be read-equivalent")
-    val parts = spark.read.parquet(store).select(col("ingest_batch")).distinct().count()
-    assert(parts == 1L, s"history must collapse to one partition, got $parts")
+    // sentinel + the max batch's own partition: a redelivery of the max
+    // batch replaces only its own delta, never the merged history
+    val parts = spark.read.parquet(store).select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(parts == Set(BatchStore.HistoryBatch, 1L),
+      s"expected sentinel + max batch after compaction, got $parts")
+    // the crash window: batch 1 redelivered AFTER compaction must fold to
+    // the same summary (pre-compaction history intact)
+    MgStream.runBatch(spark, b1.toDF("doc_id", "text"), 1L, store, K)
+    assert(MgStream.candidates(spark, store, K) == before,
+      "redelivery after compaction discarded pre-compaction history")
     // post-compaction ingest keeps folding correctly
     MgStream.runBatch(spark, b1.toDF("doc_id", "text"), 2L, store, K)
     assertGuarantee(MgStream.candidates(spark, store, K), exactCounts(docs ++ b1))

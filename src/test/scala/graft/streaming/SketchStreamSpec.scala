@@ -55,14 +55,19 @@ class SketchStreamSpec extends SparkSpec {
     SketchStream.runBatch(spark, b1.toDF("doc_id", "source", "text"), 1L, store)
     assert(regMap(SketchStream.registers(spark, store)) == before)
 
-    // compaction: identical reads, strictly fewer store partitions
-    val partsBefore = spark.read.parquet(store)
-      .select(col("ingest_batch")).distinct().count()
-    assert(partsBefore == 2)
+    // compaction: identical reads; history moves under the sentinel while
+    // the max batch keeps its own (redeliverable) partition
     SketchStream.compact(spark, store)
     assert(regMap(SketchStream.registers(spark, store)) == before)
     val partsAfter = spark.read.parquet(store)
-      .select(col("ingest_batch")).distinct().count()
-    assert(partsAfter == 1)
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(partsAfter == Set(BatchStore.HistoryBatch, 1L),
+      s"expected sentinel + max batch, got $partsAfter")
+    // the crash window: batch 1 redelivered AFTER compaction must not
+    // clobber the merged history
+    SketchStream.runBatch(spark, b1.toDF("doc_id", "source", "text"), 1L, store)
+    assert(regMap(SketchStream.registers(spark, store)) == before,
+      "redelivery after compaction discarded pre-compaction history")
   }
 }

@@ -56,8 +56,17 @@ class VocabStreamSpec extends SparkSpec {
     VocabStream.compact(spark, store)
     assert(cmap(VocabStream.counts(spark, store)) == before,
       "compaction must be read-equivalent")
-    // exactly one partition remains after compaction
-    val parts = spark.read.parquet(store).select(col("ingest_batch")).distinct().count()
-    assert(parts == 1L, s"history must collapse to one partition, got $parts")
+    // history collapses into the sentinel partition; the max batch keeps
+    // its OWN partition, so an at-least-once redelivery replaces only its
+    // own delta instead of clobbering the merged history
+    val parts = spark.read.parquet(store).select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(parts == Set(BatchStore.HistoryBatch, 1L),
+      s"expected sentinel + max batch after compaction, got $parts")
+    // the crash window: batch 1 redelivered AFTER compaction (crash between
+    // foreachBatch and checkpoint commit) must not discard history
+    VocabStream.runBatch(spark, b1.toDF("doc_id", "text"), 1L, store)
+    assert(cmap(VocabStream.counts(spark, store)) == before,
+      "redelivery after compaction discarded pre-compaction history")
   }
 }
