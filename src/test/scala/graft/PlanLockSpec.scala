@@ -86,6 +86,14 @@ class PlanLockSpec extends SparkSpec {
     "q191_entity_clusters",  // 191-board #2: q96-style (contraction
                              // behind eager localCheckpoints); locks the
                              // fuzzy-pair subtree + label join
+    // BENCH_r09 driver-board top-10: remaining unlocked members (all five
+    // were work-metric-identical wall noise on the driver run, but the
+    // repo rule is "lock the official board"; the locks are cheap)
+    "q189_calibration",      // broadcast-scalar range bins, map-side agg
+    "q79_calendar_commands", // delete-cascade replay over command feed
+    "q107_bloom_decontaminate", // codegen BloomContains probe shape
+    "q151_market_share",     // two-level agg + broadcast dims (TPC-H Q8)
+    "q119_novelty_score",    // shingle overlap vs earlier docs
     "q134_cdc_chunk_dedup",  // 136-board top-10 entrants: CDC chunk
     "q136_waiting_supplier", // shuffle shape; Q21 decorrelated join-back
     "q123_histogram_quantiles", // 137-board top-10 (sketch bin pipeline)
