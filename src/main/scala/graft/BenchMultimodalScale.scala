@@ -72,15 +72,23 @@ object BenchMultimodalScale {
         }
         once()
         val sec = Seq(once(), once(), once()).sorted.apply(1)
-        (name, sec, rows)
+        // near-dup legs: record the CANDIDATE volume next to the verified
+        // rows — the quadratic-blowup risk lives in the candidate frame,
+        // and "rows" alone can't show a collision-prone band key
+        val cand =
+          if (name == "q176_audio_neardup")
+            queries.MultimodalQueries.q176Candidates(spark, dir)._2.count()
+          else -1L
+        (name, sec, rows, cand)
       }
       (c, nDocs, results)
     }
 
     import ScaleCorpus.fmt
     val parts = rounds.map { case (c, n, rs) =>
-      val qj = rs.map { case (name, s, r) =>
-        s""""${name.takeWhile(_ != '_')}":{"sec":${fmt(s)},"rows":$r}"""
+      val qj = rs.map { case (name, s, r, cand) =>
+        val candJ = if (cand >= 0) s""","cand_pairs":$cand""" else ""
+        s""""${name.takeWhile(_ != '_')}":{"sec":${fmt(s)},"rows":$r$candJ}"""
       }.mkString(",")
       s""""${c}x":{"docs":$n,$qj}"""
     }

@@ -401,10 +401,12 @@ object Multimodal {
   }
 
   final case class AudioFp(doc_id: Long, n_samples: Long, fp: Long)
-  final case class AudioFpE(doc_id: Long, n_samples: Long, fp: Long, te: Long)
+  final case class AudioFpW(doc_id: Long, n_samples: Long, fp: Long, te: Long,
+                            wins: Array[Long])
 
-  /** The shared 16-frame energy-envelope kernel: (fp, total energy). */
-  private def audioFpKernel(samples: Array[Short]): (Long, Long) = {
+  /** The shared 16-frame energy-envelope kernel:
+    * (fp, total energy, per-frame energies). */
+  private def audioFpKernel(samples: Array[Short]): (Long, Long, Array[Long]) = {
     val n = samples.length
     val e = new Array[Long](16)
     var total = 0L
@@ -428,7 +430,7 @@ object Multimodal {
       if (e(f) * 16 >= total) fp |= 1L << f
       f += 1
     }
-    (fp, total)
+    (fp, total, e)
   }
 
   /** Executor-side audio content fingerprint over the DECODED samples:
@@ -447,18 +449,20 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
         decodeWavPcm16(bytes).collect { case (_, samples) if samples.length >= 16 =>
-          val (fp, _) = audioFpKernel(samples)
+          val (fp, _, _) = audioFpKernel(samples)
           AudioFp(id, samples.length.toLong, fp)
         }
       }
     }
   }
 
-  /** [[decodeAudioFingerprint]] plus the total signal energy — the extra
-    * magnitude term the near-dup verify (q176) needs: the 16-bit envelope
-    * alone is scale-free and too coarse to separate unrelated signals of
-    * equal length, so pairs additionally require totals within 10%. */
-  def decodeAudioFpEnergy(media: DataFrame, idCol: String = "doc_id"): Dataset[AudioFpE] = {
+  /** [[decodeAudioFpEnergy]] plus the 16 per-frame energies themselves —
+    * the POSITIONAL content signature the scale-safe near-dup (q176) bands
+    * on: exact integer frame energies key candidate buckets by actual
+    * signal content (q168's per-frame-signature discipline), where nibble
+    * bands of the 16-bit envelope gave a 16-value alphabet that collides
+    * quadratically in same-length clips. */
+  def decodeAudioEnergyWindows(media: DataFrame, idCol: String = "doc_id"): Dataset[AudioFpW] = {
     val spark = media.sparkSession
     import spark.implicits._
     val idIdx = media.schema.fieldIndex(idCol)
@@ -468,8 +472,8 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = r.getStruct(mediaIdx).getAs[Array[Byte]]("bytes")
         decodeWavPcm16(bytes).collect { case (_, samples) if samples.length >= 16 =>
-          val (fp, te) = audioFpKernel(samples)
-          AudioFpE(id, samples.length.toLong, fp, te)
+          val (fp, te, wins) = audioFpKernel(samples)
+          AudioFpW(id, samples.length.toLong, fp, te, wins)
         }
       }
     }

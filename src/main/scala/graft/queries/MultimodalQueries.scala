@@ -663,23 +663,37 @@ object MultimodalQueries {
     HAVING count(*) >= 3
     ORDER BY doc_a, doc_b"""
 
-  private val AudioHamT = 2
+  private val AudioDiffT = 2
 
-  /** q176 — audio NEAR-dup: the q144 banding discipline on the audio
-    * modality, completing the near-dup matrix (image q144 / video q168 /
-    * audio here; q128 is audio EXACT dedup). Groups of 3 clips share one
-    * base signal; variants v=1,2 perturb ONE energy window (+v*40 on the
-    * v-th sixteenth) — the re-mastered / slightly-edited copies a crawl
-    * carries. Real WAV bytes round-trip the JDK codec (alternating
-    * plain/tagged containers, so matching is signal-level). The 16-bit
-    * energy-envelope fp alone is too coarse at corpus scale (equal-length
-    * unrelated clips collide within 2 bits frequently — measured 98k
-    * pairs at sf0.1), so a pair must ALSO have total energies within 10%:
-    * precision jumps to ~59% with group recall ~99.5%. Candidates form
-    * only inside (n_samples, nibble-band) buckets — 4 nibbles, so any
-    * ham<=3 pair shares an intact band (pigeonhole) and the ham<=2
-    * verify set is found exactly; audio x audio never materializes. */
-  def q176(spark: SparkSession, d: String): DataFrame = {
+  /** q176 — audio NEAR-dup, completing the near-dup matrix (image q144 /
+    * video q168 / audio here; q128 is audio EXACT dedup). Groups of 3
+    * clips share one base signal; variants v=1,2 perturb ONE energy
+    * window (+v*40 on the v-th sixteenth) — the re-mastered /
+    * slightly-edited copies a crawl carries. Real WAV bytes round-trip
+    * the JDK codec (alternating plain/tagged containers, so matching is
+    * signal-level). A near-dup pair = same length, at most
+    * [[AudioDiffT]] of the 16 exact integer window energies differ, and
+    * total energies within 10%.
+    *
+    * Candidate generation is q168's POSITIONAL-signature discipline:
+    * band keys are the exact energies of each quarter of the envelope
+    * (4 windows hashed per band), so buckets key actual signal CONTENT
+    * and unrelated same-length clips never collide. The prior design
+    * banded 4-bit nibbles of the 16-bit binary envelope — a 16-value
+    * alphabet whose (n_samples, nibble) buckets collide quadratically
+    * (98k candidate pairs at sf0.1; candidates ~ B^2/16 per bucket at
+    * 100x) and only an energy verify rescued precision to ~59%. With
+    * content bands, candidates track the true duplicate structure
+    * (BENCH_sf1_audio_100x.json) and verify-leg precision is exact.
+    * Exactness by pigeonhole: <=2 differing windows touch <=2 of the 4
+    * disjoint quarter bands, so every qualifying pair shares an intact
+    * band. */
+  def q176(spark: SparkSession, d: String): DataFrame =
+    q176Verified(q176Candidates(spark, d))
+
+  /** The decoded signature frame + banded candidate pairs, exposed so the
+    * scale sidecar can record candidate counts next to verified counts. */
+  private[graft] def q176Candidates(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val payloads = Tables.parallel(Tables.documents(spark, d))
       .select(col("doc_id")).as[Long]
@@ -700,11 +714,14 @@ object MultimodalQueries {
       })
       .toDF("doc_id", "payload")
     val media = Multimodal.asMedia(payloads, "payload", "audio/wav")
-    val fps = Multimodal.decodeAudioFpEnergy(media).toDF()
+    val fps = Multimodal.decodeAudioEnergyWindows(media).toDF()
       .localCheckpoint(true) // one decode pass feeds bands + both join legs
+    // band value = hash of the quarter's four EXACT window energies (hash
+    // equality is implied by tuple equality, so hashing keeps the
+    // candidate set a superset; spurious hash collisions only add
+    // candidates the verify leg drops)
     val bands = fps.select(col("doc_id"), col("n_samples"), posexplode(array(
-      expr("fp % 16"), expr("fp DIV 16 % 16"),
-      expr("fp DIV 256 % 16"), expr("fp DIV 4096")))
+      (0 until 4).map(k => xxhash64(slice(col("wins"), 1 + 4 * k, 4))): _*))
       .as(Seq("bidx", "bval")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.n_samples") === col("y.n_samples") &&
@@ -712,16 +729,24 @@ object MultimodalQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    (fps, cand)
+  }
+
+  /** The verify leg: exact differing-window count + total-energy band. */
+  private[graft] def q176Verified(fc: (DataFrame, DataFrame)): DataFrame = {
+    val (fps, cand) = fc
     cand
-      .join(fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+      .join(fps.select(col("doc_id").as("doc_a"), col("wins").as("wins_a"),
         col("te").as("te_a")), Seq("doc_a"))
-      .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+      .join(fps.select(col("doc_id").as("doc_b"), col("wins").as("wins_b"),
         col("te").as("te_b")), Seq("doc_b"))
-      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
-      .filter(col("hamming") <= AudioHamT &&
+      .withColumn("n_diff_win",
+        expr("size(filter(zip_with(wins_a, wins_b, (x, y) -> x != y), b -> b))")
+          .cast("long"))
+      .filter(col("n_diff_win") <= AudioDiffT &&
         abs(col("te_a") - col("te_b")) * 10 <= least(col("te_a"), col("te_b")))
       .withColumn("same_content", expr("doc_a DIV 3 = doc_b DIV 3"))
-      .select(col("doc_a"), col("doc_b"), col("hamming"), col("same_content"))
+      .select(col("doc_a"), col("doc_b"), col("n_diff_win"), col("same_content"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -741,20 +766,21 @@ object MultimodalQueries {
                         AND i < (d.v + 1) * d.n // 16 THEN d.v * 40 ELSE 0 END))))
           AS BIGINT) AS e
       FROM dims d, (SELECT unnest(range(0, 16)) AS f) fs),
-    tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS te FROM fr GROUP BY doc_id),
     fps AS (
-      SELECT fr.doc_id, CAST(max(fr.n) AS BIGINT) AS n_samples,
-        CAST(max(t.te) AS BIGINT) AS te,
-        CAST(sum(CASE WHEN fr.e * 16 >= t.te
-          THEN CAST(2 ** fr.f AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
-      FROM fr JOIN tot t USING (doc_id) GROUP BY fr.doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
-      (a.doc_id // 3 = b.doc_id // 3) AS same_content
-    FROM fps a JOIN fps b
-      ON a.n_samples = b.n_samples AND a.doc_id < b.doc_id
-      AND bit_count(xor(a.fp, b.fp)) <= $AudioHamT
-      AND abs(a.te - b.te) * 10 <= least(a.te, b.te)
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(sum(e) AS BIGINT) AS te,
+        list(e ORDER BY f) AS es
+      FROM fr GROUP BY doc_id)
+    SELECT doc_a, doc_b, n_diff_win, same_content FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN a.es[i] = b.es[i] THEN 0 ELSE 1 END)) AS BIGINT)
+          AS n_diff_win,
+        (a.doc_id // 3 = b.doc_id // 3) AS same_content
+      FROM fps a JOIN fps b
+        ON a.n_samples = b.n_samples AND a.doc_id < b.doc_id
+        AND abs(a.te - b.te) * 10 <= least(a.te, b.te))
+    WHERE n_diff_win <= $AudioDiffT
     ORDER BY doc_a, doc_b"""
 
   val defs: Map[String, Q] = Map(
