@@ -310,8 +310,17 @@ object ExtraQueries {
     * the join shuffles (variant, name) rows only — the entity-resolution
     * shape that survives a billion-row record table with a bounded
     * dictionary. */
-  def q184(spark: SparkSession, d: String): DataFrame = {
-    val names = Tables.part(spark, d).select(col("p_name").as("name")).distinct()
+  def q184(spark: SparkSession, d: String): DataFrame =
+    fuzzyNameStages(
+      Tables.part(spark, d).select(col("p_name").as("name")).distinct())._3
+      .orderBy(col("name_a"), col("name_b"))
+
+  /** q184's blocking pipeline over an arbitrary distinct-name frame,
+    * exposed so the ER scale sidecar can record the per-stage volumes the
+    * design claim is about (signatures and candidates track the NAME
+    * DICTIONARY, never the record table): returns
+    * (deletion-neighborhood signatures, candidate pairs, verified pairs). */
+  private[graft] def fuzzyNameStages(names: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val del = "transform(sequence(1, length(variant)), i -> " +
       "concat(substring(variant, 1, i - 1), substring(variant, i + 1, length(variant))))"
     def expand(v: DataFrame): DataFrame = v
@@ -326,10 +335,10 @@ object ExtraQueries {
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b"))
       .distinct()
-    cands
+    val verified = cands
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
       .filter(col("dist") <= 3)
-      .orderBy(col("name_a"), col("name_b"))
+    (sigs, cands, verified)
   }
 
   val q184Sql: String = """
