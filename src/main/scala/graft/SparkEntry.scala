@@ -20,12 +20,12 @@ object SparkEntry {
       VectorQueries.defs ++ TextQueries.defs ++ ExtraQueries.defs ++ IcsQueries.defs ++
       BackfillQueries.defs ++ FeedSinkQueries.defs ++ ProtocolQueries.defs ++
       MultimodalQueries.defs ++ DeterminismQueries.defs ++ PipelineQueries.defs ++
-      SketchQueries.defs
+      SketchQueries.defs ++ CurationQueries.defs
 
   def oracleSql: Map[String, String] =
     TpchSurface.oracles ++ TpchSurface2.oracles ++ TpchSurface3.oracles ++ TpchSurface4.oracles ++ ReplicationQueries.oracles ++ DedupQueries.oracles ++
       VectorQueries.oracles ++ TextQueries.oracles ++ ExtraQueries.oracles ++ IcsQueries.oracles ++
       BackfillQueries.oracles ++ FeedSinkQueries.oracles ++ ProtocolQueries.oracles ++
       MultimodalQueries.oracles ++ DeterminismQueries.oracles ++ PipelineQueries.oracles ++
-      SketchQueries.oracles
+      SketchQueries.oracles ++ CurationQueries.oracles
 }

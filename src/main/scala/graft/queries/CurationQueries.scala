@@ -1,0 +1,251 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Hashing, Text}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Round-10 corpus-curation governance: the operators that sit BETWEEN the
+  * signals this library already computes and the decisions a production
+  * pretraining pipeline actually ships — leakage-free split assignment
+  * (the FIX for what q125 audits), crawl-snapshot diffing, and the
+  * per-document drop-decision audit trail.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private object Sql {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    // DuckDB string_split('', ' ') yields [''] while Text.tokens yields [],
+    // so guard the empty string to keep token parity on empty documents.
+    val words =
+      s"(CASE WHEN $norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split($norm, ' ') END)"
+  }
+
+  private def splitOf(c: Column): Column = {
+    val b = Hashing.splitBucket(c)
+    when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+  }
+
+  private def splitSql(e: String): String =
+    s"""(CASE WHEN ${Hashing.splitBucketSql(e)} < 80 THEN 'train'
+         WHEN ${Hashing.splitBucketSql(e)} < 90 THEN 'valid'
+         ELSE 'test' END)"""
+
+  /** q194 — LEAKAGE-FREE train/valid/test split: the fix for the leakage
+    * q125 audits. Documents are bucketed by the hash of their near-dup
+    * CLUSTER representative (connected components over the verified LSH
+    * pairs, [[DedupQueries.clustersDf]]) instead of their own id, so an
+    * entire dup cluster lands in one split by construction. The report
+    * carries, per split: docs, clusters, how many docs MOVED relative to
+    * the naive doc-id split, and the cross-split verified-pair count under
+    * the new assignment — structurally zero, and the oracle recomputes it
+    * from the same pair definition, so the guarantee itself is gated.
+    *
+    * Scale shape: the cluster-label frame holds only docs that appear in a
+    * dup pair (corpus-sparse); representative fallback is a map-side
+    * coalesce after one doc_id-keyed left join; split assignment is a pure
+    * hash projection; the audit join inherits q23's band-keyed shape.
+    * No window, no global sort before the 3-row output. */
+  def q194(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"))
+    val labels = DedupQueries.clustersDf(spark, d)
+    val assigned = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      .withColumn("split", splitOf(col("rep")))
+      .withColumn("doc_split", splitOf(col("doc_id")))
+    val pairs = DedupQueries.q23(spark, d).select(col("doc_a"), col("doc_b"))
+    val crossPairs = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("n_cross_pairs"))
+    assigned.groupBy(col("split")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum((col("split") =!= col("doc_split")).cast(LongType))
+          .as("n_reassigned"),
+        sum(when(col("split") =!= col("doc_split"), col("doc_id"))
+          .otherwise(lit(0L))).as("reassigned_id_sum"))
+      .crossJoin(broadcast(crossPairs))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("n_reassigned"), col("reassigned_id_sum"), col("n_cross_pairs"))
+      .orderBy(col("split"))
+  }
+
+  val q194Sql: String = s"""
+    WITH RECURSIVE dup_pairs AS (${DedupQueries.q23Sql.replace("ORDER BY doc_a, doc_b", "")}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+              UNION ALL SELECT doc_b, doc_a FROM dup_pairs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+    comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+    asg AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep,
+        ${splitSql("coalesce(c.cluster_id, d.doc_id)")} AS split,
+        ${splitSql("d.doc_id")} AS doc_split
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    xp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cross_pairs
+      FROM dup_pairs p JOIN asg a ON p.doc_a = a.doc_id
+                       JOIN asg b ON p.doc_b = b.doc_id
+      WHERE a.split <> b.split)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+      CAST(sum(CASE WHEN split <> doc_split THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_reassigned,
+      CAST(sum(CASE WHEN split <> doc_split THEN doc_id ELSE 0 END) AS BIGINT)
+        AS reassigned_id_sum,
+      (SELECT n_cross_pairs FROM xp) AS n_cross_pairs
+    FROM asg GROUP BY split ORDER BY split"""
+
+  /** q195 — crawl-snapshot DIFF: what changed between two corpus versions,
+    * per source — the report a recurring-crawl pipeline runs before
+    * deciding how much downstream work (dedup, retraining, index refresh)
+    * the new snapshot actually requires. The second version is derived
+    * deterministically from the first (doc_id mod 7: 1 = removed,
+    * 2 = content changed, 3 = additionally contributes a NEW page under a
+    * fresh id), so both engines construct the identical pair of snapshots
+    * and the diff logic itself is what the gate compares.
+    *
+    * Scale shape: ONE doc_id-keyed full-outer join between co-partitioned
+    * snapshots (bucketed stores diff with no data movement), content
+    * comparison by map-side md5 fingerprint — never a text-by-text join —
+    * and the per-(source, status) rollup is map-side combinable. */
+  def q195(spark: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v2 = v1.filter(pmod(col("doc_id"), lit(7L)) =!= 1L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7L)) === 2L,
+          concat(col("text"), lit(" refreshed content")))
+          .otherwise(col("text")))
+      .unionByName(
+        v1.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+            col("source"), concat(col("text"), lit(" new page")).as("text")))
+    def side(v: DataFrame, tag: String): DataFrame = v.select(
+      col("doc_id"), col("source").as(s"source_$tag"),
+      md5(col("text")).as(s"fp_$tag"),
+      length(col("text")).cast(LongType).as(s"len_$tag"))
+    side(v1, "a").join(side(v2, "b"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source_a"), col("source_b")).as("source"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("len_b"), lit(0L)) - coalesce(col("len_a"), lit(0L)))
+          .as("chars_delta"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars_delta")).as("chars_delta"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  val q195Sql: String = """
+    WITH v1 AS (SELECT doc_id, source, text FROM documents),
+    v2 AS (
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 7 = 2 THEN text || ' refreshed content'
+             ELSE text END AS text
+      FROM v1 WHERE doc_id % 7 <> 1
+      UNION ALL
+      SELECT doc_id + 1000000000, source, text || ' new page'
+      FROM v1 WHERE doc_id % 7 = 3),
+    a AS (SELECT doc_id, source AS source_a, md5(text) AS fp_a,
+            CAST(length(text) AS BIGINT) AS len_a FROM v1),
+    b AS (SELECT doc_id, source AS source_b, md5(text) AS fp_b,
+            CAST(length(text) AS BIGINT) AS len_b FROM v2),
+    diff AS (
+      SELECT coalesce(source_a, source_b) AS source,
+        CASE WHEN fp_a IS NULL THEN 'added'
+             WHEN fp_b IS NULL THEN 'removed'
+             WHEN fp_a <> fp_b THEN 'changed'
+             ELSE 'unchanged' END AS status,
+        coalesce(len_b, 0) - coalesce(len_a, 0) AS chars_delta
+      FROM a FULL OUTER JOIN b USING (doc_id))
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(chars_delta) AS BIGINT) AS chars_delta
+    FROM diff GROUP BY source, status
+    ORDER BY source, status"""
+
+  /** q196 — per-document DROP-DECISION AUDIT: the provenance record a
+    * governed pipeline keeps alongside the cleaned corpus — for every
+    * document, the FIRST filter (in the pipeline's fixed precedence) that
+    * rejected it: length floor, length ceiling, stopword-quality gate
+    * (q114's integer cross-multiply), exact-duplicate non-first-occurrence
+    * (min doc_id per content fingerprint wins), else kept. Rolled up per
+    * (source, verdict) with the surviving token mass, so a curation run is
+    * explainable after the fact ("how much did each gate cost which feed")
+    * without re-running any gate.
+    *
+    * Scale shape: all signals are one corpus projection; first-occurrence
+    * is a fingerprint-keyed min-aggregate joined back (no window over the
+    * corpus); the report is a map-side-combinable rollup. Precedence is a
+    * single CASE — adding a gate is one WHEN branch on both engines. */
+  def q196(spark: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(spark, d).select(
+      col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"),
+      Text.stopwordCount(col("text")).cast(LongType).as("n_stop"),
+      md5(Text.normalize(col("text"))).as("fp"))
+    val first = f.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
+    f.join(first, Seq("fp"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 10L, "too_short")
+          .when(col("n_tokens") > 1000L, "too_long")
+          .when(col("n_stop") * 1000L > col("n_tokens") * 600L, "low_quality")
+          .when(col("doc_id") =!= col("first_id"), "exact_dup")
+          .otherwise("kept"))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"), col("verdict"))
+  }
+
+  val q196Sql: String = {
+    val stop = Text.StopWords.map(w => s"'$w'").mkString(",")
+    s"""
+    WITH f AS (
+      SELECT doc_id, source,
+        CAST(len(${Sql.words}) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(${Sql.words}, t -> t IN ($stop))) AS BIGINT)
+          AS n_stop,
+        md5(${Sql.norm}) AS fp
+      FROM documents),
+    first AS (SELECT fp, min(doc_id) AS first_id FROM f GROUP BY fp),
+    v AS (
+      SELECT source,
+        CASE WHEN n_tokens < 10 THEN 'too_short'
+             WHEN n_tokens > 1000 THEN 'too_long'
+             WHEN n_stop * 1000 > n_tokens * 600 THEN 'low_quality'
+             WHEN doc_id <> first_id THEN 'exact_dup'
+             ELSE 'kept' END AS verdict,
+        n_tokens, doc_id
+      FROM f JOIN first USING (fp))
+    SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM v GROUP BY source, verdict
+    ORDER BY source, verdict"""
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q194_cluster_split" -> (q194 _),
+    "q195_snapshot_diff" -> (q195 _),
+    "q196_drop_audit" -> (q196 _))
+
+  val oracles: Map[String, String] = Map(
+    "q194_cluster_split" -> q194Sql,
+    "q195_snapshot_diff" -> q195Sql,
+    "q196_drop_audit" -> q196Sql)
+}
