@@ -239,13 +239,120 @@ object CurationQueries {
     ORDER BY source, verdict"""
   }
 
+  private val Phrase = Seq("hash", "join")
+
+  /** q197 — exact PHRASE search over a positional inverted index: the
+    * retrieval capability q181/q183's bag-of-words statistics cannot
+    * express (adjacency). Postings are (doc_id, position) rows built ONLY
+    * for the phrase's terms — the query-term filter lands before any join
+    * (q183's discipline) so the joined frames are posting-sized, never the
+    * corpus token stream. A k-term phrase is k-1 self-joins on
+    * (doc_id, pos + i), each an equi-join on co-partitionable keys;
+    * per-doc hit counts and the first match offset come from one grouped
+    * pass. The same index shape serves proximity windows (pos + i becomes
+    * a range) without changing the plan skeleton. */
+  def q197(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        posexplode_outer(Text.tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(col("w").isin(Phrase: _*))
+    def posting(term: String, i: Int): DataFrame = toks
+      .filter(col("w") === term)
+      .select(col("doc_id"), (col("pos") - lit(i)).as("start"))
+    val hits = Phrase.zipWithIndex.map((posting _).tupled)
+      .reduce(_.join(_, Seq("doc_id", "start")))
+    hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("start")).cast(LongType).as("first_pos"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+  }
+
+  val q197Sql: String = {
+    val joins = Phrase.zipWithIndex.tail.map { case (t, i) =>
+      s"JOIN toks t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.w = '$t'"
+    }.mkString("\n      ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(${Sql.words}) AS w,
+        unnest(range(0, len(${Sql.words}))) AS pos
+      FROM documents)
+    SELECT t0.doc_id AS doc_id,
+      CAST(count(*) AS BIGINT) AS n_hits,
+      CAST(min(t0.pos) AS BIGINT) AS first_pos
+    FROM toks t0
+      $joins
+    WHERE t0.w = '${Phrase.head}'
+    GROUP BY t0.doc_id
+    ORDER BY n_hits DESC, t0.doc_id"""
+  }
+
+  /** q198 — token-BUDGET apportionment by largest remainder (Hamilton's
+    * method): given per-source token masses and a total training budget
+    * (here totalTokens DIV 3), allocate integer per-source quotas that sum
+    * to the budget EXACTLY — floor quotas first, then one extra unit to
+    * the largest fractional remainders (ties to the lexicographically
+    * first source). This is the planning step between corpus statistics
+    * and a sampling run (q115/q131 consume per-group allocations; this is
+    * where exact ones come from), and the textbook case where float
+    * division silently breaks the invariant the gate pins: sum(alloc) ==
+    * budget, bit-exactly, on both engines.
+    *
+    * Scale shape: everything after the per-source token rollup operates on
+    * a dimension-sized frame (one row per source) — the remainder ranking
+    * is a window over ~sources rows, never the corpus. */
+  def q198(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val masses = Tables.documents(spark, d)
+      .select(col("source"), size(Text.tokens(col("text"))).cast(LongType).as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val tot = masses.agg(sum(col("n_tokens")).as("t"))
+      .withColumn("budget", expr("t DIV 3"))
+    val based = masses.crossJoin(broadcast(tot))
+      .withColumn("base_alloc", expr("(budget * n_tokens) DIV t"))
+      .withColumn("rem", expr("(budget * n_tokens) % t"))
+    val leftover = based.agg((max(col("budget")) - sum(col("base_alloc"))).as("k"))
+    // dimension-sized frame: the window ranks ~n_sources rows, not the corpus
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("extra",
+        when(row_number().over(w) <= col("k"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("base_alloc"),
+        col("extra"), (col("base_alloc") + col("extra")).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val q198Sql: String = s"""
+    WITH m AS (
+      SELECT source, CAST(sum(len(${Sql.words})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+                 CAST(sum(n_tokens) AS BIGINT) // 3 AS budget FROM m),
+    b AS (
+      SELECT source, n_tokens,
+        (budget * n_tokens) // t AS base_alloc,
+        (budget * n_tokens) % t AS rem, budget
+      FROM m, t),
+    k AS (SELECT max(budget) - sum(base_alloc) AS k FROM b),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+    SELECT source, n_tokens, CAST(base_alloc AS BIGINT) AS base_alloc,
+      CAST(CASE WHEN rk <= (SELECT k FROM k) THEN 1 ELSE 0 END AS BIGINT)
+        AS extra,
+      CAST(base_alloc + CASE WHEN rk <= (SELECT k FROM k) THEN 1 ELSE 0 END
+        AS BIGINT) AS alloc
+    FROM r ORDER BY source"""
+
   val defs: Map[String, Q] = Map(
     "q194_cluster_split" -> (q194 _),
     "q195_snapshot_diff" -> (q195 _),
-    "q196_drop_audit" -> (q196 _))
+    "q196_drop_audit" -> (q196 _),
+    "q197_phrase_search" -> (q197 _),
+    "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
     "q194_cluster_split" -> q194Sql,
     "q195_snapshot_diff" -> q195Sql,
-    "q196_drop_audit" -> q196Sql)
+    "q196_drop_audit" -> q196Sql,
+    "q197_phrase_search" -> q197Sql,
+    "q198_token_budget" -> q198Sql)
 }
