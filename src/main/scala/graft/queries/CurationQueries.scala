@@ -52,11 +52,15 @@ object CurationQueries {
   def q194(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d).select(col("doc_id"))
     val labels = DedupQueries.clustersDf(spark, d)
+    // (doc_id, rep, split, doc_split) feeds the rollup AND both audit-join
+    // legs — materialize the narrow frame once instead of re-deriving the
+    // label join + md5 split hash three times
     val assigned = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("rep"))
       .withColumn("split", splitOf(col("rep")))
       .withColumn("doc_split", splitOf(col("doc_id")))
+      .localCheckpoint(true)
     val pairs = DedupQueries.q23(spark, d).select(col("doc_a"), col("doc_b"))
     val crossPairs = pairs
       .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")),
@@ -192,11 +196,15 @@ object CurationQueries {
     * corpus); the report is a map-side-combinable rollup. Precedence is a
     * single CASE — adding a gate is one WHEN branch on both engines. */
   def q196(spark: SparkSession, d: String): DataFrame = {
+    // the narrow signal frame feeds BOTH the first-occurrence aggregate and
+    // the join-back leg: materialize it once or pushdown re-inlines the
+    // tokens/stopword HOF chains into the second leg (the q148 lesson)
     val f = Tables.documents(spark, d).select(
       col("doc_id"), col("source"),
       size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"),
       Text.stopwordCount(col("text")).cast(LongType).as("n_stop"),
       md5(Text.normalize(col("text"))).as("fp"))
+      .localCheckpoint(true)
     val first = f.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
     f.join(first, Seq("fp"))
       .withColumn("verdict",
@@ -252,10 +260,14 @@ object CurationQueries {
     * pass. The same index shape serves proximity windows (pos + i becomes
     * a range) without changing the plan skeleton. */
   def q197(spark: SparkSession, d: String): DataFrame = {
+    // one corpus scan builds the (query-term-filtered, posting-sized)
+    // positional index; WITHOUT the eager materialization each of the k
+    // posting legs would re-run the tokenize+explode chain over the corpus
     val toks = Tables.documents(spark, d)
       .select(col("doc_id"),
         posexplode_outer(Text.tokens(col("text"))).as(Seq("pos", "w")))
       .filter(col("w").isin(Phrase: _*))
+      .localCheckpoint(true)
     def posting(term: String, i: Int): DataFrame = toks
       .filter(col("w") === term)
       .select(col("doc_id"), (col("pos") - lit(i)).as("start"))
