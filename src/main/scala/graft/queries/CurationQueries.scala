@@ -354,7 +354,95 @@ object CurationQueries {
         AS BIGINT) AS alloc
     FROM r ORDER BY source"""
 
+  /** q199 — cross-document BOILERPLATE removal (the CCNet/RefinedWeb line
+    * dedup step): a block of text that recurs across a large share of one
+    * source's documents is template chrome (footers, navigation), not
+    * content, and is stripped from every document BEFORE corpus dedup so
+    * shared boilerplate cannot glue unrelated docs into near-dup pairs.
+    * Blocks here are non-overlapping 2-token windows (the corpus's "line"
+    * granularity); a per-source footer is planted deterministically so the
+    * detector has real template structure to find, and the threshold — a
+    * block seen in >10% of the source's docs AND at least 3 of them — is
+    * an integer cross-multiply. Per q167's discipline the gate pins the
+    * REWRITE itself (md5 of the reassembled text), not just the counts.
+    *
+    * Scale shape: block ownership is a (source, block)-keyed distinct-doc
+    * count (map-side combinable), the keep filter is a keyed left join
+    * back, and reassembly is a doc_id-keyed ordered fold bounded by
+    * document length — shuffles touch (source, block) and (doc_id) keys
+    * only, never document pairs. The block frame is materialized once
+    * (three consumers). */
+  def q199(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" copyright footer "), col("source"),
+          lit(" all rights reserved")).as("text"))
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        posexplode_outer(Text.tokens(col("text"))).as(Seq("pos", "w")))
+    val blocks = toks
+      .groupBy(col("doc_id"), col("source"), (col("pos") / 2).cast("int").as("bidx"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("blk"))
+      .localCheckpoint(true)
+    val srcDocs = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("sd"))
+    val bp = blocks.groupBy(col("source"), col("blk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .join(broadcast(srcDocs), Seq("source"))
+      .filter(col("nd") * 10L > col("sd") && col("nd") >= 3L)
+      .select(col("source"), col("blk"), lit(true).as("is_bp"))
+    val flagged = blocks.join(bp, Seq("source", "blk"), "left")
+      .withColumn("is_bp", coalesce(col("is_bp"), lit(false)))
+    val perDoc = flagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_blocks"),
+      sum(col("is_bp").cast(LongType)).as("n_dropped"),
+      md5(array_join(transform(
+        array_sort(collect_list(when(!col("is_bp"),
+          struct(col("bidx"), col("blk"))))),
+        x => x.getField("blk")), " ")).as("clean_md5"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_blocks"), col("n_dropped"),
+        col("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q199Sql: String = s"""
+    WITH d2 AS (
+      SELECT doc_id, source,
+        text || ' copyright footer ' || source || ' all rights reserved'
+          AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id, source, unnest(${Sql.words}) AS w,
+        unnest(range(0, len(${Sql.words}))) AS pos
+      FROM d2),
+    blocks AS (
+      SELECT doc_id, source, pos // 2 AS bidx,
+        string_agg(w, ' ' ORDER BY pos) AS blk
+      FROM toks GROUP BY doc_id, source, pos // 2),
+    sd AS (SELECT source, count(DISTINCT doc_id) AS sd FROM d2 GROUP BY source),
+    bp AS (
+      SELECT b.source, b.blk
+      FROM blocks b JOIN sd USING (source)
+      GROUP BY b.source, b.blk, sd.sd
+      HAVING count(DISTINCT doc_id) * 10 > sd.sd
+         AND count(DISTINCT doc_id) >= 3),
+    flagged AS (
+      SELECT b.doc_id, b.source, b.bidx, b.blk,
+        (bp.blk IS NOT NULL) AS is_bp
+      FROM blocks b LEFT JOIN bp ON b.source = bp.source AND b.blk = bp.blk)
+    SELECT doc_id, CAST(max(source) AS VARCHAR) AS source,
+      CAST(count(*) AS BIGINT) AS n_blocks,
+      CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN blk END, ' '
+        ORDER BY bidx), '')) AS clean_md5
+    FROM flagged GROUP BY doc_id
+    ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
+    "q199_boilerplate" -> (q199 _),
     "q194_cluster_split" -> (q194 _),
     "q195_snapshot_diff" -> (q195 _),
     "q196_drop_audit" -> (q196 _),
@@ -362,6 +450,7 @@ object CurationQueries {
     "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
+    "q199_boilerplate" -> q199Sql,
     "q194_cluster_split" -> q194Sql,
     "q195_snapshot_diff" -> q195Sql,
     "q196_drop_audit" -> q196Sql,
