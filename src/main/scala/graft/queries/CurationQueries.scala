@@ -314,9 +314,13 @@ object CurationQueries {
     * is a window over ~sources rows, never the corpus. */
   def q198(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one corpus tokenize pass: the sources-sized rollup feeds the total,
+    // the quota frame AND the leftover aggregate — unmaterialized, each
+    // consumer would re-run the corpus aggregation
     val masses = Tables.documents(spark, d)
       .select(col("source"), size(Text.tokens(col("text"))).cast(LongType).as("n"))
       .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      .localCheckpoint(true)
     val tot = masses.agg(sum(col("n_tokens")).as("t"))
       .withColumn("budget", expr("t DIV 3"))
     val based = masses.crossJoin(broadcast(tot))
