@@ -21,6 +21,15 @@ final class SavedQueries(spark: SparkSession) {
 
   def sql(id: String): Option[String] = store.get(id).map(_.sql)
 
+  /** Column lineage of a saved query WITHOUT running it (analysis only):
+    * which physical source columns feed each output column — the audit an
+    * admin runs over every saved query before a schema migration or PII
+    * review ([[ColumnLineage]]). */
+  def lineage(id: String): Map[String, Set[ColumnLineage.SourceColumn]] = {
+    val q = store.getOrElse(id, throw new NoSuchElementException(s"no saved query $id"))
+    ColumnLineage.lineage(spark.sql(q.sql))
+  }
+
   def setPublic(id: String, isPublic: Boolean): Unit =
     store.updateWith(id)(_.map(_.copy(isPublic = isPublic)))
 

@@ -55,6 +55,12 @@ class ReadonlyGuardSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       sq.createOrReplaceView("bad name!", "SELECT 1"))
     assert(sq.listTables().contains("my_view")) // the `db tables` surface
+    // lineage audit without execution: the saved query's output column
+    // resolves through the temp view and toDF rename to the PHYSICAL
+    // origin (the local relation's tuple field), not the alias
+    val lin = sq.lineage("q1")
+    assert(lin("id") ==
+      Set(ColumnLineage.SourceColumn("localrelation", "_1")))
   }
 
   test("public-token run path only sees queries marked public") {
