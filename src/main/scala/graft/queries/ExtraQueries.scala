@@ -335,8 +335,15 @@ object ExtraQueries {
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b"))
       .distinct()
+    // banded verify (graft.functions.expressions.LevenshteinWithin):
+    // exact for dist <= 3 — the only distances the filter keeps — and
+    // O(k*len) with early exit instead of the full O(len^2) DP per
+    // candidate, which is what the verify leg costs at a
+    // millions-of-names dictionary
     val verified = cands
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .withColumn("dist",
+        graft.functions.expressions.LevenshteinWithin(
+          col("name_a"), col("name_b"), 3))
       .filter(col("dist") <= 3)
     (sigs, cands, verified)
   }
