@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Str2IntHash].getName, "str2inthash"),
       build _))
     extensions.injectOptimizerRule(_ => new RangeJoinRewrite)
+    extensions.injectOptimizerRule(_ => new BoundedEditDistanceRewrite)
   }
 }
