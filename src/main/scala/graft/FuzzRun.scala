@@ -114,10 +114,13 @@ object FuzzRun {
     def pred(): String = {
       val c = if (longCols.nonEmpty && (intCols.isEmpty || r.nextBoolean()))
         pick(longCols) else s"CAST(${pick(intCols ++ longCols)} AS BIGINT)"
-      r.nextInt(4) match {
+      r.nextInt(5) match {
         case 0 => s"$c % ${r.nextInt(11) + 2} <= ${r.nextInt(5)}"
         case 1 => s"$c % ${r.nextInt(11) + 2} = ${r.nextInt(3)}"
         case 2 => s"$c % 100 BETWEEN ${r.nextInt(30)} AND ${30 + r.nextInt(60)}"
+        case 3 => // uncorrelated scalar subquery as the bound
+          s"$c % 100 <= (SELECT CAST(count(*) AS BIGINT) FROM " +
+            s"${pick(tables).name}) % ${r.nextInt(50) + 3}"
         case _ if strCols.nonEmpty => s"${pick(strCols)} IS NOT NULL"
         case _ => s"$c % 5 <> ${r.nextInt(5)}"
       }
@@ -148,7 +151,24 @@ object FuzzRun {
       s" HAVING CAST(count(*) AS BIGINT) > ${r.nextInt(4)}" else ""
     val orderBy = " ORDER BY " + outs.indices.map(i => s"c$i").mkString(", ")
     val limit = if (r.nextInt(3) == 0) s" LIMIT ${r.nextInt(500) + 1}" else ""
-    s"SELECT ${outs.mkString(", ")} FROM ${base.name}${join.map(_._2).getOrElse("")}" +
-      s"$where$groupBy$having$orderBy$limit"
+    val from = s"${base.name}${join.map(_._2).getOrElse("")}"
+    r.nextInt(8) match {
+      case 0 if groupKeys.nonEmpty =>
+        // DISTINCT projection (no aggregates)
+        val cols = groupKeys.zipWithIndex.map { case (e, i) => s"$e AS c$i" }
+        val ob = " ORDER BY " + cols.indices.map(i => s"c$i").mkString(", ")
+        s"SELECT DISTINCT ${cols.mkString(", ")} FROM $from$where$ob$limit"
+      case 1 if groupKeys.nonEmpty =>
+        // UNION ALL of two predicate slices, rolled up outside
+        val cols = groupKeys.zipWithIndex.map { case (e, i) => s"$e AS c$i" }
+        val names = cols.indices.map(i => s"c$i")
+        s"SELECT ${names.mkString(", ")}, CAST(count(*) AS BIGINT) AS n FROM (" +
+          s"SELECT ${cols.mkString(", ")} FROM $from WHERE ${pred()} " +
+          s"UNION ALL SELECT ${cols.mkString(", ")} FROM $from WHERE ${pred()}) u " +
+          s"GROUP BY ${names.indices.map(i => (i + 1).toString).mkString(", ")}" +
+          s" ORDER BY ${names.mkString(", ")}, n$limit"
+      case _ =>
+        s"SELECT ${outs.mkString(", ")} FROM $from$where$groupBy$having$orderBy$limit"
+    }
   }
 }
