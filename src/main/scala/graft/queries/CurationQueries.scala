@@ -445,7 +445,82 @@ object CurationQueries {
     FROM flagged GROUP BY doc_id
     ORDER BY doc_id"""
 
+  /** q200 — DEDUP-AWARE token budgets: q198's largest-remainder
+    * apportionment re-based on UNIQUE token mass — each near-dup cluster
+    * (q194's components) contributes only its canonical representative's
+    * tokens, attributed to the representative's source. Raw token mass
+    * over-allocates budget to sources whose volume is duplication; this
+    * is the allocation a deduplicated training run actually consumes.
+    * sum(alloc) == budget holds bit-exactly as in q198.
+    *
+    * Scale shape: representative membership is one broadcast-sized label
+    * join (labels hold only docs in dup pairs); the unique-mass rollup is
+    * map-side; everything after is the q198 dimension-sized frame. */
+  def q200(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast(LongType).as("n"))
+    val labels = DedupQueries.clustersDf(spark, d)
+    // a doc is canonical iff it IS its cluster's representative (docs in
+    // no pair are their own representative)
+    val masses = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("doc_id") === col("rep")).cast(LongType)).as("n_unique_docs"),
+        sum(when(col("doc_id") === col("rep"), col("n")).otherwise(lit(0L)))
+          .as("unique_tokens"))
+      .localCheckpoint(true) // feeds total + quota + leftover (q198's rule)
+    val tot = masses.agg(sum(col("unique_tokens")).as("t"))
+      .withColumn("budget", expr("t DIV 3"))
+    val based = masses.crossJoin(broadcast(tot))
+      .withColumn("base_alloc", expr("(budget * unique_tokens) DIV t"))
+      .withColumn("rem", expr("(budget * unique_tokens) % t"))
+    val leftover = based.agg((max(col("budget")) - sum(col("base_alloc"))).as("k"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("extra",
+        when(row_number().over(w) <= col("k"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("n_unique_docs"),
+        col("unique_tokens"),
+        (col("base_alloc") + col("extra")).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val q200Sql: String = s"""
+    WITH RECURSIVE dup_pairs AS (${DedupQueries.q23Sql.replace("ORDER BY doc_a, doc_b", "")}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+              UNION ALL SELECT doc_b, doc_a FROM dup_pairs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+    comp AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+    m AS (
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN d.doc_id = coalesce(c.cluster_id, d.doc_id)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_docs,
+        CAST(sum(CASE WHEN d.doc_id = coalesce(c.cluster_id, d.doc_id)
+          THEN len(${Sql.words}) ELSE 0 END) AS BIGINT) AS unique_tokens
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      GROUP BY source),
+    t AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS t,
+                 CAST(sum(unique_tokens) AS BIGINT) // 3 AS budget FROM m),
+    b AS (
+      SELECT source, n_docs, n_unique_docs, unique_tokens,
+        (budget * unique_tokens) // t AS base_alloc,
+        (budget * unique_tokens) % t AS rem, budget
+      FROM m, t),
+    k AS (SELECT max(budget) - sum(base_alloc) AS k FROM b),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+    SELECT source, n_docs, n_unique_docs, unique_tokens,
+      CAST(base_alloc + CASE WHEN rk <= (SELECT k FROM k) THEN 1 ELSE 0 END
+        AS BIGINT) AS alloc
+    FROM r ORDER BY source"""
+
   val defs: Map[String, Q] = Map(
+    "q200_dedup_budget" -> (q200 _),
     "q199_boilerplate" -> (q199 _),
     "q194_cluster_split" -> (q194 _),
     "q195_snapshot_diff" -> (q195 _),
@@ -454,6 +529,7 @@ object CurationQueries {
     "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
+    "q200_dedup_budget" -> q200Sql,
     "q199_boilerplate" -> q199Sql,
     "q194_cluster_split" -> q194Sql,
     "q195_snapshot_diff" -> q195Sql,
