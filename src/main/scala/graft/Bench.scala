@@ -100,6 +100,10 @@ object Bench {
       "simulation (300 HTTP pages fed through the real merge path); it is " +
       "the board's most machine-noise-exposed number — compare its " +
       "input/shuffle work metrics, not wall\"," +
+      "\"q191_entity_clusters\":" +
+      "\"wall is ~9 fixed-size Spark jobs (FastSS signature build + " +
+      "star-contraction rounds over a 64-name dictionary graph), not data " +
+      "volume — BENCH_sf1_er.json shows it flat under 100x the records\"," +
       "\"qomitted\":\"the printed one-line board keeps only the most " +
       "expensive queries within the harness's output window; dropped " +
       "cheapest entries are counted there and EVERY query is always in " +
