@@ -88,12 +88,19 @@ object FuzzRun {
   private def gen(r: java.util.Random): String = {
     def pick[A](xs: Seq[A]): A = xs(r.nextInt(xs.size))
     val base = pick(tables)
-    // optionally follow one FK edge from the base table
+    // optionally follow one FK edge from the base table — and sometimes a
+    // second hop from the joined table (lineitem -> orders -> customer)
     val join = joins.filter(j => j._1 == base.name && r.nextInt(3) == 0)
       .headOption.map { case (_, rt, cond) =>
-        (tables.find(_.name == rt).get, s" JOIN $rt ON $cond")
+        val hop2 = joins.filter(j => j._1 == rt && r.nextInt(2) == 0)
+          .headOption.map { case (_, rt2, cond2) =>
+            (tables.find(_.name == rt2).get, s" JOIN $rt2 ON $cond2")
+          }
+        val t1 = tables.find(_.name == rt).get
+        (Seq(Some(t1), hop2.map(_._1)).flatten,
+          s" JOIN $rt ON $cond${hop2.map(_._2).getOrElse("")}")
       }
-    val inScope = Seq(Some(base), join.map(_._1)).flatten
+    val inScope = base +: join.map(_._1).getOrElse(Nil)
     def longCols = inScope.flatMap(_.longs)
     def intCols = inScope.flatMap(_.ints)
     def strCols = inScope.flatMap(_.strings)
