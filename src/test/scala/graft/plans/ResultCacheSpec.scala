@@ -61,6 +61,32 @@ class ResultCacheSpec extends SparkSpec {
     assert(a == c)
   }
 
+  test("concurrent writers of one key: one publish wins, reads never break") {
+    val root = Files.createTempDirectory("rescache5").toString
+    val src = s"$root/t"
+    freshTable(src, (1L to 200L).map(i => (i, s"v${i % 7}")))
+    val cache = new ResultCache(spark, s"$root/cache")
+    def q = spark.read.parquet(src).groupBy(col("v"))
+      .agg(sum(col("id")).as("s")).orderBy(col("v"))
+    val expected = q.collect().map(_.mkString("|")).toSeq
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] =
+            cache.run(q).orderBy(col("v")).collect().map(_.mkString("|")).toSeq
+        }))
+      futures.foreach(f => assert(f.get() == expected))
+    } finally pool.shutdown()
+    // exactly one published entry for the key; no orphaned temp dirs
+    import scala.jdk.CollectionConverters._
+    val entries = Files.list(Paths.get(s"$root/cache")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(entries.count(!_.startsWith(".")) == 1, s"entries: $entries")
+    assert(!entries.exists(_.startsWith(".tmp-")), s"orphaned tmp: $entries")
+  }
+
   test("prune keeps the most recently accessed entries") {
     val root = Files.createTempDirectory("rescache4").toString
     val src = s"$root/t"
