@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{DotLong, HtmlExtract, L2SqLong, MinhashSig, NfcNormalize, SimHash32, Str2IntHash}
+import graft.functions.expressions.{DotLong, HtmlExtract, L2SqLong, LevenshteinWithin, MinhashSig, NfcNormalize, SimHash32, Str2IntHash}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Cast, Literal}
 import org.apache.spark.sql.types.StringType
@@ -60,6 +60,18 @@ object GraftFunctions {
       exprs => {
         arity("graft_l2sq", exprs, min = 2, max = 2)
         L2SqLong(exprs.head, exprs(1))
+      },
+      "scala_udf")
+    // levenshtein_within(a, b, k) -> exact edit distance when <= k, k+1
+    // otherwise: the banded form the optimizer rule rewrites thresholded
+    // levenshtein comparisons into, exposed directly for SQL users that
+    // want the distance VALUE under a known radius
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "levenshtein_within",
+      exprs => {
+        arity("levenshtein_within", exprs, min = 3, max = 3)
+        LevenshteinWithin(Cast(exprs.head, StringType),
+          Cast(exprs(1), StringType), litInt(exprs(2), "levenshtein_within k"))
       },
       "scala_udf")
     // html_extract(html) -> struct(text, n_links, link_chars): the crawl

@@ -92,6 +92,12 @@ class CorpusFnSpec extends SparkSpec {
       .collect()(0)
     assert(row.getSeq[Long](2) == viaCols.getSeq[Long](0))
     assert(row.getLong(3) == viaCols.getLong(1))
+    // the banded edit distance: exact under the radius, clamped beyond
+    val lev = spark.sql(
+      """SELECT levenshtein_within('kitten', 'sitting', 3) AS a,
+        |       levenshtein_within('kitten', 'abcdefgh', 3) AS b""".stripMargin)
+      .collect()(0)
+    assert(lev.getLong(0) == 3L && lev.getLong(1) == 4L)
   }
 
   test("url canonicalization: case, www, ports, tracking params, fragments, slashes") {
