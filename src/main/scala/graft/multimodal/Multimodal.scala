@@ -456,12 +456,13 @@ object Multimodal {
     }
   }
 
-  /** [[decodeAudioFpEnergy]] plus the 16 per-frame energies themselves —
-    * the POSITIONAL content signature the scale-safe near-dup (q176) bands
-    * on: exact integer frame energies key candidate buckets by actual
-    * signal content (q168's per-frame-signature discipline), where nibble
-    * bands of the 16-bit envelope gave a 16-value alphabet that collides
-    * quadratically in same-length clips. */
+  /** [[decodeAudioFingerprint]] plus total energy and the 16 per-frame
+    * energies themselves — the POSITIONAL content signature the
+    * scale-safe near-dup (q176) bands on: exact integer frame energies
+    * key candidate buckets by actual signal content (q168's
+    * per-frame-signature discipline), where nibble bands of the 16-bit
+    * envelope gave a 16-value alphabet that collides quadratically in
+    * same-length clips. */
   def decodeAudioEnergyWindows(media: DataFrame, idCol: String = "doc_id"): Dataset[AudioFpW] = {
     val spark = media.sparkSession
     import spark.implicits._

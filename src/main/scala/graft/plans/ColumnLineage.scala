@@ -19,9 +19,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * [[ReadonlyGuard]]'s table-level job). Walks Project/Aggregate/Window/
   * Generate/Expand/Union explicitly; every other operator passes its
   * child attributes through unchanged, which is exactly Catalyst's own
-  * contract for them. Subquery expressions and CTE bodies are recursed
-  * the same way TreeNode.collect misses them (the round-2 lesson):
-  * explicitly.
+  * contract for them. The places TreeNode traversal loses track (the
+  * round-2 lesson) are handled explicitly: subquery plans held by
+  * expressions (a scalar subquery's VALUE is not an attribute reference)
+  * and `WITH` clauses (a `CTERelationRef` is a LeafNode whose fresh
+  * output attributes must be resolved POSITIONALLY through the
+  * `CTERelationDef` body it references).
   */
 object ColumnLineage {
 
@@ -33,7 +36,7 @@ object ColumnLineage {
     * Columns manufactured from literals/ids alone map to the empty set. */
   def lineage(df: DataFrame): Map[String, Set[SourceColumn]] = {
     val plan = df.queryExecution.analyzed
-    val deps = walk(plan)
+    val deps = walk(plan, Map.empty)
     plan.output.map(a => a.name -> deps.getOrElse(a.exprId, Set.empty)).toMap
   }
 
@@ -43,13 +46,34 @@ object ColumnLineage {
       s"$c <- ${if (srcs.isEmpty) "(none)" else srcs.toSeq.sortBy(_.toString).mkString(", ")}"
     }.mkString("\n")
 
+  /** Per-CTE-definition positional output lineage, threaded down the walk
+    * so every `CTERelationRef` (its output attrs are FRESH per reference)
+    * can resolve through its definition's body. */
+  private type CteMap = Map[Long, Seq[Set[SourceColumn]]]
+
   /** Bottom-up attribute dependency map. Attributes introduced by leaves
     * bind to their physical relation; attributes introduced by computing
     * operators bind to the union of their expressions' references,
     * resolved through the children's map. */
-  private def walk(plan: LogicalPlan): Map[ExprId, Set[SourceColumn]] = {
+  private def walk(plan: LogicalPlan, ctes: CteMap): Map[ExprId, Set[SourceColumn]] = {
+    // resolve CTE definitions FIRST (later defs may reference earlier
+    // ones), then walk the main plan with all of them in scope
+    val (cteMap, defDeps) = plan match {
+      case w: WithCTE =>
+        w.cteDefs.foldLeft((ctes, Map.empty[ExprId, Set[SourceColumn]])) {
+          case ((m, acc), d) =>
+            val dm = walk(d.child, m)
+            val outs = d.child.output.map(a => dm.getOrElse(a.exprId, Set.empty[SourceColumn]))
+            (m + (d.id -> outs), acc ++ dm)
+        }
+      case _ => (ctes, Map.empty[ExprId, Set[SourceColumn]])
+    }
+    val walkChildren = plan match {
+      case w: WithCTE => Seq(w.plan)
+      case p => p.children
+    }
     val childMap: Map[ExprId, Set[SourceColumn]] =
-      plan.children.map(walk).foldLeft(Map.empty[ExprId, Set[SourceColumn]])(_ ++ _)
+      walkChildren.map(walk(_, cteMap)).foldLeft(defDeps)(_ ++ _)
 
     def refsOf(e: Expression): Set[SourceColumn] = {
       // recurse into subquery plans held by expressions — e.references
@@ -61,7 +85,7 @@ object ColumnLineage {
         case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
           pe.plan match {
             case lp: LogicalPlan =>
-              val m = walk(lp)
+              val m = walk(lp, cteMap)
               subValueDeps ++= lp.output.flatMap(a => m.getOrElse(a.exprId, Set.empty))
               m
             case _ => Map.empty[ExprId, Set[SourceColumn]]
@@ -73,6 +97,15 @@ object ColumnLineage {
     }
 
     plan match {
+      case ref: CTERelationRef =>
+        // fresh attrs per reference: resolve positionally via the def body
+        val outs = cteMap.getOrElse(ref.cteId, Seq.empty)
+        ref.output.zipWithIndex.map { case (a, i) =>
+          a.exprId -> outs.lift(i).getOrElse(Set.empty[SourceColumn])
+        }.toMap
+
+      case _: WithCTE => childMap
+
       case lr: LogicalRelation =>
         val table = lr.catalogTable.map(_.identifier.unquotedString).orElse {
           lr.relation match {

@@ -74,6 +74,29 @@ class ColumnLineageSpec extends SparkSpec {
     assert(ls("boosted") == src("lineitem.l_quantity", "orders.o_totalprice"))
   }
 
+  test("WITH clauses resolve through CTE definitions to the physical table") {
+    li.createOrReplaceTempView("cl_li2")
+    ord.createOrReplaceTempView("cl_ord2")
+    // single reference
+    val one = spark.sql(
+      """WITH t AS (SELECT l_partkey AS pk, l_quantity * 2 AS q2 FROM cl_li2)
+         SELECT pk, q2 FROM t WHERE q2 > 0""")
+    val l1 = ColumnLineage.lineage(one)
+    assert(l1("pk") == src("lineitem.l_partkey"))
+    assert(l1("q2") == src("lineitem.l_quantity"))
+    // the same CTE referenced TWICE (fresh output exprIds per reference)
+    // plus a second CTE built on the first
+    val two = spark.sql(
+      """WITH t AS (SELECT l_orderkey AS k, l_tax AS x FROM cl_li2),
+            u AS (SELECT k, x * 3 AS x3 FROM t)
+         SELECT a.k AS k, a.x + b.x AS xx, u.x3 AS x3
+         FROM t a JOIN t b ON a.k = b.k JOIN u ON u.k = a.k""")
+    val l2 = ColumnLineage.lineage(two)
+    assert(l2("k") == src("lineitem.l_orderkey"))
+    assert(l2("xx") == src("lineitem.l_tax"))
+    assert(l2("x3") == src("lineitem.l_tax"))
+  }
+
   test("render is a stable audit line per column") {
     val q = li.select((col("l_tax") * 2).as("t2"))
     assert(ColumnLineage.render(q) == "t2 <- lineitem.l_tax")

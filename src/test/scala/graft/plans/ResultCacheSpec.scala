@@ -22,7 +22,7 @@ class ResultCacheSpec extends SparkSpec {
     def q = spark.read.parquet(src).groupBy(col("v"))
       .agg(count(lit(1)).as("n")).orderBy(col("v"))
     val first = cache.run(q).collect().map(_.mkString("|")).toSeq
-    assert(cache.misses == 1 && cache.hits == 0)
+    assert(cache.misses.get() == 1 && cache.hits.get() == 0)
     // second run with identical data: a hit; then prove the hit never
     // reads the source by deleting it outright
     val key = cache.fingerprint(q)
@@ -43,9 +43,9 @@ class ResultCacheSpec extends SparkSpec {
     freshTable(src, Seq((1L, "a"), (2L, "b"), (10L, "c")))
     assert(cache.run(q).head().getLong(0) == 13L,
       "data changed but the cache served the old result")
-    assert(cache.misses == 2 && cache.hits == 0)
+    assert(cache.misses.get() == 2 && cache.hits.get() == 0)
     assert(cache.run(q).head().getLong(0) == 13L)
-    assert(cache.hits == 1)
+    assert(cache.hits.get() == 1)
   }
 
   test("distinct queries over the same table get distinct keys") {
@@ -87,6 +87,16 @@ class ResultCacheSpec extends SparkSpec {
     assert(!entries.exists(_.startsWith(".tmp-")), s"orphaned tmp: $entries")
   }
 
+  test("non-file-backed plans are refused: the key cannot see their data") {
+    val root = Files.createTempDirectory("rescache6").toString
+    val cache = new ResultCache(spark, s"$root/cache")
+    // two DIFFERENT local relations canonicalize to the same plan text
+    // with zero input files — caching one would serve it for the other
+    val local = Seq((1L, "x")).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException](cache.fingerprint(local))
+    assert(ex.getMessage.contains("non-file leaves"))
+  }
+
   test("prune keeps the most recently accessed entries") {
     val root = Files.createTempDirectory("rescache4").toString
     val src = s"$root/t"
@@ -102,8 +112,8 @@ class ResultCacheSpec extends SparkSpec {
       .count(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
     assert(left == 2)
     // the refreshed entry survived
-    val before = cache.hits
+    val before = cache.hits.get()
     cache.run(q(0)).count()
-    assert(cache.hits == before + 1, "recently-accessed entry was evicted")
+    assert(cache.hits.get() == before + 1, "recently-accessed entry was evicted")
   }
 }
