@@ -14,11 +14,21 @@ import java.nio.file.{Files, Paths}
   *
   * The cache key is an md5 over
   *  - the CANONICALIZED optimized plan (expression ids normalized by
-  *    Catalyst itself, so two sessions building the same query agree), and
+  *    Catalyst itself, so two sessions building the same query agree),
+  *    rendered UNTRUNCATED (`treeString` with unlimited maxFields — the
+  *    default `toString` elides operator arg lists beyond
+  *    `spark.sql.debug.maxToStringFields` to "... N more fields", which
+  *    would give two queries differing only in an elided expression the
+  *    same key), and
   *  - every leaf input file's (path, length, modificationTime).
   * Any data change — a new file, a rewritten bucket, a compaction — moves
   * the key, so a hit can never serve stale rows; there is no TTL to tune
-  * and no explicit invalidation call to forget. Queries with a
+  * and no explicit invalidation call to forget. Granularity caveat: an
+  * in-place rewrite that preserves a file's byte length within one
+  * modification-time tick (1 ms on POSIX-local; coarser on some object
+  * stores) is invisible to the key — the supported mutation protocol is
+  * what every writer in this repo does (write new files / atomic-rename
+  * directories), never same-length in-place patching. Queries with a
   * NON-file-backed leaf (local relations, temp views over in-memory data,
   * JDBC) are REFUSED at fingerprint time: their data is invisible to the
   * file-status key (two different local relations even canonicalize to
@@ -36,8 +46,10 @@ import java.nio.file.{Files, Paths}
   * table dropped mid-query.
   *
   * Scale: the cached artifact is the query RESULT (rollup-sized), not the
-  * input; `prune` bounds the directory by entry count (oldest access
-  * evicted first). Not a substitute for [[graft.operators.IncrementalAgg]]
+  * input; `prune` bounds the directory by entry count AND total bytes
+  * (oldest access evicted first — a single giant cached result cannot
+  * hide from the bound), and sweeps orphaned `.tmp-*`/`.evict-*` debris
+  * left by crashed writers. Not a substitute for [[graft.operators.IncrementalAgg]]
   * — that maintains a rollup under appends; this memoizes arbitrary
   * results between changes. */
 final class ResultCache(spark: SparkSession, cacheDir: String) {
@@ -83,7 +95,12 @@ final class ResultCache(spark: SparkSession, cacheDir: String) {
       s"ResultCache keys on input FILE statuses; plan has non-file leaves " +
         s"(${nonFile.distinct.mkString(", ")}) whose data the key cannot see " +
         "— caching them could serve stale or foreign rows")
-    val plan = df.queryExecution.optimizedPlan.canonicalized.toString
+    // UNTRUNCATED render: plain toString caps operator arg lists at
+    // spark.sql.debug.maxToStringFields (25), so e.g. two Projects over
+    // >25 columns differing only in column 26 would collide
+    val plan = df.queryExecution.optimizedPlan.canonicalized.treeString(
+      verbose = true, addSuffix = false, maxFields = Int.MaxValue,
+      printOperatorId = false, printOutputColumns = true)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val inputs = df.inputFiles.sorted.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
@@ -96,18 +113,52 @@ final class ResultCache(spark: SparkSession, cacheDir: String) {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Keep only the `maxEntries` most recently ACCESSED results. Victims
-    * are renamed out of the key space atomically BEFORE deletion. */
-  def prune(maxEntries: Int): Unit = TableLock.withLock(cacheDir) {
-    val entries = listDir(Paths.get(cacheDir))
-      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
-      .sortBy(p => Files.getLastModifiedTime(p).toMillis)
-    entries.dropRight(maxEntries).foreach { victim =>
-      val hidden = victim.resolveSibling(
-        s".evict-${victim.getFileName}-${java.util.UUID.randomUUID()}")
-      Files.move(victim, hidden) // atomic disappear from the key space
-      delete(hidden)
+  /** Keep only the most recently ACCESSED results, bounded by BOTH entry
+    * count and total cached bytes (`maxBytes` sums every file under each
+    * entry, so one giant result cannot hide from the bound — it simply
+    * counts for what it weighs). Victims are renamed out of the key space
+    * atomically BEFORE deletion. Also sweeps `.tmp-*`/`.evict-*` debris
+    * older than `orphanAgeMs` — a writer that crashed between its temp
+    * parquet write and the locked publish leaves such a directory that no
+    * success path ever revisits; age-gating keeps the sweep from racing a
+    * LIVE writer's in-flight temp dir. */
+  def prune(maxEntries: Int, maxBytes: Long = Long.MaxValue,
+            orphanAgeMs: Long = 3600000L): Unit = TableLock.withLock(cacheDir) {
+    val (hidden, visible) = listDir(Paths.get(cacheDir))
+      .partition(_.getFileName.toString.startsWith("."))
+    // crashed-writer debris: dot-prefixed and past the age gate
+    val now = System.currentTimeMillis()
+    hidden.filter { p =>
+      val n = p.getFileName.toString
+      (n.startsWith(".tmp-") || n.startsWith(".evict-")) &&
+        now - Files.getLastModifiedTime(p).toMillis >= orphanAgeMs
+    }.foreach(delete)
+    val entries = visible.filter(Files.isDirectory(_))
+      .map(p => (p, entryBytes(p)))
+      .sortBy { case (p, _) => -Files.getLastModifiedTime(p).toMillis }
+    // newest-accessed first: keep while both budgets hold
+    var kept = 0
+    var bytes = 0L
+    val victims = entries.dropWhile { case (_, sz) =>
+      val fits = kept < maxEntries && bytes + sz <= maxBytes
+      if (fits) { kept += 1; bytes += sz }
+      fits
     }
+    victims.foreach { case (victim, _) =>
+      val hid = victim.resolveSibling(
+        s".evict-${victim.getFileName}-${java.util.UUID.randomUUID()}")
+      Files.move(victim, hid) // atomic disappear from the key space
+      delete(hid)
+    }
+  }
+
+  /** Total bytes of every regular file under an entry directory. */
+  private def entryBytes(dir: java.nio.file.Path): Long = {
+    val w = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+    } finally w.close()
   }
 
   /** Files.list with the stream closed (it holds a directory fd). */

@@ -116,4 +116,68 @@ class ResultCacheSpec extends SparkSpec {
     cache.run(q(0)).count()
     assert(cache.hits.get() == before + 1, "recently-accessed entry was evicted")
   }
+
+  test("queries differing only beyond maxToStringFields get distinct keys") {
+    // default spark.sql.debug.maxToStringFields = 25: plain plan toString
+    // elides arg lists past 25 to "... N more fields", so two wide
+    // projections differing only in an elided column would collide under
+    // a truncated-render key
+    val root = Files.createTempDirectory("rescache7").toString
+    val src = s"$root/t"
+    freshTable(src, Seq((1L, "a"), (2L, "b")))
+    val cache = new ResultCache(spark, s"$root/cache")
+    def wide(last: Int) = spark.read.parquet(src).select(
+      (0 until 29).map(i => lit(i).as(s"c$i")) :+ lit(last).as("c_last"): _*)
+    val a = cache.fingerprint(wide(1))
+    val b = cache.fingerprint(wide(2))
+    assert(a != b, "keys collided on a difference past maxToStringFields")
+    assert(cache.run(wide(1)).head().getInt(30 - 1) == 1)
+    assert(cache.run(wide(2)).head().getInt(30 - 1) == 2,
+      "cache served another query's rows")
+  }
+
+  test("prune bounds total bytes: a giant entry counts for what it weighs") {
+    val root = Files.createTempDirectory("rescache8").toString
+    val src = s"$root/t"
+    freshTable(src, (1L to 5000L).map(i => (i, s"payload-$i-" + "x" * 50)))
+    val cache = new ResultCache(spark, s"$root/cache")
+    // giant: a near-input-sized projection; tiny: two scalar rollups
+    cache.run(spark.read.parquet(src).select(col("id"), col("v"))).count()
+    Thread.sleep(5)
+    cache.run(spark.read.parquet(src).agg(sum(col("id")).as("s"))).count()
+    Thread.sleep(5)
+    cache.run(spark.read.parquet(src).agg(count(lit(1)).as("n"))).count()
+    import scala.jdk.CollectionConverters._
+    def entries() = Files.list(Paths.get(s"$root/cache")).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
+      .toSeq
+    def bytes(p: java.nio.file.Path) = Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+    val sized = entries().map(p => (p, bytes(p)))
+    val giant = sized.maxBy(_._2)._2
+    val tinies = sized.map(_._2).sorted.dropRight(1)
+    assert(giant > tinies.sum * 3, s"fixture regressed: $sized")
+    // budget fits both tiny rollups but not the giant projection: entry
+    // count alone (3 <= 10) would keep everything — bytes must evict it
+    cache.prune(maxEntries = 10, maxBytes = tinies.sum + giant / 2)
+    val left = entries()
+    assert(left.size == 2, s"left: $left")
+    assert(left.map(bytes).sum <= tinies.sum)
+  }
+
+  test("prune sweeps aged orphan tmp dirs but spares fresh in-flight ones") {
+    val root = Files.createTempDirectory("rescache9").toString
+    val cacheDir = Paths.get(s"$root/cache")
+    val cache = new ResultCache(spark, cacheDir.toString)
+    // a crashed writer's debris (old) and a live writer's temp (fresh)
+    val dead = cacheDir.resolve(".tmp-deadbeef-" + java.util.UUID.randomUUID())
+    val live = cacheDir.resolve(".tmp-cafebabe-" + java.util.UUID.randomUUID())
+    Files.createDirectories(dead); Files.createDirectories(live)
+    Files.write(dead.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    cache.prune(maxEntries = 10)
+    assert(!Files.exists(dead), "aged orphan survived prune")
+    assert(Files.exists(live), "fresh in-flight tmp was swept")
+  }
 }
