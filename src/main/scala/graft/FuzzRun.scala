@@ -11,43 +11,65 @@ import java.nio.file.{Files, Paths}
   * the compositions we didn't.
   *
   * The grammar stays inside the established cross-engine parity envelope
-  * (the repo's oracle gotchas, learned rounds 2-9):
+  * (the repo's oracle gotchas, learned rounds 2-10):
   *  - integer arithmetic only (every INTEGER column cast to BIGINT; no
   *    division; multipliers and value ranges bounded so int64 never wraps
   *    under ANSI);
   *  - aggregates cast to BIGINT (DuckDB sum(int) is HUGEINT);
-  *  - no floats, decimals, dates, or collation-sensitive string ops —
-  *    strings appear only as group keys and IS NOT NULL probes;
-  *  - every query ends in a total ORDER BY over all output columns, so
+  *  - no floats, decimals, or collation-sensitive string ops — strings
+  *    appear only as group keys and IS NOT NULL probes;
+  *  - DATES as EXACT values only (round-11 axis): DATE literals inside
+  *    the data's range, equality/range predicates, min/max, and
+  *    CAST(.. AS DATE)/CAST(.. AS STRING) round-trips — both engines
+  *    print dates as 'YYYY-MM-DD'. No date arithmetic, no formatting,
+  *    no timestamp-fraction surfaces (the known-divergent families);
+  *  - LEFT OUTER joins (round-11 axis) with a deterministically THINNED
+  *    right side (`(SELECT * FROM t WHERE key % m <> k) t`), so the FK
+  *    edges — which the synthetic data satisfies completely — actually
+  *    produce the NULL rows the axis exists to exercise: COALESCE,
+  *    IS NULL, count(col) vs count(*), NULL group keys, NULL arithmetic
+  *    propagation;
+  *  - every query ends in a total ORDER BY over all output columns with
+  *    an explicit NULLS FIRST (Spark defaults NULLS FIRST, DuckDB NULLS
+  *    LAST — under LIMIT the default would cut different multisets), so
   *    LIMIT cuts the same multiset on both engines.
   *
-  * Usage: `runMain graft.FuzzRun <sfDir> <outDir> [count] [seed]`, then
-  * `python3 tools/check.py <sfDir> <outDir>`. Deterministic per seed. */
+  * Usage: `runMain graft.FuzzRun <sfDir> <outDir> [count] [seed] [mode]`,
+  * then `python3 tools/check.py <sfDir> <outDir>`. Deterministic per
+  * seed. `mode` concentrates a grammar axis for per-axis parity counts:
+  * `outer` (every query takes its FK hops as thinned LEFT joins),
+  * `dates` (every query starts from a dated table and carries at least
+  * one exact-date predicate), default `mixed`. */
 object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
-                                 ints: Seq[String], strings: Seq[String])
+                                 ints: Seq[String], strings: Seq[String],
+                                 dates: Seq[String] = Nil)
 
   private val tables = Seq(
     Table("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
-      Seq("l_linenumber"), Seq("l_returnflag", "l_linestatus")),
+      Seq("l_linenumber"), Seq("l_returnflag", "l_linestatus"),
+      dates = Seq("l_shipdate")),
     Table("orders", Seq("o_orderkey", "o_custkey"), Nil,
-      Seq("o_orderstatus", "o_orderpriority")),
+      Seq("o_orderstatus", "o_orderpriority"), dates = Seq("o_orderdate")),
     Table("customer", Seq("c_custkey"), Seq("c_nationkey"), Seq("c_mktsegment")),
     Table("nation", Nil, Seq("n_nationkey", "n_regionkey"), Seq("n_name")),
     Table("documents", Seq("doc_id", "n_chars"), Nil, Seq("lang", "source")))
 
-  /** FK equi-joins the synthetic tables actually satisfy. */
+  /** FK equi-joins the synthetic tables actually satisfy; the fourth
+    * element is the RIGHT side's join key — the column a LEFT variant
+    * thins on so unmatched left rows exist by construction. */
   private val joins = Seq(
-    ("lineitem", "orders", "l_orderkey = o_orderkey"),
-    ("orders", "customer", "o_custkey = c_custkey"),
-    ("customer", "nation", "c_nationkey = n_nationkey"))
+    ("lineitem", "orders", "l_orderkey = o_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey = c_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey", "n_nationkey"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val count = if (args.length > 2) args(2).toInt else 200
     val seed = if (args.length > 3) args(3).toLong else 10L
+    val mode = if (args.length > 4) args(4) else "mixed"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +85,7 @@ object FuzzRun {
     new java.io.File(outDir).mkdirs()
 
     val rnd = new java.util.Random(seed)
-    val sqls = (0 until count).map(i => f"fuzz_$i%04d" -> gen(rnd))
+    val sqls = (0 until count).map(i => f"fuzz_$i%04d" -> gen(rnd, mode))
     var failed = 0
     sqls.foreach { case (name, sql) =>
       try spark.sql(sql).coalesce(1).write.mode("overwrite")
@@ -85,29 +107,63 @@ object FuzzRun {
   }
 
   /** One random portable query. */
-  private def gen(r: java.util.Random): String = {
+  private def gen(r: java.util.Random, mode: String = "mixed"): String = {
     def pick[A](xs: Seq[A]): A = xs(r.nextInt(xs.size))
-    val base = pick(tables)
+    val base = mode match {
+      case "outer" => pick(tables.filter(t => joins.exists(_._1 == t.name)))
+      case "dates" => pick(tables.filter(_.dates.nonEmpty))
+      case _ => pick(tables)
+    }
+    // one FK hop: INNER as-is, or LEFT with the right side THINNED on its
+    // join key so unmatched left rows (and thus NULLs) exist by
+    // construction — the synthetic FK edges are otherwise total
+    def hopFrag(rt: String, cond: String, rk: String): (String, Boolean) =
+      if (mode == "outer" || r.nextInt(2) == 0) {
+        val m = r.nextInt(3) + 2
+        (s" LEFT JOIN (SELECT * FROM $rt WHERE $rk % $m <> ${r.nextInt(m)}) $rt ON $cond", true)
+      } else (s" JOIN $rt ON $cond", false)
     // optionally follow one FK edge from the base table — and sometimes a
     // second hop from the joined table (lineitem -> orders -> customer)
-    val join = joins.filter(j => j._1 == base.name && r.nextInt(3) == 0)
-      .headOption.map { case (_, rt, cond) =>
+    val join = joins
+      .filter(j => j._1 == base.name && (mode == "outer" || r.nextInt(3) == 0))
+      .headOption.map { case (_, rt, cond, rk) =>
+        val (frag1, outer1) = hopFrag(rt, cond, rk)
         val hop2 = joins.filter(j => j._1 == rt && r.nextInt(2) == 0)
-          .headOption.map { case (_, rt2, cond2) =>
-            (tables.find(_.name == rt2).get, s" JOIN $rt2 ON $cond2")
+          .headOption.map { case (_, rt2, cond2, rk2) =>
+            val (frag2, outer2) = hopFrag(rt2, cond2, rk2)
+            (tables.find(_.name == rt2).get, frag2, outer2)
           }
         val t1 = tables.find(_.name == rt).get
-        (Seq(Some(t1), hop2.map(_._1)).flatten,
-          s" JOIN $rt ON $cond${hop2.map(_._2).getOrElse("")}")
+        (Seq(Some((t1, outer1)), hop2.map(h => (h._1, h._3))).flatten,
+          s"$frag1${hop2.map(_._2).getOrElse("")}")
       }
-    val inScope = base +: join.map(_._1).getOrElse(Nil)
+    val inScope = base +: join.map(_._1.map(_._1)).getOrElse(Nil)
+    // every column of a LEFT-joined table is nullable downstream (an inner
+    // hop after a LEFT one re-eliminates the NULL rows — treating them as
+    // nullable anyway stays valid SQL, the probes just never fire)
+    val nullable: Set[String] = join.map(_._1.collect {
+      case (t, true) => t.longs ++ t.ints ++ t.strings ++ t.dates
+    }.flatten.toSet).getOrElse(Set.empty)
     def longCols = inScope.flatMap(_.longs)
     def intCols = inScope.flatMap(_.ints)
     def strCols = inScope.flatMap(_.strings)
-    // integer-valued expression over in-scope columns, bounded magnitude
+    def dateCols = inScope.flatMap(_.dates)
+    def nullCols = (longCols ++ intCols).filter(nullable)
+    // exact-value date literal inside the synthetic data's 1995..2001
+    // range; fixed-width 'YYYY-MM-DD' so literal-string order equals
+    // chronological order (used to orient BETWEEN bounds)
+    def dateLit(): String =
+      f"DATE '${1995 + r.nextInt(8)}-${r.nextInt(12) + 1}%02d-${r.nextInt(28) + 1}%02d'"
+    // integer-valued expression over in-scope columns, bounded magnitude;
+    // nullable leaves sometimes COALESCE (the NULL-absorbing shape), and
+    // sometimes stay raw (NULL-propagating arithmetic — also exact)
+    def intLeaf(c: String, cast: Boolean): String = {
+      val e = if (cast) s"CAST($c AS BIGINT)" else c
+      if (nullable(c) && r.nextInt(2) == 0) s"COALESCE($e, ${r.nextInt(19) - 9})" else e
+    }
     def intExpr(depth: Int): String = {
-      val leafs = longCols.map(c => s"$c") ++
-        intCols.map(c => s"CAST($c AS BIGINT)") :+ (r.nextInt(90) + 1).toString
+      val leafs = longCols.map(intLeaf(_, cast = false)) ++
+        intCols.map(intLeaf(_, cast = true)) :+ (r.nextInt(90) + 1).toString
       if (depth == 0 || r.nextInt(3) == 0) pick(leafs)
       else r.nextInt(4) match {
         case 0 => s"(${intExpr(depth - 1)} + ${intExpr(depth - 1)})"
@@ -118,36 +174,67 @@ object FuzzRun {
           s"(CASE WHEN ${pred()} THEN $t ELSE ${intExpr(depth - 1)} END)"
       }
     }
+    // exact date predicates only: literals, equality/range — no
+    // arithmetic, no formatting (the known-divergent families)
+    def datePred(): String = {
+      val d = s"CAST(${pick(dateCols)} AS DATE)"
+      r.nextInt(3) match {
+        case 0 => s"$d <= ${dateLit()}"
+        case 1 => s"$d = ${dateLit()}"
+        case _ =>
+          val (a, b) = (dateLit(), dateLit())
+          // fixed-width literals: string order == chronological order
+          if (a <= b) s"$d BETWEEN $a AND $b" else s"$d BETWEEN $b AND $a"
+      }
+    }
     def pred(): String = {
       val c = if (longCols.nonEmpty && (intCols.isEmpty || r.nextBoolean()))
         pick(longCols) else s"CAST(${pick(intCols ++ longCols)} AS BIGINT)"
-      r.nextInt(5) match {
+      r.nextInt(7) match {
         case 0 => s"$c % ${r.nextInt(11) + 2} <= ${r.nextInt(5)}"
         case 1 => s"$c % ${r.nextInt(11) + 2} = ${r.nextInt(3)}"
         case 2 => s"$c % 100 BETWEEN ${r.nextInt(30)} AND ${30 + r.nextInt(60)}"
         case 3 => // uncorrelated scalar subquery as the bound
           s"$c % 100 <= (SELECT CAST(count(*) AS BIGINT) FROM " +
             s"${pick(tables).name}) % ${r.nextInt(50) + 3}"
+        case 4 if dateCols.nonEmpty => datePred()
+        case 5 if nullCols.nonEmpty => // the LEFT-join NULL side
+          val n = pick(nullCols)
+          if (r.nextBoolean()) s"$n IS NULL" else s"$n IS NOT NULL"
         case _ if strCols.nonEmpty => s"${pick(strCols)} IS NOT NULL"
         case _ => s"$c % 5 <> ${r.nextInt(5)}"
       }
     }
     val groupKeys: Seq[String] = (0 until r.nextInt(3)).map { _ =>
-      if (strCols.nonEmpty && r.nextBoolean()) pick(strCols)
-      else s"(${pick(longCols ++ intCols.map(c => s"CAST($c AS BIGINT)"))} % ${r.nextInt(9) + 2})"
+      r.nextInt(4) match {
+        case 0 if strCols.nonEmpty => pick(strCols)
+        case 1 if dateCols.nonEmpty =>
+          // 'YYYY-MM-DD' on both engines; NULL for an unmatched LEFT row
+          s"CAST(CAST(${pick(dateCols)} AS DATE) AS STRING)"
+        case _ =>
+          s"(${pick(longCols ++ intCols.map(c => s"CAST($c AS BIGINT)"))} % ${r.nextInt(9) + 2})"
+      }
     }.distinct
     val aggs: Seq[String] = (0 to r.nextInt(2)).map { _ =>
-      r.nextInt(5) match {
+      r.nextInt(7) match {
         case 0 => "CAST(count(*) AS BIGINT)"
         case 1 => s"CAST(sum(${intExpr(1)}) AS BIGINT)"
         case 2 => s"CAST(min(${intExpr(1)}) AS BIGINT)"
         case 3 => s"CAST(max(${intExpr(1)}) AS BIGINT)"
+        case 4 if dateCols.nonEmpty =>
+          val f = if (r.nextBoolean()) "min" else "max"
+          s"CAST($f(CAST(${pick(dateCols)} AS DATE)) AS STRING)"
+        case 5 => // nullable-aware count: under a LEFT join this differs
+                  // from count(*) by exactly the unmatched rows
+          s"CAST(count(${pick(longCols ++ intCols ++ strCols)}) AS BIGINT)"
         case _ => s"CAST(count(DISTINCT ${pick(longCols ++ strCols)}) AS BIGINT)"
       }
     }.distinct
     val outs = (groupKeys ++ aggs).zipWithIndex
       .map { case (e, i) => s"$e AS c$i" }
-    val where = (0 until r.nextInt(3)).map(_ => pred()) match {
+    val basePreds = (0 until r.nextInt(3)).map(_ => pred())
+    val preds = if (mode == "dates") datePred() +: basePreds else basePreds
+    val where = preds match {
       case Nil => ""
       case ps => " WHERE " + ps.mkString(if (r.nextBoolean()) " AND " else " OR ")
     }
@@ -156,14 +243,16 @@ object FuzzRun {
     else ""
     val having = if (groupKeys.nonEmpty && r.nextInt(3) == 0)
       s" HAVING CAST(count(*) AS BIGINT) > ${r.nextInt(4)}" else ""
-    val orderBy = " ORDER BY " + outs.indices.map(i => s"c$i").mkString(", ")
+    // explicit NULLS FIRST: Spark defaults NULLS FIRST, DuckDB NULLS LAST
+    // — under LIMIT the defaults would cut different multisets
+    val orderBy = " ORDER BY " + outs.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
     val limit = if (r.nextInt(3) == 0) s" LIMIT ${r.nextInt(500) + 1}" else ""
     val from = s"${base.name}${join.map(_._2).getOrElse("")}"
     r.nextInt(8) match {
       case 0 if groupKeys.nonEmpty =>
         // DISTINCT projection (no aggregates)
         val cols = groupKeys.zipWithIndex.map { case (e, i) => s"$e AS c$i" }
-        val ob = " ORDER BY " + cols.indices.map(i => s"c$i").mkString(", ")
+        val ob = " ORDER BY " + cols.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
         s"SELECT DISTINCT ${cols.mkString(", ")} FROM $from$where$ob$limit"
       case 1 if groupKeys.nonEmpty =>
         // UNION ALL of two predicate slices, rolled up outside
@@ -173,7 +262,7 @@ object FuzzRun {
           s"SELECT ${cols.mkString(", ")} FROM $from WHERE ${pred()} " +
           s"UNION ALL SELECT ${cols.mkString(", ")} FROM $from WHERE ${pred()}) u " +
           s"GROUP BY ${names.indices.map(i => (i + 1).toString).mkString(", ")}" +
-          s" ORDER BY ${names.mkString(", ")}, n$limit"
+          s" ORDER BY ${names.map(n => s"$n NULLS FIRST").mkString(", ")}, n NULLS FIRST$limit"
       case _ =>
         s"SELECT ${outs.mkString(", ")} FROM $from$where$groupBy$having$orderBy$limit"
     }
