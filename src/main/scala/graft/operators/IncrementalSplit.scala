@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Incremental CLUSTER-REPRESENTATIVE maintenance for leakage-free split
+  * assignment (the incremental form of q194, reference analog: the batch
+  * split recompute a curation pipeline would otherwise re-pay per crawl
+  * snapshot). Three persisted stores under one root:
+  *
+  *  - `sigs/`  — the MinHash signature store ([[IncrementalDedup]]'s,
+  *    folded with latest-content-wins [[KeyedStore]] semantics);
+  *  - `pairs/` — the verified near-dup pair LEDGER (append-only; replay
+  *    of a crashed round can duplicate rows, so reads go through
+  *    `distinct` — pairs are value-identical under replay);
+  *  - `reps/`  — (doc_id, rep): the cluster representative of every doc
+  *    that appears in some verified pair (docs in no pair are their own
+  *    representative implicitly — the store stays corpus-SPARSE).
+  *
+  * Per ingest round the work is O(delta + candidates + touched clusters),
+  * never O(corpus): the delta is signatured and LSH-joined against the
+  * signature store ([[IncrementalDedup.candidatePairs]] — store x store
+  * pairs are structurally impossible), verified pairs are mapped to
+  * REP-level edges through the current store, and only that merge graph —
+  * clusters actually touched by the delta — is contracted
+  * ([[DupClusters.assignStar]], O(log^2) rounds). Store rows whose
+  * representative changed are rewritten through [[KeyedStore.fold]]'s
+  * crash-recoverable swap.
+  *
+  * EQUIVALENCE (the q101/q105 gate discipline): after any ingest
+  * sequence, `assignments` equals the batch recompute over the full
+  * corpus — accumulated pairs are exactly the batch pair set (every pair
+  * is discovered in the round its later endpoint arrives; banding/
+  * verification share [[graft.functions.Hashing]] with the batch path),
+  * and min-representative merging is associative: the min doc id of a
+  * merged component is the min over its parts' minima. q201 gates this
+  * against q194's oracle on a grown corpus.
+  *
+  * A doc's SPLIT can legitimately FLIP between refreshes (its cluster
+  * gained a smaller-id representative) — that is a leakage event the
+  * flip audit (q202) reports, not a bug here: assignment follows the
+  * cluster structure, and the audit is how a pipeline decides to pin.
+  */
+object IncrementalSplit {
+
+  private def sigDir(root: String) = s"$root/sigs"
+  private def pairsDir(root: String) = s"$root/pairs"
+  private def repDir(root: String) = s"$root/reps"
+
+  private val pairsSchema = StructType(Seq(
+    StructField("doc_a", LongType), StructField("doc_b", LongType),
+    StructField("jaccard", DoubleType)))
+  private val repSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("rep", LongType)))
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The accumulated verified-pair ledger (batch-equivalent pair set). */
+  def pairs(spark: SparkSession, root: String): DataFrame =
+    if (exists(spark, pairsDir(root)))
+      spark.read.schema(pairsSchema).parquet(pairsDir(root))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairsSchema)
+      .select(col("doc_a"), col("doc_b"))
+
+  private def reps(spark: SparkSession, root: String): DataFrame =
+    if (exists(spark, repDir(root)))
+      spark.read.schema(repSchema).parquet(repDir(root))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], repSchema)
+
+  /** Representative of every doc in `docs` (self when unpaired). */
+  def assignments(spark: SparkSession, root: String, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(reps(spark, root), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+
+  /** One ingest round: signature the delta, find its verified near-dups
+    * against the store + itself, merge touched clusters, persist. Returns
+    * this round's verified pairs. `corpus` must serve the text of every
+    * doc the store has signatures for, plus the delta (shingle sets are
+    * fetched on demand for candidate endpoints only — see
+    * [[IncrementalDedup.verifyPairs]]). */
+  def ingest(spark: SparkSession, root: String, corpus: DataFrame,
+             delta: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val deltaSigs = IncrementalDedup.signatures(delta).cache()
+    val storeSigs =
+      if (exists(spark, sigDir(root))) {
+        KeyedStore.recover(spark, sigDir(root))
+        spark.read.parquet(sigDir(root))
+      } else deltaSigs.limit(0)
+    val newPairs = IncrementalDedup.verifyPairs(
+      IncrementalDedup.candidatePairs(storeSigs, deltaSigs), corpus, threshold)
+      .localCheckpoint(true) // pin BEFORE the stores mutate under the lineage
+    newPairs.write.mode(SaveMode.Append).parquet(pairsDir(root))
+
+    // rep-level merge graph: each new pair connects its endpoints' CURRENT
+    // clusters (self for first-seen docs). Contracting only this graph —
+    // not the corpus, not the accumulated pair set — is what makes the
+    // refresh O(touched clusters); assignStar handles within-round chains.
+    val cur = reps(spark, root)
+    val repEdges = newPairs
+      .join(cur.select(col("doc_id").as("doc_a"), col("rep").as("ra")), Seq("doc_a"), "left")
+      .join(cur.select(col("doc_id").as("doc_b"), col("rep").as("rb")), Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+        coalesce(col("rb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    if (!repEdges.isEmpty) {
+      val relabel = DupClusters.assignStar(repEdges)
+        .select(col("doc_id").as("rep"), col("cluster_id").as("new_rep"))
+        .filter(col("rep") =!= col("new_rep"))
+      // upserts: ONLY touched rows — store rows whose rep merged away,
+      // plus this round's pair endpoints (first-seen docs enter; the legs
+      // agree where they overlap, collapsed by the keyed min)
+      val changedStore = cur.join(relabel, Seq("rep"))
+        .select(col("doc_id"), col("new_rep").as("rep"))
+      val endpointRows = newPairs.select(col("doc_a").as("doc_id"))
+        .unionByName(newPairs.select(col("doc_b").as("doc_id"))).distinct()
+        .join(cur, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+        .join(relabel, Seq("rep"), "left")
+        .select(col("doc_id"), coalesce(col("new_rep"), col("rep")).as("rep"))
+      val upserts = changedStore.unionByName(endpointRows)
+        .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+      if (exists(spark, repDir(root)))
+        KeyedStore.fold(spark, repDir(root), upserts, "doc_id")
+      else upserts.write.parquet(repDir(root))
+    }
+    if (exists(spark, sigDir(root)))
+      KeyedStore.fold(spark, sigDir(root), deltaSigs, "doc_id")
+    else deltaSigs.write.parquet(sigDir(root))
+    deltaSigs.unpersist()
+    newPairs
+  }
+}

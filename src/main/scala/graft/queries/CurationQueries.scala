@@ -61,25 +61,8 @@ object CurationQueries {
       .withColumn("split", splitOf(col("rep")))
       .withColumn("doc_split", splitOf(col("doc_id")))
       .localCheckpoint(true)
-    val pairs = DedupQueries.q23(spark, d).select(col("doc_a"), col("doc_b"))
-    val crossPairs = pairs
-      .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")),
-        Seq("doc_a"))
-      .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")),
-        Seq("doc_b"))
-      .filter(col("sa") =!= col("sb"))
-      .agg(count(lit(1)).as("n_cross_pairs"))
-    assigned.groupBy(col("split")).agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("rep")).as("n_clusters"),
-        sum((col("split") =!= col("doc_split")).cast(LongType))
-          .as("n_reassigned"),
-        sum(when(col("split") =!= col("doc_split"), col("doc_id"))
-          .otherwise(lit(0L))).as("reassigned_id_sum"))
-      .crossJoin(broadcast(crossPairs))
-      .select(col("split"), col("n_docs"), col("n_clusters"),
-        col("n_reassigned"), col("reassigned_id_sum"), col("n_cross_pairs"))
-      .orderBy(col("split"))
+    splitReport(assigned,
+      DedupQueries.q23(spark, d).select(col("doc_a"), col("doc_b")))
   }
 
   val q194Sql: String = s"""
@@ -519,7 +502,145 @@ object CurationQueries {
         AS BIGINT) AS alloc
     FROM r ORDER BY source"""
 
+  /** q194/q201's shared report: per-split rollup + the gated cross-split
+    * verified-pair count over a (doc_id, rep, split, doc_split) frame. */
+  private def splitReport(assigned: DataFrame, pairs: DataFrame): DataFrame = {
+    val crossPairs = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("n_cross_pairs"))
+    assigned.groupBy(col("split")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum((col("split") =!= col("doc_split")).cast(LongType))
+          .as("n_reassigned"),
+        sum(when(col("split") =!= col("doc_split"), col("doc_id"))
+          .otherwise(lit(0L))).as("reassigned_id_sum"))
+      .crossJoin(broadcast(crossPairs))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("n_reassigned"), col("reassigned_id_sum"), col("n_cross_pairs"))
+      .orderBy(col("split"))
+  }
+
+  /** q201 — INCREMENTAL split refresh, gated the q101/q105 way: the
+    * incremental path's result must equal the batch recompute. The corpus
+    * arrives in two ingest rounds (yesterday's 90%, then today's
+    * doc_id % 10 = 0 arrivals — q101's delta convention) through
+    * [[graft.operators.IncrementalSplit]]'s persisted signature/pair/
+    * representative stores; the report is q194's, produced from the STORE
+    * instead of a batch LSH+CC recompute. The oracle is q194's verbatim —
+    * batch-over-the-grown-corpus — so the equivalence claim itself is what
+    * the gate compares.
+    *
+    * Scale shape: per round the work is O(delta + candidates + touched
+    * clusters) — the delta LSH-joins against the signature store (never
+    * store x store), only the rep-level merge graph is contracted, and
+    * only changed/new rep rows are folded. A split refresh on a grown
+    * corpus costs the delta, not the corpus (measured:
+    * BENCH_sf1_inc_split.json). */
+  def q201(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("incsplit").toString
+    val docs = Tables.documents(spark, d)
+    val v1 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    graft.operators.IncrementalSplit.ingest(spark, root, v1, v1)
+    graft.operators.IncrementalSplit.ingest(spark, root, docs, delta)
+    val assigned = graft.operators.IncrementalSplit
+      .assignments(spark, root, docs.select(col("doc_id")))
+      .withColumn("split", splitOf(col("rep")))
+      .withColumn("doc_split", splitOf(col("doc_id")))
+      .localCheckpoint(true)
+    splitReport(assigned, graft.operators.IncrementalSplit.pairs(spark, root))
+  }
+
+  /** Same oracle as q194: incremental == batch is the claim under gate. */
+  lazy val q201Sql: String = q194Sql
+
+  /** q202 — SPLIT-FLIP leakage audit: q195's snapshot-diff discipline
+    * pointed at consecutive split assignments. Between yesterday's corpus
+    * (doc_id % 10 <> 0) and today's (full), a document's near-dup cluster
+    * can gain a smaller-id representative — silently MOVING the doc
+    * between splits. A test->train flip after a model already saw the
+    * split is a leakage event; this reports the full transition matrix
+    * over yesterday's docs: per (split_before, split_after), doc count,
+    * how many changed representative (benign unless the split moved), and
+    * the id-sum of the flipped docs (the re-pin worklist fingerprint).
+    *
+    * Scale shape: two corpus-sparse label frames (CC over pair graphs),
+    * one doc_id-keyed join, and a 9-row-max rollup — no window, no
+    * doc x doc frame. */
+  def q202(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"))
+    // yesterday's pair set = today's restricted to yesterday's endpoints
+    // (banding is per-doc, verification pairwise — subsetting docs only
+    // removes pairs with absent endpoints)
+    val pairsV1 = DedupQueries.q23(spark, d)
+      .filter(pmod(col("doc_a"), lit(10L)) =!= 0L &&
+        pmod(col("doc_b"), lit(10L)) =!= 0L)
+      .select(col("doc_a"), col("doc_b"))
+    val labV1 = graft.operators.DupClusters.assign(pairsV1)
+    val before = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+      .join(labV1, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep_before"))
+    val after = docs.join(DedupQueries.clustersDf(spark, d), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep_after"))
+    before.join(after, Seq("doc_id"))
+      .select(col("doc_id"),
+        splitOf(col("rep_before")).as("split_before"),
+        splitOf(col("rep_after")).as("split_after"),
+        (col("rep_before") =!= col("rep_after")).cast(LongType).as("rc"))
+      .groupBy(col("split_before"), col("split_after"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rc")).as("n_rep_changed"),
+        sum(when(col("split_before") =!= col("split_after"), col("doc_id"))
+          .otherwise(lit(0L))).as("flipped_id_sum"))
+      .orderBy(col("split_before"), col("split_after"))
+  }
+
+  lazy val q202Sql: String = s"""
+    WITH RECURSIVE dup_pairs AS (${DedupQueries.q23Sql.replace("ORDER BY doc_a, doc_b", "")}),
+    v1p AS (SELECT doc_a, doc_b FROM dup_pairs
+            WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
+    e1 AS (SELECT doc_a AS u, doc_b AS v FROM v1p
+           UNION ALL SELECT doc_b, doc_a FROM v1p),
+    r1(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e1)
+      UNION
+      SELECT e1.u, r1.r FROM e1 JOIN r1 ON e1.v = r1.u),
+    c1 AS (SELECT u AS doc_id, min(r) AS rep FROM r1 GROUP BY u),
+    e2 AS (SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+           UNION ALL SELECT doc_b, doc_a FROM dup_pairs),
+    r2(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e2)
+      UNION
+      SELECT e2.u, r2.r FROM e2 JOIN r2 ON e2.v = r2.u),
+    c2 AS (SELECT u AS doc_id, min(r) AS rep FROM r2 GROUP BY u),
+    b AS (
+      SELECT d.doc_id,
+        coalesce(c1.rep, d.doc_id) AS rep_before,
+        coalesce(c2.rep, d.doc_id) AS rep_after,
+        ${splitSql("coalesce(c1.rep, d.doc_id)")} AS split_before,
+        ${splitSql("coalesce(c2.rep, d.doc_id)")} AS split_after
+      FROM documents d
+        LEFT JOIN c1 ON d.doc_id = c1.doc_id
+        LEFT JOIN c2 ON d.doc_id = c2.doc_id
+      WHERE d.doc_id % 10 <> 0)
+    SELECT split_before, split_after, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN rep_before <> rep_after THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_rep_changed,
+      CAST(sum(CASE WHEN split_before <> split_after THEN doc_id ELSE 0 END)
+        AS BIGINT) AS flipped_id_sum
+    FROM b GROUP BY split_before, split_after
+    ORDER BY split_before, split_after"""
+
   val defs: Map[String, Q] = Map(
+    "q201_incremental_split" -> (q201 _),
+    "q202_split_flip_audit" -> (q202 _),
     "q200_dedup_budget" -> (q200 _),
     "q199_boilerplate" -> (q199 _),
     "q194_cluster_split" -> (q194 _),
@@ -529,6 +650,8 @@ object CurationQueries {
     "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
+    "q201_incremental_split" -> q201Sql,
+    "q202_split_flip_audit" -> q202Sql,
     "q200_dedup_budget" -> q200Sql,
     "q199_boilerplate" -> q199Sql,
     "q194_cluster_split" -> q194Sql,
