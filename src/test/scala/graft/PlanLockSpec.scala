@@ -104,6 +104,15 @@ class PlanLockSpec extends SparkSpec {
                              // over a bucket-count-sized frame (scaladoc'd)
     "q126_small_qty_revenue",// TPC-H Q17-shape: broadcast part filter +
                              // per-part avg subquery join
+    // round-11 additions, locked proactively (q201 is board-expensive by
+    // construction — two full ingest rounds): like q96/q177, the ingest
+    // loop runs eagerly at construction time, so the golden locks the
+    // report shape — the store-read label join, the band-keyed cross-pair
+    // audit, the broadcast rollup — while loop drift is covered by
+    // IncrementalSplitSpec + BENCH_sf1_inc_split.json
+    "q201_incremental_split",
+    "q202_split_flip_audit", // two CC label joins + 9-row rollup; a lost
+                             // coalesce here would misreport flips as NULLs
     "q134_cdc_chunk_dedup",  // 136-board top-10 entrants: CDC chunk
     "q136_waiting_supplier", // shuffle shape; Q21 decorrelated join-back
     "q123_histogram_quantiles", // 137-board top-10 (sketch bin pipeline)
