@@ -100,6 +100,12 @@ object Bench {
       "simulation (300 HTTP pages fed through the real merge path); it is " +
       "the board's most machine-noise-exposed number — compare its " +
       "input/shuffle work metrics, not wall\"," +
+      "\"q201_incremental_split\":" +
+      "\"wall is the WHOLE incremental lifecycle by construction — store " +
+      "init over the 90% historical corpus (the one-time sunk cost) PLUS " +
+      "the 10% delta refresh; the recurring per-snapshot cost is refresh " +
+      "alone — see BENCH_sf1_inc_split.json (500-doc delta refresh is " +
+      "8.7 s under a 100x corpus whose batch recompute is 21.6 s)\"," +
       "\"q191_entity_clusters\":" +
       "\"wall is ~9 fixed-size Spark jobs (FastSS signature build + " +
       "star-contraction rounds over a 64-name dictionary graph), not data " +
