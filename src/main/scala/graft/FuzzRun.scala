@@ -29,6 +29,12 @@ import java.nio.file.{Files, Paths}
   *    produce the NULL rows the axis exists to exercise: COALESCE,
   *    IS NULL, count(col) vs count(*), NULL group keys, NULL arithmetic
   *    propagation;
+  *  - STRING functions on the ASCII dimension columns only (round-11
+  *    axis): substr/upper/lower/||-concat as group keys and min/max
+  *    subjects, LIKE prefix/suffix and length() predicates — all
+  *    byte-exact on ASCII under both engines' binary collations. The
+  *    free-text `documents.text` column stays out (the one string column
+  *    where normalization could diverge);
   *  - every query ends in a total ORDER BY over all output columns with
   *    an explicit NULLS FIRST (Spark defaults NULLS FIRST, DuckDB NULLS
   *    LAST — under LIMIT the default would cut different multisets), so
@@ -39,7 +45,8 @@ import java.nio.file.{Files, Paths}
   * seed. `mode` concentrates a grammar axis for per-axis parity counts:
   * `outer` (every query takes its FK hops as thinned LEFT joins),
   * `dates` (every query starts from a dated table and carries at least
-  * one exact-date predicate), default `mixed`. */
+  * one exact-date predicate), `strings` (every query groups by a string
+  * expression and carries a LIKE/length predicate), default `mixed`. */
 object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
@@ -174,6 +181,31 @@ object FuzzRun {
           s"(CASE WHEN ${pred()} THEN $t ELSE ${intExpr(depth - 1)} END)"
       }
     }
+    // string-valued expression over the ASCII dimension columns —
+    // substr/upper/lower/concat are byte-exact on ASCII and min/max
+    // follows binary collation on both engines
+    def strExpr(): String = {
+      val c = pick(strCols)
+      r.nextInt(5) match {
+        case 0 => c
+        case 1 => s"substr($c, 1, ${r.nextInt(3) + 1})"
+        case 2 => s"upper($c)"
+        case 3 => s"lower($c)"
+        case _ if strCols.size > 1 =>
+          val c2 = pick(strCols.filterNot(_ == c))
+          s"($c || '-' || $c2)"
+        case _ => s"upper($c)"
+      }
+    }
+    def strPred(): String = {
+      val c = pick(strCols)
+      val letter = ('A' + r.nextInt(26)).toChar
+      r.nextInt(3) match {
+        case 0 => s"$c LIKE '$letter%'"
+        case 1 => s"upper($c) LIKE '%$letter'"
+        case _ => s"length($c) % ${r.nextInt(5) + 2} = ${r.nextInt(3)}"
+      }
+    }
     // exact date predicates only: literals, equality/range — no
     // arithmetic, no formatting (the known-divergent families)
     def datePred(): String = {
@@ -190,7 +222,7 @@ object FuzzRun {
     def pred(): String = {
       val c = if (longCols.nonEmpty && (intCols.isEmpty || r.nextBoolean()))
         pick(longCols) else s"CAST(${pick(intCols ++ longCols)} AS BIGINT)"
-      r.nextInt(7) match {
+      r.nextInt(8) match {
         case 0 => s"$c % ${r.nextInt(11) + 2} <= ${r.nextInt(5)}"
         case 1 => s"$c % ${r.nextInt(11) + 2} = ${r.nextInt(3)}"
         case 2 => s"$c % 100 BETWEEN ${r.nextInt(30)} AND ${30 + r.nextInt(60)}"
@@ -201,22 +233,25 @@ object FuzzRun {
         case 5 if nullCols.nonEmpty => // the LEFT-join NULL side
           val n = pick(nullCols)
           if (r.nextBoolean()) s"$n IS NULL" else s"$n IS NOT NULL"
+        case 6 if strCols.nonEmpty => strPred()
         case _ if strCols.nonEmpty => s"${pick(strCols)} IS NOT NULL"
         case _ => s"$c % 5 <> ${r.nextInt(5)}"
       }
     }
-    val groupKeys: Seq[String] = (0 until r.nextInt(3)).map { _ =>
+    val genKeys: Seq[String] = (0 until r.nextInt(3)).map { _ =>
       r.nextInt(4) match {
-        case 0 if strCols.nonEmpty => pick(strCols)
+        case 0 if strCols.nonEmpty => strExpr()
         case 1 if dateCols.nonEmpty =>
           // 'YYYY-MM-DD' on both engines; NULL for an unmatched LEFT row
           s"CAST(CAST(${pick(dateCols)} AS DATE) AS STRING)"
         case _ =>
           s"(${pick(longCols ++ intCols.map(c => s"CAST($c AS BIGINT)"))} % ${r.nextInt(9) + 2})"
       }
-    }.distinct
+    }
+    val groupKeys: Seq[String] =
+      (if (mode == "strings") strExpr() +: genKeys else genKeys).distinct
     val aggs: Seq[String] = (0 to r.nextInt(2)).map { _ =>
-      r.nextInt(7) match {
+      r.nextInt(8) match {
         case 0 => "CAST(count(*) AS BIGINT)"
         case 1 => s"CAST(sum(${intExpr(1)}) AS BIGINT)"
         case 2 => s"CAST(min(${intExpr(1)}) AS BIGINT)"
@@ -227,13 +262,19 @@ object FuzzRun {
         case 5 => // nullable-aware count: under a LEFT join this differs
                   // from count(*) by exactly the unmatched rows
           s"CAST(count(${pick(longCols ++ intCols ++ strCols)}) AS BIGINT)"
+        case 6 if strCols.nonEmpty => // binary-collation string extremum
+          s"${if (r.nextBoolean()) "min" else "max"}(${strExpr()})"
         case _ => s"CAST(count(DISTINCT ${pick(longCols ++ strCols)}) AS BIGINT)"
       }
     }.distinct
     val outs = (groupKeys ++ aggs).zipWithIndex
       .map { case (e, i) => s"$e AS c$i" }
     val basePreds = (0 until r.nextInt(3)).map(_ => pred())
-    val preds = if (mode == "dates") datePred() +: basePreds else basePreds
+    val preds = mode match {
+      case "dates" => datePred() +: basePreds
+      case "strings" => strPred() +: basePreds
+      case _ => basePreds
+    }
     val where = preds match {
       case Nil => ""
       case ps => " WHERE " + ps.mkString(if (r.nextBoolean()) " AND " else " OR ")

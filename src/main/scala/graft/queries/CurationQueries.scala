@@ -638,9 +638,55 @@ object CurationQueries {
     FROM b GROUP BY split_before, split_after
     ORDER BY split_before, split_after"""
 
+  /** q203 — the flip audit PRODUCED BY the incremental store (q201's
+    * machinery + q202's report): assignments are snapshotted from the rep
+    * store before and after the delta ingest, so the leakage report is a
+    * byproduct of the refresh a pipeline already runs — no second CC
+    * recompute. The oracle is q202's verbatim (two batch closures): the
+    * claim under gate is that store-snapshot diffing equals the batch
+    * before/after diff, which is q201's equivalence applied at BOTH
+    * store states.
+    *
+    * Scale shape: two corpus-sparse store reads (the before snapshot is
+    * eagerly pinned — the rep store is REWRITTEN under it by the next
+    * ingest's fold), one doc_id-keyed join, 9-row output. */
+  def q203(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("incflip").toString
+    val docs = Tables.documents(spark, d)
+    val v1 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    graft.operators.IncrementalSplit.ingest(spark, root, v1, v1)
+    // eager pin: assignments reads the rep store lazily, and the next
+    // ingest REWRITES that store (KeyedStore fold swap) — an unpinned
+    // frame would read post-refresh labels (or a vanished directory)
+    val before = graft.operators.IncrementalSplit
+      .assignments(spark, root, v1.select(col("doc_id")))
+      .withColumnRenamed("rep", "rep_before")
+      .localCheckpoint(true)
+    graft.operators.IncrementalSplit.ingest(spark, root, docs, delta)
+    val after = graft.operators.IncrementalSplit
+      .assignments(spark, root, docs.select(col("doc_id")))
+      .withColumnRenamed("rep", "rep_after")
+    before.join(after, Seq("doc_id"))
+      .select(col("doc_id"),
+        splitOf(col("rep_before")).as("split_before"),
+        splitOf(col("rep_after")).as("split_after"),
+        (col("rep_before") =!= col("rep_after")).cast(LongType).as("rc"))
+      .groupBy(col("split_before"), col("split_after"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rc")).as("n_rep_changed"),
+        sum(when(col("split_before") =!= col("split_after"), col("doc_id"))
+          .otherwise(lit(0L))).as("flipped_id_sum"))
+      .orderBy(col("split_before"), col("split_after"))
+  }
+
+  /** Same oracle as q202: store-snapshot diff == batch diff is the claim. */
+  lazy val q203Sql: String = q202Sql
+
   val defs: Map[String, Q] = Map(
     "q201_incremental_split" -> (q201 _),
     "q202_split_flip_audit" -> (q202 _),
+    "q203_incremental_flip_audit" -> (q203 _),
     "q200_dedup_budget" -> (q200 _),
     "q199_boilerplate" -> (q199 _),
     "q194_cluster_split" -> (q194 _),
@@ -652,6 +698,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q201_incremental_split" -> q201Sql,
     "q202_split_flip_audit" -> q202Sql,
+    "q203_incremental_flip_audit" -> q203Sql,
     "q200_dedup_budget" -> q200Sql,
     "q199_boilerplate" -> q199Sql,
     "q194_cluster_split" -> q194Sql,
