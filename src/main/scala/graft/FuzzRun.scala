@@ -51,7 +51,15 @@ object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
                                  ints: Seq[String], strings: Seq[String],
-                                 dates: Seq[String] = Nil)
+                                 dates: Seq[String] = Nil) {
+    /** Every column the grammar can reference, as an ORDER BY list: rows
+      * tied on ALL of these are indistinguishable to any generated
+      * expression, so window outputs are permutation-invariant even
+      * though the synthetic tables have no unique key (sf0.001 lineitem
+      * carries up to 5 rows per (orderkey, linenumber)). */
+    def totalOrder: Seq[String] =
+      longs ++ ints.map(c => s"CAST($c AS BIGINT)") ++ strings ++ dates
+  }
 
   private val tables = Seq(
     Table("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
@@ -289,6 +297,45 @@ object FuzzRun {
     val orderBy = " ORDER BY " + outs.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
     val limit = if (r.nextInt(3) == 0) s" LIMIT ${r.nextInt(500) + 1}" else ""
     val from = s"${base.name}${join.map(_._2).getOrElse("")}"
+    if (mode == "windows") {
+      // per-row window shape. The synthetic tables have NO unique key
+      // (sf0.001 lineitem: up to 5 rows per (orderkey, linenumber)), so
+      // the window orders by EVERY referenceable base column — rows
+      // still tied are indistinguishable to any generated expression
+      // (joined columns ride N:1 / <=1-match hops off base columns), so
+      // every window output is permutation-invariant: running sums walk
+      // identical values, row_number hands tied twins interchangeable
+      // ranks, and the final total ORDER BY over all outputs makes the
+      // forced LIMIT (the compare should see a bounded slice, not the
+      // corpus) cut the same multiset.
+      val allInts = longCols ++ intCols.map(c => s"CAST($c AS BIGINT)")
+      val partKey =
+        if (strCols.nonEmpty && r.nextBoolean()) strExpr()
+        else s"(${pick(allInts)} % ${r.nextInt(7) + 2})"
+      val part = if (r.nextInt(3) > 0) s"PARTITION BY $partKey " else ""
+      val ord = base.totalOrder.mkString(", ")
+      val framed = s"OVER (${part}ORDER BY $ord " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      val plain = s"OVER (${part}ORDER BY $ord)"
+      val wexprs = (0 to r.nextInt(2)).map { _ =>
+        r.nextInt(6) match {
+          case 0 => s"CAST(row_number() $plain AS BIGINT)"
+          case 1 => s"CAST(sum(${intExpr(1)}) $framed AS BIGINT)"
+          case 2 => s"CAST(min(${intExpr(1)}) $framed AS BIGINT)"
+          case 3 => s"CAST(max(${intExpr(1)}) $framed AS BIGINT)"
+          case 4 => s"CAST(count(*) $framed AS BIGINT)"
+          case _ => s"CAST(lag(${pick(allInts)}, 1) $plain AS BIGINT)"
+        }
+      }.distinct
+      // project only the integer identity columns (dates stay out of
+      // output schemas; strings/dates still order the window)
+      val idCols = base.longs ++ base.ints.map(c => s"CAST($c AS BIGINT)")
+      val wouts = (idCols ++ wexprs).zipWithIndex
+        .map { case (e, i) => s"$e AS c$i" }
+      val wob = wouts.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
+      return s"SELECT ${wouts.mkString(", ")} FROM $from$where" +
+        s" ORDER BY $wob LIMIT ${r.nextInt(300) + 1}"
+    }
     r.nextInt(8) match {
       case 0 if groupKeys.nonEmpty =>
         // DISTINCT projection (no aggregates)
