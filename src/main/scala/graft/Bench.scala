@@ -106,6 +106,11 @@ object Bench {
       "the 10% delta refresh; the recurring per-snapshot cost is refresh " +
       "alone — see BENCH_sf1_inc_split.json (500-doc delta refresh is " +
       "8.7 s under a 100x corpus whose batch recompute is 21.6 s)\"," +
+      "\"q203_incremental_flip_audit\":" +
+      "\"same lifecycle shape as q201 (two ingest rounds inside the " +
+      "timer); the flip report itself is two store reads + one keyed " +
+      "join — see BENCH_sf1_inc_split.json for the recurring-cost " +
+      "split\"," +
       "\"q191_entity_clusters\":" +
       "\"wall is ~9 fixed-size Spark jobs (FastSS signature build + " +
       "star-contraction rounds over a 64-name dictionary graph), not data " +

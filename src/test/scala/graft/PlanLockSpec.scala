@@ -113,6 +113,8 @@ class PlanLockSpec extends SparkSpec {
     "q201_incremental_split",
     "q202_split_flip_audit", // two CC label joins + 9-row rollup; a lost
                              // coalesce here would misreport flips as NULLs
+    "q203_incremental_flip_audit", // q201's lifecycle + q202's report from
+                             // store snapshots (before leg pinned eagerly)
     "q134_cdc_chunk_dedup",  // 136-board top-10 entrants: CDC chunk
     "q136_waiting_supplier", // shuffle shape; Q21 decorrelated join-back
     "q123_histogram_quantiles", // 137-board top-10 (sketch bin pipeline)
