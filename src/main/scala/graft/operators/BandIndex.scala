@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Band-PARTITIONED LSH index: the storage layout that turns the
+  * signature store's one corpus-wide narrow scan (the only corpus-sized
+  * component left in an incremental dedup/split refresh — see
+  * [[IncrementalSplit]]) into a partition-pruned read for SMALL probes.
+  *
+  * The batch/incremental paths band both join legs and shuffle on the
+  * band key — right for delta-sized probes (a 10% delta's bands touch
+  * every bucket anyway). The path this index serves is the ONLINE one: a
+  * handful of incoming documents (an ingest admission check, a
+  * user-facing "is this a near-dup" endpoint) probing a huge stored
+  * corpus. Bands are written `partitionBy(bucket)` with
+  * bucket = xxhash64(band) % [[Buckets]]; a probe computes its own bands'
+  * buckets (driver-sized: probe docs x [[Hashing.LshBands]] values,
+  * bounded by [[Buckets]]), and the partition filter prunes the scan to
+  * matching directories — a single-doc probe reads at most
+  * LshBands/Buckets of the index regardless of corpus size. Candidates
+  * then verify exactly as everywhere else
+  * ([[IncrementalDedup.verifyPairs]]).
+  *
+  * Same banding as the batch path (`Hashing` is the single source of
+  * truth), so probe candidates EQUAL the batch LSH candidates touching
+  * the probe docs — [[BandIndexSpec]] gates that equivalence and the
+  * pruning itself (records read, via QueryMetrics).
+  */
+object BandIndex {
+
+  /** Partition count: at LshBands = 4, a one-doc probe reads <= 4/64 of
+    * the index; raise for larger stores (directories are cheap). */
+  val Buckets = 64
+
+  private def bucketOf(band: org.apache.spark.sql.Column) =
+    pmod(xxhash64(band), lit(Buckets.toLong)).cast("int")
+
+  private def banded(sigs: DataFrame): DataFrame = sigs.select(
+    col("doc_id"),
+    explode(Hashing.lshBandKeys(col("sig"),
+      Hashing.LshBands, Hashing.LshRowsPerBand)).as("band"))
+
+  /** Build (or rebuild) the index from a signature table
+    * ([[IncrementalDedup.signatures]]'s (doc_id, sig) schema). */
+  def build(spark: SparkSession, dir: String, sigs: DataFrame): Unit =
+    banded(sigs).withColumn("bucket", bucketOf(col("band")))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Append a delta's bands (the incremental-store discipline: new docs'
+    * signatures fold in, their bands append here; dynamic partition
+    * overwrite is NOT used, so replays may duplicate band rows — probe
+    * results are a DISTINCT pair set, unaffected). */
+  def append(spark: SparkSession, dir: String, deltaSigs: DataFrame): Unit =
+    banded(deltaSigs).withColumn("bucket", bucketOf(col("band")))
+      .write.partitionBy("bucket").mode(SaveMode.Append).parquet(dir)
+
+  /** LSH candidates for a SMALL probe set: (q_id, cand_id) pairs of probe
+    * doc x indexed doc sharing a band. Reads only the probe bands'
+    * bucket partitions. Self-matches are dropped; verification is the
+    * caller's next step (exact Jaccard over fetched shingles). */
+  def probe(spark: SparkSession, dir: String, probeSigs: DataFrame): DataFrame = {
+    val qBands = banded(probeSigs)
+      .select(col("doc_id").as("q_id"), col("band"),
+        bucketOf(col("band")).as("bucket"))
+      .localCheckpoint(true) // tiny; and the bucket list below re-reads it
+    // driver-sized by construction: <= min(probeDocs x LshBands, Buckets)
+    val buckets = qBands.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(dir)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    qBands.join(idx, Seq("bucket", "band"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id").as("cand_id"))
+      .distinct()
+  }
+}
