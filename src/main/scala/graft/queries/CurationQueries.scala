@@ -683,7 +683,36 @@ object CurationQueries {
   /** Same oracle as q202: store-snapshot diff == batch diff is the claim. */
   lazy val q203Sql: String = q202Sql
 
+  /** q204 — ONLINE near-dup probe through the band-partitioned index
+    * ([[graft.operators.BandIndex]]): every ~97th doc plays an incoming
+    * document probing the index built from the rest — the ingest
+    * admission check. Candidates must equal the batch LSH pair set
+    * restricted to exactly-one-endpoint-probe pairs (banding is per-doc,
+    * so the restriction IS the definition); the oracle applies that
+    * restriction to q22's pair CTE. The partition-pruned read (a probe
+    * touches <= LshBands/Buckets of the index regardless of corpus
+    * size) is gated separately by records-read in `BandIndexSpec` and
+    * measured in `BENCH_sf1_probe*.json`. */
+  def q204(spark: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("bandprobe").toString + "/idx"
+    val sigs = DedupQueries.minhashDf(spark, d)
+    graft.operators.BandIndex.build(spark, dir,
+      sigs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L))
+    graft.operators.BandIndex.probe(spark, dir,
+        sigs.filter(pmod(col("doc_id"), lit(97L)) === 0L))
+      .orderBy(col("q_id"), col("cand_id"))
+  }
+
+  val q204Sql: String = s"""
+    WITH pairs AS (${DedupQueries.q22Sql.replace("ORDER BY doc_a, doc_b", "")})
+    SELECT CASE WHEN doc_a % 97 = 0 THEN doc_a ELSE doc_b END AS q_id,
+           CASE WHEN doc_a % 97 = 0 THEN doc_b ELSE doc_a END AS cand_id
+    FROM pairs
+    WHERE (doc_a % 97 = 0) <> (doc_b % 97 = 0)
+    ORDER BY q_id, cand_id"""
+
   val defs: Map[String, Q] = Map(
+    "q204_band_index_probe" -> (q204 _),
     "q201_incremental_split" -> (q201 _),
     "q202_split_flip_audit" -> (q202 _),
     "q203_incremental_flip_audit" -> (q203 _),
@@ -696,6 +725,7 @@ object CurationQueries {
     "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
+    "q204_band_index_probe" -> q204Sql,
     "q201_incremental_split" -> q201Sql,
     "q202_split_flip_audit" -> q202Sql,
     "q203_incremental_flip_audit" -> q203Sql,
