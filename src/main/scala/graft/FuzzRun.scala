@@ -46,7 +46,9 @@ import java.nio.file.{Files, Paths}
   * `outer` (every query takes its FK hops as thinned LEFT joins),
   * `dates` (every query starts from a dated table and carries at least
   * one exact-date predicate), `strings` (every query groups by a string
-  * expression and carries a LIKE/length predicate), default `mixed`. */
+  * expression and carries a LIKE/length predicate), `windows` (per-row
+  * window-function shape), `semis` (every query carries an IN /
+  * correlated-EXISTS / NOT EXISTS predicate), default `mixed`. */
 object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
@@ -214,6 +216,29 @@ object FuzzRun {
         case _ => s"length($c) % ${r.nextInt(5) + 2} = ${r.nextInt(3)}"
       }
     }
+    // semi/anti-join predicates: uncorrelated IN and correlated
+    // (NOT) EXISTS along an FK edge — integer-exact, NULL-free on the
+    // subquery side (base columns are non-null), so the ANSI three-valued
+    // pitfalls stay out of the generated set
+    def semiPred(): String =
+      joins.find(_._1 == base.name) match {
+        case Some((_, rt, cond, rk)) =>
+          val lk = cond.split(" = ")(0)
+          r.nextInt(3) match {
+            case 0 =>
+              s"$lk IN (SELECT $rk FROM $rt WHERE $rk % ${r.nextInt(7) + 2} = ${r.nextInt(2)})"
+            case 1 =>
+              s"EXISTS (SELECT 1 FROM $rt WHERE $rk = $lk AND $rk % ${r.nextInt(5) + 2} = ${r.nextInt(2)})"
+            case _ =>
+              s"NOT EXISTS (SELECT 1 FROM $rt WHERE $rk = $lk AND $rk % ${r.nextInt(5) + 2} = ${r.nextInt(2)})"
+          }
+        case None => // no FK edge from the base: uncorrelated IN over a
+                     // modular image both sides compute exactly
+          val c = pick(longCols ++ intCols.map(x => s"CAST($x AS BIGINT)"))
+          val t2 = pick(tables)
+          val c2 = pick(t2.longs ++ t2.ints.map(x => s"CAST($x AS BIGINT)"))
+          s"$c % 10 IN (SELECT $c2 % 10 FROM ${t2.name} WHERE $c2 % 3 = ${r.nextInt(3)})"
+      }
     // exact date predicates only: literals, equality/range — no
     // arithmetic, no formatting (the known-divergent families)
     def datePred(): String = {
@@ -242,6 +267,7 @@ object FuzzRun {
           val n = pick(nullCols)
           if (r.nextBoolean()) s"$n IS NULL" else s"$n IS NOT NULL"
         case 6 if strCols.nonEmpty => strPred()
+        case 7 if r.nextBoolean() => semiPred()
         case _ if strCols.nonEmpty => s"${pick(strCols)} IS NOT NULL"
         case _ => s"$c % 5 <> ${r.nextInt(5)}"
       }
@@ -281,6 +307,7 @@ object FuzzRun {
     val preds = mode match {
       case "dates" => datePred() +: basePreds
       case "strings" => strPred() +: basePreds
+      case "semis" => semiPred() +: basePreds
       case _ => basePreds
     }
     val where = preds match {
