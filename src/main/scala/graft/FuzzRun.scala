@@ -48,7 +48,8 @@ import java.nio.file.{Files, Paths}
   * one exact-date predicate), `strings` (every query groups by a string
   * expression and carries a LIKE/length predicate), `windows` (per-row
   * window-function shape), `semis` (every query carries an IN /
-  * correlated-EXISTS / NOT EXISTS predicate), default `mixed`. */
+  * correlated-EXISTS / NOT EXISTS predicate), `rollups` (ROLLUP/CUBE
+  * super-aggregates with grouping() flags), default `mixed`. */
 object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
@@ -362,6 +363,28 @@ object FuzzRun {
       val wob = wouts.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
       return s"SELECT ${wouts.mkString(", ")} FROM $from$where" +
         s" ORDER BY $wob LIMIT ${r.nextInt(300) + 1}"
+    }
+    if (mode == "rollups") {
+      // super-aggregate shape: ROLLUP/CUBE introduce NULL key rows whose
+      // semantics are ANSI-identical; grouping() flags ride along so a
+      // data NULL (outer-mode keys) and a rollup NULL stay distinguished
+      // in the compared output
+      val keys =
+        if (groupKeys.nonEmpty) groupKeys.take(2)
+        else Seq(s"(${pick(longCols ++ intCols.map(c => s"CAST($c AS BIGINT)"))} % ${r.nextInt(7) + 2})")
+      val op = if (r.nextBoolean()) "ROLLUP" else "CUBE"
+      val flags = keys.map(k => s"CAST(grouping($k) AS BIGINT)")
+      val rolled = (keys ++ flags ++ aggs).zipWithIndex
+        .map { case (e, i) => s"$e AS c$i" }
+      val rob = rolled.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
+      // engine divergence found by this axis's first smoke run: over an
+      // EMPTY input, DuckDB emits the grand-total grouping-set row
+      // (count 0) and Spark emits no rows. HAVING count(*) > 0 strips
+      // exactly that phantom (every real group has count >= 1) and
+      // nothing else — the documented envelope normalization.
+      return s"SELECT ${rolled.mkString(", ")} FROM $from$where" +
+        s" GROUP BY $op(${keys.mkString(", ")})" +
+        s" HAVING CAST(count(*) AS BIGINT) > 0 ORDER BY $rob$limit"
     }
     r.nextInt(8) match {
       case 0 if groupKeys.nonEmpty =>
