@@ -111,6 +111,10 @@ object Bench {
       "timer); the flip report itself is two store reads + one keyed " +
       "join — see BENCH_sf1_inc_split.json for the recurring-cost " +
       "split\"," +
+      "\"q204_band_index_probe\":" +
+      "\"wall is index BUILD (the sunk cost) + probe; the recurring " +
+      "online probe alone is ~0.5 s flat across a 100x store at " +
+      "probe_frac exactly 4/64 — see BENCH_sf1_probe.json\"," +
       "\"q191_entity_clusters\":" +
       "\"wall is ~9 fixed-size Spark jobs (FastSS signature build + " +
       "star-contraction rounds over a 64-name dictionary graph), not data " +

@@ -115,6 +115,9 @@ class PlanLockSpec extends SparkSpec {
                              // coalesce here would misreport flips as NULLs
     "q203_incremental_flip_audit", // q201's lifecycle + q202's report from
                              // store snapshots (before leg pinned eagerly)
+    "q204_band_index_probe", // golden pins the partition-filtered index
+                             // scan + band join (a lost bucket filter
+                             // would quietly read the whole index)
     "q134_cdc_chunk_dedup",  // 136-board top-10 entrants: CDC chunk
     "q136_waiting_supplier", // shuffle shape; Q21 decorrelated join-back
     "q123_histogram_quantiles", // 137-board top-10 (sketch bin pipeline)
