@@ -47,6 +47,7 @@ object IncrementalSplit {
   private def sigDir(root: String) = s"$root/sigs"
   private def pairsDir(root: String) = s"$root/pairs"
   private def repDir(root: String) = s"$root/reps"
+  private def bandDir(root: String) = s"$root/bandidx"
 
   private val pairsSchema = StructType(Seq(
     StructField("doc_a", LongType), StructField("doc_b", LongType),
@@ -86,8 +87,23 @@ object IncrementalSplit {
     * doc the store has signatures for, plus the delta (shingle sets are
     * fetched on demand for candidate endpoints only — see
     * [[IncrementalDedup.verifyPairs]]). */
+  /** Online admission check against this root's stores: LSH candidates
+    * of `probeDocs` (a handful of incoming documents) via the
+    * band-partitioned index the ingests maintain (`maintainIndex` must
+    * have been true). Reads <= LshBands/Buckets of the index — see
+    * [[BandIndex.probe]]. For docs whose content was re-ingested, the
+    * superseded signature's bands remain in the index as extra
+    * CANDIDATES only — verification (the caller's next step, exact
+    * Jaccard over current text) stays exact; rebuild with
+    * [[BandIndex.build]] over the signature store when the stale-band
+    * fraction grows. */
+  def probe(spark: SparkSession, root: String, probeDocs: DataFrame): DataFrame =
+    BandIndex.probe(spark, bandDir(root),
+      IncrementalDedup.signatures(probeDocs))
+
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
-             delta: DataFrame, threshold: Double = 0.5): DataFrame = {
+             delta: DataFrame, threshold: Double = 0.5,
+             maintainIndex: Boolean = false): DataFrame = {
     val deltaSigs = IncrementalDedup.signatures(delta).cache()
     val storeSigs =
       if (exists(spark, sigDir(root))) {
@@ -134,6 +150,7 @@ object IncrementalSplit {
     if (exists(spark, sigDir(root)))
       KeyedStore.fold(spark, sigDir(root), deltaSigs, "doc_id")
     else deltaSigs.write.parquet(sigDir(root))
+    if (maintainIndex) BandIndex.append(spark, bandDir(root), deltaSigs)
     deltaSigs.unpersist()
     newPairs
   }

@@ -96,6 +96,21 @@ class IncrementalSplitSpec extends SparkSpec {
     assert(before == batchReps(docs(r1 ++ r2)))
   }
 
+  test("maintained band index answers the online probe across ingest rounds") {
+    val root = java.nio.file.Files.createTempDirectory("incsplit5").toString
+    val r1 = Seq(80L, 81L, 95L)
+    val r2 = Seq(82L)
+    IncrementalSplit.ingest(spark, root, docs(r1), docs(r1), maintainIndex = true)
+    IncrementalSplit.ingest(spark, root, docs(r1 ++ r2), docs(r2), maintainIndex = true)
+    // an UNSEEN near-dup of group 8 probes the live store: finds the
+    // round-1 members AND the round-2 appendee, never itself
+    val probe = docs(Seq(80L)).select(
+      (col("doc_id") + 900000L).as("doc_id"), col("text"))
+    val hits = IncrementalSplit.probe(spark, root, probe)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(hits == Set(80L, 81L, 82L), s"$hits")
+  }
+
   test("a merge joining two STORED clusters relabels both sides' rows") {
     val root = java.nio.file.Files.createTempDirectory("incsplit4").toString
     // group 9: members 90,91,92. Store {91} and {92} as singletons via
