@@ -325,7 +325,9 @@ object FuzzRun {
     val orderBy = " ORDER BY " + outs.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
     val limit = if (r.nextInt(3) == 0) s" LIMIT ${r.nextInt(500) + 1}" else ""
     val from = s"${base.name}${join.map(_._2).getOrElse("")}"
-    if (mode == "windows") {
+    // mixed mode composes every shape: windows/rollups fire at ~10% so a
+    // rollup-over-outer-join or window-over-date-filter gets generated
+    if (mode == "windows" || (mode == "mixed" && r.nextInt(10) == 0)) {
       // per-row window shape. The synthetic tables have NO unique key
       // (sf0.001 lineitem: up to 5 rows per (orderkey, linenumber)), so
       // the window orders by EVERY referenceable base column — rows
@@ -364,7 +366,7 @@ object FuzzRun {
       return s"SELECT ${wouts.mkString(", ")} FROM $from$where" +
         s" ORDER BY $wob LIMIT ${r.nextInt(300) + 1}"
     }
-    if (mode == "rollups") {
+    if (mode == "rollups" || (mode == "mixed" && r.nextInt(10) == 0)) {
       // super-aggregate shape: ROLLUP/CUBE introduce NULL key rows whose
       // semantics are ANSI-identical; grouping() flags ride along so a
       // data NULL (outer-mode keys) and a rollup NULL stay distinguished
