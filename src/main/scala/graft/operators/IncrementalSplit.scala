@@ -103,7 +103,21 @@ object IncrementalSplit {
 
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
              delta: DataFrame, threshold: Double = 0.5,
-             maintainIndex: Boolean = false): DataFrame = {
+             maintainIndex: Boolean = false): DataFrame =
+    // whole-round writer lock: pairs are discovered against ONE store
+    // state and folded back into the same one — two interleaved rounds
+    // would band against signatures mid-fold and fold reps computed from
+    // different snapshots (KeyedStore's single-writer discipline is the
+    // caller's job; this is the caller). Serialized rounds stay exactly
+    // batch-equivalent in ANY order: a pair between two concurrent
+    // deltas is discovered in whichever round runs second.
+    TableLock.withLock(root) {
+      ingestLocked(spark, root, corpus, delta, threshold, maintainIndex)
+    }
+
+  private def ingestLocked(spark: SparkSession, root: String, corpus: DataFrame,
+                           delta: DataFrame, threshold: Double,
+                           maintainIndex: Boolean): DataFrame = {
     val deltaSigs = IncrementalDedup.signatures(delta).cache()
     val storeSigs =
       if (exists(spark, sigDir(root))) {

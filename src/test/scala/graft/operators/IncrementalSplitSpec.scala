@@ -96,6 +96,29 @@ class IncrementalSplitSpec extends SparkSpec {
     assert(before == batchReps(docs(r1 ++ r2)))
   }
 
+  test("concurrent ingests serialize on the writer lock and stay batch-equal") {
+    val root = java.nio.file.Files.createTempDirectory("incsplit6").toString
+    // four deltas whose dup groups SPAN deltas (group 12: one member per
+    // delta; group 13: two in one) — any interleaving that broke the
+    // one-store-state-per-round discipline would split or mislabel them
+    val deltas = Seq(
+      Seq(120L, 130L, 55L), Seq(121L, 131L), Seq(122L, 77L), Seq(132L))
+    val all = deltas.flatten
+    val corpus = docs(all)
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val fs = deltas.map(d => pool.submit(new Runnable {
+        def run(): Unit =
+          IncrementalSplit.ingest(spark, root, corpus, docs(d))
+      }))
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+    val inc = storeReps(root, corpus)
+    assert(inc == batchReps(corpus), s"concurrent ingests diverged: $inc")
+    assert(inc(122L) == 120L && inc(131L) == 130L && inc(132L) == 130L)
+  }
+
   test("maintained band index answers the online probe across ingest rounds") {
     val root = java.nio.file.Files.createTempDirectory("incsplit5").toString
     val r1 = Seq(80L, 81L, 95L)
