@@ -49,12 +49,15 @@ import java.nio.file.{Files, Paths}
   * expression and carries a LIKE/length predicate), `windows` (per-row
   * window-function shape), `semis` (every query carries an IN /
   * correlated-EXISTS / NOT EXISTS predicate), `rollups` (ROLLUP/CUBE
-  * super-aggregates with grouping() flags), default `mixed`. */
+  * super-aggregates with grouping() flags), `money` (every query
+  * carries an exact-cents-quantized predicate over the double money
+  * columns), default `mixed`. */
 object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
                                  ints: Seq[String], strings: Seq[String],
-                                 dates: Seq[String] = Nil) {
+                                 dates: Seq[String] = Nil,
+                                 moneys: Seq[String] = Nil) {
     /** Every column the grammar can reference, as an ORDER BY list: rows
       * tied on ALL of these are indistinguishable to any generated
       * expression, so window outputs are permutation-invariant even
@@ -67,10 +70,13 @@ object FuzzRun {
   private val tables = Seq(
     Table("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
       Seq("l_linenumber"), Seq("l_returnflag", "l_linestatus"),
-      dates = Seq("l_shipdate")),
+      dates = Seq("l_shipdate"),
+      moneys = Seq("l_extendedprice", "l_discount", "l_tax", "l_quantity")),
     Table("orders", Seq("o_orderkey", "o_custkey"), Nil,
-      Seq("o_orderstatus", "o_orderpriority"), dates = Seq("o_orderdate")),
-    Table("customer", Seq("c_custkey"), Seq("c_nationkey"), Seq("c_mktsegment")),
+      Seq("o_orderstatus", "o_orderpriority"), dates = Seq("o_orderdate"),
+      moneys = Seq("o_totalprice")),
+    Table("customer", Seq("c_custkey"), Seq("c_nationkey"), Seq("c_mktsegment"),
+      moneys = Seq("c_acctbal")),
     Table("nation", Nil, Seq("n_nationkey", "n_regionkey"), Seq("n_name")),
     Table("documents", Seq("doc_id", "n_chars"), Nil, Seq("lang", "source")))
 
@@ -130,6 +136,7 @@ object FuzzRun {
     val base = mode match {
       case "outer" => pick(tables.filter(t => joins.exists(_._1 == t.name)))
       case "dates" => pick(tables.filter(_.dates.nonEmpty))
+      case "money" => pick(tables.filter(_.moneys.nonEmpty))
       case _ => pick(tables)
     }
     // one FK hop: INNER as-is, or LEFT with the right side THINNED on its
@@ -166,7 +173,15 @@ object FuzzRun {
     def intCols = inScope.flatMap(_.ints)
     def strCols = inScope.flatMap(_.strings)
     def dateCols = inScope.flatMap(_.dates)
+    def moneyCols = inScope.flatMap(_.moneys)
     def nullCols = (longCols ++ intCols).filter(nullable)
+    // exact-cents quantization: the 2-decimal money doubles become exact
+    // BIGINT cents — both engines compute the identical IEEE product and
+    // round the identical double (representation error is ~1e-13, so the
+    // half-way tie the engines could disagree on cannot arise), and the
+    // integral result casts exactly. This is the one float surface in
+    // the grammar; raw double arithmetic stays excluded.
+    def moneyExpr(): String = s"CAST(round(${pick(moneyCols)} * 100) AS BIGINT)"
     // exact-value date literal inside the synthetic data's 1995..2001
     // range; fixed-width 'YYYY-MM-DD' so literal-string order equals
     // chronological order (used to orient BETWEEN bounds)
@@ -181,7 +196,9 @@ object FuzzRun {
     }
     def intExpr(depth: Int): String = {
       val leafs = longCols.map(intLeaf(_, cast = false)) ++
-        intCols.map(intLeaf(_, cast = true)) :+ (r.nextInt(90) + 1).toString
+        intCols.map(intLeaf(_, cast = true)) ++
+        moneyCols.headOption.map(_ => moneyExpr()) :+
+        (r.nextInt(90) + 1).toString
       if (depth == 0 || r.nextInt(3) == 0) pick(leafs)
       else r.nextInt(4) match {
         case 0 => s"(${intExpr(depth - 1)} + ${intExpr(depth - 1)})"
@@ -268,17 +285,24 @@ object FuzzRun {
           val n = pick(nullCols)
           if (r.nextBoolean()) s"$n IS NULL" else s"$n IS NOT NULL"
         case 6 if strCols.nonEmpty => strPred()
+        case 7 if moneyCols.nonEmpty && r.nextBoolean() =>
+          s"${moneyExpr()} % ${r.nextInt(97) + 3} <= ${r.nextInt(30)}"
         case 7 if r.nextBoolean() => semiPred()
         case _ if strCols.nonEmpty => s"${pick(strCols)} IS NOT NULL"
         case _ => s"$c % 5 <> ${r.nextInt(5)}"
       }
     }
     val genKeys: Seq[String] = (0 until r.nextInt(3)).map { _ =>
-      r.nextInt(4) match {
+      r.nextInt(6) match {
         case 0 if strCols.nonEmpty => strExpr()
         case 1 if dateCols.nonEmpty =>
           // 'YYYY-MM-DD' on both engines; NULL for an unmatched LEFT row
           s"CAST(CAST(${pick(dateCols)} AS DATE) AS STRING)"
+        case 2 if dateCols.nonEmpty => // calendar bucketing: exact ints
+          val f = if (r.nextBoolean()) "year" else "month"
+          s"CAST($f(CAST(${pick(dateCols)} AS DATE)) AS BIGINT)"
+        case 3 if moneyCols.nonEmpty =>
+          s"(${moneyExpr()} % ${r.nextInt(9) + 2})"
         case _ =>
           s"(${pick(longCols ++ intCols.map(c => s"CAST($c AS BIGINT)"))} % ${r.nextInt(9) + 2})"
       }
@@ -309,6 +333,8 @@ object FuzzRun {
       case "dates" => datePred() +: basePreds
       case "strings" => strPred() +: basePreds
       case "semis" => semiPred() +: basePreds
+      case "money" =>
+        s"${moneyExpr()} % ${r.nextInt(97) + 3} <= ${r.nextInt(30)}" +: basePreds
       case _ => basePreds
     }
     val where = preds match {
