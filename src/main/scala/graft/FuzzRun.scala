@@ -344,8 +344,13 @@ object FuzzRun {
     val groupBy = if (groupKeys.nonEmpty)
       " GROUP BY " + groupKeys.indices.map(i => (i + 1).toString).mkString(", ")
     else ""
-    val having = if (groupKeys.nonEmpty && r.nextInt(3) == 0)
-      s" HAVING CAST(count(*) AS BIGINT) > ${r.nextInt(4)}" else ""
+    val having = if (groupKeys.nonEmpty && r.nextInt(3) == 0) {
+      if (r.nextBoolean())
+        s" HAVING CAST(count(*) AS BIGINT) > ${r.nextInt(4)}"
+      else // aggregate-expression HAVING: sum/min over the same leaf pool
+        s" HAVING CAST(${if (r.nextBoolean()) "sum" else "min"}(${intExpr(1)}) AS BIGINT)" +
+          s" % ${r.nextInt(7) + 2} <= ${r.nextInt(5)}"
+    } else ""
     // explicit NULLS FIRST: Spark defaults NULLS FIRST, DuckDB NULLS LAST
     // — under LIMIT the defaults would cut different multisets
     val orderBy = " ORDER BY " + outs.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
@@ -400,7 +405,13 @@ object FuzzRun {
       val keys =
         if (groupKeys.nonEmpty) groupKeys.take(2)
         else Seq(s"(${pick(longCols ++ intCols.map(c => s"CAST($c AS BIGINT)"))} % ${r.nextInt(7) + 2})")
-      val op = if (r.nextBoolean()) "ROLLUP" else "CUBE"
+      val op = r.nextInt(3) match {
+        case 0 => s"ROLLUP(${keys.mkString(", ")})"
+        case 1 => s"CUBE(${keys.mkString(", ")})"
+        case _ => // explicit sets: per-key slices + the grand total
+          val sets = keys.map(k => s"($k)") :+ "()"
+          s"GROUPING SETS (${sets.mkString(", ")})"
+      }
       val flags = keys.map(k => s"CAST(grouping($k) AS BIGINT)")
       val rolled = (keys ++ flags ++ aggs).zipWithIndex
         .map { case (e, i) => s"$e AS c$i" }
@@ -411,7 +422,7 @@ object FuzzRun {
       // exactly that phantom (every real group has count >= 1) and
       // nothing else — the documented envelope normalization.
       return s"SELECT ${rolled.mkString(", ")} FROM $from$where" +
-        s" GROUP BY $op(${keys.mkString(", ")})" +
+        s" GROUP BY $op" +
         s" HAVING CAST(count(*) AS BIGINT) > 0 ORDER BY $rob$limit"
     }
     r.nextInt(8) match {
