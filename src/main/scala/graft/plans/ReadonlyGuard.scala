@@ -55,6 +55,13 @@ object ReadonlyGuard {
     cappedCollect(spark, spark.sql(sql), maxRows)(collect => collect())._1
   }
 
+  /** Cap an already-validated frame to the row budget — the serving leg
+    * of cached runs ([[SavedQueries.runCached]]), where the frame is a
+    * parquet read of a previously-guarded query's result. */
+  def cap(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+          maxRows: Int = DefaultMaxRows): QueryResult =
+    cappedCollect(spark, df, maxRows)(collect => collect())._1
+
   // (row count is threaded out of cappedCollect so the metered path does
   // not pay an extra Spark job to re-count rows it already holds)
 

@@ -39,6 +39,24 @@ final class SavedQueries(spark: SparkSession) {
     ReadonlyGuard.run(spark, q.sql, maxRows)
   }
 
+  /** Run a saved query through the RESULT cache: repeated dashboard reads
+    * of an unchanged query over unchanged data serve the materialized
+    * parquet result (version-aware key — any input-data change moves it,
+    * see [[ResultCache]]) instead of re-running the plan. The read-only
+    * guard's validation and row cap still apply on every call. Queries
+    * the cache must REFUSE (a non-file-backed leaf, e.g. a temp view
+    * over in-memory data, whose bytes the key cannot see) fall back to
+    * the direct guarded run: caching is an optimization, never a gate. */
+  def runCached(id: String, cache: ResultCache,
+                maxRows: Int = ReadonlyGuard.DefaultMaxRows): ReadonlyGuard.QueryResult = {
+    val q = store.getOrElse(id, throw new NoSuchElementException(s"no saved query $id"))
+    ReadonlyGuard.validate(spark, q.sql)
+    val df = spark.sql(q.sql)
+    val served = try cache.run(df)
+      catch { case _: IllegalArgumentException => df }
+    ReadonlyGuard.cap(spark, served, maxRows)
+  }
+
   /** The public-token run path: only queries explicitly marked public are
     * runnable without org auth; everything else is invisible (NoSuchElement,
     * not a permission error — ids are opaque). */

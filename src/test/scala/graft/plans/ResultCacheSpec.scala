@@ -165,6 +165,44 @@ class ResultCacheSpec extends SparkSpec {
     assert(left.map(bytes).sum <= tinies.sum)
   }
 
+  test("saved-query dashboard runs serve from the cache, capped and guarded") {
+    val root = Files.createTempDirectory("rescache10").toString
+    val src = s"$root/t"
+    freshTable(src, (1L to 50L).map(i => (i, s"v${i % 3}")))
+    val s = spark.newSession() // temp views are session-global
+    s.read.parquet(src).createOrReplaceTempView("rc_t")
+    val saved = new SavedQueries(s)
+    val cache = new ResultCache(s, s"$root/cache")
+    saved.save("dash", "SELECT v, CAST(count(*) AS BIGINT) AS n FROM rc_t GROUP BY v")
+    val r1 = saved.runCached("dash", cache)
+    assert(cache.misses.get() == 1 && cache.hits.get() == 0)
+    val r2 = saved.runCached("dash", cache)
+    assert(cache.hits.get() == 1, "second dashboard read must be a cache hit")
+    assert(r1.df.collect().map(_.mkString("|")).sorted.toSeq ==
+      r2.df.collect().map(_.mkString("|")).sorted.toSeq)
+    // the row cap still applies to served results
+    val capped = saved.runCached("dash", cache, maxRows = 2)
+    assert(capped.maxRowsReached && capped.df.count() == 2)
+    // a data change moves the key: no stale serve. The temp view must be
+    // re-registered from a fresh read — a DATASET-backed temp view pins
+    // the file listing it was created with, so the overwrite's new files
+    // are invisible (and the old ones gone) through the stale view.
+    freshTable(src, (1L to 50L).map(i => (i, "w")))
+    s.read.parquet(src).createOrReplaceTempView("rc_t")
+    val r3 = saved.runCached("dash", cache)
+    assert(cache.misses.get() == 2)
+    assert(r3.df.collect().map(_.mkString("|")).toSeq == Seq("w|50"))
+    // a non-file-backed query falls back to the direct guarded run:
+    // caching is an optimization, never a gate
+    s.createDataFrame(Seq((1L, "x"))).toDF("id", "v")
+      .createOrReplaceTempView("rc_local")
+    saved.save("loc", "SELECT v FROM rc_local")
+    val misses = cache.misses.get()
+    val r4 = saved.runCached("loc", cache)
+    assert(r4.df.collect().map(_.getString(0)).toSeq == Seq("x"))
+    assert(cache.misses.get() == misses, "refused plans must not touch the cache")
+  }
+
   test("prune sweeps aged orphan tmp dirs but spares fresh in-flight ones") {
     val root = Files.createTempDirectory("rescache9").toString
     val cacheDir = Paths.get(s"$root/cache")
