@@ -61,6 +61,13 @@ object BandIndex {
     * bucket partitions. Self-matches are dropped; verification is the
     * caller's next step (exact Jaccard over fetched shingles). */
   def probe(spark: SparkSession, dir: String, probeSigs: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      // an admission check before any ingest: nothing indexed, nothing
+      // similar — an empty answer, not a path error
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("q_id", "cand_id")
+    }
     val qBands = banded(probeSigs)
       .select(col("doc_id").as("q_id"), col("band"),
         bucketOf(col("band")).as("bucket"))

@@ -67,6 +67,12 @@ class BandIndexSpec extends SparkSpec {
       s"probe read ${m.inputRecords} of $fullRecords index records — pruning lost")
   }
 
+  test("probing a not-yet-built index answers empty, not a path error") {
+    val dir = java.nio.file.Files.createTempDirectory("bandidx4").toString + "/idx"
+    val out = BandIndex.probe(spark, dir, IncrementalDedup.signatures(docs(Seq(40L))))
+    assert(out.columns.toSeq == Seq("q_id", "cand_id") && out.count() == 0)
+  }
+
   test("append makes new docs probeable without a rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("bandidx3").toString + "/idx"
     BandIndex.build(spark, dir, IncrementalDedup.signatures(docs(Seq(70L, 71L))))
