@@ -118,6 +118,11 @@ class PlanLockSpec extends SparkSpec {
     "q204_band_index_probe", // golden pins the partition-filtered index
                              // scan + band join (a lost bucket filter
                              // would quietly read the whole index)
+    "q175_shuffled_pack",    // BENCH_r11 board top-10: work-metric-silent
+                             // wall noise (0.53->2.40 s, identical bytes)
+                             // but the repo rule is "lock the official
+                             // board"; pins the two-level cumsum shape
+                             // (no single-partition window)
     "q134_cdc_chunk_dedup",  // 136-board top-10 entrants: CDC chunk
     "q136_waiting_supplier", // shuffle shape; Q21 decorrelated join-back
     "q123_histogram_quantiles", // 137-board top-10 (sketch bin pipeline)
@@ -166,6 +171,12 @@ class PlanLockSpec extends SparkSpec {
       .replaceAll("@[0-9a-f]{6,}", "@x")
       .replaceAll("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}(\\.\\d+)?", "<ts>")
       .replaceAll("RDD\\[\\d+\\]", "RDD[n]")          // global RDD id counter
+      // localCheckpoint/ExistingRDD prints embed the CALL-SITE line number
+      // ("at BandIndex.scala:67") — any edit above the call in that source
+      // file (even a comment) would break the lock without a plan change.
+      // Mask the line, keep the file (which call produced the RDD still
+      // matters): round-11 shipped red at HEAD over exactly this.
+      .replaceAll("at (\\S+\\.scala):\\d+", "at $1:<line>")
       // global lambda var counter — covers every generated name (x_NN for
       // one-arg lambdas, y_NN/z_NN for the extra args of two/three-arg
       // lambdas like transform-with-index and aggregate)
