@@ -51,10 +51,68 @@ object BandIndex {
   /** Append a delta's bands (the incremental-store discipline: new docs'
     * signatures fold in, their bands append here; dynamic partition
     * overwrite is NOT used, so replays may duplicate band rows — probe
-    * results are a DISTINCT pair set, unaffected). */
-  def append(spark: SparkSession, dir: String, deltaSigs: DataFrame): Unit =
+    * results are a DISTINCT pair set, unaffected, but the index GROWS
+    * under replay: [[maybeCompact]] is the measured trigger that rebuilds
+    * it once the bloat crosses a threshold). */
+  def append(spark: SparkSession, dir: String, deltaSigs: DataFrame): Unit = {
+    KeyedStore.recover(spark, dir)
     banded(deltaSigs).withColumn("bucket", bucketOf(col("band")))
       .write.partitionBy("bucket").mode(SaveMode.Append).parquet(dir)
+  }
+
+  /** Rebuild the index from the CURRENT signature store through the
+    * keyed-store swap discipline ([[KeyedStore.rewriteSwap]]): the
+    * replacement is built at a `.rewrite` sibling and renamed in, so a
+    * crash at any point leaves either the old or the new index complete
+    * (recover heals the delete-before-rename window). Collapses replay
+    * duplicates; callers serialize on the store's writer lock. */
+  def compact(spark: SparkSession, dir: String, sigs: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      build(spark, dir, sigs)
+    else KeyedStore.rewriteSwap(spark, dir) { tmp =>
+      banded(sigs).withColumn("bucket", bucketOf(col("band")))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmp)
+    }
+  }
+
+  /** Index rows counted from parquet FOOTERS only — a driver-side walk of
+    * the (<= [[Buckets]] directories x few files) listing, no Spark job,
+    * no data pages read: the compaction trigger must not cost an
+    * index-wide scan per ingest round. */
+  def footerRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
+  }
+
+  /** Measured compaction trigger: a fresh index holds exactly
+    * (store docs x [[Hashing.LshBands]]) rows; replayed appends duplicate
+    * band rows past that. Compact when actual exceeds expected by more
+    * than `slack`. Both counts come from parquet footers (driver-side,
+    * no job). Returns whether a compaction ran. */
+  def maybeCompact(spark: SparkSession, dir: String, sigDir: String,
+                   sigs: DataFrame, slack: Double = 0.25): Boolean = {
+    val actual = footerRowCount(spark, dir)
+    val expected = footerRowCount(spark, sigDir) * Hashing.LshBands
+    val bloated = actual > (expected * (1.0 + slack)).toLong
+    if (bloated) compact(spark, dir, sigs)
+    bloated
+  }
 
   /** LSH candidates for a SMALL probe set: (q_id, cand_id) pairs of probe
     * doc x indexed doc sharing a band. Reads only the probe bands'
@@ -62,7 +120,16 @@ object BandIndex {
     * caller's next step (exact Jaccard over fetched shingles). */
   def probe(spark: SparkSession, dir: String, probeSigs: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Probes are lock-free readers: recover ONLY when the live dir is
+    // absent — either a crashed compact's delete-before-rename window
+    // (promote the completed .rewrite, never answer a wrong EMPTY to an
+    // admission check) or a concurrent swap mid-flight (same promotion;
+    // rewriteSwap tolerates the benign rename loss). An unconditional
+    // recover here would delete a concurrent compact's in-progress
+    // .rewrite out from under it.
+    if (!fs.exists(p)) KeyedStore.recover(spark, dir)
+    if (!fs.exists(p)) {
       // an admission check before any ingest: nothing indexed, nothing
       // similar — an empty answer, not a path error
       import spark.implicits._

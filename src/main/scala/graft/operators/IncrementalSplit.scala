@@ -81,26 +81,46 @@ object IncrementalSplit {
       .join(reps(spark, root), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
 
+  /** Online admission check against this root's stores: LSH candidates
+    * of `probeDocs` (a handful of incoming documents) via the
+    * band-partitioned index the ingests maintain (`maintainIndex` must
+    * have been true). Reads <= LshBands/Buckets of the index — see
+    * [[BandIndex.probe]]. Replayed appends can leave duplicate band rows
+    * in the index as extra CANDIDATES only — probe results are distinct,
+    * and the ingest path compacts the index ([[BandIndex.maybeCompact]])
+    * once the bloat crosses its threshold. */
+  def probe(spark: SparkSession, root: String, probeDocs: DataFrame): DataFrame =
+    BandIndex.probe(spark, bandDir(root),
+      IncrementalDedup.signatures(probeDocs))
+
   /** One ingest round: signature the delta, find its verified near-dups
     * against the store + itself, merge touched clusters, persist. Returns
     * this round's verified pairs. `corpus` must serve the text of every
     * doc the store has signatures for, plus the delta (shingle sets are
     * fetched on demand for candidate endpoints only — see
-    * [[IncrementalDedup.verifyPairs]]). */
-  /** Online admission check against this root's stores: LSH candidates
-    * of `probeDocs` (a handful of incoming documents) via the
-    * band-partitioned index the ingests maintain (`maintainIndex` must
-    * have been true). Reads <= LshBands/Buckets of the index — see
-    * [[BandIndex.probe]]. For docs whose content was re-ingested, the
-    * superseded signature's bands remain in the index as extra
-    * CANDIDATES only — verification (the caller's next step, exact
-    * Jaccard over current text) stays exact; rebuild with
-    * [[BandIndex.build]] over the signature store when the stale-band
-    * fraction grows. */
-  def probe(spark: SparkSession, root: String, probeDocs: DataFrame): DataFrame =
-    BandIndex.probe(spark, bandDir(root),
-      IncrementalDedup.signatures(probeDocs))
-
+    * [[IncrementalDedup.verifyPairs]]).
+    *
+    * INSERT-ONLY by content: a delta doc_id already in the store must
+    * carry IDENTICAL content (the crashed-round replay case — idempotent
+    * by construction). A delta whose signature CHANGED for a stored
+    * doc_id is REJECTED with an error before anything mutates: the pair
+    * ledger is append-only and min-rep merging is monotone, so pairs
+    * verified against a doc's old text would keep clusters merged that a
+    * batch recompute over current text would split — silently breaking
+    * the EQUIVALENCE guarantee above. Re-ingest under a new doc_id, or
+    * rebuild the root, to change a document's content.
+    *
+    * With `maintainIndex = true` (or once the root has an index — the
+    * index, once created, is maintained by EVERY subsequent ingest so it
+    * always covers the whole store) the store-side candidate join routes
+    * through the band-partitioned [[BandIndex]] instead of scanning the
+    * signature store: the probe reads only the delta bands' bucket
+    * partitions (<= all [[BandIndex.Buckets]] for a large delta, a
+    * LshBands/Buckets sliver for a small one), and the delta side is
+    * broadcast-sized — the refresh's candidate stage carries no
+    * store-wide scan or shuffle. Candidates are identical either way
+    * (same banding, [[graft.functions.Hashing]] is the single source of
+    * truth); verification stays exact. */
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
              delta: DataFrame, threshold: Double = 0.5,
              maintainIndex: Boolean = false): DataFrame =
@@ -119,13 +139,47 @@ object IncrementalSplit {
                            delta: DataFrame, threshold: Double,
                            maintainIndex: Boolean): DataFrame = {
     val deltaSigs = IncrementalDedup.signatures(delta).cache()
+    val hasStore = exists(spark, sigDir(root))
     val storeSigs =
-      if (exists(spark, sigDir(root))) {
+      if (hasStore) {
         KeyedStore.recover(spark, sigDir(root))
         spark.read.parquet(sigDir(root))
       } else deltaSigs.limit(0)
-    val newPairs = IncrementalDedup.verifyPairs(
-      IncrementalDedup.candidatePairs(storeSigs, deltaSigs), corpus, threshold)
+    if (hasStore) {
+      // insert-only guard (see ingest's scaladoc): a stored doc_id whose
+      // delta signature differs is a content-changing re-ingest the
+      // append-only pair ledger cannot represent — reject BEFORE any
+      // store mutates. Map-side: the delta leg is broadcast, the store
+      // scan is the same narrow read the fold below pays anyway.
+      val changed = storeSigs
+        .join(broadcast(deltaSigs.select(col("doc_id"), col("sig").as("__sig_new"))),
+          Seq("doc_id"))
+        .filter(!(col("sig") <=> col("__sig_new")))
+        .select(col("doc_id")).limit(3).collect().map(_.getLong(0))
+      if (changed.nonEmpty)
+        sys.error(s"IncrementalSplit.ingest at $root: delta re-ingests stored " +
+          s"doc_ids with CHANGED content (e.g. ${changed.mkString(", ")}); the " +
+          "pair ledger is append-only, so superseding content would break the " +
+          "batch-equivalence guarantee. Ingest changed documents under a new " +
+          "doc_id, or rebuild the root.")
+    }
+    // index routing: once a root has a band index, every ingest maintains
+    // it (so it always covers the whole store) and the store-side
+    // candidate join probes it instead of scanning/banding the signature
+    // store; delta-internal candidates band the (broadcast-sized) delta
+    // alone. Candidate sets are identical (BandIndexSpec gates it).
+    val useIndex = maintainIndex || exists(spark, bandDir(root))
+    val candidates =
+      if (useIndex && hasStore) {
+        if (!exists(spark, bandDir(root)))
+          BandIndex.build(spark, bandDir(root), storeSigs) // one-time catch-up
+        val storeCands = BandIndex.probe(spark, bandDir(root), deltaSigs)
+          .select(least(col("q_id"), col("cand_id")).as("doc_a"),
+            greatest(col("q_id"), col("cand_id")).as("doc_b"))
+        val deltaCands = IncrementalDedup.candidatePairs(deltaSigs.limit(0), deltaSigs)
+        storeCands.unionByName(deltaCands).distinct()
+      } else IncrementalDedup.candidatePairs(storeSigs, deltaSigs)
+    val newPairs = IncrementalDedup.verifyPairs(candidates, corpus, threshold)
       .localCheckpoint(true) // pin BEFORE the stores mutate under the lineage
     newPairs.write.mode(SaveMode.Append).parquet(pairsDir(root))
 
@@ -161,10 +215,16 @@ object IncrementalSplit {
         KeyedStore.fold(spark, repDir(root), upserts, "doc_id")
       else upserts.write.parquet(repDir(root))
     }
-    if (exists(spark, sigDir(root)))
+    if (hasStore)
       KeyedStore.fold(spark, sigDir(root), deltaSigs, "doc_id")
     else deltaSigs.write.parquet(sigDir(root))
-    if (maintainIndex) BandIndex.append(spark, bandDir(root), deltaSigs)
+    if (useIndex) {
+      BandIndex.append(spark, bandDir(root), deltaSigs)
+      // replay bloat trigger: footer-count check (no job); rebuilds from
+      // the just-folded signature store through the atomic swap
+      BandIndex.maybeCompact(spark, bandDir(root), sigDir(root),
+        spark.read.parquet(sigDir(root)))
+    }
     deltaSigs.unpersist()
     newPairs
   }

@@ -98,9 +98,14 @@ object KeyedStore {
     write(tmp.toString)
     if (!fs.delete(cur, true))
       sys.error(s"store rewrite: could not delete $cur (rewrite intact at $tmp)")
-    if (!fs.rename(tmp, cur))
-      sys.error(s"store rewrite: rename $tmp -> $cur failed; " +
+    if (!fs.rename(tmp, cur)) {
+      // benign race: a lock-free reader (BandIndex.probe) that observed the
+      // delete-before-rename window may have already PROMOTED the completed
+      // rewrite — the store is the new content either way
+      if (fs.exists(cur) && !fs.exists(tmp)) ()
+      else sys.error(s"store rewrite: rename $tmp -> $cur failed; " +
         "recover will promote the rewrite on the next round")
+    }
   }
 
   private def storePath(storeDir: String) =
@@ -140,9 +145,11 @@ object KeyedStore {
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) {
       if (!fs.exists(cur)) {
-        if (!fs.rename(tmp, cur))
+        // two lock-free readers can race this promotion — losing the
+        // rename is fine as long as SOMEONE promoted the rewrite
+        if (!fs.rename(tmp, cur) && !(fs.exists(cur) && !fs.exists(tmp)))
           sys.error(s"store recovery: rename $tmp -> $cur failed")
-      } else if (!fs.delete(tmp, true))
+      } else if (!fs.delete(tmp, true) && fs.exists(tmp))
         sys.error(s"store recovery: could not clear stale $tmp")
     }
   }

@@ -536,18 +536,20 @@ object CurationQueries {
     * the gate compares.
     *
     * Scale shape: per round the work is O(delta + candidates + touched
-    * clusters) — the delta LSH-joins against the signature store (never
-    * store x store), only the rep-level merge graph is contracted, and
-    * only changed/new rep rows are folded. A split refresh on a grown
-    * corpus costs the delta, not the corpus (measured:
-    * BENCH_sf1_inc_split.json). */
+    * clusters) — the delta's store-side candidates come from probing the
+    * band-partitioned [[graft.operators.BandIndex]] the ingests maintain
+    * (never store x store, and no store-wide banding scan: the probe
+    * reads only the delta bands' bucket partitions), only the rep-level
+    * merge graph is contracted, and only changed/new rep rows are folded.
+    * A split refresh on a grown corpus costs the delta, not the corpus
+    * (measured: BENCH_sf1_inc_split.json). */
   def q201(spark: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("incsplit").toString
     val docs = Tables.documents(spark, d)
     val v1 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
     val delta = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
-    graft.operators.IncrementalSplit.ingest(spark, root, v1, v1)
-    graft.operators.IncrementalSplit.ingest(spark, root, docs, delta)
+    graft.operators.IncrementalSplit.ingest(spark, root, v1, v1, maintainIndex = true)
+    graft.operators.IncrementalSplit.ingest(spark, root, docs, delta, maintainIndex = true)
     val assigned = graft.operators.IncrementalSplit
       .assignments(spark, root, docs.select(col("doc_id")))
       .withColumn("split", splitOf(col("rep")))
@@ -684,31 +686,35 @@ object CurationQueries {
   lazy val q203Sql: String = q202Sql
 
   /** q204 — ONLINE near-dup probe through the band-partitioned index
-    * ([[graft.operators.BandIndex]]): every ~97th doc plays an incoming
+    * ([[graft.operators.BandIndex]]): every 7th doc plays an incoming
     * document probing the index built from the rest — the ingest
     * admission check. Candidates must equal the batch LSH pair set
     * restricted to exactly-one-endpoint-probe pairs (banding is per-doc,
     * so the restriction IS the definition); the oracle applies that
-    * restriction to q22's pair CTE. The partition-pruned read (a probe
-    * touches <= LshBands/Buckets of the index regardless of corpus
-    * size) is gated separately by records-read in `BandIndexSpec` and
-    * measured in `BENCH_sf1_probe*.json`. */
+    * restriction to q22's pair CTE. Modulus 7 so the gated pair set is
+    * NON-EMPTY at every driver SF (7 / 9 / 164 rows at sf0.001/0.01/0.1
+    * — the r11 %97 gate compared 0 == 0 at sf0.01, proving nothing).
+    * The partition-pruned read (a probe touches <= LshBands/Buckets of
+    * the index regardless of corpus size) is gated separately by
+    * records-read in `BandIndexSpec` and measured in
+    * `BENCH_sf1_probe*.json` — this gate carries the CANDIDATE
+    * equivalence. */
   def q204(spark: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("bandprobe").toString + "/idx"
     val sigs = DedupQueries.minhashDf(spark, d)
     graft.operators.BandIndex.build(spark, dir,
-      sigs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L))
+      sigs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L))
     graft.operators.BandIndex.probe(spark, dir,
-        sigs.filter(pmod(col("doc_id"), lit(97L)) === 0L))
+        sigs.filter(pmod(col("doc_id"), lit(7L)) === 0L))
       .orderBy(col("q_id"), col("cand_id"))
   }
 
   val q204Sql: String = s"""
     WITH pairs AS (${DedupQueries.q22Sql.replace("ORDER BY doc_a, doc_b", "")})
-    SELECT CASE WHEN doc_a % 97 = 0 THEN doc_a ELSE doc_b END AS q_id,
-           CASE WHEN doc_a % 97 = 0 THEN doc_b ELSE doc_a END AS cand_id
+    SELECT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS q_id,
+           CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END AS cand_id
     FROM pairs
-    WHERE (doc_a % 97 = 0) <> (doc_b % 97 = 0)
+    WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)
     ORDER BY q_id, cand_id"""
 
   val defs: Map[String, Q] = Map(

@@ -73,6 +73,45 @@ class BandIndexSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("q_id", "cand_id") && out.count() == 0)
   }
 
+  test("replayed appends bloat the index; compact restores the fresh build") {
+    val ids = Seq(70L, 71L, 72L, 85L)
+    val sigs = IncrementalDedup.signatures(docs(ids)).cache()
+    val fresh = java.nio.file.Files.createTempDirectory("bandidx5").toString + "/idx"
+    BandIndex.build(spark, fresh, sigs)
+    val lived = java.nio.file.Files.createTempDirectory("bandidx6").toString + "/idx"
+    BandIndex.build(spark, lived, IncrementalDedup.signatures(docs(ids.take(2))))
+    val delta = IncrementalDedup.signatures(docs(ids.drop(2)))
+    BandIndex.append(spark, lived, delta)
+    BandIndex.append(spark, lived, delta) // crashed-round replay
+    val freshRows = BandIndex.footerRowCount(spark, fresh)
+    assert(BandIndex.footerRowCount(spark, lived) > freshRows, "replay must show as bloat")
+    BandIndex.compact(spark, lived, sigs)
+    // compact == fresh build: same row multiset (bucket included), and
+    // the footer count the trigger reads is back to exact
+    assert(BandIndex.footerRowCount(spark, lived) == freshRows)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("doc_id", "band", "bucket")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(lived) == rows(fresh), "compact must equal a fresh build")
+    sigs.unpersist()
+  }
+
+  test("maybeCompact triggers on the bloat threshold, not before") {
+    val ids = Seq(70L, 71L, 72L, 85L)
+    val sigDir = java.nio.file.Files.createTempDirectory("bandidx7").toString + "/sigs"
+    val sigs = IncrementalDedup.signatures(docs(ids))
+    sigs.write.parquet(sigDir)
+    val dir = java.nio.file.Files.createTempDirectory("bandidx8").toString + "/idx"
+    BandIndex.build(spark, dir, spark.read.parquet(sigDir))
+    assert(!BandIndex.maybeCompact(spark, dir, sigDir, spark.read.parquet(sigDir)),
+      "a fresh index must not compact")
+    BandIndex.append(spark, dir, IncrementalDedup.signatures(docs(ids.take(2)))) // 50% bloat
+    assert(BandIndex.maybeCompact(spark, dir, sigDir, spark.read.parquet(sigDir)),
+      "50% bloat must cross the 25% threshold")
+    assert(BandIndex.footerRowCount(spark, dir) ==
+      ids.size.toLong * graft.functions.Hashing.LshBands)
+  }
+
   test("append makes new docs probeable without a rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("bandidx3").toString + "/idx"
     BandIndex.build(spark, dir, IncrementalDedup.signatures(docs(Seq(70L, 71L))))

@@ -134,6 +134,77 @@ class IncrementalSplitSpec extends SparkSpec {
     assert(hits == Set(80L, 81L, 82L), s"$hits")
   }
 
+  test("multi-round ingest through the band index equals batch CC too") {
+    // the index-routed candidate path (maintainIndex) must produce the
+    // SAME pairs/reps as the store-scanning path — same banding, probed
+    // from the partitioned index instead of banding the signature store
+    val root = java.nio.file.Files.createTempDirectory("incsplit7").toString
+    val r1 = Seq(110L, 111L, 200L, 310L, 47L)
+    val r2 = Seq(112L, 311L, 312L)
+    val r3 = Seq(201L, 202L)
+    val all = r1 ++ r2 ++ r3
+    IncrementalSplit.ingest(spark, root, docs(r1), docs(r1), maintainIndex = true)
+    IncrementalSplit.ingest(spark, root, docs(r1 ++ r2), docs(r2), maintainIndex = true)
+    IncrementalSplit.ingest(spark, root, docs(all), docs(r3), maintainIndex = true)
+    assert(storeReps(root, docs(all)) == batchReps(docs(all)))
+  }
+
+  test("once a root has an index, every ingest maintains it (flag or not)") {
+    // the coverage invariant behind the probe-path candidates: an index
+    // can never silently fall behind the signature store
+    val root = java.nio.file.Files.createTempDirectory("incsplit8").toString
+    IncrementalSplit.ingest(spark, root, docs(Seq(80L, 81L)), docs(Seq(80L, 81L)),
+      maintainIndex = true)
+    // maintainIndex NOT passed — the existing index must still absorb 82
+    IncrementalSplit.ingest(spark, root, docs(Seq(80L, 81L, 82L)), docs(Seq(82L)))
+    val probe = docs(Seq(80L)).select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    val hits = IncrementalSplit.probe(spark, root, probe)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(hits == Set(80L, 81L, 82L), s"$hits")
+  }
+
+  test("a content-CHANGING re-ingest is rejected before anything mutates") {
+    val root = java.nio.file.Files.createTempDirectory("incsplit9").toString
+    IncrementalSplit.ingest(spark, root, docs(Seq(60L, 61L, 35L)), docs(Seq(60L, 61L, 35L)))
+    val pairsBefore = IncrementalSplit.pairs(spark, root).count()
+    val changed = Seq((35L, "completely different content now a near dup of nothing"))
+      .toDF("doc_id", "text")
+    val e = intercept[RuntimeException] {
+      IncrementalSplit.ingest(spark, root, docs(Seq(60L, 61L)).unionByName(changed), changed)
+    }
+    assert(e.getMessage.contains("CHANGED content") && e.getMessage.contains("35"))
+    // nothing mutated: ledger count and assignments are untouched
+    assert(IncrementalSplit.pairs(spark, root).count() == pairsBefore)
+    assert(storeReps(root, docs(Seq(60L, 61L, 35L))) ==
+      Map(60L -> 60L, 61L -> 60L, 35L -> 35L))
+  }
+
+  test("the index-routed refresh reads fewer records than the store scan") {
+    // the scale claim behind the routing: a small delta's candidate stage
+    // probes <= LshBands bucket partitions of the index instead of
+    // banding the whole signature store. Records read are deterministic
+    // for fixed data, so the comparison gates pruning exactly; both
+    // rounds pay the same check-join/corpus/fold scans.
+    val storeIds = (0 until 50).flatMap(g => Seq(g * 10L, g * 10L + 1L)) ++
+      (0 until 100).map(i => 5000L + i * 10L + 5L) // 200 stored docs
+    val delta = Seq(42L) // near-dup of stored group 4
+    val corpus = docs(storeIds ++ delta)
+    def measuredIngest(maintain: Boolean): Long = {
+      val root = java.nio.file.Files.createTempDirectory("incsplitRG").toString
+      IncrementalSplit.ingest(spark, root, docs(storeIds), docs(storeIds),
+        maintainIndex = maintain)
+      val (_, m) = graft.plans.QueryMetrics.measureAction(spark) {
+        IncrementalSplit.ingest(spark, root, corpus, docs(delta),
+          maintainIndex = maintain)
+      }
+      m.inputRecords
+    }
+    val viaIndex = measuredIngest(maintain = true)
+    val viaScan = measuredIngest(maintain = false)
+    assert(viaIndex < viaScan,
+      s"index-routed refresh read $viaIndex records vs $viaScan via store scan")
+  }
+
   test("a merge joining two STORED clusters relabels both sides' rows") {
     val root = java.nio.file.Files.createTempDirectory("incsplit4").toString
     // group 9: members 90,91,92. Store {91} and {92} as singletons via
