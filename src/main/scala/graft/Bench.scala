@@ -44,15 +44,19 @@ object Bench {
       // here without Bench naming it.
       MemoRegistry.resetAll()
       spark.catalog.clearCache()
-      def once(): (Double, QueryMetrics.Metrics) = {
+      def once(): (Double, QueryMetrics.Metrics, Long) = {
+        // protocol work metric (q81-style delivery executors): POSTs
+        // executed during this run, from Notify's accumulator — zero for
+        // every non-protocol query, emitted only when nonzero
+        val p0 = graft.sinks.Notify.postAttempts
         val t0 = System.nanoTime()
         val m = try QueryMetrics.measureAction(spark)(fn(spark, sfDir).count())._2
           catch { case _: Throwable => zero }
-        ((System.nanoTime() - t0) / 1e9, m)
+        ((System.nanoTime() - t0) / 1e9, m, graft.sinks.Notify.postAttempts - p0)
       }
       once() // untimed per-query warmup
-      val (sec, metrics) = Seq(once(), once(), once()).sortBy(_._1).apply(1)
-      (name, sec, metrics)
+      val (sec, metrics, posts) = Seq(once(), once(), once()).sortBy(_._1).apply(1)
+      (name, sec, metrics, posts)
     }
     // The harness keeps only the last ~2000 chars of output; a full-name
     // full-precision map for 80 queries overflows that and the JSON line
@@ -72,23 +76,27 @@ object Bench {
     // (least informative) ones, counted in "qomitted", and every query is
     // always in bench_detail.json. Kept entries print in name order for
     // stable round-over-round diffs.
-    val entries = results.map { case (k, v, _) =>
+    val entries = results.map { case (k, v, _, _) =>
       (k, s"\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000d)) }
     val budget = 1600
     val keep = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var used = 0
-    results.sortBy(-_._2).foreach { case (k, _, _) =>
+    results.sortBy(-_._2).foreach { case (k, _, _, _) =>
       val e = entries.find(_._1 == k).get
       if (used + e._2.length + 1 <= budget) { keep += e; used += e._2.length + 1 }
     }
     val omitted = results.size - keep.size
     val shortQs = keep.sortBy(_._1).map(_._2).mkString("{", ",", "}")
-    val fullQs = results.map { case (k, v, m) =>
+    val fullQs = results.map { case (k, v, m, posts) =>
       s"\"" + k + "\":{\"sec\":" + fmt(v) +
         s""","inputBytes":${m.inputBytes},"inputRecords":${m.inputRecords}""" +
         s""","shuffleWriteBytes":${m.shuffleWriteBytes}""" +
         s""","shuffleReadBytes":${m.shuffleReadBytes}""" +
-        s""","spillBytes":${m.memorySpillBytes + m.diskSpillBytes}}"""
+        s""","spillBytes":${m.memorySpillBytes + m.diskSpillBytes}""" +
+        // protocol work metric (Notify POSTs executed in the median run):
+        // present only on queries that actually deliver, so a q81 wall
+        // move is adjudicated by attempts, not argument
+        (if (posts > 0) s""","protocolOps":$posts}""" else "}")
     }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum)
     val line =
@@ -103,9 +111,13 @@ object Bench {
       "\"q201_incremental_split\":" +
       "\"wall is the WHOLE incremental lifecycle by construction — store " +
       "init over the 90% historical corpus (the one-time sunk cost) PLUS " +
-      "the 10% delta refresh; the recurring per-snapshot cost is refresh " +
-      "alone — see BENCH_sf1_inc_split.json (500-doc delta refresh is " +
-      "8.7 s under a 100x corpus whose batch recompute is 21.6 s)\"," +
+      "the 10% delta refresh, and since r12 the candidate join is " +
+      "FORCE-routed through the band index (frac 1.0, the equivalence " +
+      "gate) which the sidecar shows costs MORE than the store scan at " +
+      "this delta width; the recurring per-snapshot cost is refresh " +
+      "alone — see BENCH_sf1_inc_split_100x.json (500-doc delta refresh " +
+      "10.4 s scanned / 13.1 s force-probed under a 100x corpus whose " +
+      "batch recompute is 22.4 s)\"," +
       "\"q203_incremental_flip_audit\":" +
       "\"same lifecycle shape as q201 (two ingest rounds inside the " +
       "timer); the flip report itself is two store reads + one keyed " +
@@ -115,6 +127,12 @@ object Bench {
       "\"wall is index BUILD (the sunk cost) + probe; the recurring " +
       "online probe alone is ~0.5 s flat across a 100x store at " +
       "probe_frac exactly 4/64 — see BENCH_sf1_probe.json\"," +
+      "\"q81_notify_ledger\":" +
+      "\"a q72-style protocol simulation: three serial delivery waves " +
+      "(enqueue + attempt + ledger fold per wave) run driver-orchestrated, " +
+      "so wall is driver-protocol-exposed; its WORK metric is protocolOps " +
+      "(POSTs executed, from Notify's accumulator) — adjudicate a move by " +
+      "that count and the shuffle bytes, not wall\"," +
       "\"q191_entity_clusters\":" +
       "\"wall is ~9 fixed-size Spark jobs (FastSS signature build + " +
       "star-contraction rounds over a 64-name dictionary graph), not data " +

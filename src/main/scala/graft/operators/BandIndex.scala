@@ -45,8 +45,17 @@ object BandIndex {
   /** Build (or rebuild) the index from a signature table
     * ([[IncrementalDedup.signatures]]'s (doc_id, sig) schema). */
   def build(spark: SparkSession, dir: String, sigs: DataFrame): Unit =
-    banded(sigs).withColumn("bucket", bucketOf(col("band")))
+    bandedRows(sigs)
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Bands + bucket, repartitioned BY BUCKET before the partitioned
+    * write: without this every shuffle task writes a sliver into every
+    * bucket directory (tasks x Buckets small files — measured as the
+    * dominant probe cost at 100x), with it each bucket's rows land in
+    * one file per writing task that owns it (~Buckets files total). */
+  private def bandedRows(sigs: DataFrame): DataFrame =
+    banded(sigs).withColumn("bucket", bucketOf(col("band")))
+      .repartition(col("bucket"))
 
   /** Append a delta's bands (the incremental-store discipline: new docs'
     * signatures fold in, their bands append here; dynamic partition
@@ -56,7 +65,7 @@ object BandIndex {
     * it once the bloat crosses a threshold). */
   def append(spark: SparkSession, dir: String, deltaSigs: DataFrame): Unit = {
     KeyedStore.recover(spark, dir)
-    banded(deltaSigs).withColumn("bucket", bucketOf(col("band")))
+    bandedRows(deltaSigs)
       .write.partitionBy("bucket").mode(SaveMode.Append).parquet(dir)
   }
 
@@ -71,10 +80,18 @@ object BandIndex {
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       build(spark, dir, sigs)
     else KeyedStore.rewriteSwap(spark, dir) { tmp =>
-      banded(sigs).withColumn("bucket", bucketOf(col("band")))
+      bandedRows(sigs)
         .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmp)
     }
   }
+
+  /** How many of the [[Buckets]] partitions a probe's bands touch — the
+    * adaptive-routing input ([[IncrementalSplit]]): partition pruning
+    * only pays when this is a small fraction of [[Buckets]]. One
+    * probe-sized job. */
+  def probeBucketCount(probeSigs: DataFrame): Long =
+    banded(probeSigs).select(bucketOf(col("band")).as("bucket"))
+      .distinct().count()
 
   /** Index rows counted from parquet FOOTERS only — a driver-side walk of
     * the (<= [[Buckets]] directories x few files) listing, no Spark job,
@@ -86,18 +103,21 @@ object BandIndex {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return 0L
     val it = fs.listFiles(p, true)
-    var n = 0L
+    val files = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
       if (f.isFile && name.endsWith(".parquet") &&
-          !name.startsWith("_") && !name.startsWith(".")) {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try n += r.getRecordCount finally r.close()
-      }
+          !name.startsWith("_") && !name.startsWith(".")) files += f
     }
-    n
+    // footer opens parallelize trivially (independent ~1 ms reads); a
+    // serial walk over an append-accumulated index was measurable
+    import scala.jdk.CollectionConverters._
+    files.asJava.parallelStream().mapToLong { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum()
   }
 
   /** Measured compaction trigger: a fresh index holds exactly

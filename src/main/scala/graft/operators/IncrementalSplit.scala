@@ -112,18 +112,33 @@ object IncrementalSplit {
     *
     * With `maintainIndex = true` (or once the root has an index — the
     * index, once created, is maintained by EVERY subsequent ingest so it
-    * always covers the whole store) the store-side candidate join routes
-    * through the band-partitioned [[BandIndex]] instead of scanning the
-    * signature store: the probe reads only the delta bands' bucket
-    * partitions (<= all [[BandIndex.Buckets]] for a large delta, a
-    * LshBands/Buckets sliver for a small one), and the delta side is
-    * broadcast-sized — the refresh's candidate stage carries no
-    * store-wide scan or shuffle. Candidates are identical either way
+    * always covers the whole store) the store-side candidate join can
+    * route through the band-partitioned [[BandIndex]] instead of
+    * scanning the signature store. The routing is ADAPTIVE on byte
+    * arithmetic: the index holds the store's bands pre-exploded
+    * ([[graft.functions.Hashing.LshBands]] string rows per doc, ~4x the
+    * signature store's bytes), so a probe reading `f` of the buckets
+    * costs ~`f * 4` signature-store scans — it wins only when the
+    * delta's bands touch fewer than ~Buckets/4 buckets, i.e.
+    * single-document admission-sized deltas (default
+    * `indexProbeMaxFrac` = 1/16 = 4 buckets ~= one doc). Anything wider
+    * falls back to the store scan, which is map-side already (the delta
+    * leg broadcasts). MEASURED at 100x (BENCH_sf1_inc_split_100x.json):
+    * force-probing a 500-doc delta costs 13.1 s vs 10.4 s scanned, and
+    * even a 4-doc delta loses (10.1 vs 8.2) because at sandbox scale
+    * ~2 s of fixed probe orchestration (bucket listing, checkpoint,
+    * pruning subquery) dominates — the byte arithmetic only pays at
+    * store sizes where scan bytes, not job count, are the bill. The
+    * STANDALONE online admission probe is a different regime (no locked
+    * ingest, no folds): see [[probe]] and BENCH_sf1_probe.json (0.5 s
+    * flat over a 2M-row index). Candidates are IDENTICAL either way
     * (same banding, [[graft.functions.Hashing]] is the single source of
-    * truth); verification stays exact. */
+    * truth — gated by `IncrementalSplitSpec` and, force-routed, by
+    * q201's oracle); verification stays exact. */
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
              delta: DataFrame, threshold: Double = 0.5,
-             maintainIndex: Boolean = false): DataFrame =
+             maintainIndex: Boolean = false,
+             indexProbeMaxFrac: Double = 1.0 / 16): DataFrame =
     // whole-round writer lock: pairs are discovered against ONE store
     // state and folded back into the same one — two interleaved rounds
     // would band against signatures mid-fold and fold reps computed from
@@ -132,12 +147,14 @@ object IncrementalSplit {
     // batch-equivalent in ANY order: a pair between two concurrent
     // deltas is discovered in whichever round runs second.
     TableLock.withLock(root) {
-      ingestLocked(spark, root, corpus, delta, threshold, maintainIndex)
+      ingestLocked(spark, root, corpus, delta, threshold, maintainIndex,
+        indexProbeMaxFrac)
     }
 
   private def ingestLocked(spark: SparkSession, root: String, corpus: DataFrame,
                            delta: DataFrame, threshold: Double,
-                           maintainIndex: Boolean): DataFrame = {
+                           maintainIndex: Boolean,
+                           indexProbeMaxFrac: Double): DataFrame = {
     val deltaSigs = IncrementalDedup.signatures(delta).cache()
     val hasStore = exists(spark, sigDir(root))
     val storeSigs =
@@ -164,13 +181,18 @@ object IncrementalSplit {
           "doc_id, or rebuild the root.")
     }
     // index routing: once a root has a band index, every ingest maintains
-    // it (so it always covers the whole store) and the store-side
-    // candidate join probes it instead of scanning/banding the signature
-    // store; delta-internal candidates band the (broadcast-sized) delta
-    // alone. Candidate sets are identical (BandIndexSpec gates it).
+    // it (so it always covers the whole store). The store-side candidate
+    // join probes it only when pruning bites — the delta's bands touch at
+    // most indexProbeMaxFrac of the buckets (see ingest's scaladoc for
+    // the measured crossover); delta-internal candidates band the
+    // (broadcast-sized) delta alone. Candidate sets are identical either
+    // way (IncrementalSplitSpec + BandIndexSpec gate it).
     val useIndex = maintainIndex || exists(spark, bandDir(root))
+    val viaProbe = useIndex && hasStore &&
+      BandIndex.probeBucketCount(deltaSigs) <=
+        (BandIndex.Buckets * indexProbeMaxFrac).toLong
     val candidates =
-      if (useIndex && hasStore) {
+      if (viaProbe) {
         if (!exists(spark, bandDir(root)))
           BandIndex.build(spark, bandDir(root), storeSigs) // one-time catch-up
         val storeCands = BandIndex.probe(spark, bandDir(root), deltaSigs)
@@ -219,11 +241,17 @@ object IncrementalSplit {
       KeyedStore.fold(spark, sigDir(root), deltaSigs, "doc_id")
     else deltaSigs.write.parquet(sigDir(root))
     if (useIndex) {
-      BandIndex.append(spark, bandDir(root), deltaSigs)
-      // replay bloat trigger: footer-count check (no job); rebuilds from
-      // the just-folded signature store through the atomic swap
-      BandIndex.maybeCompact(spark, bandDir(root), sigDir(root),
-        spark.read.parquet(sigDir(root)))
+      if (!exists(spark, bandDir(root)))
+        // first index-carrying round (or catch-up skipped by a wide
+        // delta): build from the POST-FOLD store so coverage is total
+        BandIndex.build(spark, bandDir(root), spark.read.parquet(sigDir(root)))
+      else {
+        BandIndex.append(spark, bandDir(root), deltaSigs)
+        // replay bloat trigger: footer-count check (no job); rebuilds
+        // from the just-folded signature store through the atomic swap
+        BandIndex.maybeCompact(spark, bandDir(root), sigDir(root),
+          spark.read.parquet(sigDir(root)))
+      }
     }
     deltaSigs.unpersist()
     newPairs

@@ -136,10 +136,13 @@ final class ResultCache(spark: SparkSession, cacheDir: String) {
     val entries = visible.filter(Files.isDirectory(_))
       .map(p => (p, entryBytes(p)))
       .sortBy { case (p, _) => -Files.getLastModifiedTime(p).toMillis }
-    // newest-accessed first: keep while both budgets hold
+    // newest-accessed first: keep every entry that still FITS the
+    // remaining budgets (not just a recency prefix — dropWhile here would
+    // let one giant most-recent result evict the entire rest of the cache
+    // even though the smaller, older entries fit the leftover budget)
     var kept = 0
     var bytes = 0L
-    val victims = entries.dropWhile { case (_, sz) =>
+    val victims = entries.filterNot { case (_, sz) =>
       val fits = kept < maxEntries && bytes + sz <= maxBytes
       if (fits) { kept += 1; bytes += sz }
       fits

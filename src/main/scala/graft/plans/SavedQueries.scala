@@ -46,12 +46,20 @@ final class SavedQueries(spark: SparkSession) {
     * guard's validation and row cap still apply on every call. Queries
     * the cache must REFUSE (a non-file-backed leaf, e.g. a temp view
     * over in-memory data, whose bytes the key cannot see) fall back to
-    * the direct guarded run: caching is an optimization, never a gate. */
+    * the direct guarded run: caching is an optimization, never a gate.
+    *
+    * What gets materialized is the CAPPED frame (`LIMIT maxRows + 1` —
+    * the same rows the uncached run() collects, +1 being the truncation
+    * sentinel), never the full result: a saved query with a corpus-sized
+    * result costs the cache maxRows+1 rows of disk and execution, not
+    * the corpus. The limit is part of the cache key, so different row
+    * budgets cache separately; like run(), an un-ORDERed query's capped
+    * subset is engine-chosen (the cache just makes one choice sticky). */
   def runCached(id: String, cache: ResultCache,
                 maxRows: Int = ReadonlyGuard.DefaultMaxRows): ReadonlyGuard.QueryResult = {
     val q = store.getOrElse(id, throw new NoSuchElementException(s"no saved query $id"))
     ReadonlyGuard.validate(spark, q.sql)
-    val df = spark.sql(q.sql)
+    val df = spark.sql(q.sql).limit(maxRows + 1)
     val served = try cache.run(df)
       catch { case _: IllegalArgumentException => df }
     ReadonlyGuard.cap(spark, served, maxRows)

@@ -548,8 +548,14 @@ object CurationQueries {
     val docs = Tables.documents(spark, d)
     val v1 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
     val delta = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
-    graft.operators.IncrementalSplit.ingest(spark, root, v1, v1, maintainIndex = true)
-    graft.operators.IncrementalSplit.ingest(spark, root, docs, delta, maintainIndex = true)
+    // indexProbeMaxFrac = 1.0 FORCE-routes the candidate join through the
+    // index probe even for this bucket-saturating 10% delta: the gate's
+    // job is the equivalence claim (probe == store-scan candidates), so
+    // the adaptive fallback must not quietly switch the path under test
+    graft.operators.IncrementalSplit.ingest(spark, root, v1, v1,
+      maintainIndex = true, indexProbeMaxFrac = 1.0)
+    graft.operators.IncrementalSplit.ingest(spark, root, docs, delta,
+      maintainIndex = true, indexProbeMaxFrac = 1.0)
     val assigned = graft.operators.IncrementalSplit
       .assignments(spark, root, docs.select(col("doc_id")))
       .withColumn("split", splitOf(col("rep")))

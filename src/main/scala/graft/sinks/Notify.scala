@@ -50,6 +50,25 @@ object Notify {
   def pendingDeliveries(deliveries: DataFrame): DataFrame =
     deliveries.filter(col("delivered_at").isNull && col("attempts") < MaxAttempts)
 
+  // Protocol WORK metric: POSTs actually executed, counted in a Spark
+  // accumulator (cluster-safe; local-mode too). The delivery executor's
+  // wall is driver-protocol-exposed (serial waves) like q72's, so the
+  // bench emits this count next to the wall — a board move without a
+  // matching attempt-count move is machine noise. At-least-once exact:
+  // a retried task re-posts AND re-counts (the count tracks the posts).
+  @transient private var attemptsAcc: org.apache.spark.util.LongAccumulator = _
+  private def accFor(spark: org.apache.spark.sql.SparkSession) = synchronized {
+    if (attemptsAcc == null)
+      attemptsAcc = spark.sparkContext.longAccumulator("notify.post.attempts")
+    attemptsAcc
+  }
+
+  /** Cumulative POSTs executed this JVM (read deltas around a measured
+    * block; never reset — concurrent readers subtract). */
+  def postAttempts: Long = synchronized {
+    if (attemptsAcc == null) 0L else attemptsAcc.value
+  }
+
   /** Record an attempt wave: successes stamp delivered_at, failures count up.
     * `results`: (delivery_id, success) — the id is the ONLY join key. */
   def recordAttempts(deliveries: DataFrame, results: DataFrame): DataFrame = {
@@ -68,10 +87,12 @@ object Notify {
   def attemptWave(deliveries: DataFrame, transport: Transport): DataFrame = {
     val spark = deliveries.sparkSession
     import spark.implicits._
+    val acc = accFor(spark)
     val results = pendingDeliveries(deliveries)
       .select(col("delivery_id"), col("url"), col("payload"))
       .as[(String, String, String)]
       .map { case (id, url, payload) =>
+        acc.add(1L)
         val ok = try transport.post(url, payload) catch { case _: Exception => false }
         (id, ok)
       }

@@ -143,9 +143,15 @@ class IncrementalSplitSpec extends SparkSpec {
     val r2 = Seq(112L, 311L, 312L)
     val r3 = Seq(201L, 202L)
     val all = r1 ++ r2 ++ r3
-    IncrementalSplit.ingest(spark, root, docs(r1), docs(r1), maintainIndex = true)
-    IncrementalSplit.ingest(spark, root, docs(r1 ++ r2), docs(r2), maintainIndex = true)
-    IncrementalSplit.ingest(spark, root, docs(all), docs(r3), maintainIndex = true)
+    // frac 1.0 force-probes every round (a 3-doc delta exceeds the
+    // default single-doc threshold): the equivalence, not the routing
+    // heuristic, is what this test pins
+    IncrementalSplit.ingest(spark, root, docs(r1), docs(r1),
+      maintainIndex = true, indexProbeMaxFrac = 1.0)
+    IncrementalSplit.ingest(spark, root, docs(r1 ++ r2), docs(r2),
+      maintainIndex = true, indexProbeMaxFrac = 1.0)
+    IncrementalSplit.ingest(spark, root, docs(all), docs(r3),
+      maintainIndex = true, indexProbeMaxFrac = 1.0)
     assert(storeReps(root, docs(all)) == batchReps(docs(all)))
   }
 

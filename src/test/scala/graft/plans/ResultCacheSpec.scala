@@ -165,6 +165,56 @@ class ResultCacheSpec extends SparkSpec {
     assert(left.map(bytes).sum <= tinies.sum)
   }
 
+  test("a giant NEWEST entry cannot evict older entries that still fit") {
+    val root = Files.createTempDirectory("rescache11").toString
+    val src = s"$root/t"
+    freshTable(src, (1L to 5000L).map(i => (i, s"payload-$i-" + "x" * 50)))
+    val cache = new ResultCache(spark, s"$root/cache")
+    // two tiny rollups first, the near-input-sized projection LAST (most
+    // recently accessed) — the prefix-eviction bug wiped the tinies here
+    cache.run(spark.read.parquet(src).agg(sum(col("id")).as("s"))).count()
+    Thread.sleep(5)
+    cache.run(spark.read.parquet(src).agg(count(lit(1)).as("n"))).count()
+    Thread.sleep(5)
+    cache.run(spark.read.parquet(src).select(col("id"), col("v"))).count()
+    import scala.jdk.CollectionConverters._
+    def entries() = Files.list(Paths.get(s"$root/cache")).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
+      .toSeq
+    def bytes(p: java.nio.file.Path) = Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+    val sized = entries().map(p => (p, bytes(p)))
+    val tinies = sized.map(_._2).sorted.dropRight(1)
+    assert(sized.maxBy(_._2)._2 > tinies.sum, s"fixture regressed: $sized")
+    // budget holds both tinies but not the giant: the giant (newest) must
+    // be the ONLY victim — skipping it, the older entries still fit
+    cache.prune(maxEntries = 10, maxBytes = tinies.sum)
+    val left = entries()
+    assert(left.size == 2, s"older fitting entries were evicted: $left")
+    assert(left.map(bytes).sum == tinies.sum)
+  }
+
+  test("runCached materializes the CAPPED frame, never the full result") {
+    val root = Files.createTempDirectory("rescache12").toString
+    val src = s"$root/t"
+    freshTable(src, (1L to 5000L).map(i => (i, s"v$i")))
+    val s = spark.newSession()
+    s.read.parquet(src).createOrReplaceTempView("rc_big")
+    val saved = new SavedQueries(s)
+    val cache = new ResultCache(s, s"$root/cache")
+    saved.save("big", "SELECT id, v FROM rc_big")
+    val r = saved.runCached("big", cache, maxRows = 3)
+    assert(r.maxRowsReached && r.df.count() == 3)
+    import scala.jdk.CollectionConverters._
+    val entry = Files.list(Paths.get(s"$root/cache")).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
+      .toSeq
+    assert(entry.size == 1)
+    // the cache holds maxRows+1 rows (the truncation sentinel), not 5000
+    assert(s.read.parquet(entry.head.toString).count() == 4L,
+      "a corpus-sized saved query must cache only the capped rows")
+  }
+
   test("saved-query dashboard runs serve from the cache, capped and guarded") {
     val root = Files.createTempDirectory("rescache10").toString
     val src = s"$root/t"
@@ -180,9 +230,11 @@ class ResultCacheSpec extends SparkSpec {
     assert(cache.hits.get() == 1, "second dashboard read must be a cache hit")
     assert(r1.df.collect().map(_.mkString("|")).sorted.toSeq ==
       r2.df.collect().map(_.mkString("|")).sorted.toSeq)
-    // the row cap still applies to served results
+    // the row cap still applies to served results; a different row budget
+    // caches under its own key (the cap is part of the materialized plan)
     val capped = saved.runCached("dash", cache, maxRows = 2)
     assert(capped.maxRowsReached && capped.df.count() == 2)
+    assert(cache.misses.get() == 2, "a new row budget is a new key")
     // a data change moves the key: no stale serve. The temp view must be
     // re-registered from a fresh read — a DATASET-backed temp view pins
     // the file listing it was created with, so the overwrite's new files
@@ -190,7 +242,7 @@ class ResultCacheSpec extends SparkSpec {
     freshTable(src, (1L to 50L).map(i => (i, "w")))
     s.read.parquet(src).createOrReplaceTempView("rc_t")
     val r3 = saved.runCached("dash", cache)
-    assert(cache.misses.get() == 2)
+    assert(cache.misses.get() == 3)
     assert(r3.df.collect().map(_.mkString("|")).toSeq == Seq("w|50"))
     // a non-file-backed query falls back to the direct guarded run:
     // caching is an optimization, never a gate
