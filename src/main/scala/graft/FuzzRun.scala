@@ -23,12 +23,20 @@ import java.nio.file.{Files, Paths}
   *    CAST(.. AS DATE)/CAST(.. AS STRING) round-trips — both engines
   *    print dates as 'YYYY-MM-DD'. No date arithmetic, no formatting,
   *    no timestamp-fraction surfaces (the known-divergent families);
-  *  - LEFT OUTER joins (round-11 axis) with a deterministically THINNED
-  *    right side (`(SELECT * FROM t WHERE key % m <> k) t`), so the FK
-  *    edges — which the synthetic data satisfies completely — actually
-  *    produce the NULL rows the axis exists to exercise: COALESCE,
-  *    IS NULL, count(col) vs count(*), NULL group keys, NULL arithmetic
-  *    propagation;
+  *  - OUTER joins, all three flavors (LEFT round-11; RIGHT/FULL
+  *    round-12) with the side(s) whose absence each variant exercises
+  *    deterministically THINNED (`(SELECT * FROM t WHERE key % m <> k)
+  *    t`), so the FK edges — which the synthetic data satisfies
+  *    completely — actually produce the NULL rows: COALESCE, IS NULL,
+  *    count(col) vs count(*), NULL group keys, NULL arithmetic
+  *    propagation. RIGHT/FULL make the BASE columns nullable, so those
+  *    queries never take the window branch (tied-at-NULL base rows
+  *    carry differing joined values — running aggregates would be
+  *    permutation-sensitive);
+  *  - INTERSECT/EXCEPT (and their ALL multiset forms; round-12 axis)
+  *    of two predicate slices over one FROM shape — ANSI-exact on
+  *    BIGINT/string projections, NULLs compared IS-NOT-DISTINCT-style
+  *    by both engines;
   *  - STRING functions on the ASCII dimension columns only (round-11
   *    axis): substr/upper/lower/||-concat as group keys and min/max
   *    subjects, LIKE prefix/suffix and length() predicates — all
@@ -44,6 +52,8 @@ import java.nio.file.{Files, Paths}
   * then `python3 tools/check.py <sfDir> <outDir>`. Deterministic per
   * seed. `mode` concentrates a grammar axis for per-axis parity counts:
   * `outer` (every query takes its FK hops as thinned LEFT joins),
+  * `fullouter` (every query's first hop is a thinned RIGHT or FULL
+  * join), `setops` (every query is an INTERSECT/EXCEPT of two slices),
   * `dates` (every query starts from a dated table and carries at least
   * one exact-date predicate), `strings` (every query groups by a string
   * expression and carries a LIKE/length predicate), `windows` (per-row
@@ -134,41 +144,76 @@ object FuzzRun {
   private def gen(r: java.util.Random, mode: String = "mixed"): String = {
     def pick[A](xs: Seq[A]): A = xs(r.nextInt(xs.size))
     val base = mode match {
-      case "outer" => pick(tables.filter(t => joins.exists(_._1 == t.name)))
+      case "outer" | "fullouter" =>
+        pick(tables.filter(t => joins.exists(_._1 == t.name)))
       case "dates" => pick(tables.filter(_.dates.nonEmpty))
       case "money" => pick(tables.filter(_.moneys.nonEmpty))
       case _ => pick(tables)
     }
-    // one FK hop: INNER as-is, or LEFT with the right side THINNED on its
-    // join key so unmatched left rows (and thus NULLs) exist by
-    // construction — the synthetic FK edges are otherwise total
-    def hopFrag(rt: String, cond: String, rk: String): (String, Boolean) =
-      if (mode == "outer" || r.nextInt(2) == 0) {
-        val m = r.nextInt(3) + 2
-        (s" LEFT JOIN (SELECT * FROM $rt WHERE $rk % $m <> ${r.nextInt(m)}) $rt ON $cond", true)
-      } else (s" JOIN $rt ON $cond", false)
+    // deterministic thinning: the synthetic FK edges are total, so a
+    // plain outer join of any flavor would produce ZERO NULL rows — each
+    // outer variant thins the side whose absence it exists to exercise
+    // (the subquery alias shadows the base view name on both engines)
+    def thin(t: String, k: String): String = {
+      val m = r.nextInt(3) + 2
+      s"(SELECT * FROM $t WHERE $k % $m <> ${r.nextInt(m)}) $t"
+    }
+    // one FK hop. LEFT thins the RIGHT side (unmatched base rows -> NULL
+    // right columns); RIGHT thins the BASE side (round-12 axis: unmatched
+    // right rows -> NULL base columns); FULL thins BOTH. Sided variants
+    // (RIGHT/FULL) only on the FIRST hop, where the thinned left leg IS
+    // the base table — returned as a FROM-clause override.
+    def hopFrag(lt: String, lk: String, rt: String, cond: String, rk: String,
+                firstHop: Boolean): (String, Boolean, Boolean, Option[String]) = {
+      val sidedOk = firstHop && mode != "windows"
+      val jt =
+        if (mode == "fullouter" && sidedOk) r.nextInt(2) + 1
+        else if (mode == "outer") 0
+        else if (sidedOk && mode == "mixed" && r.nextInt(8) == 0) r.nextInt(2) + 1
+        else if (r.nextInt(2) == 0) 0
+        else -1
+      jt match {
+        case -1 => (s" JOIN $rt ON $cond", false, false, None)
+        case 0 => (s" LEFT JOIN ${thin(rt, rk)} ON $cond", false, true, None)
+        case 1 => (s" RIGHT JOIN $rt ON $cond", true, false, Some(thin(lt, lk)))
+        case _ => (s" FULL JOIN ${thin(rt, rk)} ON $cond", true, true,
+          Some(thin(lt, lk)))
+      }
+    }
     // optionally follow one FK edge from the base table — and sometimes a
     // second hop from the joined table (lineitem -> orders -> customer)
+    val wantJoin = mode == "outer" || mode == "fullouter" || r.nextInt(3) == 0
     val join = joins
-      .filter(j => j._1 == base.name && (mode == "outer" || r.nextInt(3) == 0))
+      .filter(j => j._1 == base.name && wantJoin)
       .headOption.map { case (_, rt, cond, rk) =>
-        val (frag1, outer1) = hopFrag(rt, cond, rk)
+        val lk = cond.split(" = ")(0)
+        val (frag1, baseNull1, outer1, fromOverride) =
+          hopFrag(base.name, lk, rt, cond, rk, firstHop = true)
         val hop2 = joins.filter(j => j._1 == rt && r.nextInt(2) == 0)
           .headOption.map { case (_, rt2, cond2, rk2) =>
-            val (frag2, outer2) = hopFrag(rt2, cond2, rk2)
+            val (frag2, _, outer2, _) =
+              hopFrag(rt, cond2.split(" = ")(0), rt2, cond2, rk2, firstHop = false)
             (tables.find(_.name == rt2).get, frag2, outer2)
           }
         val t1 = tables.find(_.name == rt).get
         (Seq(Some((t1, outer1)), hop2.map(h => (h._1, h._3))).flatten,
-          s"$frag1${hop2.map(_._2).getOrElse("")}")
+          s"$frag1${hop2.map(_._2).getOrElse("")}", baseNull1, fromOverride)
       }
     val inScope = base +: join.map(_._1.map(_._1)).getOrElse(Nil)
-    // every column of a LEFT-joined table is nullable downstream (an inner
-    // hop after a LEFT one re-eliminates the NULL rows — treating them as
-    // nullable anyway stays valid SQL, the probes just never fire)
+    // a RIGHT/FULL first hop makes every BASE column nullable too — which
+    // also rules the window branch out for this query (tied-at-NULL base
+    // rows carry DIFFERING joined values, so running aggregates would be
+    // permutation-sensitive); see the sidedOk guard above + baseNullable
+    // below
+    val baseNullable = join.exists(_._3)
+    // every column of an outer-joined table is nullable downstream (an
+    // inner hop after an outer one re-eliminates the NULL rows — treating
+    // them as nullable anyway stays valid SQL, the probes just never fire)
     val nullable: Set[String] = join.map(_._1.collect {
       case (t, true) => t.longs ++ t.ints ++ t.strings ++ t.dates
-    }.flatten.toSet).getOrElse(Set.empty)
+    }.flatten.toSet).getOrElse(Set.empty) ++
+      (if (baseNullable) (base.longs ++ base.ints ++ base.strings ++ base.dates).toSet
+       else Set.empty[String])
     def longCols = inScope.flatMap(_.longs)
     def intCols = inScope.flatMap(_.ints)
     def strCols = inScope.flatMap(_.strings)
@@ -355,10 +400,12 @@ object FuzzRun {
     // — under LIMIT the defaults would cut different multisets
     val orderBy = " ORDER BY " + outs.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
     val limit = if (r.nextInt(3) == 0) s" LIMIT ${r.nextInt(500) + 1}" else ""
-    val from = s"${base.name}${join.map(_._2).getOrElse("")}"
-    // mixed mode composes every shape: windows/rollups fire at ~10% so a
-    // rollup-over-outer-join or window-over-date-filter gets generated
-    if (mode == "windows" || (mode == "mixed" && r.nextInt(10) == 0)) {
+    val from = s"${join.flatMap(_._4).getOrElse(base.name)}${join.map(_._2).getOrElse("")}"
+    // mixed mode composes every shape: windows/rollups/setops fire at
+    // ~10% so a rollup-over-outer-join or window-over-date-filter or
+    // except-of-slices gets generated
+    if (!baseNullable &&
+        (mode == "windows" || (mode == "mixed" && r.nextInt(10) == 0))) {
       // per-row window shape. The synthetic tables have NO unique key
       // (sf0.001 lineitem: up to 5 rows per (orderkey, linenumber)), so
       // the window orders by EVERY referenceable base column — rows
@@ -424,6 +471,25 @@ object FuzzRun {
       return s"SELECT ${rolled.mkString(", ")} FROM $from$where" +
         s" GROUP BY $op" +
         s" HAVING CAST(count(*) AS BIGINT) > 0 ORDER BY $rob$limit"
+    }
+    if (mode == "setops" || (mode == "mixed" && r.nextInt(12) == 0)) {
+      // INTERSECT/EXCEPT of two predicate slices of the same FROM shape
+      // (round-12 axis). ANSI-exact on both engines over the envelope's
+      // BIGINT/string projections: the plain forms are set-DISTINCT, the
+      // ALL forms multiset arithmetic, and set ops compare NULLs as
+      // equal (IS NOT DISTINCT semantics) — so outer-join NULL keys are
+      // in-envelope here too.
+      val setCols =
+        (if (groupKeys.nonEmpty) groupKeys
+         else Seq(s"(${pick(longCols ++ intCols.map(c => s"CAST($c AS BIGINT)"))}" +
+           s" % ${r.nextInt(9) + 2})"))
+          .zipWithIndex.map { case (e, i) => s"$e AS c$i" }
+      val names = setCols.indices.map(i => s"c$i")
+      val op = pick(Seq("INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"))
+      val slice1 = s"SELECT ${setCols.mkString(", ")} FROM $from WHERE ${pred()}"
+      val slice2 = s"SELECT ${setCols.mkString(", ")} FROM $from WHERE ${pred()}"
+      return s"SELECT ${names.mkString(", ")} FROM ($slice1 $op $slice2) s" +
+        s" ORDER BY ${names.map(n => s"$n NULLS FIRST").mkString(", ")}$limit"
     }
     r.nextInt(8) match {
       case 0 if groupKeys.nonEmpty =>
