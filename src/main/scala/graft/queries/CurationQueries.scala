@@ -723,7 +723,60 @@ object CurationQueries {
     WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)
     ORDER BY q_id, cand_id"""
 
+  /** q206 — cross-corpus PRECEDENCE dedup, the corpus-merge governance
+    * step: an incoming snapshot (doc_id % 3 = 0 plays the new crawl) is
+    * merged into a primary corpus (the rest) under "primary wins" — an
+    * incoming doc near-dup-linked to ANY primary doc is dropped; primary
+    * docs are never dropped by incoming material. The report is the
+    * merge audit a pipeline reviews before committing: per corpus, doc
+    * count, kept/dropped counts, and the dropped-id sum (the worklist
+    * fingerprint). Near-dup pairs are the engine's verified pair set
+    * (q23's), so the precedence screen inherits the banded-LSH scale
+    * shape — the only new work is one orientation union + a distinct
+    * over CROSS pairs (rare by construction), never corpus x corpus. */
+  def q206(spark: SparkSession, d: String): DataFrame = {
+    val pairs = DedupQueries.q23(spark, d).select(col("doc_a"), col("doc_b"))
+    // both orientations, keep (incoming, primary) — the dropped incoming
+    // endpoint is p
+    val dropped = pairs
+      .select(col("doc_a").as("p"), col("doc_b").as("q"))
+      .unionByName(pairs.select(col("doc_b").as("p"), col("doc_a").as("q")))
+      .filter(pmod(col("p"), lit(3L)) === 0L && pmod(col("q"), lit(3L)) =!= 0L)
+      .select(col("p").as("doc_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    Tables.documents(spark, d).select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left")
+      .select(
+        when(pmod(col("doc_id"), lit(3L)) === 0L, lit("incoming"))
+          .otherwise(lit("primary")).as("corpus"),
+        col("doc_id"),
+        coalesce(col("is_dropped"), lit(0L)).as("dr"))
+      .groupBy(col("corpus"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("dr")).cast("long").as("n_kept"),
+        sum(col("dr")).cast("long").as("n_dropped"),
+        sum(col("dr") * col("doc_id")).cast("long").as("dropped_id_sum"))
+      .orderBy(col("corpus"))
+  }
+
+  lazy val q206Sql: String = s"""
+    WITH vpairs AS (${DedupQueries.q23Sql.replace("ORDER BY doc_a, doc_b", "")}),
+    dropped AS (
+      SELECT DISTINCT p AS doc_id FROM (
+        SELECT doc_a AS p, doc_b AS q FROM vpairs
+        UNION ALL SELECT doc_b, doc_a FROM vpairs)
+      WHERE p % 3 = 0 AND q % 3 <> 0)
+    SELECT CASE WHEN d.doc_id % 3 = 0 THEN 'incoming' ELSE 'primary' END AS corpus,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE d.doc_id END) AS BIGINT)
+        AS dropped_id_sum
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY 1 ORDER BY 1"""
+
   val defs: Map[String, Q] = Map(
+    "q206_corpus_precedence_merge" -> (q206 _),
     "q204_band_index_probe" -> (q204 _),
     "q201_incremental_split" -> (q201 _),
     "q202_split_flip_audit" -> (q202 _),
@@ -737,6 +790,7 @@ object CurationQueries {
     "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
+    "q206_corpus_precedence_merge" -> q206Sql,
     "q204_band_index_probe" -> q204Sql,
     "q201_incremental_split" -> q201Sql,
     "q202_split_flip_audit" -> q202Sql,

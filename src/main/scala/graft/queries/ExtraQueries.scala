@@ -636,7 +636,49 @@ object ExtraQueries {
       TRUE AS garbage_is_null
     FROM events ORDER BY event_id"""
 
+  /** q205 — retention COHORT matrix over the event stream: users are
+    * cohorted by the epoch-week of their first event, and every event
+    * lands in the (cohort_week, weeks_since_cohort) cell — the standard
+    * "did week-N signups come back in week N+k" product-analytics
+    * report. Week = floor(epoch_seconds / 604800) on BOTH engines (a
+    * pure integer floor — no calendar/locale week-start semantics to
+    * diverge on; both operands are exact in double far below 2^53).
+    *
+    * Scale shape: one user-keyed aggregate (min week — map-side partial,
+    * one shuffle on user_id), a user-keyed join back (same key, so AQE
+    * reuses the hash partitioning; the cohort side is |users| rows, not
+    * |events|), then a cell-keyed aggregate whose output is
+    * weeks x weeks — report-sized. No window, no events x events. */
+  def q205(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d).select(
+      col("user_id"), col("event_id"),
+      floor(unix_timestamp(col("ts")).cast("double") / 604800d)
+        .cast("long").as("wk"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("event_id_sum"))
+      .orderBy(col("cohort_wk"), col("wk_offset"))
+  }
+
+  val q205Sql: String = """
+    WITH e AS (
+      SELECT user_id, event_id,
+        CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS wk
+      FROM events),
+    c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+    SELECT c.cohort_wk, e.wk - c.cohort_wk AS wk_offset,
+      CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(e.event_id) AS BIGINT) AS event_id_sum
+    FROM e JOIN c ON e.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val defs: Map[String, Q] = Map(
+    "q205_retention_cohorts" -> (q205 _),
     "q87_parse_datetime" -> (q87 _),
     "q85_converter_surface" -> (q85 _),
     "q08_cube_segment_status" -> (q08 _),
@@ -659,6 +701,7 @@ object ExtraQueries {
     "q69_interval_join" -> (q69 _))
 
   val oracles: Map[String, String] = Map(
+    "q205_retention_cohorts" -> q205Sql,
     "q87_parse_datetime" -> q87Sql,
     "q85_converter_surface" -> q85Sql,
     "q08_cube_segment_status" -> q08Sql,
