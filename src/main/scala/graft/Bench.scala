@@ -127,6 +127,11 @@ object Bench {
       "\"wall is index BUILD (the sunk cost) + probe; the recurring " +
       "online probe alone is ~0.5 s flat across a 100x store at " +
       "probe_frac exactly 4/64 — see BENCH_sf1_probe.json\"," +
+      "\"q207_admission_probe\":" +
+      "\"q201's lifecycle shape (two ingest rounds with index " +
+      "maintenance INSIDE the timer) + the online probe; the recurring " +
+      "cost is the probe alone — see BENCH_sf1_probe.json (~0.5 s flat " +
+      "at 100x)\"," +
       "\"q81_notify_ledger\":" +
       "\"a q72-style protocol simulation: three serial delivery waves " +
       "(enqueue + attempt + ledger fold per wave) run driver-orchestrated, " +

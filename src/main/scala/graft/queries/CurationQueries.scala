@@ -775,7 +775,35 @@ object CurationQueries {
     FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
     GROUP BY 1 ORDER BY 1"""
 
+  /** q207 — the ONLINE ADMISSION probe against an INGEST-MAINTAINED
+    * store (q204's claim, one integration level up): the store is built
+    * by two [[graft.operators.IncrementalSplit]] ingest rounds with
+    * `maintainIndex = true` (round 1 creates the index, round 2 APPENDS
+    * to it — both index-maintenance paths are under this gate), then
+    * every 7th doc plays an unseen incoming document probing the live
+    * root. Candidates must equal the batch LSH pair set restricted to
+    * exactly-one-endpoint-probe pairs — the oracle is q204's VERBATIM,
+    * so "ingest-maintained index == fresh-built index == batch LSH"
+    * is the gated equivalence chain. */
+  def q207(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("admitprobe").toString
+    val docs = Tables.documents(spark, d)
+    val store = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+    val s1 = store.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val s2 = store.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    graft.operators.IncrementalSplit.ingest(spark, root, s1, s1, maintainIndex = true)
+    graft.operators.IncrementalSplit.ingest(spark, root, store, s2, maintainIndex = true)
+    graft.operators.IncrementalSplit
+      .probe(spark, root, docs.filter(pmod(col("doc_id"), lit(7L)) === 0L))
+      .orderBy(col("q_id"), col("cand_id"))
+  }
+
+  /** Same oracle as q204: the ingest-maintained index must answer the
+    * admission probe with the batch LSH restriction, bit for bit. */
+  lazy val q207Sql: String = q204Sql
+
   val defs: Map[String, Q] = Map(
+    "q207_admission_probe" -> (q207 _),
     "q206_corpus_precedence_merge" -> (q206 _),
     "q204_band_index_probe" -> (q204 _),
     "q201_incremental_split" -> (q201 _),
@@ -790,6 +818,7 @@ object CurationQueries {
     "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
+    "q207_admission_probe" -> q207Sql,
     "q206_corpus_precedence_merge" -> q206Sql,
     "q204_band_index_probe" -> q204Sql,
     "q201_incremental_split" -> q201Sql,

@@ -118,6 +118,11 @@ class PlanLockSpec extends SparkSpec {
     "q204_band_index_probe", // golden pins the partition-filtered index
                              // scan + band join (a lost bucket filter
                              // would quietly read the whole index)
+    "q207_admission_probe",  // locked at birth (board-expensive lifecycle
+                             // query, r11 lesson): the ingest rounds run
+                             // eagerly at construction, so the golden pins
+                             // the PROBE shape — the partition-filtered
+                             // index scan + band join off the live root
     "q175_shuffled_pack",    // BENCH_r11 board top-10: work-metric-silent
                              // wall noise (0.53->2.40 s, identical bytes)
                              // but the repo rule is "lock the official
