@@ -34,10 +34,10 @@ object BandIndex {
     * the index; raise for larger stores (directories are cheap). */
   val Buckets = 64
 
-  private def bucketOf(band: org.apache.spark.sql.Column) =
+  private[graft] def bucketOf(band: org.apache.spark.sql.Column) =
     pmod(xxhash64(band), lit(Buckets.toLong)).cast("int")
 
-  private def banded(sigs: DataFrame): DataFrame = sigs.select(
+  private[graft] def banded(sigs: DataFrame): DataFrame = sigs.select(
     col("doc_id"),
     explode(Hashing.lshBandKeys(col("sig"),
       Hashing.LshBands, Hashing.LshRowsPerBand)).as("band"))

@@ -55,7 +55,8 @@ object DedupStream {
     * other batches' partitions. */
   def runBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                storeDir: String, archiveDir: String, pairsDir: String,
-               threshold: Double = 0.5): Unit = {
+               threshold: Double = 0.5,
+               bandIndexDir: Option[String] = None): Unit = {
     // Heal a compaction that crashed between its delete and rename BEFORE
     // any read: without this, a batch running inside that window would see
     // an empty store, write a fresh partition, and the next recover would
@@ -103,6 +104,12 @@ object DedupStream {
       .localCheckpoint(true)
     BatchStore.writePartition(pairs, batchId, pairsDir)
     BatchStore.writePartition(deltaSigs, batchId, storeDir)
+    // optional: keep the band-partitioned LSH index live for the ONLINE
+    // admission probe (BandIndexStream.probe) — replay-idempotent via the
+    // same (batch, bucket) dynamic overwrite, unlike the batch path's
+    // plain append
+    bandIndexDir.foreach(d =>
+      BandIndexStream.appendBatch(spark, deltaSigs, batchId, d))
     deltaSigs.unpersist()
     ()
   }
@@ -177,11 +184,16 @@ object DedupStream {
     * serialization covers the swap). */
   def start(docs: DataFrame, storeDir: String, archiveDir: String,
             pairsDir: String, checkpointDir: String,
-            threshold: Double = 0.5, compactEvery: Int = 0): StreamingQuery =
+            threshold: Double = 0.5, compactEvery: Int = 0,
+            bandIndexDir: Option[String] = None): StreamingQuery =
     BatchStore.loop(docs, checkpointDir, compactEvery) { (s, batch, batchId) =>
-      runBatch(s, batch, batchId, storeDir, archiveDir, pairsDir, threshold)
+      runBatch(s, batch, batchId, storeDir, archiveDir, pairsDir, threshold,
+        bandIndexDir)
     } { s =>
       compact(s, storeDir)
       compact(s, archiveDir)
+      // same maintenance cadence: drop superseded docs' stale bands and
+      // collapse per-batch file accumulation
+      bandIndexDir.foreach(d => BandIndexStream.compact(s, d, storeDir))
     }
 }
