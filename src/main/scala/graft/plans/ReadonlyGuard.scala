@@ -46,6 +46,59 @@ object ReadonlyGuard {
     }
   }
 
+  final class ScanBudgetExceeded(msg: String) extends RuntimeException(msg)
+
+  /** Estimated bytes the query would SCAN: the sum over every file scan
+    * in the PHYSICAL plan of its statically-pruned file listing
+    * (`FileSourceScanExec.selectedPartitions.totalFileSize`) — partition
+    * pruning for path-based reads happens at physical planning, not in
+    * the optimizer, so a query that prunes to one partition is charged
+    * one partition's bytes while the estimate still executes nothing
+    * (the listing is a driver-side directory walk). Subquery-held plans
+    * are walked explicitly (`subqueriesAll`) — a tree walk alone never
+    * crosses a `PlanExpression`, so a scalar subquery over a huge table
+    * would otherwise scan for free. Conservative by design: dynamic
+    * (runtime) pruning is not credited, a CTE scanned once but
+    * referenced twice counts per reference, and column pruning is not
+    * prorated — the estimate upper-bounds file bytes on the scan path.
+    * Non-file leaves (in-memory relations, local tables) charge zero:
+    * the budget bounds file IO, which is what costs at warehouse scale. */
+  def estimatedScanBytes(df: DataFrame): BigInt = {
+    // subqueries surface as LOGICAL plans on the optimized tree
+    // (PlanExpression.plan); each is planned separately (ofRows — no
+    // execution) so its own file listings become visible. The physical
+    // subqueriesAll would cast those logical plans to SparkPlan and CCE.
+    val opt = df.queryExecution.optimizedPlan
+    val spark = df.sparkSession
+    (df.queryExecution.sparkPlan +:
+      opt.subqueriesAll.map(sub =>
+        org.apache.spark.sql.GraftColumnBridge.ofRows(spark, sub)
+          .queryExecution.sparkPlan))
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          BigInt(f.selectedPartitions.totalFileSize)
+      }).sum
+  }
+
+  /** Run with a SCAN budget as well as the row cap — the data-volume
+    * analog of the row cap: at warehouse scale the expensive mistake is
+    * not returning too many rows, it is scanning 100 TB to return 10.
+    * Rejection happens BEFORE execution (plan statistics only), so a
+    * refused query costs a parse + analyze, never a cluster scan. A
+    * dashboard tier would pair this with the row cap, the timeout, and
+    * the connection gate (QueryGate) as the serving envelope. */
+  def runBudgeted(spark: SparkSession, sql: String, maxScanBytes: Long,
+                  maxRows: Int = DefaultMaxRows): QueryResult = {
+    validate(spark, sql)
+    val df = spark.sql(sql)
+    val est = estimatedScanBytes(df)
+    if (est > BigInt(maxScanBytes))
+      throw new ScanBudgetExceeded(
+        s"query would scan ~$est bytes (budget $maxScanBytes); " +
+          "narrow the partition/column footprint or raise the budget")
+    cappedCollect(spark, df, maxRows)(collect => collect())._1
+  }
+
   /** Parse, reject non-queries, run with a row cap. Mirrors
     * `execute_readonly_query_with_help`: returns the capped rows plus whether
     * the cap was hit. */

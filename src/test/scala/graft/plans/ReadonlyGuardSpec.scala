@@ -88,6 +88,38 @@ class ReadonlyGuardSpec extends SparkSpec {
       ReadonlyGuard.runMetered(spark, "DROP TABLE guard_t"))
   }
 
+  test("scan budget refuses oversized reads BEFORE execution, prunes count") {
+    val root = java.nio.file.Files.createTempDirectory("scanbudget").toString
+    import spark.implicits._
+    // partitioned table: two partitions of ~100 KB each
+    (1 to 1000).map(i => (i.toLong, i % 2, "x" * 200)).toDF("id", "p", "payload")
+      .write.mode("overwrite").partitionBy("p").parquet(root)
+    spark.read.parquet(root).createOrReplaceTempView("budget_t")
+    val full = ReadonlyGuard.estimatedScanBytes(
+      spark.sql("SELECT * FROM budget_t"))
+    assert(full > 0)
+    // whole-table read over a budget below the table size: refused
+    // (budget = 3/4 of the table — above either single partition, below
+    // both: the partitions are near- but not exactly equal-sized)
+    intercept[ReadonlyGuard.ScanBudgetExceeded] {
+      ReadonlyGuard.runBudgeted(spark, "SELECT id FROM budget_t",
+        maxScanBytes = (full * 3 / 4).toLong)
+    }
+    // the same budget passes once partition pruning halves the footprint
+    val pruned = ReadonlyGuard.runBudgeted(spark,
+      "SELECT id FROM budget_t WHERE p = 0",
+      maxScanBytes = (full * 3 / 4).toLong, maxRows = 2000)
+    assert(pruned.df.count() == 500)
+    // a scalar subquery's scan is charged too (collectLeaves alone
+    // never crosses a PlanExpression)
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("budget_tiny")
+    intercept[ReadonlyGuard.ScanBudgetExceeded] {
+      ReadonlyGuard.runBudgeted(spark,
+        "SELECT id FROM budget_tiny WHERE id <= (SELECT count(*) FROM budget_t)",
+        maxScanBytes = (full * 3 / 4).toLong)
+    }
+  }
+
   test("metered cost is the served collect, not a pruned side count") {
     // a side count() gets a column-pruned plan that can read ~zero bytes for
     // a projection-heavy query; metering the actual collect must charge the
