@@ -40,9 +40,14 @@ import java.nio.file.{Files, Paths}
   *  - STRING functions on the ASCII dimension columns only (round-11
   *    axis): substr/upper/lower/||-concat as group keys and min/max
   *    subjects, LIKE prefix/suffix and length() predicates — all
-  *    byte-exact on ASCII under both engines' binary collations. The
-  *    free-text `documents.text` column stays out (the one string column
-  *    where normalization could diverge);
+  *    byte-exact on ASCII under both engines' binary collations;
+  *  - FREE-TEXT functions over `documents.text` (round-12 axis; the
+  *    column is lowercase-ASCII words at every SF, verified): bounded
+  *    substr slices, md5-fingerprint buckets, and replace-stripped
+  *    prefixes as group keys; length/instr/replace-delta occurrence
+  *    counts as integer measures; LIKE '%word%' / instr / length
+  *    predicates with needles drawn from the corpus vocabulary. The raw
+  *    text never reaches an output schema — only bounded derivations do;
   *  - every query ends in a total ORDER BY over all output columns with
   *    an explicit NULLS FIRST (Spark defaults NULLS FIRST, DuckDB NULLS
   *    LAST — under LIMIT the default would cut different multisets), so
@@ -56,7 +61,9 @@ import java.nio.file.{Files, Paths}
   * join), `setops` (every query is an INTERSECT/EXCEPT of two slices),
   * `dates` (every query starts from a dated table and carries at least
   * one exact-date predicate), `strings` (every query groups by a string
-  * expression and carries a LIKE/length predicate), `windows` (per-row
+  * expression and carries a LIKE/length predicate), `freetext` (every
+  * query starts from the corpus table, groups by a bounded text
+  * derivation, and carries a text predicate), `windows` (per-row
   * window-function shape), `semis` (every query carries an IN /
   * correlated-EXISTS / NOT EXISTS predicate), `rollups` (ROLLUP/CUBE
   * super-aggregates with grouping() flags), `money` (every query
@@ -67,7 +74,8 @@ object FuzzRun {
   private final case class Table(name: String, longs: Seq[String],
                                  ints: Seq[String], strings: Seq[String],
                                  dates: Seq[String] = Nil,
-                                 moneys: Seq[String] = Nil) {
+                                 moneys: Seq[String] = Nil,
+                                 texts: Seq[String] = Nil) {
     /** Every column the grammar can reference, as an ORDER BY list: rows
       * tied on ALL of these are indistinguishable to any generated
       * expression, so window outputs are permutation-invariant even
@@ -88,7 +96,17 @@ object FuzzRun {
     Table("customer", Seq("c_custkey"), Seq("c_nationkey"), Seq("c_mktsegment"),
       moneys = Seq("c_acctbal")),
     Table("nation", Nil, Seq("n_nationkey", "n_regionkey"), Seq("n_name")),
-    Table("documents", Seq("doc_id", "n_chars"), Nil, Seq("lang", "source")))
+    Table("documents", Seq("doc_id", "n_chars"), Nil, Seq("lang", "source"),
+      texts = Seq("text")))
+
+  /** Vocabulary the synthetic `documents.text` is drawn from — LIKE /
+    * instr / replace needles that actually occur, so text predicates are
+    * selective rather than vacuously all-true or all-false. Lowercase
+    * ASCII only: every text function in the axis is byte-exact there. */
+  private val textWords = Seq(
+    "table", "scan", "merge", "batch", "spark", "window", "filter",
+    "value", "query", "order", "group", "column", "stream", "vector",
+    "customer", "line", "sort", "hash", "agg", "row")
 
   /** FK equi-joins the synthetic tables actually satisfy; the fourth
     * element is the RIGHT side's join key — the column a LEFT variant
@@ -148,6 +166,7 @@ object FuzzRun {
         pick(tables.filter(t => joins.exists(_._1 == t.name)))
       case "dates" => pick(tables.filter(_.dates.nonEmpty))
       case "money" => pick(tables.filter(_.moneys.nonEmpty))
+      case "freetext" => pick(tables.filter(_.texts.nonEmpty))
       case _ => pick(tables)
     }
     // deterministic thinning: the synthetic FK edges are total, so a
@@ -279,6 +298,45 @@ object FuzzRun {
         case _ => s"length($c) % ${r.nextInt(5) + 2} = ${r.nextInt(3)}"
       }
     }
+    // FREE-TEXT surfaces (round-12 axis): documents.text is lowercase
+    // ASCII words (verified at all three SFs), where length / substr /
+    // upper / replace / instr / md5 / LIKE are byte-exact on both
+    // engines' binary collations — the corpus column graduates from
+    // "stays out" to a fuzzed surface. The raw text never reaches an
+    // output schema (unbounded values would bloat the compare): it
+    // appears through bounded slices, fingerprint buckets, and integer
+    // measures only.
+    def textCols = inScope.flatMap(_.texts)
+    def textExpr(): String = {
+      val t = pick(textCols)
+      r.nextInt(4) match {
+        case 0 => s"substr($t, ${r.nextInt(5) + 1}, ${r.nextInt(3) + 1})"
+        case 1 => s"substr(md5($t), 1, ${r.nextInt(2) + 1})"
+        case 2 => s"upper(substr($t, 1, ${r.nextInt(2) + 1}))"
+        case _ => s"substr(replace($t, ' ', ''), 1, ${r.nextInt(3) + 1})"
+      }
+    }
+    def textIntExpr(): String = {
+      val t = pick(textCols)
+      val w = pick(textWords)
+      r.nextInt(4) match {
+        case 0 => s"CAST(length($t) AS BIGINT)"
+        case 1 => s"CAST(instr($t, '$w') AS BIGINT)"
+        case 2 => // needle occurrence mass via replace-delta (no division)
+          s"CAST(length($t) - length(replace($t, '$w', '')) AS BIGINT)"
+        case _ => s"CAST(length(trim($t)) AS BIGINT)"
+      }
+    }
+    def textPred(): String = {
+      val t = pick(textCols)
+      val w = pick(textWords)
+      r.nextInt(4) match {
+        case 0 => s"$t LIKE '%$w%'"
+        case 1 => s"$t NOT LIKE '%$w%'"
+        case 2 => s"instr($t, '$w') > ${r.nextInt(40)}"
+        case _ => s"length($t) % ${r.nextInt(7) + 2} <= ${r.nextInt(4)}"
+      }
+    }
     // semi/anti-join predicates: uncorrelated IN and correlated
     // (NOT) EXISTS along an FK edge — integer-exact, NULL-free on the
     // subquery side (base columns are non-null), so the ANSI three-valued
@@ -329,6 +387,7 @@ object FuzzRun {
         case 5 if nullCols.nonEmpty => // the LEFT-join NULL side
           val n = pick(nullCols)
           if (r.nextBoolean()) s"$n IS NULL" else s"$n IS NOT NULL"
+        case 6 if textCols.nonEmpty && r.nextBoolean() => textPred()
         case 6 if strCols.nonEmpty => strPred()
         case 7 if moneyCols.nonEmpty && r.nextBoolean() =>
           s"${moneyExpr()} % ${r.nextInt(97) + 3} <= ${r.nextInt(30)}"
@@ -338,7 +397,8 @@ object FuzzRun {
       }
     }
     val genKeys: Seq[String] = (0 until r.nextInt(3)).map { _ =>
-      r.nextInt(6) match {
+      r.nextInt(7) match {
+        case 6 if textCols.nonEmpty => textExpr()
         case 0 if strCols.nonEmpty => strExpr()
         case 1 if dateCols.nonEmpty =>
           // 'YYYY-MM-DD' on both engines; NULL for an unmatched LEFT row
@@ -353,9 +413,14 @@ object FuzzRun {
       }
     }
     val groupKeys: Seq[String] =
-      (if (mode == "strings") strExpr() +: genKeys else genKeys).distinct
+      (if (mode == "strings") strExpr() +: genKeys
+       else if (mode == "freetext") textExpr() +: genKeys
+       else genKeys).distinct
     val aggs: Seq[String] = (0 to r.nextInt(2)).map { _ =>
-      r.nextInt(8) match {
+      r.nextInt(9) match {
+        case 8 if textCols.nonEmpty =>
+          val f = pick(Seq("sum", "min", "max"))
+          s"CAST($f(${textIntExpr()}) AS BIGINT)"
         case 0 => "CAST(count(*) AS BIGINT)"
         case 1 => s"CAST(sum(${intExpr(1)}) AS BIGINT)"
         case 2 => s"CAST(min(${intExpr(1)}) AS BIGINT)"
@@ -377,6 +442,7 @@ object FuzzRun {
     val preds = mode match {
       case "dates" => datePred() +: basePreds
       case "strings" => strPred() +: basePreds
+      case "freetext" => textPred() +: basePreds
       case "semis" => semiPred() +: basePreds
       case "money" =>
         s"${moneyExpr()} % ${r.nextInt(97) + 3} <= ${r.nextInt(30)}" +: basePreds

@@ -802,7 +802,155 @@ object CurationQueries {
     * admission probe with the batch LSH restriction, bit for bit. */
   lazy val q207Sql: String = q204Sql
 
+  /** Character window length for q208's exact-substring pass. 32 chars
+    * (~6-7 words here) is long enough that duplication is structural, not
+    * chance — at the three driver SFs it flags 47 / 53 / 887 docs, a
+    * corpus-sparse covered set. */
+  private val SubstrL = 32
+
+  /** q208 — EXACT duplicated-substring span removal, the suffix-array
+    * dedup step (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every maximal character span of length
+    * >= L that occurs more than once ANYWHERE in the corpus (another
+    * document or a self-repeat) is located per document, and the audit
+    * reports per doc the span count, duplicated-char mass, and kept-char
+    * mass. The exact-span semantics reduce to stride-1 char L-grams: a
+    * position lies inside some duplicated substring of length >= L iff
+    * some duplicated L-gram covers it, so the covered-position union of
+    * duplicated L-grams IS the maximal duplicated-span set — no suffix
+    * array needed, the reduction is shuffle-friendly instead.
+    *
+    * Scale shape: shuffles touch (window) and (doc_id) keys only — never
+    * document pairs; the duplicate filter is a map-side-combinable count;
+    * island merging is a per-doc window over COVERED positions only
+    * (corpus-sparse by construction at a structural L). The window-string
+    * shuffle carries ~L x corpus bytes; at warehouse scale key by a
+    * two-seed 128-bit xxhash64 fingerprint instead (16 B/window,
+    * collision odds < 2^-64 per corpus-squared pair) — semantics
+    * identical, and the gate here runs the exact-string key so the
+    * fingerprint variant has a bit-exact reference to regress against. */
+  def q208(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = SubstrL
+    val docs = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val wins = docs.filter(col("len") >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, len - $L), i -> substring(text, i + 1, $L))")))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("w"))
+    val dup = wins.groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("w")
+    val cov = wins.join(dup, Seq("w")).select(col("doc_id"), col("p"))
+    val byPos = Window.partitionBy("doc_id").orderBy("p")
+    // gaps-and-islands: windows are all length L, so coverage is
+    // contiguous exactly while consecutive starts are <= L apart
+    val spans = cov
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(byPos) > L, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("p").as("s"), (max(col("p")) + lit(L)).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("ns"), sum(col("e") - col("s")).as("dc"))
+    docs.select(col("doc_id"), col("len"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ns"), lit(0L)).as("n_spans"),
+        coalesce(col("dc"), lit(0L)).as("dup_chars"),
+        (col("len") - coalesce(col("dc"), lit(0L))).cast(LongType)
+          .as("kept_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q208Sql: String = s"""
+    WITH docs AS (
+      SELECT doc_id, text, length(text) AS len FROM documents),
+    wins0 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len - ${SubstrL - 2}),
+        i -> {'p': i - 1, 'w': substr(text, i, $SubstrL)})) AS pw
+      FROM docs WHERE len >= $SubstrL),
+    wins AS (SELECT doc_id, pw.p AS p, pw.w AS w FROM wins0),
+    dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) > 1),
+    cov AS (SELECT doc_id, p FROM wins JOIN dup USING (w)),
+    brk AS (
+      SELECT doc_id, p,
+        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+          > $SubstrL THEN 1 ELSE 0 END AS b
+      FROM cov),
+    isl AS (
+      SELECT doc_id, p,
+        sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM brk),
+    spans AS (
+      SELECT doc_id, island, min(p) AS s, max(p) + $SubstrL AS e
+      FROM isl GROUP BY 1, 2),
+    perdoc AS (
+      SELECT doc_id, count(*) AS ns, sum(e - s) AS dc
+      FROM spans GROUP BY 1)
+    SELECT d.doc_id,
+      CAST(coalesce(ns, 0) AS BIGINT) AS n_spans,
+      CAST(coalesce(dc, 0) AS BIGINT) AS dup_chars,
+      CAST(d.len - coalesce(dc, 0) AS BIGINT) AS kept_chars
+    FROM docs d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+    ORDER BY d.doc_id"""
+
+  /** q209 — sliding-window token CHUNKING (the RAG / context-window
+    * preparation step): each document is split into overlapping windows
+    * of C=64 tokens at stride S=48 (overlap 16), boundaries on token
+    * edges, the last chunk ragged. Chunk count is the closed form
+    * `n <= C ? 1 : floordiv(n - C + S - 1, S) + 1` — non-negative
+    * integer floor-division, exact on both engines. Per q167/q199's
+    * discipline the gate pins the chunk CONTENT (md5 of the token
+    * window), not just offsets and counts, so an off-by-one in either
+    * engine's slice surfaces as a hash diff.
+    *
+    * Scale shape: one narrow projection + a per-doc explode bounded by
+    * ceil(n/S) rows — no shuffle at all until the output sort; chunking
+    * is embarrassingly parallel and the chunk table inherits the
+    * document partitioning. */
+  def q209(spark: SparkSession, d: String): DataFrame = {
+    val (c, s) = (64, 48)
+    Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast(LongType))
+      .withColumn("k", expr(
+        s"CASE WHEN n <= $c THEN 1L ELSE ((n - $c + ${s - 1}) div $s) + 1L END"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(expr(s"sequence(0L, (k - 1) * $s, $s)")).as("start_tok"))
+      .select(col("doc_id"),
+        expr(s"start_tok div $s").as("chunk_idx"),
+        col("start_tok"),
+        expr(s"slice(t, CAST(start_tok + 1 AS INT), $c)").as("ch"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ch")).cast(LongType).as("n_toks"),
+        md5(array_join(col("ch"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q209Sql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, ${Sql.words} AS t, len(${Sql.words}) AS n
+      FROM documents),
+    kk AS (
+      SELECT doc_id, t, n,
+        CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS k
+      FROM toks),
+    chunks AS (
+      SELECT doc_id, t, n, unnest(range(0, k)) AS ci FROM kk),
+    sel AS (
+      SELECT doc_id, ci AS chunk_idx, ci * 48 AS start_tok,
+        list_slice(t, ci * 48 + 1, least(ci * 48 + 64, n)) AS ch
+      FROM chunks)
+    SELECT doc_id,
+      CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      CAST(start_tok AS BIGINT) AS start_tok,
+      CAST(len(ch) AS BIGINT) AS n_toks,
+      md5(array_to_string(ch, ' ')) AS chunk_md5
+    FROM sel ORDER BY doc_id, chunk_idx"""
+
   val defs: Map[String, Q] = Map(
+    "q209_doc_chunking" -> (q209 _),
+    "q208_substring_dedup" -> (q208 _),
     "q207_admission_probe" -> (q207 _),
     "q206_corpus_precedence_merge" -> (q206 _),
     "q204_band_index_probe" -> (q204 _),
@@ -818,6 +966,8 @@ object CurationQueries {
     "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
+    "q209_doc_chunking" -> q209Sql,
+    "q208_substring_dedup" -> q208Sql,
     "q207_admission_probe" -> q207Sql,
     "q206_corpus_precedence_merge" -> q206Sql,
     "q204_band_index_probe" -> q204Sql,

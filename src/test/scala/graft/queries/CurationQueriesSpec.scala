@@ -60,4 +60,69 @@ class CurationQueriesSpec extends SparkSpec {
       assert(dropped > 0L, s"source $s: planted footer not detected")
     }
   }
+
+  /** Write a minimal documents table and return its directory — q208/q209
+    * only touch (doc_id, text), so the constructed corpus stays narrow. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("curdocs").toString
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q208: constructed spans — cross-doc, self-repeat, boundaries exact") {
+    // S (40 chars) is shared by docs 1 and 2 with unique flanks, so the
+    // maximal duplicated span in each is EXACTLY S. Doc 3 repeats R (35
+    // chars) twice with a 40-char unique gap — two islands, never merged.
+    // Doc 4 has no 32-char substring occurring twice anywhere.
+    val S = "the quick brown fox jumps over the dogs"  + "x" // 40 chars
+    val R = "zebra lion tiger bear wolf eagle hawk"         // 37 chars
+    assert(S.length == 40 && R.length == 37)
+    val gap  = "0123456789012345678901234567890123456789"   // 40 chars
+    val rows = Seq(
+      1L -> s"aaaa bbbb cccc $S dddd eeee ffff",
+      2L -> s"gggg hhhh iiii jjjj $S kkkk llll",
+      3L -> s"mm $R $gap$R nn",
+      4L -> "unique text with no repeats anywhere at all in this corpus")
+    val out = CurationQueries.q208(spark, docsDir(rows)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"))).toMap
+    // the maximal span is ' '+S+' ' (42 chars): both occurrences sit
+    // between spaces, so the duplicated region extends one char past S on
+    // each side — MAXIMALITY is part of what this pins
+    assert(out(1L) == (1L, 42L), s"doc 1: ${out(1L)} — span must be ' S '")
+    assert(out(2L) == (1L, 42L), s"doc 2: ${out(2L)}")
+    // doc 3: R+' ' (38 chars) appears twice (left extension blocked: 'm '
+    // vs '9' before the copies); the 40-char gap exceeds L=32 so the two
+    // islands stay separate
+    assert(out(3L) == (2L, 76L), s"doc 3: ${out(3L)}")
+    assert(out(4L) == (0L, 0L), s"doc 4: ${out(4L)}")
+    // kept_chars conservation re-checked by the oracle gate; here assert
+    // the schema contract survived the left join for span-free docs
+    assert(out.size == 4)
+  }
+
+  test("q209: chunk-count closed form and full token coverage at the edges") {
+    val word = "tok"
+    def docOf(n: Int): String = Seq.fill(n)(word).mkString(" ")
+    // n = 1 / 63 / 64 (fits one window) / 65 / 112 (exact two) / 113 / 200
+    val ns = Seq(1, 63, 64, 65, 112, 113, 200)
+    val rows = ns.zipWithIndex.map { case (n, i) => (i + 1L, docOf(n)) }
+    val out = CurationQueries.q209(spark, docsDir(rows)).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    ns.zipWithIndex.foreach { case (n, i) =>
+      val chunks = out(i + 1L).sortBy(_.getAs[Long]("chunk_idx"))
+      val expectK = if (n <= 64) 1 else (n - 64 + 47) / 48 + 1
+      assert(chunks.length == expectK, s"n=$n: ${chunks.length} chunks, want $expectK")
+      chunks.zipWithIndex.foreach { case (c, ci) =>
+        assert(c.getAs[Long]("start_tok") == ci * 48L)
+        assert(c.getAs[Long]("n_toks") ==
+          math.min(64L, n - ci * 48L), s"n=$n chunk $ci size")
+      }
+      // ragged tail still reaches the end: last chunk covers token n-1
+      val last = chunks.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_toks") == n.toLong,
+        s"n=$n: chunks must cover every token exactly once past the overlap")
+    }
+  }
 }
