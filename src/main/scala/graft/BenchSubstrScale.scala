@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence sidecar for the round-12 substring-dedup family (q208
+  * exact duplicated-substring spans, q209 sliding-window chunking) at 1x
+  * and `COPIES`x the sf0.1 document count — TWO corpora per scale point,
+  * because replication interacts with q208's semantics in opposite ways:
+  *
+  *  - `salted`: a position-keyed salt token ("s<j>w<i/4>") is injected
+  *    after every 4th word, so every 32-char window spans a salt and
+  *    copies are mutually UNIQUE — while two docs inside one copy that
+  *    shared a span still share it (the salt depends on (copy, position)
+  *    only, identical for both members of a dup pair). Dup structure per
+  *    copy equals the base corpus: the covered set stays corpus-SPARSE,
+  *    the regime the operator is designed for. Wall should track corpus
+  *    size ~linearly (the (window)-keyed count dominates; the island
+  *    window touches covered positions only).
+  *
+  *  - `plain`: verbatim copies — EVERY window occurs >= copies times, so
+  *    the covered set saturates to the whole corpus. This is the
+  *    operator's worst case (the join-back and island merge go
+  *    corpus-sized) and bounds the blowup a pathological all-dup corpus
+  *    could cause; it must degrade to ~linear-with-a-larger-constant,
+  *    never quadratic (nothing in the plan pairs documents).
+  *
+  * q209 is measured on the plain corpus only (chunking is per-doc; text
+  * content does not change its work). Copies are keyed
+  * `doc_id + j * n_base` (j=0 preserves originals — the round-6 lesson).
+  *
+  * Emits ONE JSON line and writes `BENCH_sf1_substr.json` in the cwd. */
+object BenchSubstrScale {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_substr")
+    val spark = ScaleCorpus.session()
+    import ScaleCorpus.fmt
+
+    val base = Tables.documents(spark, sfDir)
+    val nBase = base.count()
+
+    def copied(c: Int, salted: Boolean): DataFrame = {
+      val rep = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(c - 1L))).as("j"))
+      val textCol =
+        if (!salted) col("text")
+        else
+          // inject "s<j>w<i/4>" after every 4th word: identical for docs
+          // sharing base text WITHIN a copy, unique ACROSS copies — dup
+          // structure per copy == base corpus, copies mutually unique
+          array_join(flatten(transform(
+            expr("split(text, ' ')"),
+            (w, i) => when(i % 4 === 3,
+                array(w, concat(lit("s"), col("j").cast("string"),
+                  lit("w"), (i / 4).cast("long").cast("string"))))
+              .otherwise(array(w)))), " ")
+      rep.select((col("doc_id") + col("j") * nBase).as("doc_id"),
+        textCol.as("text"))
+    }
+
+    def run(name: String, dir: String): (Double, Long) = {
+      val fn: (SparkSession, String) => DataFrame = SparkEntry.queries(name)
+      MemoRegistry.resetAll()
+      spark.catalog.clearCache()
+      var rows = 0L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // hash every output column so Catalyst cannot prune the work
+        // down to a row count (the round-8 lesson)
+        val df = fn(spark, dir)
+        val r = df
+          .select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(count(lit(1)), expr("bit_xor(h)")).collect()
+        rows = r.head.getLong(0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val sec = Seq(once(), once(), once()).sorted.apply(1)
+      (sec, rows)
+    }
+
+    // regime filter for the 100x run: the salted axis carries the scaling
+    // claim (fixed dup structure, growing corpus); the plain/saturated
+    // axis is a worst-case bound whose cost is ~linear in COVERED mass —
+    // measured at 10x, it needn't be re-paid at 100x
+    val regimes = sys.env.getOrElse("SPARK_GRAFT_SCALE_REGIMES", "salted,plain")
+      .split(",").map(_.trim).toSet
+    val rounds = Seq(1, copies).map { c =>
+      val parts = Seq(true, false)
+        .filter(s => regimes.contains(if (s) "salted" else "plain"))
+        .map { salted =>
+        val dir = s"$scaleDir/${c}x_${if (salted) "salted" else "plain"}"
+        copied(c, salted).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        val regime = if (salted) "salted" else "plain"
+        val (s208, r208) = run("q208_substring_dedup", dir)
+        val chunk = if (!salted) {
+          val (s209, r209) = run("q209_stride_chunking", dir)
+          s""","q209":{"sec":${fmt(s209)},"rows":$r209}"""
+        } else ""
+        s""""$regime":{"q208":{"sec":${fmt(s208)},"rows":$r208}$chunk}"""
+      }
+      s""""${c}x":{"docs":${c * nBase},${parts.mkString(",")}}"""
+    }
+
+    val line =
+      s"""{"metric":"substr_scale","unit":"sec",${rounds.mkString(",")},"sf":"$sfDir"}"""
+    val outFile =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_sf1_substr.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+}

@@ -17,7 +17,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // GRAFT_VERIFY_ONLY=q208_substring_dedup,q209_doc_chunking — builder-side
+    // GRAFT_VERIFY_ONLY=q208_substring_dedup,q209_stride_chunking — builder-side
     // filter for iterating on one query without the full 200+ sweep; the
     // driver never sets it, so its runs stay complete.
     val only = sys.env.get("GRAFT_VERIFY_ONLY")

@@ -829,11 +829,12 @@ object CurationQueries {
     * collision odds < 2^-64 per corpus-squared pair) — semantics
     * identical, and the gate here runs the exact-string key so the
     * fingerprint variant has a bit-exact reference to regress against. */
-  def q208(spark: SparkSession, d: String): DataFrame = {
+  /** The maximal duplicated-span set: (doc_id, s, e) with e exclusive —
+    * q208 reports it, q210 rewrites with it. `docs` must carry
+    * (doc_id, text, len). */
+  private def dupSpans(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = SubstrL
-    val docs = Tables.parallel(Tables.documents(spark, d))
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
     val wins = docs.filter(col("len") >= L)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, len - $L), i -> substring(text, i + 1, $L))")))
@@ -844,13 +845,18 @@ object CurationQueries {
     val byPos = Window.partitionBy("doc_id").orderBy("p")
     // gaps-and-islands: windows are all length L, so coverage is
     // contiguous exactly while consecutive starts are <= L apart
-    val spans = cov
+    cov
       .withColumn("brk",
         when(col("p") - lag("p", 1).over(byPos) > L, 1L).otherwise(0L))
       .withColumn("island", sum("brk").over(byPos))
       .groupBy(col("doc_id"), col("island"))
       .agg(min("p").as("s"), (max(col("p")) + lit(L)).as("e"))
-    val perDoc = spans.groupBy("doc_id")
+  }
+
+  def q208(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val perDoc = dupSpans(docs).groupBy("doc_id")
       .agg(count(lit(1)).as("ns"), sum(col("e") - col("s")).as("dc"))
     docs.select(col("doc_id"), col("len"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -862,8 +868,10 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  val q208Sql: String = s"""
-    WITH docs AS (
+  /** The shared span-derivation CTE chain (q208's report and q210's
+    * rewrite sit on the identical pair of legs, Spark and oracle). */
+  private val spansCte: String = s"""
+    docs AS (
       SELECT doc_id, text, length(text) AS len FROM documents),
     wins0 AS (
       SELECT doc_id, unnest(list_transform(range(1, len - ${SubstrL - 2}),
@@ -883,7 +891,10 @@ object CurationQueries {
       FROM brk),
     spans AS (
       SELECT doc_id, island, min(p) AS s, max(p) + $SubstrL AS e
-      FROM isl GROUP BY 1, 2),
+      FROM isl GROUP BY 1, 2)"""
+
+  val q208Sql: String = s"""
+    WITH $spansCte,
     perdoc AS (
       SELECT doc_id, count(*) AS ns, sum(e - s) AS dc
       FROM spans GROUP BY 1)
@@ -894,10 +905,15 @@ object CurationQueries {
     FROM docs d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
     ORDER BY d.doc_id"""
 
-  /** q209 — sliding-window token CHUNKING (the RAG / context-window
-    * preparation step): each document is split into overlapping windows
+  /** q209 — STRIDE-parameterized token chunking (the RAG / retrieval
+    * chunk-prep step): each document is split into overlapping windows
     * of C=64 tokens at stride S=48 (overlap 16), boundaries on token
-    * edges, the last chunk ragged. Chunk count is the closed form
+    * edges, the last chunk ragged. The sibling of q95's 50%-overlap
+    * context-window chunker ([[PipelineQueries.q95]]) with the knobs a
+    * retrieval pipeline actually turns: independent (C, S), a RAGGED
+    * final chunk (q95 keeps the tail window only when it adds tokens),
+    * and the chunk CONTENT pinned by md5 rather than a fingerprint the
+    * oracle recomputes structurally. Chunk count is the closed form
     * `n <= C ? 1 : floordiv(n - C + S - 1, S) + 1` — non-negative
     * integer floor-division, exact on both engines. Per q167/q199's
     * discipline the gate pins the chunk CONTENT (md5 of the token
@@ -948,8 +964,77 @@ object CurationQueries {
       md5(array_to_string(ch, ' ')) AS chunk_md5
     FROM sel ORDER BY doc_id, chunk_idx"""
 
+  /** q210 — the exact-substring SCRUB rewrite: q208's maximal duplicated
+    * spans are CUT from each document and the gate pins the cleaned text
+    * itself (md5), not just the accounting — the q167/q199 rewrite
+    * discipline applied to the suffix-array dedup step. Kept segments are
+    * derived per span via lag(e) (the text between the previous span's
+    * end and this span's start) plus the tail after the last span, and
+    * reassembled in span order; span-free documents pass through
+    * verbatim. `clean_len` must equal q208's `kept_chars` by construction
+    * — the spec asserts that cross-query identity.
+    *
+    * Scale shape: inherits [[dupSpans]]'s (window)/(doc_id)-keyed
+    * shuffles; the rewrite itself adds one doc_id-keyed join (spans are
+    * corpus-sparse) and a per-doc ordered fold bounded by span count —
+    * never corpus-sized driver state, never doc x doc. */
+  def q210(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.parallel(Tables.documents(spark, d))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val byS = Window.partitionBy("doc_id").orderBy("s")
+    // per span: the kept segment BEFORE it is [prev_e, s); the per-doc
+    // tail [last_e, len) is appended after the fold. Span positions are
+    // collected per doc (span count is tiny — islands over a sparse
+    // covered set) and sliced against the doc's text in one transform.
+    val spansPerDoc = dupSpans(docs)
+      .withColumn("prev_e", coalesce(lag("e", 1).over(byS), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        array_sort(collect_list(struct(col("s"), col("prev_e"), col("e"))))
+          .as("sp"))
+    docs.join(spansPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("sp").isNull, col("text")).otherwise(concat(
+          array_join(transform(col("sp"), x =>
+            col("text").substr(
+              (x.getField("prev_e") + 1).cast("int"),
+              (x.getField("s") - x.getField("prev_e")).cast("int"))), ""),
+          col("text").substr(
+            (element_at(col("sp"), -1).getField("e") + 1).cast("int"),
+            col("len").cast("int"))))
+          .as("clean"))
+      .select(col("doc_id"), col("n_spans"),
+        length(col("clean")).cast(LongType).as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q210Sql: String = s"""
+    WITH $spansCte,
+    segs AS (
+      SELECT doc_id, s, e,
+        coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+      FROM spans),
+    rebuilt AS (
+      SELECT g.doc_id,
+        count(*) AS n_spans,
+        string_agg(substr(d.text, CAST(g.prev_e + 1 AS INT),
+          CAST(g.s - g.prev_e AS INT)), '' ORDER BY g.s)
+          || substr(d.text, CAST(max(g.e) + 1 AS INT)) AS clean
+      FROM segs g JOIN docs d ON g.doc_id = d.doc_id
+      GROUP BY g.doc_id, d.text)
+    SELECT d.doc_id,
+      CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+      CAST(length(coalesce(r.clean, d.text)) AS BIGINT) AS clean_len,
+      md5(coalesce(r.clean, d.text)) AS clean_md5
+    FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id"""
+
   val defs: Map[String, Q] = Map(
-    "q209_doc_chunking" -> (q209 _),
+    "q210_substring_scrub" -> (q210 _),
+    "q209_stride_chunking" -> (q209 _),
     "q208_substring_dedup" -> (q208 _),
     "q207_admission_probe" -> (q207 _),
     "q206_corpus_precedence_merge" -> (q206 _),
@@ -966,7 +1051,8 @@ object CurationQueries {
     "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
-    "q209_doc_chunking" -> q209Sql,
+    "q210_substring_scrub" -> q210Sql,
+    "q209_stride_chunking" -> q209Sql,
     "q208_substring_dedup" -> q208Sql,
     "q207_admission_probe" -> q207Sql,
     "q206_corpus_precedence_merge" -> q206Sql,

@@ -102,6 +102,37 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("q210: scrub rewrite — constructed cleaned text, exact; q208 identity") {
+    // doc 1/2 share S with identical flanking spaces (the q208 fixture):
+    // the scrubbed text must be the original with ' '+S+' ' cut — pin the
+    // exact rewrite, not just its length
+    val S = "the quick brown fox jumps over the dogs" + "x"
+    val rows = Seq(
+      1L -> s"aaaa bbbb cccc $S dddd eeee ffff",
+      2L -> s"gggg hhhh iiii jjjj $S kkkk llll",
+      3L -> "no duplicated substrings live in this document at all")
+    val dir = docsDir(rows)
+    val out = CurationQueries.q210(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // the cut span is ' '+S+' ' (both flanking spaces are duplicated), so
+    // the kept segments join with NO space between them
+    assert(out(1L).getAs[String]("clean_md5") == md5Of("aaaa bbbb ccccdddd eeee ffff"))
+    assert(out(2L).getAs[String]("clean_md5") == md5Of("gggg hhhh iiii jjjjkkkk llll"))
+    assert(out(3L).getAs[String]("clean_md5") == md5Of(rows(2)._2),
+      "span-free docs must pass through verbatim")
+    // cross-query identity on the real corpus: the rewrite removes
+    // EXACTLY the char mass q208 reports as duplicated
+    val kept = CurationQueries.q208(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept_chars")).toMap
+    CurationQueries.q210(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("clean_len") == kept(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: clean_len != q208.kept_chars")
+    }
+  }
+
   test("q209: chunk-count closed form and full token coverage at the edges") {
     val word = "tok"
     def docOf(n: Int): String = Seq.fill(n)(word).mkString(" ")
