@@ -138,6 +138,13 @@ object Bench {
       "so wall is driver-protocol-exposed; its WORK metric is protocolOps " +
       "(POSTs executed, from Notify's accumulator) — adjudicate a move by " +
       "that count and the shuffle bytes, not wall\"," +
+      "\"q211_incremental_substring\":" +
+      "\"wall is the WHOLE ledger lifecycle by construction — three " +
+      "ingest rounds (window extraction, transition detection, holder " +
+      "recompute, three store folds each) INSIDE the timer; the " +
+      "maintained report read itself is one asg-store scan. The " +
+      "recurring per-snapshot cost is one ingest round — see " +
+      "BENCH_sf1_substr_inc.json for the refresh-vs-batch split\"," +
       "\"q208_substring_dedup\":" +
       "\"the board's count() wall under-measures this query: Spark 4's " +
       "optimizer drops the span aggregation from a pure row count (the " +

@@ -32,6 +32,30 @@ import org.apache.spark.sql.functions._
   * Emits ONE JSON line and writes `BENCH_sf1_substr.json` in the cwd. */
 object BenchSubstrScale {
 
+  /** `c` copies of `base` (doc_id re-keyed `id + j*nBase`, j=0 keeps the
+    * originals). Salted: "s<j>w<i/4>" injected after every 4th word —
+    * identical for docs sharing base text WITHIN a copy, unique ACROSS
+    * copies, so per-copy dup structure equals the base corpus while the
+    * corpus itself stays the sparse regime. Shared with
+    * [[BenchSubstrIncScale]]. */
+  def copiedDocs(base: DataFrame, nBase: Long, c: Int,
+                 salted: Boolean): DataFrame = {
+    val rep = base
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(c - 1L))).as("j"))
+    val textCol =
+      if (!salted) col("text")
+      else
+        array_join(flatten(transform(
+          expr("split(text, ' ')"),
+          (w, i) => when(i % 4 === 3,
+              array(w, concat(lit("s"), col("j").cast("string"),
+                lit("w"), (i / 4).cast("long").cast("string"))))
+            .otherwise(array(w)))), " ")
+    rep.select((col("doc_id") + col("j") * nBase).as("doc_id"),
+      textCol.as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
@@ -42,25 +66,8 @@ object BenchSubstrScale {
     val base = Tables.documents(spark, sfDir)
     val nBase = base.count()
 
-    def copied(c: Int, salted: Boolean): DataFrame = {
-      val rep = base
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0L), lit(c - 1L))).as("j"))
-      val textCol =
-        if (!salted) col("text")
-        else
-          // inject "s<j>w<i/4>" after every 4th word: identical for docs
-          // sharing base text WITHIN a copy, unique ACROSS copies — dup
-          // structure per copy == base corpus, copies mutually unique
-          array_join(flatten(transform(
-            expr("split(text, ' ')"),
-            (w, i) => when(i % 4 === 3,
-                array(w, concat(lit("s"), col("j").cast("string"),
-                  lit("w"), (i / 4).cast("long").cast("string"))))
-              .otherwise(array(w)))), " ")
-      rep.select((col("doc_id") + col("j") * nBase).as("doc_id"),
-        textCol.as("text"))
-    }
+    def copied(c: Int, salted: Boolean): DataFrame =
+      copiedDocs(base, nBase, c, salted)
 
     def run(name: String, dir: String): (Double, Long) = {
       val fn: (SparkSession, String) => DataFrame = SparkEntry.queries(name)

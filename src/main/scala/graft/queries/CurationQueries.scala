@@ -802,11 +802,13 @@ object CurationQueries {
     * admission probe with the batch LSH restriction, bit for bit. */
   lazy val q207Sql: String = q204Sql
 
-  /** Character window length for q208's exact-substring pass. 32 chars
+  /** Character window length for the exact-substring family. 32 chars
     * (~6-7 words here) is long enough that duplication is structural, not
     * chance — at the three driver SFs it flags 47 / 53 / 887 docs, a
-    * corpus-sparse covered set. */
-  private val SubstrL = 32
+    * corpus-sparse covered set. Single source of truth:
+    * [[graft.operators.IncrementalSubstr.L]] (q208/q210's batch legs and
+    * q211's store share it). */
+  private val SubstrL = graft.operators.IncrementalSubstr.L
 
   /** q208 — EXACT duplicated-substring span removal, the suffix-array
     * dedup step (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -831,40 +833,22 @@ object CurationQueries {
     * fingerprint variant has a bit-exact reference to regress against. */
   /** The maximal duplicated-span set: (doc_id, s, e) with e exclusive —
     * q208 reports it, q210 rewrites with it. `docs` must carry
-    * (doc_id, text, len). */
+    * (doc_id, text, len). Window/span primitives live on the operator
+    * ([[graft.operators.IncrementalSubstr]]) so the batch gate and the
+    * incremental store share one derivation. */
   private def dupSpans(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val L = SubstrL
-    val wins = docs.filter(col("len") >= L)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, len - $L), i -> substring(text, i + 1, $L))")))
-      .select(col("doc_id"), col("pos").as("p"), col("col").as("w"))
+    import graft.operators.IncrementalSubstr
+    val wins = IncrementalSubstr.windows(docs)
     val dup = wins.groupBy("w").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("w")
-    val cov = wins.join(dup, Seq("w")).select(col("doc_id"), col("p"))
-    val byPos = Window.partitionBy("doc_id").orderBy("p")
-    // gaps-and-islands: windows are all length L, so coverage is
-    // contiguous exactly while consecutive starts are <= L apart
-    cov
-      .withColumn("brk",
-        when(col("p") - lag("p", 1).over(byPos) > L, 1L).otherwise(0L))
-      .withColumn("island", sum("brk").over(byPos))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min("p").as("s"), (max(col("p")) + lit(L)).as("e"))
+    IncrementalSubstr.spansOfCov(
+      wins.join(dup, Seq("w")).select(col("doc_id"), col("p")))
   }
 
   def q208(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.parallel(Tables.documents(spark, d))
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val perDoc = dupSpans(docs).groupBy("doc_id")
-      .agg(count(lit(1)).as("ns"), sum(col("e") - col("s")).as("dc"))
-    docs.select(col("doc_id"), col("len"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("ns"), lit(0L)).as("n_spans"),
-        coalesce(col("dc"), lit(0L)).as("dup_chars"),
-        (col("len") - coalesce(col("dc"), lit(0L))).cast(LongType)
-          .as("kept_chars"))
+    graft.operators.IncrementalSubstr.batchReport(docs)
       .orderBy(col("doc_id"))
   }
 
@@ -1032,7 +1016,30 @@ object CurationQueries {
     FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
     ORDER BY d.doc_id"""
 
+  /** q211 — INCREMENTAL exact-substring spans vs the persisted
+    * window-count ledger ([[graft.operators.IncrementalSubstr]]): the
+    * corpus arrives as three doc_id%3 snapshots ingested in sequence
+    * (near-dup endpoints land in different rounds, so the 1 -> 2
+    * count-transition path — the holder recompute — fires on real data),
+    * then the maintained report is read back. The oracle is q208's SQL
+    * VERBATIM: ledger-maintained spans must equal the batch recompute
+    * bit for bit — the q101/q201 equivalence discipline, third member. */
+  def q211(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("incsubstr").toString
+    val docs = Tables.documents(spark, d)
+    Seq(1L, 2L, 0L).foreach { k =>
+      graft.operators.IncrementalSubstr.ingest(spark, root, docs,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === k))
+    }
+    graft.operators.IncrementalSubstr.report(spark, root)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same oracle as q208: incremental == batch is the gated claim. */
+  lazy val q211Sql: String = q208Sql
+
   val defs: Map[String, Q] = Map(
+    "q211_incremental_substring" -> (q211 _),
     "q210_substring_scrub" -> (q210 _),
     "q209_stride_chunking" -> (q209 _),
     "q208_substring_dedup" -> (q208 _),
@@ -1051,6 +1058,7 @@ object CurationQueries {
     "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
+    "q211_incremental_substring" -> q211Sql,
     "q210_substring_scrub" -> q210Sql,
     "q209_stride_chunking" -> q209Sql,
     "q208_substring_dedup" -> q208Sql,

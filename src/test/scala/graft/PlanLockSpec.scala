@@ -123,6 +123,11 @@ class PlanLockSpec extends SparkSpec {
                              // eagerly at construction, so the golden pins
                              // the PROBE shape — the partition-filtered
                              // index scan + band join off the live root
+    "q211_incremental_substring", // locked at birth (lifecycle query:
+                             // three ledger ingest rounds run eagerly at
+                             // construction); the golden pins the REPORT
+                             // read off the maintained asg store — loop
+                             // drift is covered by IncrementalSubstrSpec
     "q175_shuffled_pack",    // BENCH_r11 board top-10: work-metric-silent
                              // wall noise (0.53->2.40 s, identical bytes)
                              // but the repo rule is "lock the official

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental exact-substring spans vs the persisted window-count
+  * ledger: batch equivalence after multi-round ingest (including the
+  * 1 -> 2 count-transition recompute of a STORED holder), replay
+  * idempotency at the ledger level, and the changed-re-ingest rejection
+  * that protects the monotone-count guarantee. */
+class IncrementalSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def root(): String =
+    java.nio.file.Files.createTempDirectory("incsubstr-spec").toString
+
+  private def df(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def withLen(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"), length(col("text")).as("len"))
+
+  private def sortedReport(d: DataFrame): Seq[(Long, Long, Long, Long)] =
+    d.select(col("doc_id"), col("n_spans"), col("dup_chars"), col("kept_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  // 40-char span shared between docs 1 and 20 — ingested in DIFFERENT
+  // rounds, so round 2 must reach back and recompute doc 1 (the holder)
+  private val S = "the quick brown fox jumps over the dogsx"
+  private val corpus = Seq(
+    1L -> s"aaaa bbbb cccc $S dddd eeee ffff",
+    2L -> "totally unique content with nothing shared anywhere at all",
+    20L -> s"gggg hhhh iiii jjjj $S kkkk llll",
+    21L -> "another fully unique document that repeats no substring")
+
+  test("1 -> 2 transition recomputes the stored holder; report == batch") {
+    val r = root()
+    val all = df(corpus)
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.take(2)))
+    // after round 1 nothing is duplicated — doc 1 must report zero spans
+    val afterR1 = sortedReport(IncrementalSubstr.report(spark, r))
+    assert(afterR1 == Seq((1L, 0L, 0L, corpus(0)._2.length.toLong),
+      (2L, 0L, 0L, corpus(1)._2.length.toLong)))
+    // round 2 brings the second occurrence of S: doc 1's window counts
+    // cross 1 -> 2 and its report must be REWRITTEN, not just doc 20's
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.drop(2)))
+    val got = sortedReport(IncrementalSubstr.report(spark, r))
+    val want = sortedReport(IncrementalSubstr.batchReport(withLen(all)))
+    assert(got == want, s"incremental $got != batch $want")
+    assert(got.find(_._1 == 1L).get._2 == 1L,
+      "the holder's span must appear after the transition round")
+  }
+
+  test("multi-round ingest equals batch on the real corpus") {
+    val r = root()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    Seq(1L, 2L, 0L).foreach { k =>
+      IncrementalSubstr.ingest(spark, r, docs,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === k))
+    }
+    val got = sortedReport(IncrementalSubstr.report(spark, r))
+    val want = sortedReport(IncrementalSubstr.batchReport(withLen(docs)))
+    assert(got == want)
+  }
+
+  test("replay of a delta is idempotent: same report, no double counts") {
+    val r = root()
+    val all = df(corpus)
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.take(2)))
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.drop(2)))
+    val before = sortedReport(IncrementalSubstr.report(spark, r))
+    // full-delta replay (crashed-round redelivery): every doc_id already
+    // ledgered with identical content — dropped, nothing mutates
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.drop(2)))
+    IncrementalSubstr.ingest(spark, r, all, df(corpus))
+    val after = sortedReport(IncrementalSubstr.report(spark, r))
+    assert(after == before)
+    // window ledger did not double-count: a doubled count would flip a
+    // count-1 window to "duplicated" and surface phantom spans on docs
+    // 2/21 — but assert the ledger directly too
+    val winTotals = spark.read.parquet(s"$r/wins")
+      .groupBy("w").agg(sum("n").as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(winTotals <= 2L, s"replay inflated a window count to $winTotals")
+  }
+
+  test("changed re-ingest is rejected before anything mutates") {
+    val r = root()
+    val all = df(corpus)
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.take(2)))
+    val before = sortedReport(IncrementalSubstr.report(spark, r))
+    val ex = intercept[RuntimeException] {
+      IncrementalSubstr.ingest(spark, r, all,
+        df(Seq(1L -> "entirely different replacement text for doc one")))
+    }
+    assert(ex.getMessage.contains("CHANGED content"))
+    assert(sortedReport(IncrementalSubstr.report(spark, r)) == before)
+  }
+
+  test("conflicting texts for one doc_id inside a delta are rejected") {
+    val r = root()
+    val ex = intercept[RuntimeException] {
+      IncrementalSubstr.ingest(spark, r, df(corpus),
+        df(Seq(5L -> "text one", 5L -> "text two")))
+    }
+    assert(ex.getMessage.contains("conflicting texts"))
+  }
+
+  test("docs shorter than the window length report zeros") {
+    val r = root()
+    val tiny = df(Seq(7L -> "short", 8L -> "also short"))
+    IncrementalSubstr.ingest(spark, r, tiny, tiny)
+    assert(sortedReport(IncrementalSubstr.report(spark, r)) ==
+      Seq((7L, 0L, 0L, 5L), (8L, 0L, 0L, 10L)))
+  }
+}
