@@ -138,6 +138,11 @@ object Bench {
       "so wall is driver-protocol-exposed; its WORK metric is protocolOps " +
       "(POSTs executed, from Notify's accumulator) — adjudicate a move by " +
       "that count and the shuffle bytes, not wall\"," +
+      "\"q212_substring_admission\":" +
+      "\"wall is ledger BUILD (two ingest rounds, the sunk cost) + the " +
+      "read-only probe; the recurring admission check is the probe alone " +
+      "— one semi-join-restricted ledger scan keyed by the incoming " +
+      "docs' windows\"," +
       "\"q211_incremental_substring\":" +
       "\"wall is the WHOLE ledger lifecycle by construction — three " +
       "ingest rounds (window extraction, transition detection, holder " +

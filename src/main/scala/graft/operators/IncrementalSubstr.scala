@@ -139,6 +139,28 @@ object IncrementalSubstr {
       .select(col("doc_id"), col("n_spans"), col("dup_chars"), col("kept_chars"))
   }
 
+  /** ONLINE admission probe: the duplicated-span report of INCOMING
+    * documents against the ledger, read-only (nothing mutates — the
+    * ingest-or-reject decision happens after). A probe window counts as
+    * duplicated iff its ledger count plus its within-probe count
+    * reaches 2 — exactly the batch semantics over (store corpus ∪ probe
+    * docs) restricted to the probe rows, which is what q212 gates. The
+    * ledger read is semi-join-restricted to the probe's windows (the
+    * same narrow delta-keyed shape as ingest's transition scan). */
+  def probe(spark: SparkSession, root: String, probeDocs: DataFrame): DataFrame = {
+    val docs = probeDocs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val wProbe = windows(docs)
+    val probeCounts = wProbe.groupBy("w").agg(count(lit(1)).as("n"))
+    val ledgerCounts = readWins(spark, root)
+      .join(probeCounts.select("w"), Seq("w"), "left_semi")
+      .groupBy("w").agg(sum(col("n")).as("n"))
+    val dupW = probeCounts.unionByName(ledgerCounts)
+      .groupBy("w").agg(sum(col("n")).as("nTot"))
+      .filter(col("nTot") >= 2).select("w")
+    reportFor(docs, wProbe.join(dupW, Seq("w")).select(col("doc_id"), col("p")))
+  }
+
   /** One ingest round. `corpus` must serve (doc_id, text) for every doc
     * the store has ingested (holder texts are fetched on demand for
     * 1 -> 2 transition windows only) plus the delta.

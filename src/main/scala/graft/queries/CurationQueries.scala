@@ -1038,7 +1038,34 @@ object CurationQueries {
   /** Same oracle as q208: incremental == batch is the gated claim. */
   lazy val q211Sql: String = q208Sql
 
+  /** q212 — the ONLINE exact-substring admission probe
+    * ([[graft.operators.IncrementalSubstr.probe]]), completing the
+    * family matrix the LSH side already has (batch q22/q23, incremental
+    * q101/q201, online q204/q207): every 7th doc plays an incoming
+    * document probing the ledger built from the rest (two ingest rounds,
+    * so both first-write and append ledger paths sit under this gate),
+    * read-only. A probe window is duplicated iff ledger count plus
+    * within-probe count reaches 2 — exactly batch semantics over
+    * (store ∪ probe), so the oracle is q208's SQL restricted to the
+    * probe rows. */
+  def q212(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("substrprobe").toString
+    val docs = Tables.documents(spark, d)
+    val store = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+    Seq(1L, 0L).foreach { k =>
+      graft.operators.IncrementalSubstr.ingest(spark, root, store,
+        store.filter(pmod(col("doc_id"), lit(2L)) === k))
+    }
+    graft.operators.IncrementalSubstr
+      .probe(spark, root, docs.filter(pmod(col("doc_id"), lit(7L)) === 0L))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q212Sql: String =
+    s"SELECT * FROM ($q208Sql) t WHERE doc_id % 7 = 0 ORDER BY doc_id"
+
   val defs: Map[String, Q] = Map(
+    "q212_substring_admission" -> (q212 _),
     "q211_incremental_substring" -> (q211 _),
     "q210_substring_scrub" -> (q210 _),
     "q209_stride_chunking" -> (q209 _),
@@ -1058,6 +1085,7 @@ object CurationQueries {
     "q198_token_budget" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
+    "q212_substring_admission" -> q212Sql,
     "q211_incremental_substring" -> q211Sql,
     "q210_substring_scrub" -> q210Sql,
     "q209_stride_chunking" -> q209Sql,

@@ -128,6 +128,11 @@ class PlanLockSpec extends SparkSpec {
                              // construction); the golden pins the REPORT
                              // read off the maintained asg store — loop
                              // drift is covered by IncrementalSubstrSpec
+    "q212_substring_admission", // locked at birth (q207 rationale): the
+                             // golden pins the PROBE shape — the
+                             // semi-join-restricted ledger scan + the
+                             // union'd count merge; a lost restriction
+                             // would quietly scan the whole ledger
     "q175_shuffled_pack",    // BENCH_r11 board top-10: work-metric-silent
                              // wall noise (0.53->2.40 s, identical bytes)
                              // but the repo rule is "lock the official

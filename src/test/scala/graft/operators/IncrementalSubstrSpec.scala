@@ -110,6 +110,27 @@ class IncrementalSubstrSpec extends SparkSpec {
     assert(ex.getMessage.contains("conflicting texts"))
   }
 
+  test("probe is read-only and equals the batch restriction") {
+    val r = root()
+    val store = df(corpus.take(2))   // holds one copy of S (doc 1)
+    IncrementalSubstr.ingest(spark, r, store, store)
+    val winsBefore = spark.read.parquet(s"$r/wins").count()
+    val probeDocs = df(corpus.drop(2)) // doc 20 carries the second S copy
+    val got = IncrementalSubstr.probe(spark, r, probeDocs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(_._1).toSeq
+    // batch over store ∪ probe, restricted to the probe rows
+    val want = sortedReport(IncrementalSubstr.batchReport(withLen(df(corpus))))
+      .filter(t => t._1 == 20L || t._1 == 21L)
+    assert(got == want, s"probe $got != batch restriction $want")
+    assert(got.find(_._1 == 20L).get._2 == 1L,
+      "the probe doc sharing S with the store must report its span")
+    // read-only: no ledger growth, no report change
+    assert(spark.read.parquet(s"$r/wins").count() == winsBefore)
+    assert(sortedReport(IncrementalSubstr.report(spark, r)).map(_._1) ==
+      Seq(1L, 2L))
+  }
+
   test("docs shorter than the window length report zeros") {
     val r = root()
     val tiny = df(Seq(7L -> "short", 8L -> "also short"))
