@@ -151,13 +151,13 @@ object Bench {
       "recurring per-snapshot cost is one ingest round — see " +
       "BENCH_sf1_substr_inc.json for the refresh-vs-batch split\"," +
       "\"q208_substring_dedup\":" +
-      "\"the board's count() wall under-measures this query: Spark 4's " +
-      "optimizer drops the span aggregation from a pure row count (the " +
+      "\"the board's count() wall under-measures q208 AND q210: Spark 4's " +
+      "optimizer drops the span pipeline from a pure row count (the " +
       "left join back to unique doc_ids preserves cardinality), so the " +
-      "board times little more than the doc scan. The forced-evaluation " +
-      "numbers (xxhash64 over every output column) live in " +
-      "BENCH_sf1_substr.json: salted/sparse regime ~linear in corpus, " +
-      "plain/saturated regime is the all-dup worst case\"," +
+      "board times little more than the doc scan for both. The " +
+      "forced-evaluation numbers (xxhash64 over every output column) " +
+      "live in BENCH_sf1_substr.json: salted/sparse regime ~linear in " +
+      "corpus, plain/saturated regime is the all-dup worst case\"," +
       "\"q191_entity_clusters\":" +
       "\"wall is ~9 fixed-size Spark jobs (FastSS signature build + " +
       "star-contraction rounds over a 64-name dictionary graph), not data " +
