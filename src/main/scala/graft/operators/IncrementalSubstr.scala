@@ -52,6 +52,23 @@ object IncrementalSubstr {
   private def winsDir(root: String) = s"$root/wins"
   private def docsDir(root: String) = s"$root/docs"
   private def asgDir(root: String) = s"$root/asg"
+  private def bloomFile(root: String) = s"$root/bloom/filter.bin"
+
+  /** Ledger bucket of a window — the wins partitions are sub-partitioned
+    * by it so a probe with few bloom-positive windows prunes its ledger
+    * read to matching directories. */
+  private val LedgerBuckets = 256
+  private def bucketOf(w: org.apache.spark.sql.Column) =
+    pmod(xxhash64(w), lit(LedgerBuckets.toLong)).cast("int")
+
+  /** Bloom geometry: fixed at root creation (first ingest), read back on
+    * every later round. ~1% false positives up to ~2M distinct windows
+    * at the default; past ~50% fill the probe SKIPS the screen (a
+    * saturated bloom marks everything "maybe" while still charging its
+    * evaluation — measured) and leans on bucket pruning alone. Size up
+    * for bigger ledgers; answers are identical at any geometry. */
+  private val DefaultBloomBits = 1 << 24
+  private val BloomK = 6
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -117,12 +134,71 @@ object IncrementalSubstr {
     StructField("w", StringType), StructField("n", LongType),
     StructField("holder", LongType), StructField("round", StringType)))
 
+  /** Explicit read schema (data + partition columns): an all-short-docs
+    * round writes ZERO data files under its partitioned dir, and schema
+    * inference has nothing to infer from. */
+  private val winsFileSchema = StructType(Seq(
+    StructField("w", StringType), StructField("n", LongType),
+    StructField("holder", LongType),
+    StructField("bucket", org.apache.spark.sql.types.IntegerType),
+    StructField("round", StringType)))
+
   private def readWins(spark: SparkSession, root: String): DataFrame =
     if (exists(spark, winsDir(root)))
-      spark.read.parquet(winsDir(root))
+      spark.read.schema(winsFileSchema).parquet(winsDir(root))
         .select(col("w"), col("n"), col("holder"), col("round").cast(StringType))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], winsSchema)
+
+  // ---- bloom sidecar: the probe's fast-negative path --------------------
+  // Correctness invariant: the bloom COVERS every ledger window (no false
+  // negatives), maintained by OR-ing the delta's bits in BEFORE the wins
+  // partition is written — a crash between the two leaves only extra bits
+  // (false positives, safe), and a replay re-ORs idempotently.
+
+  private def readBloom(spark: SparkSession, root: String): Option[(Int, Int, Array[Long])] = {
+    val p = new org.apache.hadoop.fs.Path(bloomFile(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = new java.io.DataInputStream(fs.open(p))
+    try {
+      val m = in.readInt(); val k = in.readInt()
+      val bits = new Array[Long](m / 64)
+      var i = 0
+      while (i < bits.length) { bits(i) = in.readLong(); i += 1 }
+      Some((m, k, bits))
+    } finally in.close()
+  }
+
+  private def writeBloom(spark: SparkSession, root: String,
+                         m: Int, k: Int, bits: Array[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(bloomFile(root))
+    val tmp = new org.apache.hadoop.fs.Path(bloomFile(root) + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try {
+      out.writeInt(m); out.writeInt(k)
+      var i = 0
+      while (i < bits.length) { out.writeLong(bits(i)); i += 1 }
+    } finally out.close()
+    if (fs.exists(p) && !fs.delete(p, false))
+      sys.error(s"bloom sidecar: could not replace $p")
+    if (!fs.rename(tmp, p))
+      sys.error(s"bloom sidecar: rename $tmp -> $p failed")
+  }
+
+  /** OR the delta's window bits into the sidecar (creating it with the
+    * default geometry on the first round). */
+  private def foldBloom(spark: SparkSession, root: String,
+                        deltaWindows: DataFrame, mBits: Int): Unit = {
+    val (m, k, cur) = readBloom(spark, root)
+      .getOrElse((mBits, BloomK, new Array[Long](mBits / 64)))
+    val add = BloomFilter.build(
+      deltaWindows.select(xxhash64(col("w")).as("h")).distinct(), m, k)
+    var i = 0
+    while (i < cur.length) { cur(i) |= add(i); i += 1 }
+    writeBloom(spark, root, m, k, cur)
+  }
 
   private val asgSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("n_spans", LongType),
@@ -144,17 +220,58 @@ object IncrementalSubstr {
     * ingest-or-reject decision happens after). A probe window counts as
     * duplicated iff its ledger count plus its within-probe count
     * reaches 2 — exactly the batch semantics over (store corpus ∪ probe
-    * docs) restricted to the probe rows, which is what q212 gates. The
-    * ledger read is semi-join-restricted to the probe's windows (the
-    * same narrow delta-keyed shape as ingest's transition scan). */
+    * docs) restricted to the probe rows, which is what q212 gates.
+    *
+    * The ledger leg is three-tier, cheapest first, answers identical:
+    *  1. BLOOM fast-negative: probe windows are screened against the
+    *     sidecar (no false negatives by the fold-before-write
+    *     invariant); a clean document — the common admission case —
+    *     short-circuits with ZERO ledger IO.
+    *  2. Bucket-pruned scan: when the bloom-positive windows touch few
+    *     of the [[LedgerBuckets]] sub-partitions, only those
+    *     directories are read (the BandIndex partition-pruning shape).
+    *  3. Full semi-joined scan otherwise (dup-heavy probes) — narrow,
+    *     the same shape as ingest's transition leg. */
   def probe(spark: SparkSession, root: String, probeDocs: DataFrame): DataFrame = {
     val docs = probeDocs.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
     val wProbe = windows(docs)
     val probeCounts = wProbe.groupBy("w").agg(count(lit(1)).as("n"))
-    val ledgerCounts = readWins(spark, root)
-      .join(probeCounts.select("w"), Seq("w"), "left_semi")
-      .groupBy("w").agg(sum(col("n")).as("n"))
+    val ledger = readWins(spark, root)
+    // tier 1 — bloom screen, ONLY while the filter is still selective: a
+    // ledger far past the sidecar's geometry has most bits set, and a
+    // saturated bloom marks every window "maybe" while still charging
+    // the screen's evaluation + checkpoint (measured at 100x: a clean
+    // probe paid 30 s through a full bloom vs 17.7 s without). The fill
+    // gate is a driver-side popcount over the read bits.
+    val screened: Option[DataFrame] = readBloom(spark, root) match {
+      case Some((m, k, bits)) if exists(spark, winsDir(root)) &&
+          bits.map(java.lang.Long.bitCount(_).toLong).sum * 2 < m =>
+        import graft.functions.expressions.BloomContains
+        Some(probeCounts.select(col("w"))
+          .filter(BloomContains.countContained(
+            array(xxhash64(col("w"))), bits, m, k) === 1L)
+          .localCheckpoint(true)) // pinned: bucket list + semi-join reuse it
+      case _ => None
+    }
+    val maybeW = screened.getOrElse(probeCounts.select(col("w")))
+    // tier 2 — bucket pruning works with or WITHOUT the bloom (the probe
+    // windows themselves bound the candidate buckets); the bloom just
+    // shrinks the set further, down to zero for a clean document
+    val buckets = maybeW.select(bucketOf(col("w")).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val ledgerCounts =
+      if (buckets.isEmpty)
+        probeCounts.limit(0).select(col("w"), col("n")) // fast negative
+      else {
+        val src =
+          if (exists(spark, winsDir(root)) && buckets.length <= LedgerBuckets / 4)
+            spark.read.schema(winsFileSchema).parquet(winsDir(root))
+              .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+          else ledger
+        src.join(maybeW, Seq("w"), "left_semi")
+          .groupBy("w").agg(sum(col("n")).as("n"))
+      }
     val dupW = probeCounts.unionByName(ledgerCounts)
       .groupBy("w").agg(sum(col("n")).as("nTot"))
       .filter(col("nTot") >= 2).select("w")
@@ -222,18 +339,30 @@ object IncrementalSubstr {
     val rid = "r" + java.lang.Long.toHexString(
       fresh.agg(expr("bit_xor(xxhash64(doc_id, fp))")).head().getLong(0))
 
+    // bloom first (see the sidecar invariant above): a crash between the
+    // bloom fold and the wins write leaves only extra bits — safe; the
+    // reverse order could leave ledger windows the probe's fast-negative
+    // would wrongly clear
+    foldBloom(spark, root, windows(fresh), DefaultBloomBits)
     // write the round partition FIRST and read it back as the delta-count
     // materialization: a first-ingest delta is corpus-sized, so pinning
     // these counts on the heap (localCheckpoint) OOMs at scale — parquet
     // is the spill. Writing before transition detection is safe because
     // the pre-count read EXCLUDES this round's partition (which also
     // makes it replay-stable: a crashed attempt's rows never inflate
-    // pre-counts).
+    // pre-counts). Sub-partitioned by window bucket (repartitioned by it
+    // first — the BandIndex small-files lesson) so a probe with few
+    // bloom-positive windows prunes its read to matching directories.
     windows(fresh).groupBy("w").agg(
       count(lit(1)).as("n"),
       when(count(lit(1)) === 1, max(col("doc_id"))).as("holder"))
-      .write.mode(SaveMode.Overwrite).parquet(s"${winsDir(root)}/round=$rid")
-    val dCounts = spark.read.parquet(s"${winsDir(root)}/round=$rid")
+      .withColumn("bucket", bucketOf(col("w")))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket")
+      .mode(SaveMode.Overwrite).parquet(s"${winsDir(root)}/round=$rid")
+    val dCounts = spark.read
+      .schema(StructType(winsFileSchema.filterNot(_.name == "round")))
+      .parquet(s"${winsDir(root)}/round=$rid")
 
     // 1 -> 2 transitions: ledger windows at global count EXACTLY 1 that
     // the delta touches (any delta occurrence pushes them to >= 2). Their

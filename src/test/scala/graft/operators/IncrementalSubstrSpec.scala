@@ -131,6 +131,35 @@ class IncrementalSubstrSpec extends SparkSpec {
       Seq(1L, 2L))
   }
 
+  test("probe tiers: clean doc = zero ledger IO; dup doc = bucket-pruned") {
+    import graft.plans.QueryMetrics
+    val r = root()
+    val store = df(corpus.take(2))
+    IncrementalSubstr.ingest(spark, r, store, store)
+    val ledgerRecords = spark.read.parquet(s"$r/wins").count()
+    // tier 1 — bloom fast-negative: a document sharing nothing with the
+    // store must not read the ledger at all (the common admission case)
+    val clean = df(Seq(50L ->
+      "a perfectly clean document sharing zero windows with store xyzq"))
+    val (cleanOut, m1) = QueryMetrics.measureAction(spark) {
+      IncrementalSubstr.probe(spark, r, clean).collect()
+    }
+    assert(cleanOut.map(_.getLong(1)).sum == 0L)
+    // the probe reads its own doc rows, never ledger parquet: every
+    // ledger record read would show up here
+    assert(m1.inputRecords < ledgerRecords,
+      s"clean probe read ${m1.inputRecords} records (ledger=$ledgerRecords)")
+    // tier 2 — a doc sharing exactly S probes bloom-positive windows
+    // only: the pruned scan must read a strict subset of the ledger
+    val dup = df(Seq(60L -> s"zz $S yy"))
+    val (dupOut, m2) = QueryMetrics.measureAction(spark) {
+      IncrementalSubstr.probe(spark, r, dup).collect()
+    }
+    assert(dupOut.head.getLong(1) == 1L, "the shared span must be reported")
+    assert(m2.inputRecords < ledgerRecords,
+      s"dup probe read ${m2.inputRecords} of $ledgerRecords ledger records — pruning lost")
+  }
+
   test("docs shorter than the window length report zeros") {
     val r = root()
     val tiny = df(Seq(7L -> "short", 8L -> "also short"))
