@@ -146,10 +146,13 @@ object Bench {
       "\"q211_incremental_substring\":" +
       "\"wall is the WHOLE ledger lifecycle by construction — three " +
       "ingest rounds (window extraction, transition detection, holder " +
-      "recompute, three store folds each) INSIDE the timer; the " +
-      "maintained report read itself is one asg-store scan. The " +
-      "recurring per-snapshot cost is one ingest round — see " +
-      "BENCH_sf1_substr_inc.json for the refresh-vs-batch split\"," +
+      "recompute, store folds, and a 256-bucket-partitioned round write " +
+      "whose small-file overhead is sandbox-specific: real round sizes " +
+      "amortize the directory spray) INSIDE the timer; the maintained " +
+      "report read itself is one asg-store scan, and the bloom sidecar " +
+      "is OFF for this refresh-only root. The recurring per-snapshot " +
+      "cost is one ingest round — see BENCH_sf1_substr_inc.json for " +
+      "the refresh-vs-batch split\"," +
       "\"q208_substring_dedup\":" +
       "\"the board's count() wall under-measures q208 AND q210: Spark 4's " +
       "optimizer drops the span pipeline from a pure row count (the " +

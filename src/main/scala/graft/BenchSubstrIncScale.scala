@@ -62,10 +62,13 @@ object BenchSubstrIncScale {
       MemoRegistry.resetAll(); spark.catalog.clearCache()
       val root = s"$dir/store"
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      val initSec = timed { IncrementalSubstr.ingest(spark, root, v1, v1) }
+      // refresh-only root (q211's shape): no bloom sidecar in the timing
+      val initSec = timed {
+        IncrementalSubstr.ingest(spark, root, v1, v1, maintainBloom = false)
+      }
       var repHash = 0L
       val refreshSec = timed {
-        IncrementalSubstr.ingest(spark, root, docs, delta)
+        IncrementalSubstr.ingest(spark, root, docs, delta, maintainBloom = false)
         repHash = consume(IncrementalSubstr.report(spark, root))._2
       }
       val batchDocs = docs.select(col("doc_id"), col("text"),

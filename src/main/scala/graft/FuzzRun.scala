@@ -465,7 +465,15 @@ object FuzzRun {
     // explicit NULLS FIRST: Spark defaults NULLS FIRST, DuckDB NULLS LAST
     // — under LIMIT the defaults would cut different multisets
     val orderBy = " ORDER BY " + outs.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
-    val limit = if (r.nextInt(3) == 0) s" LIMIT ${r.nextInt(500) + 1}" else ""
+    // LIMIT, sometimes with OFFSET (round-12 surface): exact on both
+    // engines because every query's ORDER BY is total with pinned NULL
+    // placement — the skipped prefix is the same multiset, so the kept
+    // window is too
+    val limit =
+      if (r.nextInt(3) == 0) {
+        val off = if (r.nextInt(3) == 0) s" OFFSET ${r.nextInt(50)}" else ""
+        s" LIMIT ${r.nextInt(500) + 1}$off"
+      } else ""
     val from = s"${join.flatMap(_._4).getOrElse(base.name)}${join.map(_._2).getOrElse("")}"
     // mixed mode composes every shape: windows/rollups/setops fire at
     // ~10% so a rollup-over-outer-join or window-over-date-filter or

@@ -187,12 +187,22 @@ object IncrementalSubstr {
       sys.error(s"bloom sidecar: rename $tmp -> $p failed")
   }
 
-  /** OR the delta's window bits into the sidecar (creating it with the
-    * default geometry on the first round). */
+  /** OR the delta's window bits into the sidecar. Creating the sidecar
+    * on a root that ALREADY has ledger rounds (a previously bloom-less
+    * root opting in) catches up from the full ledger first — a bloom
+    * covering only later rounds would answer false negatives for the
+    * earlier ones. */
   private def foldBloom(spark: SparkSession, root: String,
                         deltaWindows: DataFrame, mBits: Int): Unit = {
-    val (m, k, cur) = readBloom(spark, root)
+    val existing = readBloom(spark, root)
+    val (m, k, cur) = existing
       .getOrElse((mBits, BloomK, new Array[Long](mBits / 64)))
+    if (existing.isEmpty && exists(spark, winsDir(root))) {
+      val catchUp = BloomFilter.build(
+        readWins(spark, root).select(xxhash64(col("w")).as("h")), m, k)
+      var i = 0
+      while (i < cur.length) { cur(i) |= catchUp(i); i += 1 }
+    }
     val add = BloomFilter.build(
       deltaWindows.select(xxhash64(col("w")).as("h")).distinct(), m, k)
     var i = 0
@@ -292,15 +302,23 @@ object IncrementalSubstr {
     * phantom counts the equivalence guarantee cannot survive. Re-ingest
     * under a new doc_id, or rebuild the root.
     *
+    * With `maintainBloom = true` (or once the root HAS a bloom — the
+    * sidecar, once created, is folded by EVERY subsequent ingest, or its
+    * no-false-negatives invariant would break) the probe's fast-negative
+    * tier stays available. A refresh-only root (q211's shape: ingest +
+    * report, never probed) passes false and skips the per-round fold.
+    *
     * Serialized on the root's writer lock: transitions are detected
     * against ONE ledger state and the same state is extended. */
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
-             delta: DataFrame): Unit = TableLock.withLock(root) {
-    ingestLocked(spark, root, corpus, delta)
-  }
+             delta: DataFrame, maintainBloom: Boolean = true): Unit =
+    TableLock.withLock(root) {
+      ingestLocked(spark, root, corpus, delta, maintainBloom)
+    }
 
   private def ingestLocked(spark: SparkSession, root: String,
-                           corpus: DataFrame, delta: DataFrame): Unit = {
+                           corpus: DataFrame, delta: DataFrame,
+                           maintainBloom: Boolean): Unit = {
     val d0 = delta.select(col("doc_id"), col("text"),
       length(col("text")).as("len"), md5(col("text")).as("fp"))
     // a delta carrying one doc_id with TWO different texts is ambiguous
@@ -342,8 +360,11 @@ object IncrementalSubstr {
     // bloom first (see the sidecar invariant above): a crash between the
     // bloom fold and the wins write leaves only extra bits — safe; the
     // reverse order could leave ledger windows the probe's fast-negative
-    // would wrongly clear
-    foldBloom(spark, root, windows(fresh), DefaultBloomBits)
+    // would wrongly clear. An existing sidecar is ALWAYS folded (a
+    // skipped round would plant false negatives); a bloom-less root only
+    // starts one when asked.
+    if (maintainBloom || readBloom(spark, root).isDefined)
+      foldBloom(spark, root, windows(fresh), DefaultBloomBits)
     // write the round partition FIRST and read it back as the delta-count
     // materialization: a first-ingest delta is corpus-sized, so pinning
     // these counts on the heap (localCheckpoint) OOMs at scale — parquet

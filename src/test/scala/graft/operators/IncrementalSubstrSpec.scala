@@ -160,6 +160,20 @@ class IncrementalSubstrSpec extends SparkSpec {
       s"dup probe read ${m2.inputRecords} of $ledgerRecords ledger records — pruning lost")
   }
 
+  test("bloom opt-in mid-life catches up: no false negatives for old rounds") {
+    val r = root()
+    val all = df(corpus)
+    // round 1 bloom-less (refresh-only shape), round 2 opts in: the
+    // sidecar must cover round 1's windows or a probe sharing S with
+    // doc 1 would fast-negative its way past the ledger
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.take(2)), maintainBloom = false)
+    IncrementalSubstr.ingest(spark, r, all, df(Seq(21L -> corpus(3)._2)))
+    val probeDoc = df(Seq(70L -> s"pp $S qq"))
+    val got = IncrementalSubstr.probe(spark, r, probeDoc).collect()
+    assert(got.head.getAs[Long]("n_spans") == 1L,
+      "probe must find the span stored in the pre-bloom round")
+  }
+
   test("docs shorter than the window length report zeros") {
     val r = root()
     val tiny = df(Seq(7L -> "short", 8L -> "also short"))
