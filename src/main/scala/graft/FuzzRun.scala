@@ -68,7 +68,12 @@ import java.nio.file.{Files, Paths}
   * correlated-EXISTS / NOT EXISTS predicate), `rollups` (ROLLUP/CUBE
   * super-aggregates with grouping() flags), `money` (every query
   * carries an exact-cents-quantized predicate over the double money
-  * columns), default `mixed`. */
+  * columns), `scalars` (correlated scalar subqueries in the SELECT
+  * list — per-parent child aggregates along a reversed FK edge,
+  * including the COUNT-over-empty-group shape where a naive
+  * outer-join rewrite would emit NULL instead of 0), `nested`
+  * (two-level aggregation: agg-over-agg through a derived table, and
+  * joins of two independently aggregated slices), default `mixed`. */
 object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
@@ -167,6 +172,9 @@ object FuzzRun {
       case "dates" => pick(tables.filter(_.dates.nonEmpty))
       case "money" => pick(tables.filter(_.moneys.nonEmpty))
       case "freetext" => pick(tables.filter(_.texts.nonEmpty))
+      // scalars correlates a child aggregate per base row, so the base
+      // must be the PARENT of some FK edge (orders/customer/nation)
+      case "scalars" => pick(tables.filter(t => joins.exists(_._2 == t.name)))
       case _ => pick(tables)
     }
     // deterministic thinning: the synthetic FK edges are total, so a
@@ -201,7 +209,8 @@ object FuzzRun {
     }
     // optionally follow one FK edge from the base table — and sometimes a
     // second hop from the joined table (lineitem -> orders -> customer)
-    val wantJoin = mode == "outer" || mode == "fullouter" || r.nextInt(3) == 0
+    val wantJoin = mode == "outer" || mode == "fullouter" ||
+      (mode != "scalars" && r.nextInt(3) == 0)
     val join = joins
       .filter(j => j._1 == base.name && wantJoin)
       .headOption.map { case (_, rt, cond, rk) =>
@@ -564,6 +573,94 @@ object FuzzRun {
       val slice2 = s"SELECT ${setCols.mkString(", ")} FROM $from WHERE ${pred()}"
       return s"SELECT ${names.mkString(", ")} FROM ($slice1 $op $slice2) s" +
         s" ORDER BY ${names.map(n => s"$n NULLS FIRST").mkString(", ")}$limit"
+    }
+    if ((mode == "scalars" || (mode == "mixed" && r.nextInt(12) == 0)) &&
+        join.isEmpty && joins.exists(_._2 == base.name)) {
+      // correlated scalar subqueries in the SELECT list (round-12 axis):
+      // per-parent child aggregates along the REVERSED FK edge
+      // (orders -> its lineitems, customer -> its orders, nation -> its
+      // customers). Everything is integer-exact: count(*) per parent,
+      // sum of a bounded modular image, min/max of the child key. The
+      // child predicate makes some parents' child sets EMPTY — the
+      // classic COUNT-bug surface (a naive outer-join rewrite emits NULL
+      // where ANSI says 0) on the count shape, and an exact NULL on the
+      // sum/min shapes, which ORDER BY ... NULLS FIRST pins identically
+      // on both engines. The base tables have no unique key, but a
+      // scalar subquery is a deterministic function of the correlation
+      // key, so tied rows carry identical values and the total ORDER BY
+      // stays permutation-invariant under LIMIT.
+      val (ct, _, cond, _) = joins.find(_._2 == base.name).get
+      val Array(childKey, parentKeyRaw) = cond.split(" = ")
+      val child = tables.find(_.name == ct).get
+      val pk = if (base.longs.contains(parentKeyRaw)) parentKeyRaw
+               else s"CAST($parentKeyRaw AS BIGINT)"
+      def childPred(): String = {
+        val c = pick(child.longs ++ child.ints.map(x => s"CAST($x AS BIGINT)"))
+        s"$c % ${r.nextInt(7) + 2} <= ${r.nextInt(4)}"
+      }
+      def scalarSub(): String = r.nextInt(4) match {
+        case 0 => s"(SELECT CAST(count(*) AS BIGINT) FROM $ct" +
+          s" WHERE $childKey = $parentKeyRaw AND ${childPred()})"
+        case 1 => s"(SELECT CAST(sum(${pick(child.longs)} % ${r.nextInt(9) + 2})" +
+          s" AS BIGINT) FROM $ct WHERE $childKey = $parentKeyRaw AND ${childPred()})"
+        case 2 => s"(SELECT CAST(${if (r.nextBoolean()) "min" else "max"}" +
+          s"(${pick(child.longs ++ child.ints.map(x => s"CAST($x AS BIGINT)"))})" +
+          s" AS BIGINT) FROM $ct WHERE $childKey = $parentKeyRaw AND ${childPred()})"
+        case _ => s"(SELECT CAST(count(${pick(child.strings)}) AS BIGINT) FROM $ct" +
+          s" WHERE $childKey = $parentKeyRaw AND ${childPred()})"
+      }
+      val idc = pk +: (if (base.strings.nonEmpty && r.nextBoolean())
+        Seq(pick(base.strings)) else Nil)
+      val scs = (0 to r.nextInt(2)).map(_ => scalarSub()).distinct
+      val souts = (idc ++ scs).zipWithIndex.map { case (e, i) => s"$e AS c$i" }
+      // optional scalar-subquery PREDICATE too (appended with AND: under
+      // an OR-joined where the grouping changes, but identically so on
+      // both engines — only cross-engine agreement matters here)
+      val swhere = if (r.nextInt(3) == 0) {
+        val sp = s"${scalarSub()} % ${r.nextInt(5) + 2} = ${r.nextInt(2)}"
+        if (where.isEmpty) s" WHERE $sp" else s"$where AND $sp"
+      } else where
+      val sob = souts.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
+      return s"SELECT ${souts.mkString(", ")} FROM ${base.name}$swhere" +
+        s" ORDER BY $sob$limit"
+    }
+    if (mode == "nested" || (mode == "mixed" && r.nextInt(12) == 0)) {
+      // two-level aggregation (round-12 axis): a derived-table aggregate
+      // re-aggregated outside — two exchanges, partial-agg interplay —
+      // or an equi-join of two INDEPENDENTLY aggregated slices of the
+      // same FROM shape. Inner measures are count(*)/sum over the
+      // bounded integer pool, so re-aggregation stays int64-exact; NULL
+      // join keys (thinned-outer bases) drop under the inner join and
+      // survive a LEFT join identically on both engines.
+      val allInts = longCols ++ intCols.map(c => s"CAST($c AS BIGINT)")
+      def intKey() = s"(${pick(allInts)} % ${r.nextInt(9) + 2})"
+      if (r.nextBoolean()) {
+        val ik = (genKeys ++ Seq(intKey(), intKey())).distinct.take(2)
+        val innerOuts = ik.zipWithIndex.map { case (e, i) => s"$e AS k$i" } ++
+          Seq("CAST(count(*) AS BIGINT) AS n0",
+            s"CAST(sum(${intExpr(1)}) AS BIGINT) AS n1")
+        val inner = s"SELECT ${innerOuts.mkString(", ")} FROM $from$where" +
+          s" GROUP BY ${ik.indices.map(i => (i + 1).toString).mkString(", ")}"
+        // outer groups by a strict subset of the inner keys (k0), so the
+        // re-aggregation genuinely collapses groups when |ik| = 2
+        val outs2 = Seq("k0 AS c0", "CAST(sum(n0) AS BIGINT) AS c1",
+          "CAST(count(*) AS BIGINT) AS c2", "CAST(max(n1) AS BIGINT) AS c3")
+        val hav = if (r.nextInt(3) == 0)
+          s" HAVING CAST(sum(n0) AS BIGINT) > ${r.nextInt(4)}" else ""
+        val nob = outs2.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
+        return s"SELECT ${outs2.mkString(", ")} FROM ($inner) t GROUP BY 1" +
+          s"$hav ORDER BY $nob$limit"
+      } else {
+        val key = intKey()
+        val a = s"SELECT $key AS k, CAST(count(*) AS BIGINT) AS n" +
+          s" FROM $from WHERE ${pred()} GROUP BY 1"
+        val b = s"SELECT $key AS k, CAST(sum(${intExpr(1)}) AS BIGINT) AS n2" +
+          s" FROM $from WHERE ${pred()} GROUP BY 1"
+        val jt = if (r.nextBoolean()) "JOIN" else "LEFT JOIN"
+        return s"SELECT a.k AS c0, a.n AS c1, b.n2 AS c2 FROM ($a) a" +
+          s" $jt ($b) b ON a.k = b.k" +
+          " ORDER BY c0 NULLS FIRST, c1 NULLS FIRST, c2 NULLS FIRST" + limit
+      }
     }
     r.nextInt(8) match {
       case 0 if groupKeys.nonEmpty =>
