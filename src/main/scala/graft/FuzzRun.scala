@@ -73,7 +73,10 @@ import java.nio.file.{Files, Paths}
   * including the COUNT-over-empty-group shape where a naive
   * outer-join rewrite would emit NULL instead of 0), `nested`
   * (two-level aggregation: agg-over-agg through a derived table, and
-  * joins of two independently aggregated slices), default `mixed`. */
+  * joins of two independently aggregated slices), `distincts`
+  * (several DISTINCT aggregates over DIFFERENT columns in one query —
+  * the Expand-based plan shape — mixed with plain aggregates),
+  * default `mixed`. */
 object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
@@ -661,6 +664,32 @@ object FuzzRun {
           s" $jt ($b) b ON a.k = b.k" +
           " ORDER BY c0 NULLS FIRST, c1 NULLS FIRST, c2 NULLS FIRST" + limit
       }
+    }
+    if (mode == "distincts" || (mode == "mixed" && r.nextInt(12) == 0)) {
+      // several DISTINCT aggregates over DIFFERENT arguments in one
+      // query (round-12 axis): Spark plans N distinct-argument sets via
+      // Expand (N+1 replicas of every input row re-aggregated twice),
+      // DuckDB via per-aggregate hash tables — maximally different
+      // physical strategies for the same exact semantics. DISTINCT
+      // aggregates ignore NULLs identically on both engines, and the
+      // global no-key form over an empty filter yields one row (count 0,
+      // sum NULL) on both.
+      val allInts = longCols ++ intCols.map(c => s"CAST($c AS BIGINT)")
+      def dAgg(): String = r.nextInt(4) match {
+        case 0 => s"CAST(count(DISTINCT ${pick(allInts)}) AS BIGINT)"
+        case 1 => s"CAST(sum(DISTINCT (${pick(allInts)} % ${r.nextInt(97) + 3}))" +
+          " AS BIGINT)"
+        case 2 if strCols.nonEmpty => s"CAST(count(DISTINCT ${strExpr()}) AS BIGINT)"
+        case _ => s"CAST(min(DISTINCT ${pick(allInts)}) AS BIGINT)"
+      }
+      val dAggs = ((0 to r.nextInt(2) + 1).map(_ => dAgg()) :+
+        "CAST(count(*) AS BIGINT)").distinct
+      val keys = groupKeys.take(2)
+      val douts = (keys ++ dAggs).zipWithIndex.map { case (e, i) => s"$e AS c$i" }
+      val gb = if (keys.nonEmpty)
+        s" GROUP BY ${keys.indices.map(i => (i + 1).toString).mkString(", ")}" else ""
+      val dob = douts.indices.map(i => s"c$i NULLS FIRST").mkString(", ")
+      return s"SELECT ${douts.mkString(", ")} FROM $from$where$gb ORDER BY $dob$limit"
     }
     r.nextInt(8) match {
       case 0 if groupKeys.nonEmpty =>
