@@ -147,4 +147,47 @@ class SnapshotFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("concurrent writers: every merge lands, final state is interleaving-independent") {
+    // With strictly-newer-only overwrite, unconditional insert, and
+    // GLOBALLY UNIQUE order values, per-key merge outcomes commute: the
+    // final snapshot is the per-key argmax-ord row over the union of all
+    // batches, whatever order the writer lock grants. So N parallel
+    // writers have ONE deterministic expected state — any divergence
+    // means a lost update, a torn manifest, or a lock failure. The
+    // version count additionally proves no merge was silently dropped.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("snapconc").toString
+    val keys = (0 until 20).map(i => f"key$i%02d")
+    val init = keys.take(6).zipWithIndex.map { case (k, i) => (k, i.toLong, 0L) }
+    PartitionedStore.write(df(init), dir, "k", 8)
+    val writers = 4; val rounds = 3
+    // thread t, round j draws from its own seeded rng and its own
+    // disjoint ord block — deterministic content, racy schedule
+    def mkBatch(t: Int, j: Int): Seq[(String, Long, Long)] = {
+      val r = new java.util.Random(t * 100L + j)
+      val base = 1000L + (t * rounds + j) * 100L
+      (0 until r.nextInt(5) + 2).zipWithIndex.map { case (_, i) =>
+        (keys(r.nextInt(keys.size)), base + i, r.nextInt(1000).toLong)
+      }
+    }
+    val all = for (t <- 0 until writers; j <- 0 until rounds) yield mkBatch(t, j)
+    val fs = (0 until writers).map { t =>
+      Future {
+        (0 until rounds).foreach { j =>
+          PartitionedStore.mergeInto(spark, dir, df(mkBatch(t, j)), mspec, "k", 8)
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), 5.minutes)
+    val expected = (init ++ all.flatten).groupBy(_._1).map { case (k, rs) =>
+      val w = rs.maxBy(_._2); k -> V(w._2, w._3)
+    }
+    assert(readModel(PartitionedStore.read(spark, dir), "concurrent") == expected)
+    assert(PartitionedStore.currentManifest(dir).get.version ==
+      1L + writers * rounds,
+      "every concurrent merge must land as exactly one committed version")
+  }
 }
