@@ -571,7 +571,8 @@ object FuzzRun {
            s" % ${r.nextInt(9) + 2})"))
           .zipWithIndex.map { case (e, i) => s"$e AS c$i" }
       val names = setCols.indices.map(i => s"c$i")
-      val op = pick(Seq("INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"))
+      val op = pick(Seq("INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL",
+        "UNION", "UNION ALL"))
       val slice1 = s"SELECT ${setCols.mkString(", ")} FROM $from WHERE ${pred()}"
       val slice2 = s"SELECT ${setCols.mkString(", ")} FROM $from WHERE ${pred()}"
       return s"SELECT ${names.mkString(", ")} FROM ($slice1 $op $slice2) s" +
