@@ -71,9 +71,78 @@ object BpeTrainer {
       case _ => ()
     }
 
+  /** Batched-pass merge selection: from the top rows of the pair table
+    * (sorted by the serial order: cnt desc, l, r), the longest prefix that
+    * provably matches the serial argmax sequence when applied as one pass:
+    *
+    *  1. pairwise DISJOINT: no symbol (or concat) of an accepted member
+    *     reappears in a later one — disjoint merges cannot change each
+    *     other's counts (a replace consumes only its own two symbols and
+    *     can never create adjacency between two surviving symbols);
+    *  2. FRESH concats only: every multi-char symbol in this encoding is
+    *     the concat of a previous merge, so `mergedSoFar` decides exactly
+    *     whether a candidate's concat already exists as a symbol — if it
+    *     does, merging would add instances to PRE-EXISTING pairs touching
+    *     that symbol, which could boost one past a later batch member
+    *     (the one channel by which any non-member count can rise);
+    *  3. STRICT drop at the cut: trailing members tied with the first
+    *     excluded pair's count are popped, so during the pass every
+    *     non-member (old pairs only ever lose instances; pairs on a fresh
+    *     concat are bounded by the excluded pair they subset) stays
+    *     strictly below every remaining member.
+    *
+    * Under 1-3 the serial trainer would pick exactly these pairs in
+    * exactly this order (ties among members follow the same (cnt, l, r)
+    * sort), so the batched pass is equivalence-preserving, not an
+    * approximation — `BpeBatchSpec` pins batched == serial merge lists.
+    * The stop-at-first-conflict rule (rather than skip-and-continue)
+    * matters: a skipped pair would outrank later members at its serial
+    * step. */
+  private def selectBatch(top: Seq[Row], want: Int,
+                          mergedSoFar: Set[String]): Seq[Row] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var cut: Option[Long] = None // count of the first excluded pair
+    top.foreach { row =>
+      if (cut.isEmpty) {
+        val (l, r) = (row.getString(0), row.getString(1))
+        val parts = Seq(l, r, l + r)
+        val ok = chosen.size < want &&
+          (chosen.isEmpty ||
+            (parts.forall(!used.contains(_)) && !mergedSoFar.contains(l + r)))
+        if (ok) { chosen += row; used ++= parts }
+        else cut = Some(row.getLong(2))
+      }
+    }
+    cut.foreach { c0 =>
+      var c = c0
+      while (chosen.size > 1 && chosen.last.getLong(2) == c) {
+        c = chosen.last.getLong(2)
+        chosen.remove(chosen.size - 1)
+      }
+    }
+    chosen.toSeq
+  }
+
   /** Learn up to `steps` merges from a (doc_id, text) corpus; stops early
-    * when no adjacent pair remains. */
-  def train(docs: DataFrame, steps: Int): Seq[Merge] = {
+    * when no adjacent pair remains.
+    *
+    * `batchTop` > 1 turns on batched passes (the production lever for
+    * 50k-merge runs): each pass collects the top `batchTop + 1` pairs
+    * once, applies the longest provably-serial-equivalent prefix
+    * ([[selectBatch]]), and folds ALL the members' deltas into the pair
+    * table in ONE union — per-pass job count replaces per-step job count
+    * (one argmax collect + one fold instead of one of each per merge),
+    * while the merge LIST stays bit-identical to `batchTop = 1` (the
+    * deltas themselves are still computed member-by-member on the
+    * evolving vocabulary, so within-word semantics are serial by
+    * construction). */
+  /** Pass count of the most recent [[train]] call on this thread — bench
+    * instrumentation (one pass = one argmax collect + one pair-table
+    * fold), not part of the training contract. */
+  val lastPasses = new ThreadLocal[Int]
+
+  def train(docs: DataFrame, steps: Int, batchTop: Int = 1): Seq[Merge] = {
     // Eager localCheckpoint everywhere a table is re-materialized: it cuts
     // the LOGICAL lineage, not just the physical one. A cache() would keep
     // a plan tree that grows by one delta-subtree per merge step, and the
@@ -126,15 +195,22 @@ object BpeTrainer {
       println(f"[bpe] setup base=${(tSetup1 - tSetup0) / 1e9}%.2f pc0=${(System.nanoTime() - tSetup1) / 1e9}%.2f")
     var step = 1
     var exhausted = false
+    var passes = 0
+    val mergedSoFar = scala.collection.mutable.Set.empty[String]
     while (step <= steps && !exhausted) {
+        passes += 1
         val tDbg0 = System.nanoTime()
+        val want = math.min(math.max(batchTop, 1), steps - step + 1)
         val top = pc.orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
+          .limit(want + 1).collect()
         val tDbg1 = System.nanoTime()
         if (top.isEmpty) exhausted = true
         else {
-          val Row(l: String, r: String, c: Long) = top.head
+          val batch = selectBatch(top.toSeq, want, mergedSoFar.toSet)
+          val deltas = batch.map { row =>
+          val Row(l: String, r: String, c: Long) = row
           merges += Merge(step.toLong, l, r, l + r, c)
+          mergedSoFar += (l + r)
           val pat = s" $l; $r;"
           val merged = call_function("replace", col("w"), lit(pat), lit(s" $l$r;"))
           // Incremental maintenance: only words containing the merged pair
@@ -190,16 +266,21 @@ object BpeTrainer {
               .select(explode(concat(eMerged, ePre, eSuf, eGaps)).as("e"))
               .select(col("e.l").as("l"), col("e.r").as("r"), col("e.cnt").as("cnt"))
           }
+          // the NEXT member's delta must see this member's replace applied
+          // (within-word serial semantics); the fold below is still one job
+          w = w.select(merged.as("w"), col("cnt"))
+          step += 1
+          delta
+          }
           val pcOld = pc
-          pc = pc.unionByName(delta)
+          pc = pc.unionByName(deltas.reduce(_ unionByName _))
             .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
             .filter(col("cnt") > 0)
             .localCheckpoint(true) // eager: materializes AND cuts lineage
           freeCheckpoint(pcOld)
           if (sys.env.contains("GRAFT_BPE_DEBUG"))
-            println(f"[bpe] step=$step argmax=${(tDbg1 - tDbg0) / 1e9}%.2f delta=${(System.nanoTime() - tDbg1) / 1e9}%.2f pair=($l,$r)")
-          w = w.select(merged.as("w"), col("cnt"))
-          sinceCache += 1
+            println(f"[bpe] steps=${step - batch.size}..${step - 1} argmax=${(tDbg1 - tDbg0) / 1e9}%.2f delta=${(System.nanoTime() - tDbg1) / 1e9}%.2f batch=${batch.size}")
+          sinceCache += batch.size
           if (sinceCache >= CacheEvery) {
             val wOld = wCkpt
             wCkpt = w.localCheckpoint(true)
@@ -207,11 +288,11 @@ object BpeTrainer {
             freeCheckpoint(wOld)
             sinceCache = 0
           }
-          step += 1
         }
       }
     freeCheckpoint(pc)
     freeCheckpoint(wCkpt)
+    lastPasses.set(passes)
     merges.toSeq
   }
 
