@@ -298,9 +298,14 @@ object BpeTrainer {
 
   /** The learned merge table as a DataFrame (step, left_sym, right_sym,
     * merged, cnt) — the artifact a tokenizer ships. */
-  def mergeTable(spark: SparkSession, docs: DataFrame, steps: Int): DataFrame = {
+  def mergeTable(spark: SparkSession, docs: DataFrame, steps: Int,
+                 batchTop: Int = 8): DataFrame = {
     import spark.implicits._
-    train(docs, steps).toDF().orderBy(col("step"))
+    // batched passes by default: the merge list is BIT-IDENTICAL to
+    // serial (selectBatch is equivalence-preserving — BpeBatchSpec, and
+    // the q108 oracle replays the serial chain over the same corpus), so
+    // callers only see the ~2.5x fewer jobs (BENCH_sf1_bpe_batch.json)
+    train(docs, steps, batchTop).toDF().orderBy(col("step"))
   }
 
   /** APPLY the learned merges — the consumption half of training: per

@@ -529,7 +529,7 @@ object TextQueries {
     * count as one opaque token. */
   def q112(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.parallel(Tables.documents(spark, d))
-    val merges = graft.operators.BpeTrainer.train(docs, BpeSteps)
+    val merges = graft.operators.BpeTrainer.train(docs, BpeSteps, batchTop = 8)
     graft.operators.BpeTrainer.subwordCounts(docs, merges)
       .orderBy(col("doc_id"))
   }
@@ -780,7 +780,7 @@ object TextQueries {
     * (doc_id) join to the lang column + a lang-sized aggregate. */
   def q141(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.parallel(Tables.documents(spark, d))
-    val merges = graft.operators.BpeTrainer.train(docs, BpeSteps)
+    val merges = graft.operators.BpeTrainer.train(docs, BpeSteps, batchTop = 8)
     graft.operators.BpeTrainer.subwordCounts(docs, merges)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("lang"))
