@@ -148,6 +148,69 @@ class StoreFuzzSpec extends SparkSpec {
       .map(_.getLong(0)).map(id => id -> labeled.getOrElse(id, id)).toMap
   }
 
+  /** Canonical (min, max) pair set from a pairs frame. */
+  private def pairSet(d: DataFrame): Set[(Long, Long)] =
+    d.select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+
+  private def batchPairs(corpus: DataFrame): Set[(Long, Long)] = {
+    val sigs = IncrementalDedup.signatures(corpus)
+    pairSet(IncrementalDedup.verifyPairs(
+      IncrementalDedup.candidatePairs(sigs.limit(0), sigs), corpus, 0.5))
+  }
+
+  for (seed <- Seq(505L, 606L)) {
+    test(s"dedup pair store: random ingest/replay schedule accumulates exactly the batch pairs (seed $seed)") {
+      // Invariant fuzzed: after any schedule, the UNION of every round's
+      // returned verified pairs equals the batch pair set over the
+      // ingested corpus — each pair is found in the round its LATER
+      // endpoint arrives, and a replayed delta (banded against the grown
+      // store, which now includes itself and any later arrivals) can only
+      // RE-find batch pairs, never invent one.
+      val r = new java.util.Random(seed)
+      val store = root("dedup")
+      val ids = Seq(10L, 11L, 12L, 20L, 21L, 22L, 30L, 31L, 32L, 5L, 17L, 28L)
+      val deltas = randomDeltas(ids, r)
+      var done = 0
+      var found = Set.empty[(Long, Long)]
+      var steps = List.empty[String]
+      def ingestedIds = deltas.take(done).flatten
+      def check(): Unit = {
+        val want = batchPairs(splitDocs(ingestedIds))
+        assert(found == want,
+          s"seed=$seed schedule=${steps.reverse.mkString(",")}: union $found != batch $want")
+      }
+      while (done < deltas.size) {
+        r.nextInt(3) match {
+          case 0 | 1 =>
+            if (done == 0) {
+              // round 1 is the operator's init contract: the store is
+              // seeded with the first batch's signatures, and that
+              // batch's INTERNAL pairs come from the batch path
+              IncrementalDedup.initStore(store, splitDocs(deltas(0)))
+              found ++= batchPairs(splitDocs(deltas(0)))
+            } else {
+              val pairs = IncrementalDedup.processDelta(spark, store,
+                splitDocs(ingestedIds ++ deltas(done)), splitDocs(deltas(done)))
+              found ++= pairSet(pairs)
+            }
+            done += 1; steps ::= s"ingest$done"
+            check()
+          case _ if done > 0 =>
+            val j = r.nextInt(done)
+            val pairs = IncrementalDedup.processDelta(spark, store,
+              splitDocs(ingestedIds), splitDocs(deltas(j)))
+            val replayed = pairSet(pairs)
+            found ++= replayed
+            steps ::= s"replay$j"
+            check() // re-found pairs are batch pairs; nothing new appears
+          case _ => ()
+        }
+      }
+    }
+  }
+
   for (seed <- Seq(303L, 404L)) {
     test(s"split store: random ingest/replay schedule equals batch CC (seed $seed)") {
       val r = new java.util.Random(seed)
