@@ -643,8 +643,19 @@ object FuzzRun {
         val innerOuts = ik.zipWithIndex.map { case (e, i) => s"$e AS k$i" } ++
           Seq("CAST(count(*) AS BIGINT) AS n0",
             s"CAST(sum(${intExpr(1)}) AS BIGINT) AS n1")
+        // sometimes top-N-then-reaggregate: the inner aggregate is cut by
+        // a total ORDER BY + LIMIT before the outer pass — exact on both
+        // engines because the inner order covers every inner output with
+        // pinned NULL placement, so the kept multiset is identical
+        val innerNames = innerOuts.indices.map(i =>
+          if (i < ik.size) s"k$i" else s"n${i - ik.size}")
+        val innerCut = if (r.nextInt(3) == 0)
+          s" ORDER BY ${innerNames.map(n => s"$n NULLS FIRST").mkString(", ")}" +
+            s" LIMIT ${r.nextInt(200) + 1}"
+        else ""
         val inner = s"SELECT ${innerOuts.mkString(", ")} FROM $from$where" +
-          s" GROUP BY ${ik.indices.map(i => (i + 1).toString).mkString(", ")}"
+          s" GROUP BY ${ik.indices.map(i => (i + 1).toString).mkString(", ")}" +
+          innerCut
         // outer groups by a strict subset of the inner keys (k0), so the
         // re-aggregation genuinely collapses groups when |ik| = 2
         val outs2 = Seq("k0 AS c0", "CAST(sum(n0) AS BIGINT) AS c1",
