@@ -103,15 +103,23 @@ object BpeTrainer {
     val used = scala.collection.mutable.Set.empty[String]
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Row]
     var cut: Option[Long] = None // count of the first excluded pair
+    var solo = false
     top.foreach { row =>
       if (cut.isEmpty) {
         val (l, r) = (row.getString(0), row.getString(1))
         val parts = Seq(l, r, l + r)
-        val ok = chosen.size < want &&
-          (chosen.isEmpty ||
-            (parts.forall(!used.contains(_)) && !mergedSoFar.contains(l + r)))
-        if (ok) { chosen += row; used ++= parts }
-        else cut = Some(row.getLong(2))
+        if (chosen.isEmpty) {
+          chosen += row; used ++= parts
+          // the argmax is ALWAYS safe alone — but if its concat is an
+          // already-existing symbol (two merge routes can mint the same
+          // string: (ab,c) and (a,bc) both make "abc"), merging it ADDS
+          // instances to pre-existing pairs on that symbol, which could
+          // outrank a batch mate mid-pass — so it gets no mates
+          solo = mergedSoFar.contains(l + r)
+        } else if (!solo && chosen.size < want &&
+            parts.forall(!used.contains(_)) && !mergedSoFar.contains(l + r)) {
+          chosen += row; used ++= parts
+        } else cut = Some(row.getLong(2))
       }
     }
     cut.foreach { c0 =>

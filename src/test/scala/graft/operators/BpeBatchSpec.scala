@@ -68,4 +68,21 @@ class BpeBatchSpec extends SparkSpec {
     val docs = Seq((1L, "xy xy zw"))
     assertSame(docs, steps = 10, b = 64)
   }
+
+  test("argmax whose concat is an already-minted symbol runs solo") {
+    // two routes to the same string: (b,c) -> "bc" early, then (a,bc)
+    // mints "abc"; separately "ab c" contexts can re-mint "abc" via
+    // (ab,c). Once "abc" exists, an argmax whose concat is "abc" must
+    // take NO batch mates: its merge adds instances to pre-existing
+    // pairs on "abc", which can outrank a same-pass mate mid-pass.
+    // Seeded structured corpora over chain-prone alphabets hit the
+    // two-route regime repeatedly; every width must equal serial.
+    val r = new java.util.Random(17L)
+    val frags = Seq("abc", "ab", "bc", "a", "b", "c", "x", "xabc", "abcd")
+    val docs = (1L to 50L).map { i =>
+      val w = (0 until r.nextInt(4) + 2).map(_ => frags(r.nextInt(frags.size))).mkString
+      (i, Seq.fill(r.nextInt(4) + 1)(w).mkString(" "))
+    }
+    for (b <- Seq(2, 4, 8)) assertSame(docs, steps = 25, b = b)
+  }
 }
