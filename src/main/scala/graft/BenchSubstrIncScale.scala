@@ -63,6 +63,8 @@ object BenchSubstrIncScale {
       val root = s"$dir/store"
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       // refresh-only root (q211's shape): no bloom sidecar in the timing
+      // (a 500-doc delta touches every ledger bucket, so the screen could
+      // not prune IO and the fold would be pure overhead)
       val initSec = timed {
         IncrementalSubstr.ingest(spark, root, v1, v1, maintainBloom = false)
       }

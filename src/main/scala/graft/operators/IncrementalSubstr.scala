@@ -55,9 +55,14 @@ object IncrementalSubstr {
   private def bloomFile(root: String) = s"$root/bloom/filter.bin"
 
   /** Ledger bucket of a window — the wins partitions are sub-partitioned
-    * by it so a probe with few bloom-positive windows prunes its ledger
-    * read to matching directories. */
-  private val LedgerBuckets = 256
+    * by it so a probe (or an ingest transition pass) with few
+    * bloom-positive windows prunes its ledger read to matching
+    * directories. 64 balances pruning granularity against the per-round
+    * file count a partitioned write pays (one file per bucket per round —
+    * 256 measured ~1 s/round slower on refresh-sized deltas for no
+    * pruning gain: a multi-doc delta touches every bucket at any width,
+    * and a few-window probe touches fewer buckets than either). */
+  private val LedgerBuckets = 64
   private def bucketOf(w: org.apache.spark.sql.Column) =
     pmod(xxhash64(w), lit(LedgerBuckets.toLong)).cast("int")
 
@@ -187,13 +192,16 @@ object IncrementalSubstr {
       sys.error(s"bloom sidecar: rename $tmp -> $p failed")
   }
 
-  /** OR the delta's window bits into the sidecar. Creating the sidecar
-    * on a root that ALREADY has ledger rounds (a previously bloom-less
-    * root opting in) catches up from the full ledger first — a bloom
-    * covering only later rounds would answer false negatives for the
+  /** OR the delta's window bits into the sidecar. `deltaWindowKeys` must
+    * carry the delta's windows in column `w`; distinctness is NOT required
+    * (bit-OR is idempotent) — the caller passes the staged round counts,
+    * which are naturally distinct, so no dedup exchange is paid. Creating
+    * the sidecar on a root that ALREADY has ledger rounds (a previously
+    * bloom-less root opting in) catches up from the full ledger first — a
+    * bloom covering only later rounds would answer false negatives for the
     * earlier ones. */
   private def foldBloom(spark: SparkSession, root: String,
-                        deltaWindows: DataFrame, mBits: Int): Unit = {
+                        deltaWindowKeys: DataFrame, mBits: Int): Unit = {
     val existing = readBloom(spark, root)
     val (m, k, cur) = existing
       .getOrElse((mBits, BloomK, new Array[Long](mBits / 64)))
@@ -204,7 +212,7 @@ object IncrementalSubstr {
       while (i < cur.length) { cur(i) |= catchUp(i); i += 1 }
     }
     val add = BloomFilter.build(
-      deltaWindows.select(xxhash64(col("w")).as("h")).distinct(), m, k)
+      deltaWindowKeys.select(xxhash64(col("w")).as("h")), m, k)
     var i = 0
     while (i < cur.length) { cur(i) |= add(i); i += 1 }
     writeBloom(spark, root, m, k, cur)
@@ -305,8 +313,12 @@ object IncrementalSubstr {
     * With `maintainBloom = true` (or once the root HAS a bloom — the
     * sidecar, once created, is folded by EVERY subsequent ingest, or its
     * no-false-negatives invariant would break) the probe's fast-negative
-    * tier stays available. A refresh-only root (q211's shape: ingest +
-    * report, never probed) passes false and skips the per-round fold.
+    * tier stays available — and the ingest's OWN transition pass screens
+    * the delta's windows against the pre-round snapshot, which prunes
+    * ledger IO for ADMISSION-sized deltas (few bloom-positive windows ->
+    * few buckets read). A corpus-fraction delta touches every bucket, so
+    * for refresh-only roots fed by bulk deltas (q211's shape) the fold is
+    * pure overhead — pass false there.
     *
     * Serialized on the root's writer lock: transitions are detected
     * against ONE ledger state and the same state is extended. */
@@ -316,113 +328,225 @@ object IncrementalSubstr {
       ingestLocked(spark, root, corpus, delta, maintainBloom)
     }
 
+  private val profile = sys.env.contains("GRAFT_PROF_SUBSTR")
+  private def prof[A](tag: String)(f: => A): A =
+    if (!profile) f else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROFI   $tag%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   private def ingestLocked(spark: SparkSession, root: String,
                            corpus: DataFrame, delta: DataFrame,
                            maintainBloom: Boolean): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val d0 = delta.select(col("doc_id"), col("text"),
       length(col("text")).as("len"), md5(col("text")).as("fp"))
-    // a delta carrying one doc_id with TWO different texts is ambiguous
-    // in the same way a changed re-ingest is — reject, don't pick
-    val dupIds = d0.groupBy("doc_id")
-      .agg(countDistinct(col("fp")).as("nf")).filter(col("nf") > 1)
-      .select(col("doc_id")).limit(3).collect().map(_.getLong(0))
-    if (dupIds.nonEmpty)
-      sys.error(s"IncrementalSubstr.ingest at $root: delta carries doc_ids " +
-        s"with conflicting texts (e.g. ${dupIds.mkString(", ")})")
-    val dd = d0.dropDuplicates("doc_id")
     val ledger =
       if (exists(spark, docsDir(root))) {
         KeyedStore.recover(spark, docsDir(root))
         spark.read.parquet(docsDir(root))
-      } else dd.select(col("doc_id"), col("fp"), col("len")).limit(0)
-    val classified = dd
+      } else d0.select(col("doc_id"), col("fp"), col("len")).limit(0)
+    // ONE classification pass, pinned: every later phase (the round
+    // partition, the recompute set, the docs-ledger commit) filters these
+    // cached partitions instead of re-running the delta scan + join
+    val cls = prof("classify checkpoint")(d0.dropDuplicates("doc_id", "fp")
       .join(ledger.select(col("doc_id"), col("fp").as("__fp_cur")),
         Seq("doc_id"), "left")
-    val changed = classified
-      .filter(col("__fp_cur").isNotNull && col("__fp_cur") =!= col("fp"))
-      .select(col("doc_id")).limit(3).collect().map(_.getLong(0))
-    if (changed.nonEmpty)
+      .localCheckpoint(true))
+    // ONE driver round-trip for every admission decision: conflicting
+    // in-delta texts (same doc_id, two fingerprints -> two rows after the
+    // pair-distinct), changed re-ingests, the fresh count, and the
+    // deterministic round id (bit_xor over fresh rows only; xor 0 is
+    // identity for the rest)
+    val st = prof("admission stats")(cls.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("nid"),
+      sum(when(col("__fp_cur").isNotNull && col("__fp_cur") =!= col("fp"),
+        1L).otherwise(0L)).as("nChanged"),
+      sum(when(col("__fp_cur").isNull, 1L).otherwise(0L)).as("nFresh"),
+      expr("bit_xor(CASE WHEN __fp_cur IS NULL THEN xxhash64(doc_id, fp) " +
+        "ELSE 0L END)").as("rid")).head())
+    // a delta carrying one doc_id with TWO different texts is ambiguous
+    // in the same way a changed re-ingest is — reject, don't pick
+    if (st.getLong(0) != st.getLong(1)) {
+      val ids = cls.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("doc_id"))
+        .limit(3).collect().map(_.getLong(0))
+      sys.error(s"IncrementalSubstr.ingest at $root: delta carries doc_ids " +
+        s"with conflicting texts (e.g. ${ids.mkString(", ")})")
+    }
+    if (st.getLong(2) > 0) {
+      val ids = cls.filter(col("__fp_cur").isNotNull && col("__fp_cur") =!= col("fp"))
+        .select(col("doc_id")).limit(3).collect().map(_.getLong(0))
       sys.error(s"IncrementalSubstr.ingest at $root: delta re-ingests stored " +
-        s"doc_ids with CHANGED content (e.g. ${changed.mkString(", ")}); window " +
+        s"doc_ids with CHANGED content (e.g. ${ids.mkString(", ")}); window " +
         "counts are monotone, so superseding content would break the " +
         "batch-equivalence guarantee. Ingest changed documents under a new " +
         "doc_id, or rebuild the root.")
+    }
     // replays (identical content) drop out; what remains is genuinely new
-    val fresh = classified.filter(col("__fp_cur").isNull)
+    if (st.getLong(3) == 0L) return
+    val fresh = cls.filter(col("__fp_cur").isNull)
       .select(col("doc_id"), col("text"), col("len"), col("fp"))
-      .localCheckpoint(true)
-    if (fresh.isEmpty) return
     // deterministic round id: a replay of the same delta lands on the
     // same wins partition and overwrites it (idempotent), never appends
-    val rid = "r" + java.lang.Long.toHexString(
-      fresh.agg(expr("bit_xor(xxhash64(doc_id, fp))")).head().getLong(0))
+    val rid = "r" + java.lang.Long.toHexString(st.getLong(4))
 
-    // bloom first (see the sidecar invariant above): a crash between the
-    // bloom fold and the wins write leaves only extra bits — safe; the
-    // reverse order could leave ledger windows the probe's fast-negative
-    // would wrongly clear. An existing sidecar is ALWAYS folded (a
-    // skipped round would plant false negatives); a bloom-less root only
-    // starts one when asked.
-    if (maintainBloom || readBloom(spark, root).isDefined)
-      foldBloom(spark, root, windows(fresh), DefaultBloomBits)
-    // write the round partition FIRST and read it back as the delta-count
-    // materialization: a first-ingest delta is corpus-sized, so pinning
-    // these counts on the heap (localCheckpoint) OOMs at scale — parquet
-    // is the spill. Writing before transition detection is safe because
-    // the pre-count read EXCLUDES this round's partition (which also
-    // makes it replay-stable: a crashed attempt's rows never inflate
-    // pre-counts). Sub-partitioned by window bucket (repartitioned by it
-    // first — the BandIndex small-files lesson) so a probe with few
-    // bloom-positive windows prunes its read to matching directories.
-    windows(fresh).groupBy("w").agg(
-      count(lit(1)).as("n"),
-      when(count(lit(1)) === 1, max(col("doc_id"))).as("holder"))
+    // The round's window counts are built ONCE, STAGED outside the ledger
+    // (a first-ingest delta is corpus-sized, so parquet — not the heap —
+    // is the materialization), the bloom is folded from the staged counts,
+    // and only then does the partition RENAME into the ledger: the sidecar
+    // invariant (bloom covers every VISIBLE ledger window) holds because
+    // nothing under wins-stage/ is readable by readWins, and a crash
+    // anywhere in between leaves extra bloom bits (safe) plus a stage dir
+    // the next locked round sweeps. One explode, one exchange: the
+    // repartition by bucket already co-locates every occurrence of a
+    // window (bucket is a function of w), so the (bucket, w) aggregation
+    // reuses that partitioning instead of shuffling again, and each task
+    // writes whole bucket sub-directories (the BandIndex small-files
+    // lesson).
+    // pre-round bloom snapshot, taken BEFORE this round's fold below: a
+    // window negative under THIS state provably has no pre-round ledger
+    // rows (the sidecar's no-false-negatives invariant covers every
+    // earlier round; a crashed attempt of THIS round only adds this same
+    // delta's bits — conservative, never wrong). The transition pass
+    // screens against it, the probe's tier-1 shape applied to ingest.
+    val preBloom = readBloom(spark, root)
+    val stageParent = s"$root/wins-stage"
+    val stageDir = s"$stageParent/round=$rid"
+    fs.delete(new org.apache.hadoop.fs.Path(stageParent), true)
+    prof("wins stage write")(windows(fresh)
+      .select(col("doc_id"), col("w"))
       .withColumn("bucket", bucketOf(col("w")))
       .repartition(col("bucket"))
+      .groupBy("bucket", "w").agg(
+        count(lit(1)).as("n"),
+        when(count(lit(1)) === 1, max(col("doc_id"))).as("holder"))
+      .select(col("w"), col("n"), col("holder"), col("bucket"))
       .write.partitionBy("bucket")
-      .mode(SaveMode.Overwrite).parquet(s"${winsDir(root)}/round=$rid")
-    val dCounts = spark.read
-      .schema(StructType(winsFileSchema.filterNot(_.name == "round")))
-      .parquet(s"${winsDir(root)}/round=$rid")
+      .mode(SaveMode.Overwrite).parquet(stageDir))
+    val stageSchema = StructType(winsFileSchema.filterNot(_.name == "round"))
+    // bloom BEFORE visibility: folded from the staged counts — already
+    // distinct windows, so the fold costs a narrow staged-file scan, not
+    // a second explode of the delta text. An existing sidecar is ALWAYS
+    // folded (a skipped round would plant false negatives); a bloom-less
+    // root only starts one when asked.
+    if (maintainBloom || readBloom(spark, root).isDefined)
+      prof("bloom fold")(foldBloom(spark, root,
+        spark.read.schema(stageSchema).parquet(stageDir), DefaultBloomBits))
+    val dest = new org.apache.hadoop.fs.Path(s"${winsDir(root)}/round=$rid")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(winsDir(root)))
+    if (fs.exists(dest)) fs.delete(dest, true) // replay: replace, identical content
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stageDir), dest))
+      sys.error(s"IncrementalSubstr.ingest at $root: rename $stageDir -> $dest failed")
+    val dCounts = spark.read.schema(stageSchema).parquet(dest.toString)
 
-    // 1 -> 2 transitions: ledger windows at global count EXACTLY 1 that
-    // the delta touches (any delta occurrence pushes them to >= 2). Their
-    // single holders are the only STORED docs whose spans can change this
-    // round. The scan is semi-join-restricted to the delta's windows —
-    // narrow, the IncrementalSplit candidate-leg shape.
-    val pre = readWins(spark, root).filter(col("round") =!= lit(rid))
-      .join(dCounts.select("w"), Seq("w"), "left_semi")
-      .groupBy("w").agg(sum(col("n")).as("nStore"), max(col("holder")).as("h"))
-    val transHolders = pre.filter(col("nStore") === 1)
+    // ONE pre-round ledger pass, restricted to the delta's windows (the
+    // IncrementalSplit candidate-leg shape), feeding BOTH decisions:
+    //  - 1 -> 2 transitions: pre-count EXACTLY 1 (any delta occurrence
+    //    pushes the window to >= 2) — the single holders are the only
+    //    STORED docs whose spans can change this round;
+    //  - delta dup status: a delta window is duplicated iff it repeats
+    //    within the round (n >= 2) or was EVER seen before (nPre >= 1,
+    //    i.e. it has a scan row at all) — nPre + n >= 2 exactly.
+    // The pass rides the probe's tiered ledger leg: windows negative
+    // under the PRE-round bloom snapshot drop first (a bloom-maintained
+    // root pays ledger IO proportional to its already-seen windows, not
+    // its delta), the surviving keys bucket-prune the ledger read, and a
+    // small key side is BROADCAST so the ledger is scanned, never
+    // shuffled — a refresh-sized delta must not pay an O(store) exchange.
+    // Pinned: scan1's size is bounded by the delta's ALREADY-SEEN
+    // windows, which the operator's structural-L design keeps
+    // corpus-sparse (the same sparsity the covered set relies on), and
+    // localCheckpoint spills to disk past memory.
+    val screened: Option[DataFrame] = preBloom match {
+      case Some((m, k, bits)) if exists(spark, winsDir(root)) &&
+          bits.map(java.lang.Long.bitCount(_).toLong).sum * 2 < m =>
+        import graft.functions.expressions.BloomContains
+        Some(dCounts.select("w")
+          .filter(BloomContains.countContained(
+            array(xxhash64(col("w"))), bits, m, k) === 1L)
+          .localCheckpoint(true))
+      case _ => None
+    }
+    // broadcast the key side when it is provably small: a screened set by
+    // its (checkpointed) row count, an unscreened one by the staged
+    // partition's on-disk bytes (a corpus-sized bulk delta keeps the
+    // shuffle join — broadcasting it would be the real scale bug)
+    val keySmall = screened match {
+      case Some(sk) => sk.count() <= 1000000L
+      case None => fs.getContentSummary(dest).getLength <= (16L << 20)
+    }
+    def keyed(df: DataFrame) = if (keySmall) broadcast(df) else df
+    val scan1 = prof("ledger pass") {
+      val src = screened match {
+        case Some(sk) =>
+          val bks = sk.select(bucketOf(col("w")).as("b")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          if (bks.isEmpty) readWins(spark, root).limit(0)
+          else if (bks.length <= LedgerBuckets / 4)
+            spark.read.schema(winsFileSchema).parquet(winsDir(root))
+              .filter(col("bucket").isin(bks.map(Integer.valueOf): _*))
+              .select(col("w"), col("n"), col("holder"),
+                col("round").cast(StringType))
+          else readWins(spark, root)
+        case None => readWins(spark, root)
+      }
+      src.filter(col("round") =!= lit(rid))
+        .join(keyed(screened.getOrElse(dCounts.select("w"))), Seq("w"), "left_semi")
+        .groupBy("w").agg(sum(col("n")).as("nPre"), max(col("holder")).as("h"))
+        .localCheckpoint(true)
+    }
+    val transHolders = scan1.filter(col("nPre") === 1)
       .select(col("h").as("doc_id")).distinct()
-      .localCheckpoint(true) // driver-small; pin before downstream reads
+    val hasHolders = !transHolders.isEmpty
 
     // recompute set: the delta + transition holders (disjoint: holders
     // are stored ids, fresh ids are ledger-absent). Holder text comes
     // from the corpus (the ingest contract).
     val holderDocs = corpus.join(transHolders, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val redo = fresh.select(col("doc_id"), col("text"), col("len"))
-      .unionByName(holderDocs)
-      .localCheckpoint(true)
+    val redo = prof("redo checkpoint")(
+      (if (hasHolders) fresh.select(col("doc_id"), col("text"), col("len"))
+        .unionByName(holderDocs)
+      else fresh.select(col("doc_id"), col("text"), col("len")))
+        .localCheckpoint(true))
     val wRedo = windows(redo)
-    // duplicated-status for the recompute docs' windows, from the FULL
-    // ledger (this round included) restricted to those windows
-    val dupW = readWins(spark, root)
-      .join(wRedo.select("w").distinct(), Seq("w"), "left_semi")
-      .groupBy("w").agg(sum(col("n")).as("nTot"))
-      .filter(col("nTot") >= 2).select("w")
-    val rep = reportFor(redo, wRedo.join(dupW, Seq("w"))
+    // duplicated-status for the recompute docs' windows: the delta's from
+    // the one ledger pass above (no rescan), the holders' — only when
+    // transitions fired — from a ledger scan restricted to the HOLDER
+    // docs' windows alone (holder docs are few, so this semi-join set is
+    // tiny; the full ledger, this round included, is the count source
+    // exactly as batch semantics demand). Holder text is sliced out of
+    // the pinned redo set, not re-fetched from the corpus.
+    val dupDelta = dCounts.filter(col("n") >= 2).select("w")
+      .unionByName(scan1.select("w"))
+    val dupW = (if (hasHolders) {
+      // holder-window keys, pinned so their true size is known, then
+      // broadcast when small — the ledger is scanned map-side, not
+      // shuffled, on the (normal) few-holders round
+      val wHold = windows(redo.join(transHolders, Seq("doc_id"), "left_semi"))
+        .select("w").distinct().localCheckpoint(true)
+      val holdKeys = if (wHold.count() <= 1000000L) broadcast(wHold) else wHold
+      dupDelta.unionByName(
+        readWins(spark, root)
+          .join(holdKeys, Seq("w"), "left_semi")
+          .groupBy("w").agg(sum(col("n")).as("nTot"))
+          .filter(col("nTot") >= 2).select("w"))
+    } else dupDelta).distinct()
+    val rep = prof("report recompute")(reportFor(redo, wRedo.join(dupW, Seq("w"))
       .select(col("doc_id"), col("p")))
-      .localCheckpoint(true) // pin before asg mutates under the lineage
-    if (exists(spark, asgDir(root)))
+      .localCheckpoint(true)) // pin before asg mutates under the lineage
+    prof("asg fold")(if (exists(spark, asgDir(root)))
       KeyedStore.fold(spark, asgDir(root), rep, "doc_id")
-    else rep.write.parquet(asgDir(root))
+    else rep.write.parquet(asgDir(root)))
     // the docs ledger is the round's COMMIT point: written last, so any
     // crash above replays the whole round idempotently
     val docRows = fresh.select(col("doc_id"), col("fp"), col("len"))
-    if (exists(spark, docsDir(root)))
+    prof("docs fold")(if (exists(spark, docsDir(root)))
       KeyedStore.fold(spark, docsDir(root), docRows, "doc_id")
-    else docRows.write.parquet(docsDir(root))
+    else docRows.write.parquet(docsDir(root)))
   }
 }

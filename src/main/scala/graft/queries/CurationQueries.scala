@@ -1028,8 +1028,10 @@ object CurationQueries {
     val root = java.nio.file.Files.createTempDirectory("incsubstr").toString
     val docs = Tables.documents(spark, d)
     Seq(1L, 2L, 0L).foreach { k =>
-      // refresh-only root: never probed, so the bloom sidecar would be
-      // pure ingest overhead (see ingest's scaladoc)
+      // refresh-only root, corpus-fraction deltas: the bloom's screen
+      // only pays when bucket pruning can fire (admission-sized deltas);
+      // a corpus-fraction delta touches every bucket, so the fold would
+      // be pure ingest overhead (see ingest's scaladoc)
       graft.operators.IncrementalSubstr.ingest(spark, root, docs,
         docs.filter(pmod(col("doc_id"), lit(3L)) === k),
         maintainBloom = false)
