@@ -66,11 +66,13 @@ object BenchSubstrIncScale {
       // (a 500-doc delta touches every ledger bucket, so the screen could
       // not prune IO and the fold would be pure overhead)
       val initSec = timed {
-        IncrementalSubstr.ingest(spark, root, v1, v1, maintainBloom = false)
+        IncrementalSubstr.ingest(spark, root, v1, v1, maintainBloom = false,
+          buckets = 64)
       }
       var repHash = 0L
       val refreshSec = timed {
-        IncrementalSubstr.ingest(spark, root, docs, delta, maintainBloom = false)
+        IncrementalSubstr.ingest(spark, root, docs, delta,
+          maintainBloom = false, buckets = 64)
         repHash = consume(IncrementalSubstr.report(spark, root))._2
       }
       val batchDocs = docs.select(col("doc_id"), col("text"),

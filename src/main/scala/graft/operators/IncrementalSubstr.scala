@@ -54,17 +54,52 @@ object IncrementalSubstr {
   private def asgDir(root: String) = s"$root/asg"
   private def bloomFile(root: String) = s"$root/bloom/filter.bin"
 
-  /** Ledger bucket of a window — the wins partitions are sub-partitioned
-    * by it so a probe (or an ingest transition pass) with few
-    * bloom-positive windows prunes its ledger read to matching
-    * directories. 64 balances pruning granularity against the per-round
-    * file count a partitioned write pays (one file per bucket per round —
-    * 256 measured ~1 s/round slower on refresh-sized deltas for no
-    * pruning gain: a multi-doc delta touches every bucket at any width,
-    * and a few-window probe touches fewer buckets than either). */
-  private val LedgerBuckets = 64
-  private def bucketOf(w: org.apache.spark.sql.Column) =
-    pmod(xxhash64(w), lit(LedgerBuckets.toLong)).cast("int")
+  /** Ledger bucket count — a STORE-LEVEL geometry fixed at root creation
+    * (first ingest) and persisted under `meta/buckets`, because the two
+    * workloads want opposite widths and both costs are measured
+    * (BENCH_sf1_substr_probe.json / BENCH_sf1_substr_inc.json):
+    *
+    *  - ADMISSION roots (probed online) want FINE bucketing: a one-doc
+    *    dup probe's ~30 positive windows prune to 30/256 of the ledger
+    *    (5.6 s at the 165M-row point) but to 30/64 > the prune gate at
+    *    width 64 (full scan, 12 s);
+    *  - REFRESH-ONLY roots (bulk deltas, never probed) want COARSE
+    *    bucketing: the partitioned write pays one file per bucket per
+    *    round, ~1 s/round slower at 256 for pruning no bulk delta can
+    *    use (a multi-doc delta touches every bucket at any width).
+    *
+    * Probes and later ingests read the persisted width, so pruning math
+    * stays consistent across the root's life at either choice. */
+  val DefaultBuckets = 256
+  private def metaFile(root: String) = s"$root/meta/buckets"
+
+  private def readBuckets(spark: SparkSession, root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(metaFile(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+    finally in.close()
+  }
+
+  /** Persisted width, or the creation-time choice for a root that has no
+    * meta yet (written before the first wins partition becomes visible,
+    * so no reader can ever see rounds under an unpersisted geometry). */
+  private def bucketsOf(spark: SparkSession, root: String,
+                        create: Option[Int] = None): Int =
+    readBuckets(spark, root).getOrElse {
+      val b = create.getOrElse(DefaultBuckets)
+      create.foreach { _ =>
+        val p = new org.apache.hadoop.fs.Path(metaFile(root))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write(s"$b\n".getBytes("UTF-8")) finally out.close()
+      }
+      b
+    }
+
+  private def bucketOf(w: org.apache.spark.sql.Column, nb: Int) =
+    pmod(xxhash64(w), lit(nb.toLong)).cast("int")
 
   /** Bloom geometry: fixed at root creation (first ingest), read back on
     * every later round. ~1% false positives up to ~2M distinct windows
@@ -246,8 +281,9 @@ object IncrementalSubstr {
     *     invariant); a clean document — the common admission case —
     *     short-circuits with ZERO ledger IO.
     *  2. Bucket-pruned scan: when the bloom-positive windows touch few
-    *     of the [[LedgerBuckets]] sub-partitions, only those
-    *     directories are read (the BandIndex partition-pruning shape).
+    *     of the root's bucket sub-partitions (geometry persisted at
+    *     creation — see [[DefaultBuckets]]), only those directories are
+    *     read (the BandIndex partition-pruning shape).
     *  3. Full semi-joined scan otherwise (dup-heavy probes) — narrow,
     *     the same shape as ingest's transition leg. */
   def probe(spark: SparkSession, root: String, probeDocs: DataFrame): DataFrame = {
@@ -276,14 +312,15 @@ object IncrementalSubstr {
     // tier 2 — bucket pruning works with or WITHOUT the bloom (the probe
     // windows themselves bound the candidate buckets); the bloom just
     // shrinks the set further, down to zero for a clean document
-    val buckets = maybeW.select(bucketOf(col("w")).as("b"))
+    val nb = bucketsOf(spark, root)
+    val buckets = maybeW.select(bucketOf(col("w"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
     val ledgerCounts =
       if (buckets.isEmpty)
         probeCounts.limit(0).select(col("w"), col("n")) // fast negative
       else {
         val src =
-          if (exists(spark, winsDir(root)) && buckets.length <= LedgerBuckets / 4)
+          if (exists(spark, winsDir(root)) && buckets.length <= nb / 4)
             spark.read.schema(winsFileSchema).parquet(winsDir(root))
               .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
           else ledger
@@ -323,9 +360,23 @@ object IncrementalSubstr {
     * Serialized on the root's writer lock: transitions are detected
     * against ONE ledger state and the same state is extended. */
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
-             delta: DataFrame, maintainBloom: Boolean = true): Unit =
+             delta: DataFrame, maintainBloom: Boolean = true,
+             buckets: Int = DefaultBuckets): Unit =
     TableLock.withLock(root) {
-      ingestLocked(spark, root, corpus, delta, maintainBloom)
+      ingestLocked(spark, root, corpus, delta, maintainBloom, buckets)
+    }
+
+  /** Unpersist the block-manager blocks behind an eager localCheckpoint
+    * (the BpeTrainer discipline): the ContextCleaner only reclaims them
+    * after a driver GC notices the dropped reference, so a multi-round
+    * ingest sequence — or an ingest followed by a probe — would otherwise
+    * run against a block manager full of dead round snapshots (a
+    * corpus-sized first ingest pins the whole delta's text). Blocking, so
+    * the blocks are gone before the next phase's jobs allocate. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(true)
+      case _ => ()
     }
 
   private val profile = sys.env.contains("GRAFT_PROF_SUBSTR")
@@ -338,7 +389,10 @@ object IncrementalSubstr {
 
   private def ingestLocked(spark: SparkSession, root: String,
                            corpus: DataFrame, delta: DataFrame,
-                           maintainBloom: Boolean): Unit = {
+                           maintainBloom: Boolean, buckets: Int): Unit = {
+    // geometry: persisted at creation, read back (and the param ignored)
+    // on every later round — pruning math must match the written layout
+    val nb = bucketsOf(spark, root, create = Some(buckets))
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val d0 = delta.select(col("doc_id"), col("text"),
@@ -419,7 +473,7 @@ object IncrementalSubstr {
     fs.delete(new org.apache.hadoop.fs.Path(stageParent), true)
     prof("wins stage write")(windows(fresh)
       .select(col("doc_id"), col("w"))
-      .withColumn("bucket", bucketOf(col("w")))
+      .withColumn("bucket", bucketOf(col("w"), nb))
       .repartition(col("bucket"))
       .groupBy("bucket", "w").agg(
         count(lit(1)).as("n"),
@@ -483,10 +537,10 @@ object IncrementalSubstr {
     val scan1 = prof("ledger pass") {
       val src = screened match {
         case Some(sk) =>
-          val bks = sk.select(bucketOf(col("w")).as("b")).distinct()
+          val bks = sk.select(bucketOf(col("w"), nb).as("b")).distinct()
             .collect().map(_.getInt(0)).sorted
           if (bks.isEmpty) readWins(spark, root).limit(0)
-          else if (bks.length <= LedgerBuckets / 4)
+          else if (bks.length <= nb / 4)
             spark.read.schema(winsFileSchema).parquet(winsDir(root))
               .filter(col("bucket").isin(bks.map(Integer.valueOf): _*))
               .select(col("w"), col("n"), col("holder"),
@@ -523,19 +577,23 @@ object IncrementalSubstr {
     // the pinned redo set, not re-fetched from the corpus.
     val dupDelta = dCounts.filter(col("n") >= 2).select("w")
       .unionByName(scan1.select("w"))
-    val dupW = (if (hasHolders) {
-      // holder-window keys, pinned so their true size is known, then
-      // broadcast when small — the ledger is scanned map-side, not
-      // shuffled, on the (normal) few-holders round
-      val wHold = windows(redo.join(transHolders, Seq("doc_id"), "left_semi"))
-        .select("w").distinct().localCheckpoint(true)
-      val holdKeys = if (wHold.count() <= 1000000L) broadcast(wHold) else wHold
-      dupDelta.unionByName(
-        readWins(spark, root)
-          .join(holdKeys, Seq("w"), "left_semi")
-          .groupBy("w").agg(sum(col("n")).as("nTot"))
-          .filter(col("nTot") >= 2).select("w"))
-    } else dupDelta).distinct()
+    // holder-window keys, pinned so their true size is known, then
+    // broadcast when small — the ledger is scanned map-side, not
+    // shuffled, on the (normal) few-holders round
+    val wHold = if (hasHolders)
+      Some(windows(redo.join(transHolders, Seq("doc_id"), "left_semi"))
+        .select("w").distinct().localCheckpoint(true))
+    else None
+    val dupW = (wHold match {
+      case Some(wh) =>
+        val holdKeys = if (wh.count() <= 1000000L) broadcast(wh) else wh
+        dupDelta.unionByName(
+          readWins(spark, root)
+            .join(holdKeys, Seq("w"), "left_semi")
+            .groupBy("w").agg(sum(col("n")).as("nTot"))
+            .filter(col("nTot") >= 2).select("w"))
+      case None => dupDelta
+    }).distinct()
     val rep = prof("report recompute")(reportFor(redo, wRedo.join(dupW, Seq("w"))
       .select(col("doc_id"), col("p")))
       .localCheckpoint(true)) // pin before asg mutates under the lineage
@@ -548,5 +606,10 @@ object IncrementalSubstr {
     prof("docs fold")(if (exists(spark, docsDir(root)))
       KeyedStore.fold(spark, docsDir(root), docRows, "doc_id")
     else docRows.write.parquet(docsDir(root)))
+    // every store is folded — free the round's pinned snapshots NOW so
+    // the next round (or a probe right after) doesn't run against a
+    // block manager full of this round's dead texts
+    Seq(Some(cls), screened, Some(scan1), Some(redo), wHold, Some(rep))
+      .flatten.foreach(freeCheckpoint)
   }
 }

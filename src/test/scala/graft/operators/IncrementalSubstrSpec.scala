@@ -160,6 +160,28 @@ class IncrementalSubstrSpec extends SparkSpec {
       s"dup probe read ${m2.inputRecords} of $ledgerRecords ledger records — pruning lost")
   }
 
+  test("bucket geometry persists at creation; later params are ignored") {
+    val r = root()
+    val all = df(corpus)
+    // created coarse: the width is persisted under meta/buckets and every
+    // later round lays its partition out under THAT width, or the probe's
+    // pruning math would read the wrong directories
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.take(2)), buckets = 8)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$r/meta/buckets")).trim == "8")
+    // a later round asking for a different width is ignored, not honored
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.drop(2)), buckets = 512)
+    val dirs = new java.io.File(s"$r/wins").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName)
+      .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+    assert(dirs.nonEmpty && dirs.forall(b => b >= 0 && b < 8),
+      s"round partitions must use the persisted width 8, saw ${dirs.distinct.sorted.toSeq}")
+    // the probe prunes under the persisted width and still answers exactly
+    val got = IncrementalSubstr.probe(spark, r, df(Seq(70L -> s"pp $S qq")))
+      .collect()
+    assert(got.head.getAs[Long]("n_spans") == 1L)
+  }
+
   test("bloom opt-in mid-life catches up: no false negatives for old rounds") {
     val r = root()
     val all = df(corpus)
