@@ -12,17 +12,29 @@ import java.nio.file.{Files, Paths}
   *
   * The grammar stays inside the established cross-engine parity envelope
   * (the repo's oracle gotchas, learned rounds 2-10):
-  *  - integer arithmetic only (every INTEGER column cast to BIGINT; no
-  *    division; multipliers and value ranges bounded so int64 never wraps
-  *    under ANSI);
+  *  - integer arithmetic only (every INTEGER column cast to BIGINT;
+  *    multipliers and value ranges bounded so int64 never wraps under
+  *    ANSI). Division enters ONLY as `CAST(floor(a / b) AS BIGINT)` over
+  *    a NON-NEGATIVE bounded `a` and a positive constant `b` (round-12
+  *    axis): the engines' native integer-division operators diverge in
+  *    syntax and rounding, but an integral quotient q = a div b is
+  *    exactly representable and a/b rounds to within 1 ulp of the true
+  *    value, which is >= 1/b away from the next integer — so floor
+  *    agrees bit-exactly on both engines at the grammar's magnitudes;
   *  - aggregates cast to BIGINT (DuckDB sum(int) is HUGEINT);
   *  - no floats, decimals, or collation-sensitive string ops — strings
   *    appear only as group keys and IS NOT NULL probes;
   *  - DATES as EXACT values only (round-11 axis): DATE literals inside
   *    the data's range, equality/range predicates, min/max, and
   *    CAST(.. AS DATE)/CAST(.. AS STRING) round-trips — both engines
-  *    print dates as 'YYYY-MM-DD'. No date arithmetic, no formatting,
-  *    no timestamp-fraction surfaces (the known-divergent families);
+  *    print dates as 'YYYY-MM-DD'. DAY-level arithmetic only (round-12
+  *    axis): `d + INTERVAL k DAY` normalized back through CAST(.. AS
+  *    DATE) (the engines disagree on the intermediate type, not the
+  *    date), last_day(), and day()/quarter() extraction — all
+  *    calendar-exact under the UTC session. Month/week arithmetic,
+  *    formatting, and timestamp-fraction surfaces stay out (the
+  *    known-divergent families: month-end clamping policies, week
+  *    numbering, fractional rounding);
   *  - OUTER joins, all three flavors (LEFT round-11; RIGHT/FULL
   *    round-12) with the side(s) whose absence each variant exercises
   *    deterministically THINNED (`(SELECT * FROM t WHERE key % m <> k)
@@ -75,8 +87,10 @@ import java.nio.file.{Files, Paths}
   * (two-level aggregation: agg-over-agg through a derived table, and
   * joins of two independently aggregated slices), `distincts`
   * (several DISTINCT aggregates over DIFFERENT columns in one query —
-  * the Expand-based plan shape — mixed with plain aggregates),
-  * default `mixed`. */
+  * the Expand-based plan shape — mixed with plain aggregates), `intdiv`
+  * (every query carries a floor-division key or predicate), `datearith`
+  * (every query starts from a dated table and carries day-level date
+  * arithmetic), default `mixed`. */
 object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
@@ -172,7 +186,7 @@ object FuzzRun {
     val base = mode match {
       case "outer" | "fullouter" =>
         pick(tables.filter(t => joins.exists(_._1 == t.name)))
-      case "dates" => pick(tables.filter(_.dates.nonEmpty))
+      case "dates" | "datearith" => pick(tables.filter(_.dates.nonEmpty))
       case "money" => pick(tables.filter(_.moneys.nonEmpty))
       case "freetext" => pick(tables.filter(_.texts.nonEmpty))
       // scalars correlates a child aggregate per base row, so the base
@@ -372,6 +386,31 @@ object FuzzRun {
           val c2 = pick(t2.longs ++ t2.ints.map(x => s"CAST($x AS BIGINT)"))
           s"$c % 10 IN (SELECT $c2 % 10 FROM ${t2.name} WHERE $c2 % 3 = ${r.nextInt(3)})"
       }
+    // floor-division over a provably NON-NEGATIVE bounded dividend and a
+    // positive constant divisor — the one portable integer-division form
+    // (see the class doc): abs() pins the sign (exact at the grammar's
+    // magnitudes), floor() crosses no integer boundary within 1 ulp
+    def divExpr(): String =
+      s"CAST(floor(abs(${intExpr(1)}) / ${r.nextInt(96) + 2}) AS BIGINT)"
+    // day-level date arithmetic, normalized back to DATE: the engines
+    // disagree on the type of date + interval (timestamp vs date), not on
+    // the calendar day, so every arithmetic result passes through
+    // CAST(.. AS DATE) before comparison or output
+    def dateShift(): String = {
+      val sign = if (r.nextBoolean()) "+" else "-"
+      s"CAST(CAST(${pick(dateCols)} AS DATE) $sign INTERVAL ${r.nextInt(40) + 1} DAY AS DATE)"
+    }
+    def dateArithKey(): String = r.nextInt(4) match {
+      case 0 => s"CAST(${dateShift()} AS STRING)"
+      case 1 => s"CAST(last_day(CAST(${pick(dateCols)} AS DATE)) AS STRING)"
+      case 2 => s"CAST(day(CAST(${pick(dateCols)} AS DATE)) AS BIGINT)"
+      case _ => s"CAST(quarter(CAST(${pick(dateCols)} AS DATE)) AS BIGINT)"
+    }
+    def dateArithPred(): String = r.nextInt(3) match {
+      case 0 => s"${dateShift()} <= ${dateLit()}"
+      case 1 => s"${dateShift()} = CAST(${pick(dateCols)} AS DATE)"
+      case _ => s"day(CAST(${pick(dateCols)} AS DATE)) % ${r.nextInt(5) + 2} = ${r.nextInt(3)}"
+    }
     // exact date predicates only: literals, equality/range — no
     // arithmetic, no formatting (the known-divergent families)
     def datePred(): String = {
@@ -410,6 +449,8 @@ object FuzzRun {
     }
     val genKeys: Seq[String] = (0 until r.nextInt(3)).map { _ =>
       r.nextInt(7) match {
+        case 5 if r.nextInt(3) == 0 => s"(${divExpr()} % ${r.nextInt(9) + 2})"
+        case 4 if dateCols.nonEmpty && r.nextInt(3) == 0 => dateArithKey()
         case 6 if textCols.nonEmpty => textExpr()
         case 0 if strCols.nonEmpty => strExpr()
         case 1 if dateCols.nonEmpty =>
@@ -427,6 +468,8 @@ object FuzzRun {
     val groupKeys: Seq[String] =
       (if (mode == "strings") strExpr() +: genKeys
        else if (mode == "freetext") textExpr() +: genKeys
+       else if (mode == "intdiv") s"(${divExpr()} % ${r.nextInt(9) + 2})" +: genKeys
+       else if (mode == "datearith") dateArithKey() +: genKeys
        else genKeys).distinct
     val aggs: Seq[String] = (0 to r.nextInt(2)).map { _ =>
       r.nextInt(9) match {
@@ -434,7 +477,9 @@ object FuzzRun {
           val f = pick(Seq("sum", "min", "max"))
           s"CAST($f(${textIntExpr()}) AS BIGINT)"
         case 0 => "CAST(count(*) AS BIGINT)"
-        case 1 => s"CAST(sum(${intExpr(1)}) AS BIGINT)"
+        case 1 =>
+          val arg = if (r.nextInt(4) == 0) divExpr() else intExpr(1)
+          s"CAST(sum($arg) AS BIGINT)"
         case 2 => s"CAST(min(${intExpr(1)}) AS BIGINT)"
         case 3 => s"CAST(max(${intExpr(1)}) AS BIGINT)"
         case 4 if dateCols.nonEmpty =>
@@ -453,6 +498,9 @@ object FuzzRun {
     val basePreds = (0 until r.nextInt(3)).map(_ => pred())
     val preds = mode match {
       case "dates" => datePred() +: basePreds
+      case "intdiv" =>
+        s"${divExpr()} % ${r.nextInt(7) + 2} <= ${r.nextInt(4)}" +: basePreds
+      case "datearith" => dateArithPred() +: basePreds
       case "strings" => strPred() +: basePreds
       case "freetext" => textPred() +: basePreds
       case "semis" => semiPred() +: basePreds
