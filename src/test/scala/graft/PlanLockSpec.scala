@@ -133,6 +133,11 @@ class PlanLockSpec extends SparkSpec {
                              // semi-join-restricted ledger scan + the
                              // union'd count merge; a lost restriction
                              // would quietly scan the whole ledger
+    "q120_incremental_hll",  // BENCH_r12 board top-10's one unlocked
+                             // member AND the round's largest work-silent
+                             // wall mover (0.77->3.16 s, identical
+                             // bytes): pins the register-MAX fold shape
+                             // so the next move can be adjudicated
     "q175_shuffled_pack",    // BENCH_r11 board top-10: work-metric-silent
                              // wall noise (0.53->2.40 s, identical bytes)
                              // but the repo rule is "lock the official

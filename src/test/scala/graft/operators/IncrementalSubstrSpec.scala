@@ -196,6 +196,40 @@ class IncrementalSubstrSpec extends SparkSpec {
       "probe must find the span stored in the pre-bloom round")
   }
 
+  test("empty delta is a graceful no-op, not an NPE") {
+    val r = root()
+    val all = df(corpus)
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.take(2)))
+    val before = sortedReport(IncrementalSubstr.report(spark, r))
+    // a caller filter matching no rows: zero-row delta both before the
+    // first ingest on a fresh root and against an existing one
+    IncrementalSubstr.ingest(spark, r, all, df(corpus).filter(col("doc_id") < 0))
+    assert(sortedReport(IncrementalSubstr.report(spark, r)) == before)
+    val fresh = root()
+    IncrementalSubstr.ingest(spark, fresh, all, df(corpus).limit(0))
+    assert(sortedReport(IncrementalSubstr.report(spark, fresh)).isEmpty)
+  }
+
+  test("meta-less root with existing rounds pins the legacy default width") {
+    val r = root()
+    val all = df(corpus)
+    // a root written before the persisted-geometry change: rounds exist,
+    // meta/buckets does not (simulated by deleting it)
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.take(2)))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$r/meta/buckets"))
+    // the next ingest must IGNORE its create param (the old rounds are
+    // laid out at DefaultBuckets) and persist the legacy width, or every
+    // later prune reads the wrong bucket= directories
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.drop(2)), buckets = 8)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$r/meta/buckets")).trim ==
+      IncrementalSubstr.DefaultBuckets.toString)
+    val got = IncrementalSubstr.probe(spark, r, df(Seq(70L -> s"pp $S qq")))
+      .collect()
+    assert(got.head.getAs[Long]("n_spans") == 1L,
+      "probe under the healed geometry must still find the stored span")
+  }
+
   test("docs shorter than the window length report zeros") {
     val r = root()
     val tiny = df(Seq(7L -> "short", 8L -> "also short"))
