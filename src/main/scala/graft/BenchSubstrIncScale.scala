@@ -69,12 +69,34 @@ object BenchSubstrIncScale {
         IncrementalSubstr.ingest(spark, root, v1, v1, maintainBloom = false,
           buckets = 64)
       }
+      // identical pre-state for the second route: a filesystem copy of
+      // the initialized root (deterministic re-init would cost another
+      // full init at 100x; the copy is ledger IO only)
+      val root2 = s"$dir/store2"
+      fs.delete(new org.apache.hadoop.fs.Path(root2), true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(root),
+        fs, new org.apache.hadoop.fs.Path(root2), false,
+        spark.sparkContext.hadoopConfiguration)
+      val preBytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$root/wins")).getLength
       var repHash = 0L
       val refreshSec = timed {
         IncrementalSubstr.ingest(spark, root, docs, delta,
-          maintainBloom = false, buckets = 64)
+          maintainBloom = false, buckets = 64, route = "refresh")
         repHash = consume(IncrementalSubstr.report(spark, root))._2
       }
+      val recomputeSec = timed {
+        IncrementalSubstr.ingest(spark, root2, docs, delta,
+          maintainBloom = false, buckets = 64, route = "recompute")
+        val rHash = consume(IncrementalSubstr.report(spark, root2))._2
+        require(rHash == repHash,
+          s"recompute route diverged from refresh at ${c}x")
+      }
+      // what the shipping router would have picked for this point (the
+      // delta's staged bytes = the ledger growth this round caused)
+      val postBytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$root/wins")).getLength
+      val routed = IncrementalSubstr.routeFor(preBytes, postBytes - preBytes)
       val batchDocs = docs.select(col("doc_id"), col("text"),
         length(col("text")).as("len"))
       val batchSec = timed {
@@ -82,12 +104,13 @@ object BenchSubstrIncScale {
         require(bHash == repHash,
           s"incremental report diverged from batch at ${c}x")
       }
-      (c, nDocs, nDelta, initSec, refreshSec, batchSec)
+      (c, nDocs, nDelta, initSec, refreshSec, recomputeSec, batchSec, routed)
     }
 
-    val parts = rounds.map { case (c, n, d, i, r, b) =>
+    val parts = rounds.map { case (c, n, d, i, r, rc, b, routed) =>
       s""""${c}x":{"docs":$n,"delta_docs":$d,"init":${fmt(i)},""" +
-        s""""refresh":${fmt(r)},"batch":${fmt(b)}}"""
+        s""""refresh":${fmt(r)},"recompute":${fmt(rc)},"batch":${fmt(b)},""" +
+        s""""routed":"$routed"}"""
     }
     val line =
       s"""{"metric":"substr_inc_scale","unit":"sec",${parts.mkString(",")},"sf":"$sfDir"}"""

@@ -90,7 +90,13 @@ import java.nio.file.{Files, Paths}
   * the Expand-based plan shape — mixed with plain aggregates), `intdiv`
   * (every query carries a floor-division key or predicate), `datearith`
   * (every query starts from a dated table and carries day-level date
-  * arithmetic), default `mixed`. */
+  * arithmetic), `intuples` (row-value tuples: multi-column IN / NOT IN
+  * over literal tuple lists plus tuple-equality correlated EXISTS —
+  * round-13 axis), `casekeys`
+  * (CASE expressions as group keys and as pivot-style aggregate
+  * arguments — round-13 axis), `nestedsetops` (three predicate slices
+  * composed through TWO set operators with explicit parentheses,
+  * e.g. INTERSECT of EXCEPTs — round-13 axis), default `mixed`. */
 object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
@@ -397,6 +403,57 @@ object FuzzRun {
     // itself exact and engine-identical.
     def divExpr(): String =
       s"CAST(floor((abs(${intExpr(1)}) % 4194304) / ${r.nextInt(96) + 2}) AS BIGINT)"
+    // row-value tuples (round-13 axis): multi-column tuples compared
+    // positionally — IN / NOT IN against literal tuple lists (NOT IN is
+    // safe there: every literal is non-null), and tuple EQUALITY inside
+    // a correlated EXISTS for the subquery-backed shape. The two engines
+    // PARSE multi-column IN-subquery incompatibly (this engine wants
+    // `(a,b) IN (SELECT x, y ...)`, the oracle wants the right side
+    // collapsed to one struct column), so the subquery form rides the
+    // portable `(x, y) = (a, b)` row comparison instead — same
+    // semantics, one shared string. The LEFT side draws from columns
+    // provably non-null in this query (base columns minus outer-join
+    // nullability), so tuple comparison never hits a NULL member.
+    def tuplePred(): Option[String] = {
+      val rawPool = (base.longs ++ base.ints).filterNot(nullable)
+      if (rawPool.size < 2) return None
+      def wrap(c: String) = if (base.ints.contains(c)) s"CAST($c AS BIGINT)" else c
+      val a0 = pick(rawPool)
+      val a = wrap(a0); val b = wrap(pick(rawPool.filterNot(_ == a0)))
+      val (m1, m2) = (r.nextInt(5) + 2, r.nextInt(5) + 3)
+      Some(if (r.nextBoolean()) {
+        val t2 = pick(tables.filterNot(_.name == base.name))
+        val cs = t2.longs ++ t2.ints.map(x => s"CAST($x AS BIGINT)")
+        val c1 = pick(cs); val c2 = pick(cs)
+        s"EXISTS (SELECT 1 FROM ${t2.name} WHERE ($c1 % $m1, $c2 % $m2)" +
+          s" = ($a % $m1, $b % $m2)" +
+          s" AND $c1 % ${r.nextInt(3) + 2} = ${r.nextInt(2)})"
+      } else {
+        val not = if (r.nextBoolean()) "NOT " else ""
+        val lits = (0 until r.nextInt(3) + 2)
+          .map(_ => s"(${r.nextInt(m1)}, ${r.nextInt(m2)})").distinct
+        s"($a % $m1, $b % $m2) ${not}IN (${lits.mkString(", ")})"
+      })
+    }
+    // CASE as a first-class derivation (round-13 axis): searched CASE
+    // over grammar predicates as a GROUP KEY (integer and string result
+    // branches, each branch pool type-homogeneous so both engines infer
+    // the same result type) and as a pivot-style AGGREGATE argument
+    // (sum of a guarded expression; count of a NULL-else branch, which
+    // counts exactly the matching rows on both engines).
+    def caseKey(): String =
+      if (strCols.nonEmpty && r.nextBoolean())
+        s"(CASE WHEN ${pred()} THEN '${('a' + r.nextInt(4)).toChar}'" +
+          s" WHEN ${strPred()} THEN 'mid' ELSE 'zz' END)"
+      else
+        s"CAST(CASE WHEN ${pred()} THEN ${r.nextInt(5)}" +
+          s" WHEN ${pred()} THEN (${pick(longCols ++ intCols.map(c => s"CAST($c AS BIGINT)"))} % ${r.nextInt(5) + 2})" +
+          s" ELSE ${r.nextInt(9) + 5} END AS BIGINT)"
+    def casePivotAgg(): String =
+      if (r.nextBoolean())
+        s"CAST(sum(CASE WHEN ${pred()} THEN ${intExpr(1)} ELSE 0 END) AS BIGINT)"
+      else
+        s"CAST(count(CASE WHEN ${pred()} THEN 1 END) AS BIGINT)"
     // day-level date arithmetic, normalized back to DATE: the engines
     // disagree on the type of date + interval (timestamp vs date), not on
     // the calendar day, so every arithmetic result passes through
@@ -475,8 +532,11 @@ object FuzzRun {
        else if (mode == "freetext") textExpr() +: genKeys
        else if (mode == "intdiv") s"(${divExpr()} % ${r.nextInt(9) + 2})" +: genKeys
        else if (mode == "datearith") dateArithKey() +: genKeys
+       else if (mode == "casekeys" ||
+         (mode == "mixed" && r.nextInt(15) == 0)) caseKey() +: genKeys
        else genKeys).distinct
-    val aggs: Seq[String] = (0 to r.nextInt(2)).map { _ =>
+    val aggs: Seq[String] = ((if (mode == "casekeys") Seq(casePivotAgg()) else Nil) ++
+      (0 to r.nextInt(2)).map { _ =>
       r.nextInt(9) match {
         case 8 if textCols.nonEmpty =>
           val f = pick(Seq("sum", "min", "max"))
@@ -497,11 +557,15 @@ object FuzzRun {
           s"${if (r.nextBoolean()) "min" else "max"}(${strExpr()})"
         case _ => s"CAST(count(DISTINCT ${pick(longCols ++ strCols)}) AS BIGINT)"
       }
-    }.distinct
+    }).distinct
     val outs = (groupKeys ++ aggs).zipWithIndex
       .map { case (e, i) => s"$e AS c$i" }
     val basePreds = (0 until r.nextInt(3)).map(_ => pred())
     val preds = mode match {
+      case "intuples" =>
+        tuplePred().map(_ +: basePreds).getOrElse(pred() +: basePreds)
+      case "mixed" if r.nextInt(15) == 0 =>
+        tuplePred().map(_ +: basePreds).getOrElse(basePreds)
       case "dates" => datePred() +: basePreds
       case "intdiv" =>
         s"${divExpr()} % ${r.nextInt(7) + 2} <= ${r.nextInt(4)}" +: basePreds
@@ -610,6 +674,33 @@ object FuzzRun {
       return s"SELECT ${rolled.mkString(", ")} FROM $from$where" +
         s" GROUP BY $op" +
         s" HAVING CAST(count(*) AS BIGINT) > 0 ORDER BY $rob$limit"
+    }
+    if (mode == "nestedsetops" || (mode == "mixed" && r.nextInt(15) == 0)) {
+      // NESTED set operations (round-13 axis): three predicate slices of
+      // one FROM shape composed through TWO set operators, parentheses
+      // ALWAYS explicit — ANSI gives INTERSECT higher precedence than
+      // UNION/EXCEPT and this axis refuses to bet that both engines'
+      // parsers agree on unparenthesized chains. Both association shapes
+      // are generated ((a op b) op c and a op (b op c)); plain forms are
+      // set-DISTINCT, ALL forms multiset arithmetic, NULL keys compare
+      // IS-NOT-DISTINCT-style — the single-level setops envelope applies
+      // member-wise, so composition adds plan shape (nested set-op
+      // subtrees), not new value semantics.
+      val setCols =
+        (if (groupKeys.nonEmpty) groupKeys
+         else Seq(s"(${pick(longCols ++ intCols.map(c => s"CAST($c AS BIGINT)"))}" +
+           s" % ${r.nextInt(9) + 2})"))
+          .zipWithIndex.map { case (e, i) => s"$e AS c$i" }
+      val names = setCols.indices.map(i => s"c$i")
+      val ops = Seq("INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL",
+        "UNION", "UNION ALL")
+      val (o1, o2) = (pick(ops), pick(ops))
+      def slice() = s"SELECT ${setCols.mkString(", ")} FROM $from WHERE ${pred()}"
+      val shape =
+        if (r.nextBoolean()) s"(${slice()} $o1 ${slice()}) $o2 (${slice()})"
+        else s"(${slice()}) $o1 (${slice()} $o2 ${slice()})"
+      return s"SELECT ${names.mkString(", ")} FROM ($shape) s" +
+        s" ORDER BY ${names.map(n => s"$n NULLS FIRST").mkString(", ")}$limit"
     }
     if (mode == "setops" || (mode == "mixed" && r.nextInt(12) == 0)) {
       // INTERSECT/EXCEPT of two predicate slices of the same FROM shape

@@ -71,14 +71,18 @@ object BloomContains {
     * (signed xxhash64, str2inthash, ...) probes safely — without it a
     * negative hash overflows s*A1 / yields negative positions and an
     * out-of-bounds bitset index. */
-  def probe(s: Long, i: Int, m: Int): Long = {
+  def probe(s: Long, i: Int, m: Long): Long = {
     val sn = ((s % P) + P) % P
     val h1 = (sn * A1 + B1) % P
     val step = ((sn * A2 + B2) % P) % (m - 1) + 1
     (h1 + i * step) % m
+    // no overflow at any supported m: sn < P ~ 2^32, A1 ~ 2^24, so
+    // sn*A1 < 2^56; h1/step < P and i <= 7 keep h1 + i*step < 2^35 —
+    // which is why m may be a Long (count-sized sidecars exceed 2^31
+    // bits) while the bitset word count stays an Int array index
   }
 
-  private def allSet(s: Long, bits: Array[Long], m: Int, k: Int): Boolean = {
+  private def allSet(s: Long, bits: Array[Long], m: Long, k: Int): Boolean = {
     var i = 0
     while (i < k) {
       val pos = probe(s, i, m)
@@ -87,6 +91,12 @@ object BloomContains {
     }
     true
   }
+
+  /** Driver-side membership test (the resident-sidecar admission path —
+    * see `graft.operators.IncrementalSubstr.probe`): true iff all k probe
+    * bits of `s` are set in an `mBits`-bit filter. */
+  def contains(s: Long, bits: Array[Long], mBits: Long, k: Int): Boolean =
+    allSet(s, bits, mBits, k)
 
   /** Number of elements of `arr` whose k probe bits are all set. */
   def countContained(arr: ArrayData, bits: Array[Long], m: Int, k: Int): Long = {

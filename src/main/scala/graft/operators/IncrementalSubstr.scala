@@ -61,8 +61,10 @@ object IncrementalSubstr {
     *
     *  - ADMISSION roots (probed online) want FINE bucketing: a one-doc
     *    dup probe's ~30 positive windows prune to 30/256 of the ledger
-    *    (5.6 s at the 165M-row point) but to 30/64 > the prune gate at
-    *    width 64 (full scan, 12 s);
+    *    (BENCH_sf1_substr_probe.json "100x"."dup", 5.5 s at the
+    *    165M-row point) but to 30/64 > the prune gate at width 64,
+    *    degrading to the full semi-joined scan (the same sidecar's
+    *    "100x"."dup_nobloom" shape, 8.4-12 s across runs);
     *  - REFRESH-ONLY roots (bulk deltas, never probed) want COARSE
     *    bucketing: the partitioned write pays one file per bucket per
     *    round, ~1 s/round slower at 256 for pruning no bulk delta can
@@ -125,14 +127,48 @@ object IncrementalSubstr {
   private def bucketOf(w: org.apache.spark.sql.Column, nb: Int) =
     pmod(xxhash64(w), lit(nb.toLong)).cast("int")
 
-  /** Bloom geometry: fixed at root creation (first ingest), read back on
-    * every later round. ~1% false positives up to ~2M distinct windows
-    * at the default; past ~50% fill the probe SKIPS the screen (a
-    * saturated bloom marks everything "maybe" while still charging its
-    * evaluation — measured) and leans on bucket pruning alone. Size up
-    * for bigger ledgers; answers are identical at any geometry. */
-  private val DefaultBloomBits = 1 << 24
-  private val BloomK = 6
+  /** Bloom geometry: COUNT-SIZED, not fixed — the sidecar's bit count
+    * tracks the ledger's window count (~[[BloomBitsPerKey]] bits/window,
+    * power-of-two), growing by rebuild-from-ledger whenever a fold's
+    * cumulative count outruns the current size. Fill therefore stays
+    * <= 1 - e^(-k/bpk) ~ 22% (false positives ~0.2%) at ANY corpus size
+    * up to [[MaxBloomBits]] — the round-12 failure mode (a fixed 2^24
+    * geometry saturating at the 165M-window point and popcount-disabling
+    * the tier that was supposed to be the scale win) cannot recur below
+    * the cap. Past the cap (~0.5G windows/root at bpk 16) fill grows and
+    * the screen degrades gracefully (more false positives -> more
+    * bucket-pruned ledger IO, never a wrong answer); corpora beyond that
+    * partition across roots — the sidecar is per-root by design, like
+    * the reference's per-org isolation of its replication stores.
+    * Rebuilds cost one narrow ledger scan and happen O(log n) times over
+    * a root's life (geometric sizing). */
+  private val BloomK = 4
+  private val BloomBitsPerKey = 16L
+  private val MinBloomBits = 1L << 14
+  private val MaxBloomBits = 1L << 33
+  private def bloomBitsFor(nKeys: Long): Long = {
+    var m = MinBloomBits
+    while (m < nKeys * BloomBitsPerKey && m < MaxBloomBits) m <<= 1
+    m
+  }
+
+  /** Sidecar state: geometry + the cumulative folded-key count (an upper
+    * bound on distinct ledger windows — rounds can re-contribute a
+    * window; the pow2 sizing headroom absorbs the overcount). */
+  private[operators] case class BloomSidecar(
+      m: Long, k: Int, nKeys: Long, bits: Array[Long])
+
+  /** Driver-RESIDENT sidecar cache keyed by (path, mtime, length): an
+    * online admission service holds its filter in memory — this cache IS
+    * that, bounded to a few roots, invalidated by the tmp+rename commit
+    * (which always changes the key). Probe cost after the first load is
+    * pure in-memory bit math, zero IO. */
+  private val bloomCache =
+    new java.util.LinkedHashMap[(String, Long, Long), BloomSidecar](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), BloomSidecar]): Boolean =
+        size() > 4
+    }
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -216,66 +252,123 @@ object IncrementalSubstr {
 
   // ---- bloom sidecar: the probe's fast-negative path --------------------
   // Correctness invariant: the bloom COVERS every ledger window (no false
-  // negatives), maintained by OR-ing the delta's bits in BEFORE the wins
-  // partition is written — a crash between the two leaves only extra bits
-  // (false positives, safe), and a replay re-ORs idempotently.
+  // negatives), maintained by folding the delta's bits in BEFORE the wins
+  // partition is renamed visible — a crash between the two leaves only
+  // extra bits (false positives, safe), and a replay re-folds
+  // idempotently. A RESIZE rebuilds from ledger + staged delta before the
+  // rename, so the new bits also cover everything then-visible.
 
-  private def readBloom(spark: SparkSession, root: String): Option[(Int, Int, Array[Long])] = {
+  /** v2 file format: Int -2 (version marker), Int k, Long mBits,
+    * Long nKeys, then mBits/64 Longs. A pre-v2 file (its first Int is a
+    * positive bit count) is treated as ABSENT — the next fold's rebuild
+    * path replaces it with a count-sized sidecar; probes on such a root
+    * skip tier 1 until then (slower, never wrong). */
+  private def readBloom(spark: SparkSession, root: String): Option[BloomSidecar] = {
     val p = new org.apache.hadoop.fs.Path(bloomFile(root))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val in = new java.io.DataInputStream(fs.open(p))
-    try {
-      val m = in.readInt(); val k = in.readInt()
-      val bits = new Array[Long](m / 64)
-      var i = 0
-      while (i < bits.length) { bits(i) = in.readLong(); i += 1 }
-      Some((m, k, bits))
+    val st = fs.getFileStatus(p)
+    val key = (p.toString, st.getModificationTime, st.getLen)
+    bloomCache.synchronized {
+      val hit = bloomCache.get(key)
+      if (hit != null) return Some(hit)
+    }
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p), 1 << 20))
+    val loaded = try {
+      if (in.readInt() != -2) None // pre-v2 geometry: superseded, rebuild
+      else {
+        val k = in.readInt(); val m = in.readLong(); val n = in.readLong()
+        val bits = new Array[Long]((m / 64).toInt)
+        var i = 0
+        while (i < bits.length) { bits(i) = in.readLong(); i += 1 }
+        Some(BloomSidecar(m, k, n, bits))
+      }
     } finally in.close()
+    loaded.foreach(sc => bloomCache.synchronized { bloomCache.put(key, sc) })
+    loaded
   }
 
-  private def writeBloom(spark: SparkSession, root: String,
-                         m: Int, k: Int, bits: Array[Long]): Unit = {
+  private def writeBloom(spark: SparkSession, root: String, sc: BloomSidecar): Unit = {
     val p = new org.apache.hadoop.fs.Path(bloomFile(root))
     val tmp = new org.apache.hadoop.fs.Path(bloomFile(root) + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20))
     try {
-      out.writeInt(m); out.writeInt(k)
+      out.writeInt(-2); out.writeInt(sc.k); out.writeLong(sc.m); out.writeLong(sc.nKeys)
       var i = 0
-      while (i < bits.length) { out.writeLong(bits(i)); i += 1 }
+      while (i < sc.bits.length) { out.writeLong(sc.bits(i)); i += 1 }
     } finally out.close()
     if (fs.exists(p) && !fs.delete(p, false))
       sys.error(s"bloom sidecar: could not replace $p")
     if (!fs.rename(tmp, p))
       sys.error(s"bloom sidecar: rename $tmp -> $p failed")
+    val st = fs.getFileStatus(p)
+    bloomCache.synchronized {
+      bloomCache.put((p.toString, st.getModificationTime, st.getLen), sc)
+    }
   }
 
-  /** OR the delta's window bits into the sidecar. `deltaWindowKeys` must
-    * carry the delta's windows in column `w`; distinctness is NOT required
-    * (bit-OR is idempotent) — the caller passes the staged round counts,
-    * which are naturally distinct, so no dedup exchange is paid. Creating
-    * the sidecar on a root that ALREADY has ledger rounds (a previously
-    * bloom-less root opting in) catches up from the full ledger first — a
-    * bloom covering only later rounds would answer false negatives for the
-    * earlier ones. */
+  /** Fold the delta's window bits into the sidecar, RESIZING when the
+    * cumulative count outruns the current geometry. `deltaWindowKeys`
+    * must carry the delta's windows in column `w` with `deltaCount` rows
+    * (the staged round counts — naturally distinct, no dedup exchange
+    * paid). Three shapes, all leaving the no-false-negatives invariant
+    * intact because they complete before the round's rename:
+    *  - in-place OR at the current geometry (the common round);
+    *  - creation/catch-up: a first-bloom root sizes from the TRUE ledger
+    *    count + delta and builds from ledger ∪ staged (a bloom covering
+    *    only later rounds would answer false negatives for earlier ones);
+    *  - resize: same rebuild, triggered when bloomBitsFor(nKeys + delta)
+    *    exceeds the current m. */
   private def foldBloom(spark: SparkSession, root: String,
-                        deltaWindowKeys: DataFrame, mBits: Int): Unit = {
+                        deltaWindowKeys: DataFrame, deltaCount: Long): Unit = {
     val existing = readBloom(spark, root)
-    val (m, k, cur) = existing
-      .getOrElse((mBits, BloomK, new Array[Long](mBits / 64)))
-    if (existing.isEmpty && exists(spark, winsDir(root))) {
-      val catchUp = BloomFilter.build(
-        readWins(spark, root).select(xxhash64(col("w")).as("h")), m, k)
-      var i = 0
-      while (i < cur.length) { cur(i) |= catchUp(i); i += 1 }
+    val deltaHashes = deltaWindowKeys.select(xxhash64(col("w")).as("h"))
+    existing match {
+      case Some(sc) if bloomBitsFor(sc.nKeys + deltaCount) <= sc.m =>
+        val add = BloomFilter.build(deltaHashes, sc.m, sc.k)
+        // clone: the cached (and any caller-held pre-round snapshot)
+        // array must not mutate under a concurrent screen
+        val merged = sc.bits.clone()
+        var i = 0
+        while (i < merged.length) { merged(i) |= add(i); i += 1 }
+        writeBloom(spark, root, BloomSidecar(sc.m, sc.k, sc.nKeys + deltaCount, merged))
+      case _ =>
+        val hasLedger = exists(spark, winsDir(root))
+        val nLedger =
+          if (hasLedger) readWins(spark, root).count() else 0L
+        val n = nLedger + deltaCount
+        val m = bloomBitsFor(n)
+        val src =
+          if (hasLedger)
+            readWins(spark, root).select(xxhash64(col("w")).as("h"))
+              .unionByName(deltaHashes)
+          else deltaHashes
+        writeBloom(spark, root, BloomSidecar(m, BloomK, n, BloomFilter.build(src, m, BloomK)))
     }
-    val add = BloomFilter.build(
-      deltaWindowKeys.select(xxhash64(col("w")).as("h")), m, k)
-    var i = 0
-    while (i < cur.length) { cur(i) |= add(i); i += 1 }
-    writeBloom(spark, root, m, k, cur)
   }
+
+  /** Driver-side tier-1 screen over collected (w, xxhash64(w)) rows:
+    * surviving window strings + the distinct ledger buckets they prune
+    * to (bucket math replicated exactly — pmod over the same hash). */
+  private def screenRows(rows: Array[org.apache.spark.sql.Row],
+                         sc: BloomSidecar, nb: Int): (Seq[String], Seq[Int]) = {
+    val surv = rows.filter(r =>
+      graft.functions.expressions.BloomContains.contains(r.getLong(1), sc.bits, sc.m, sc.k))
+    val ws = surv.map(_.getString(0)).toSeq
+    val bks = surv.map(r => (((r.getLong(1) % nb) + nb) % nb).toInt)
+      .distinct.sorted.toSeq
+    (ws, bks)
+  }
+
+  /** An admission-sized key side is screened driver-side against the
+    * resident sidecar; this is the byte bound that keeps the collect
+    * summary-sized (windows are ~1/char, so doc bytes bound window
+    * count). Bulk probes skip tier 1 — their windows touch every bucket
+    * anyway, so the screen could only spend without pruning. */
+  private val ScreenMaxChars = 1000000L
 
   private val asgSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("n_spans", LongType),
@@ -300,45 +393,60 @@ object IncrementalSubstr {
     * docs) restricted to the probe rows, which is what q212 gates.
     *
     * The ledger leg is three-tier, cheapest first, answers identical:
-    *  1. BLOOM fast-negative: probe windows are screened against the
-    *     sidecar (no false negatives by the fold-before-write
-    *     invariant); a clean document — the common admission case —
-    *     short-circuits with ZERO ledger IO.
+    *  1. BLOOM fast-negative: an admission-sized probe's windows are
+    *     screened DRIVER-SIDE against the resident, count-sized sidecar
+    *     (no false negatives by the fold-before-rename invariant; no
+    *     saturation below [[MaxBloomBits]] by the count-sized geometry);
+    *     a clean document — the common admission case — short-circuits
+    *     with ZERO ledger IO and zero task-shipped filter state.
     *  2. Bucket-pruned scan: when the bloom-positive windows touch few
     *     of the root's bucket sub-partitions (geometry persisted at
     *     creation — see [[DefaultBuckets]]), only those directories are
     *     read (the BandIndex partition-pruning shape).
-    *  3. Full semi-joined scan otherwise (dup-heavy probes) — narrow,
-    *     the same shape as ingest's transition leg. */
+    *  3. Full semi-joined scan otherwise (dup-heavy or bulk probes past
+    *     [[ScreenMaxChars]]) — narrow, the same shape as ingest's
+    *     transition leg. */
   def probe(spark: SparkSession, root: String, probeDocs: DataFrame): DataFrame = {
     val docs = probeDocs.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
     val wProbe = windows(docs)
     val probeCounts = wProbe.groupBy("w").agg(count(lit(1)).as("n"))
     val ledger = readWins(spark, root)
-    // tier 1 — bloom screen, ONLY while the filter is still selective: a
-    // ledger far past the sidecar's geometry has most bits set, and a
-    // saturated bloom marks every window "maybe" while still charging
-    // the screen's evaluation + checkpoint (measured at 100x: a clean
-    // probe paid 30 s through a full bloom vs 17.7 s without). The fill
-    // gate is a driver-side popcount over the read bits.
-    val screened: Option[DataFrame] = readBloom(spark, root) match {
-      case Some((m, k, bits)) if exists(spark, winsDir(root)) &&
-          bits.map(java.lang.Long.bitCount(_).toLong).sum * 2 < m =>
-        import graft.functions.expressions.BloomContains
-        Some(probeCounts.select(col("w"))
-          .filter(BloomContains.countContained(
-            array(xxhash64(col("w"))), bits, m, k) === 1L)
-          .localCheckpoint(true)) // pinned: bucket list + semi-join reuse it
+    val nb = bucketsOf(spark, root)
+    // tier 1 — DRIVER-SIDE bloom screen for admission-sized probes: the
+    // count-sized sidecar never saturates below its cap (no fill gate
+    // needed — the round-12 popcount self-disable is gone by geometry),
+    // it is RESIDENT across probes (bloomCache), and the probe's own
+    // windows are collected only when the probe docs' byte size bounds
+    // them small — an admission decision is per-document by nature, so
+    // the screen costs in-memory bit math plus one tiny collect, ZERO
+    // ledger IO and zero task-shipped filter state. Bulk probes (q212's
+    // corpus-fraction shape past the byte bound) skip to tier 2/3, whose
+    // semi-join never ships the sidecar anywhere.
+    val probeChars = docs.agg(coalesce(sum(col("len")), lit(0L)))
+      .head().getLong(0)
+    val screened: Option[(Seq[String], Seq[Int])] = readBloom(spark, root) match {
+      case Some(sc) if exists(spark, winsDir(root)) &&
+          probeChars <= ScreenMaxChars =>
+        val rows = probeCounts
+          .select(col("w"), xxhash64(col("w")).as("h")).collect()
+        Some(screenRows(rows, sc, nb))
       case _ => None
     }
-    val maybeW = screened.getOrElse(probeCounts.select(col("w")))
     // tier 2 — bucket pruning works with or WITHOUT the bloom (the probe
     // windows themselves bound the candidate buckets); the bloom just
     // shrinks the set further, down to zero for a clean document
-    val nb = bucketsOf(spark, root)
-    val buckets = maybeW.select(bucketOf(col("w"), nb).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    val maybeW = screened match {
+      case Some((ws, _)) =>
+        import spark.implicits._
+        ws.toDF("w") // LocalRelation: survivors broadcast into the semi-join
+      case None => probeCounts.select(col("w"))
+    }
+    val buckets: Array[Int] = screened match {
+      case Some((_, bks)) => bks.toArray // computed during the screen, no job
+      case None => maybeW.select(bucketOf(col("w"), nb).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+    }
     val ledgerCounts =
       if (buckets.isEmpty)
         probeCounts.limit(0).select(col("w"), col("n")) // fast negative
@@ -385,10 +493,44 @@ object IncrementalSubstr {
     * against ONE ledger state and the same state is extended. */
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
              delta: DataFrame, maintainBloom: Boolean = true,
-             buckets: Int = DefaultBuckets): Unit =
+             buckets: Int = DefaultBuckets, route: String = "auto"): Unit =
     TableLock.withLock(root) {
-      ingestLocked(spark, root, corpus, delta, maintainBloom, buckets)
+      ingestLocked(spark, root, corpus, delta, maintainBloom, buckets, route)
     }
+
+  /** Refresh-vs-recompute routing for the post-ledger report phase (the
+    * [[IncrementalSplit]] byte-arithmetic discipline): the window LEDGER
+    * is always maintained incrementally (appending a round is cheap at
+    * every scale), but the per-doc SPAN REPORT can be produced two ways
+    * with identical results —
+    *
+    *  - `refresh`: the O(delta + flipped holders) machinery (pre-round
+    *    ledger pass, 1 -> 2 transition holders, targeted asg upserts).
+    *    Its ~8 s of fixed costs (screen, scan checkpoints, keyed folds)
+    *    only pay when the corpus-sized alternative is slower;
+    *  - `recompute`: re-derive EVERY doc's report in one pass — the
+    *    duplicated-window set comes straight off the persisted ledger
+    *    counts (sum(n) >= 2; no window re-aggregation), then one window
+    *    extraction over the corpus feeds reportFor. O(corpus), tiny
+    *    constants.
+    *
+    * Measured bracket (BENCH_sf1_substr_inc{,_100x}.json "refresh" vs
+    * "recompute" — BOTH routes timed from IDENTICAL pre-states via a
+    * filesystem copy of the initialized root, fixed 500-doc delta): at
+    * 1x (27 MB ledger) recompute wins or ties (9.5-9.7 s vs
+    * 9.5-18.7 s refresh across runs — this box's documented noise); at
+    * 10x (250 MB) refresh already wins 2x (16.1 vs 31.6 s) and at 100x
+    * (2.5 GB) 1.7x (45.5 vs 79.5 s; the no-store batchReport baseline
+    * is 110.6 s there). The router picks recompute while the pre-round
+    * ledger is under [[RecomputeMaxLedgerBytes]] (between the measured
+    * 1x and 10x points) OR the delta is a corpus-scale fraction of it
+    * (>= 1/4 by bytes — transitions then touch most holders anyway);
+    * force flags are spec-gated equal both ways. */
+  def routeFor(ledgerBytes: Long, deltaBytes: Long): String =
+    if (ledgerBytes < RecomputeMaxLedgerBytes ||
+        deltaBytes * 4L >= ledgerBytes) "recompute" else "refresh"
+
+  private[operators] val RecomputeMaxLedgerBytes = 1L << 27
 
   /** Unpersist the block-manager blocks behind an eager localCheckpoint
     * (the BpeTrainer discipline): the ContextCleaner only reclaims them
@@ -413,7 +555,8 @@ object IncrementalSubstr {
 
   private def ingestLocked(spark: SparkSession, root: String,
                            corpus: DataFrame, delta: DataFrame,
-                           maintainBloom: Boolean, buckets: Int): Unit = {
+                           maintainBloom: Boolean, buckets: Int,
+                           route: String): Unit = {
     // geometry: persisted at creation, read back (and the param ignored)
     // on every later round — pruning math must match the written layout
     val nb = bucketsOf(spark, root, create = Some(buckets))
@@ -511,19 +654,64 @@ object IncrementalSubstr {
       .mode(SaveMode.Overwrite).parquet(stageDir))
     val stageSchema = StructType(winsFileSchema.filterNot(_.name == "round"))
     // bloom BEFORE visibility: folded from the staged counts — already
-    // distinct windows, so the fold costs a narrow staged-file scan, not
-    // a second explode of the delta text. An existing sidecar is ALWAYS
-    // folded (a skipped round would plant false negatives); a bloom-less
-    // root only starts one when asked.
-    if (maintainBloom || readBloom(spark, root).isDefined)
-      prof("bloom fold")(foldBloom(spark, root,
-        spark.read.schema(stageSchema).parquet(stageDir), DefaultBloomBits))
+    // distinct windows, so the fold costs a narrow staged-file scan (its
+    // row count feeds the count-sized geometry), not a second explode of
+    // the delta text. An existing sidecar is ALWAYS folded (a skipped
+    // round would plant false negatives) — including a pre-v2 file,
+    // which the fold's rebuild path replaces at the count-sized
+    // geometry; a bloom-less root only starts one when asked.
+    if (maintainBloom || exists(spark, bloomFile(root))) {
+      val staged = spark.read.schema(stageSchema).parquet(stageDir)
+      prof("bloom fold")(foldBloom(spark, root, staged, staged.count()))
+    }
+    // pre-round ledger size, read before the rename makes this round
+    // visible — the routing signal (see routeFor)
+    val preLedgerBytes =
+      if (exists(spark, winsDir(root)))
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(winsDir(root))).getLength
+      else 0L
     val dest = new org.apache.hadoop.fs.Path(s"${winsDir(root)}/round=$rid")
     fs.mkdirs(new org.apache.hadoop.fs.Path(winsDir(root)))
     if (fs.exists(dest)) fs.delete(dest, true) // replay: replace, identical content
     if (!fs.rename(new org.apache.hadoop.fs.Path(stageDir), dest))
       sys.error(s"IncrementalSubstr.ingest at $root: rename $stageDir -> $dest failed")
     val dCounts = spark.read.schema(stageSchema).parquet(dest.toString)
+
+    // ---- report phase: routed refresh vs recompute (see routeFor) ----
+    val chosen = route match {
+      case "auto" => routeFor(preLedgerBytes, fs.getContentSummary(dest).getLength)
+      case r @ ("refresh" | "recompute") => r
+      case other => sys.error(
+        s"IncrementalSubstr.ingest at $root: unknown route '$other' " +
+          "(auto | refresh | recompute)")
+    }
+    if (chosen == "recompute") {
+      // one pass over the full ingested corpus: the duplicated-window
+      // set comes straight off the persisted ledger counts (this round
+      // included — no window re-aggregation), then reportFor rewrites
+      // every doc's rows. Identical final stores to the refresh route
+      // (spec-gated with the force flags); cheaper while the corpus is
+      // small because none of the transition machinery's fixed costs
+      // are paid.
+      val allIds = ledger.select(col("doc_id"))
+        .unionByName(fresh.select(col("doc_id"))).distinct()
+      val all = corpus.join(allIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      val dupW = readWins(spark, root).groupBy("w")
+        .agg(sum(col("n")).as("nT")).filter(col("nT") >= 2).select("w")
+      val rep = prof("report recompute(all)")(reportFor(all,
+        windows(all).join(dupW, Seq("w")).select(col("doc_id"), col("p")))
+        .localCheckpoint(true))
+      prof("asg fold")(if (exists(spark, asgDir(root)))
+        KeyedStore.fold(spark, asgDir(root), rep, "doc_id")
+      else rep.write.parquet(asgDir(root)))
+      val docRows = fresh.select(col("doc_id"), col("fp"), col("len"))
+      prof("docs fold")(if (exists(spark, docsDir(root)))
+        KeyedStore.fold(spark, docsDir(root), docRows, "doc_id")
+      else docRows.write.parquet(docsDir(root)))
+      Seq(cls, rep).foreach(freeCheckpoint)
+      return
+    }
 
     // ONE pre-round ledger pass, restricted to the delta's windows (the
     // IncrementalSplit candidate-leg shape), feeding BOTH decisions:
@@ -543,41 +731,42 @@ object IncrementalSubstr {
     // windows, which the operator's structural-L design keeps
     // corpus-sparse (the same sparsity the covered set relies on), and
     // localCheckpoint spills to disk past memory.
-    val screened: Option[DataFrame] = preBloom match {
-      case Some((m, k, bits)) if exists(spark, winsDir(root)) &&
-          bits.map(java.lang.Long.bitCount(_).toLong).sum * 2 < m =>
-        import graft.functions.expressions.BloomContains
-        Some(dCounts.select("w")
-          .filter(BloomContains.countContained(
-            array(xxhash64(col("w"))), bits, m, k) === 1L)
-          .localCheckpoint(true))
+    // ADMISSION-SIZED rounds (staged bytes bound the delta's window
+    // count) screen driver-side against the resident pre-round snapshot
+    // — the probe's tier-1 shape applied to ingest: survivors and their
+    // buckets come back from one small collect, no checkpoint, no job
+    // for the bucket list. Bulk rounds skip the screen (their windows
+    // touch every bucket; the semi-join below is the right tool).
+    val stagedBytes = fs.getContentSummary(dest).getLength
+    val screened: Option[(DataFrame, Seq[Int])] = preBloom match {
+      case Some(sc) if stagedBytes <= (16L << 20) =>
+        val rows = dCounts
+          .select(col("w"), xxhash64(col("w")).as("h")).collect()
+        val (ws, bks) = screenRows(rows, sc, nb)
+        import spark.implicits._
+        Some((ws.toDF("w"), bks))
       case _ => None
     }
-    // broadcast the key side when it is provably small: a screened set by
-    // its (checkpointed) row count, an unscreened one by the staged
-    // partition's on-disk bytes (a corpus-sized bulk delta keeps the
-    // shuffle join — broadcasting it would be the real scale bug)
-    val keySmall = screened match {
-      case Some(sk) => sk.count() <= 1000000L
-      case None => fs.getContentSummary(dest).getLength <= (16L << 20)
-    }
+    // broadcast the key side when it is provably small by the staged
+    // partition's on-disk bytes (screened survivors are a subset of that
+    // same set; a corpus-sized bulk delta keeps the shuffle join —
+    // broadcasting it would be the real scale bug)
+    val keySmall = stagedBytes <= (16L << 20)
     def keyed(df: DataFrame) = if (keySmall) broadcast(df) else df
     val scan1 = prof("ledger pass") {
       val src = screened match {
-        case Some(sk) =>
-          val bks = sk.select(bucketOf(col("w"), nb).as("b")).distinct()
-            .collect().map(_.getInt(0)).sorted
+        case Some((_, bks)) =>
           if (bks.isEmpty) readWins(spark, root).limit(0)
           else if (bks.length <= nb / 4)
             spark.read.schema(winsFileSchema).parquet(winsDir(root))
-              .filter(col("bucket").isin(bks.map(Integer.valueOf): _*))
+              .filter(col("bucket").isin(bks.map(Integer.valueOf(_)): _*))
               .select(col("w"), col("n"), col("holder"),
                 col("round").cast(StringType))
           else readWins(spark, root)
         case None => readWins(spark, root)
       }
       src.filter(col("round") =!= lit(rid))
-        .join(keyed(screened.getOrElse(dCounts.select("w"))), Seq("w"), "left_semi")
+        .join(keyed(screened.map(_._1).getOrElse(dCounts.select("w"))), Seq("w"), "left_semi")
         .groupBy("w").agg(sum(col("n")).as("nPre"), max(col("holder")).as("h"))
         .localCheckpoint(true)
     }
@@ -637,7 +826,7 @@ object IncrementalSubstr {
     // every store is folded — free the round's pinned snapshots NOW so
     // the next round (or a probe right after) doesn't run against a
     // block manager full of this round's dead texts
-    Seq(Some(cls), screened, Some(scan1), Some(redo), wHold, Some(rep))
+    Seq(Some(cls), Some(scan1), Some(redo), wHold, Some(rep))
       .flatten.foreach(freeCheckpoint)
   }
 }

@@ -56,6 +56,34 @@ object BandIndexStream {
   def probe(spark: SparkSession, dir: String, probeSigs: DataFrame): DataFrame =
     BandIndex.probe(spark, dir, probeSigs)
 
+  /** Measured compaction trigger for the STREAMING layout (the batch
+    * path's `BandIndex.maybeCompact` shape, specialized): the streaming
+    * index never double-writes a batch, so its only bloat source is
+    * content-CHANGING redeliveries — a doc_id re-signed in a later batch
+    * leaves its old bands in the old batch partition. The index holds
+    * exactly LshBands rows per DELIVERED version, the live set is one
+    * version per doc, so rows beyond liveDocs * LshBands * (1 + slack)
+    * are provably stale and [[compact]] drops them. Cost of the
+    * estimate: index row count from parquet footers (no data read) plus
+    * ONE narrow doc_id-column distinct count over the signature store —
+    * strictly cheaper than the store-wide candidate leg the microbatch
+    * loop already pays every batch. Single-writer like compact. Returns
+    * whether it fired. */
+  def maybeCompact(spark: SparkSession, dir: String, sigStoreDir: String,
+                   slack: Double = 0.25): Boolean = {
+    val idxRows = BandIndex.footerRowCount(spark, dir)
+    if (idxRows == 0L) return false
+    val p = new org.apache.hadoop.fs.Path(sigStoreDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return false
+    KeyedStore.recover(spark, sigStoreDir)
+    val live = spark.read.parquet(sigStoreDir).select("doc_id").distinct().count()
+    val bloated =
+      idxRows > (live * graft.functions.Hashing.LshBands * (1.0 + slack)).toLong
+    if (bloated) compact(spark, dir, sigStoreDir)
+    bloated
+  }
+
   /** Rebuild the index from the signature store's LATEST row per doc —
     * drops superseded docs' stale bands and collapses the per-batch file
     * accumulation. Surviving rows keep their signature's ingest_batch

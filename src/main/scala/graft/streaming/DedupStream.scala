@@ -107,9 +107,14 @@ object DedupStream {
     // optional: keep the band-partitioned LSH index live for the ONLINE
     // admission probe (BandIndexStream.probe) — replay-idempotent via the
     // same (batch, bucket) dynamic overwrite, unlike the batch path's
-    // plain append
-    bandIndexDir.foreach(d =>
-      BandIndexStream.appendBatch(spark, deltaSigs, batchId, d))
+    // plain append. The MEASURED bloat trigger runs in-loop (round-13):
+    // content-changing redeliveries strand stale bands in old batch
+    // partitions, and waiting for the compactEvery cadence let them
+    // accumulate unboundedly on redelivery-heavy streams.
+    bandIndexDir.foreach { d =>
+      BandIndexStream.appendBatch(spark, deltaSigs, batchId, d)
+      BandIndexStream.maybeCompact(spark, d, storeDir)
+    }
     deltaSigs.unpersist()
     ()
   }

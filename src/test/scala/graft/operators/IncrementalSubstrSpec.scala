@@ -45,8 +45,10 @@ class IncrementalSubstrSpec extends SparkSpec {
     assert(afterR1 == Seq((1L, 0L, 0L, corpus(0)._2.length.toLong),
       (2L, 0L, 0L, corpus(1)._2.length.toLong)))
     // round 2 brings the second occurrence of S: doc 1's window counts
-    // cross 1 -> 2 and its report must be REWRITTEN, not just doc 20's
-    IncrementalSubstr.ingest(spark, r, all, df(corpus.drop(2)))
+    // cross 1 -> 2 and its report must be REWRITTEN, not just doc 20's.
+    // route FORCED to refresh: the transition/holder machinery is what
+    // this test pins (auto would pick recompute on a ledger this small)
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.drop(2)), route = "refresh")
     val got = sortedReport(IncrementalSubstr.report(spark, r))
     val want = sortedReport(IncrementalSubstr.batchReport(withLen(all)))
     assert(got == want, s"incremental $got != batch $want")
@@ -54,17 +56,38 @@ class IncrementalSubstrSpec extends SparkSpec {
       "the holder's span must appear after the transition round")
   }
 
-  test("multi-round ingest equals batch on the real corpus") {
-    val r = root()
+  test("multi-round ingest equals batch on the real corpus — BOTH routes") {
+    // the refresh/recompute router's force flags, gated equal the
+    // IncrementalSplit way: same rounds, same corpus, identical reports
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-    Seq(1L, 2L, 0L).foreach { k =>
-      IncrementalSubstr.ingest(spark, r, docs,
-        docs.filter(pmod(col("doc_id"), lit(3L)) === k))
-    }
-    val got = sortedReport(IncrementalSubstr.report(spark, r))
     val want = sortedReport(IncrementalSubstr.batchReport(withLen(docs)))
-    assert(got == want)
+    Seq("refresh", "recompute").foreach { route =>
+      val r = root()
+      Seq(1L, 2L, 0L).foreach { k =>
+        IncrementalSubstr.ingest(spark, r, docs,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === k), route = route)
+      }
+      val got = sortedReport(IncrementalSubstr.report(spark, r))
+      assert(got == want, s"route=$route diverged from batch")
+    }
+  }
+
+  test("report routing picks by ledger/delta bytes (the measured bracket)") {
+    // small ledger (the 1x sidecar point, 27 MB): recompute wins/ties
+    assert(IncrementalSubstr.routeFor(ledgerBytes = 27L << 20,
+      deltaBytes = 1L << 20) == "recompute")
+    // the 10x point (250 MB ledger, 500-doc delta): refresh wins 2x —
+    // measured from identical pre-states, BENCH_sf1_substr_inc.json
+    assert(IncrementalSubstr.routeFor(ledgerBytes = 250L << 20,
+      deltaBytes = 3L << 20) == "refresh")
+    // the 100x point (2.5 GB): refresh
+    assert(IncrementalSubstr.routeFor(ledgerBytes = 5L << 29,
+      deltaBytes = 3L << 20) == "refresh")
+    // corpus-scale delta (>= 1/4 of the ledger by bytes) against a big
+    // ledger: transitions touch most holders anyway — recompute
+    assert(IncrementalSubstr.routeFor(ledgerBytes = 5L << 29,
+      deltaBytes = 1L << 30) == "recompute")
   }
 
   test("replay of a delta is idempotent: same report, no double counts") {
@@ -194,6 +217,75 @@ class IncrementalSubstrSpec extends SparkSpec {
     val got = IncrementalSubstr.probe(spark, r, probeDoc).collect()
     assert(got.head.getAs[Long]("n_spans") == 1L,
       "probe must find the span stored in the pre-bloom round")
+  }
+
+  private def bloomHeader(r: String): (Int, Long, Long) = {
+    val in = new java.io.DataInputStream(
+      java.nio.file.Files.newInputStream(
+        java.nio.file.Paths.get(s"$r/bloom/filter.bin")))
+    try {
+      assert(in.readInt() == -2, "sidecar must be v2")
+      (in.readInt(), in.readLong(), in.readLong()) // (k, mBits, nKeys)
+    } finally in.close()
+  }
+
+  test("bloom sidecar resizes with the ledger; no false negatives across rebuild") {
+    val r = root()
+    // round 1: tiny — the sidecar starts at the floor geometry
+    val r1 = df(corpus.take(2))
+    IncrementalSubstr.ingest(spark, r, r1, r1)
+    val (_, m1, n1) = bloomHeader(r)
+    assert(n1 > 0)
+    // round 2: enough fresh windows that bloomBitsFor(n) outruns m1 —
+    // the fold must REBUILD at a larger geometry, still covering round 1
+    val big = (0 until 40).map { i =>
+      (1000L + i) -> (s"doc $i " + (0 until 12).map(j => s"tok${i}x$j").mkString(" ") +
+        " filler material keeps windows unique and plentiful here")
+    }
+    val all = df(corpus.take(2) ++ big)
+    IncrementalSubstr.ingest(spark, r, all, df(big))
+    val (_, m2, n2) = bloomHeader(r)
+    assert(m2 > m1, s"sidecar must grow: $m1 -> $m2 (nKeys $n1 -> $n2)")
+    assert(n2 > n1)
+    // a probe sharing S (stored in the PRE-resize round) must still hit:
+    // the rebuild covers every visible ledger window or tier 1 would
+    // fast-negative its way past the stored span
+    val got = IncrementalSubstr.probe(spark, r, df(Seq(70L -> s"pp $S qq")))
+      .collect()
+    assert(got.head.getAs[Long]("n_spans") == 1L,
+      "probe must find the span stored before the sidecar resize")
+  }
+
+  test("a pre-v2 sidecar file is superseded by the next fold, not trusted") {
+    val r = root()
+    val r1 = df(corpus.take(2))
+    IncrementalSubstr.ingest(spark, r, r1, r1)
+    // overwrite the sidecar with a legacy-format file (Int m, Int k, bits)
+    // whose bits are all zero — if any path TRUSTED it, the stored span
+    // would fast-negative away; v2 readers must treat it as absent
+    val m = 1 << 14
+    val out = new java.io.DataOutputStream(java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(s"$r/bloom/filter.bin")))
+    try {
+      out.writeInt(m); out.writeInt(6)
+      (0 until m / 64).foreach(_ => out.writeLong(0L))
+    } finally out.close()
+    // the raw overwrite bypassed Hadoop's checksum sidecar — drop it so
+    // the read path sees the legacy bytes, not a ChecksumException
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$r/bloom/.filter.bin.crc"))
+    // probe before any fold: tier 1 unavailable, answer still exact
+    val probeDoc = df(Seq(70L -> s"pp $S qq"))
+    assert(IncrementalSubstr.probe(spark, r, probeDoc).collect()
+      .head.getAs[Long]("n_spans") == 1L)
+    // next ingest rebuilds v2 from the full ledger (the legacy file's
+    // presence alone must trigger the fold even without maintainBloom)
+    val all = df(corpus)
+    IncrementalSubstr.ingest(spark, r, all, df(corpus.drop(2)), maintainBloom = false)
+    val (_, _, nKeys) = bloomHeader(r)
+    assert(nKeys > 0)
+    assert(IncrementalSubstr.probe(spark, r, probeDoc).collect()
+      .head.getAs[Long]("n_spans") == 1L)
   }
 
   test("empty delta is a graceful no-op, not an NPE") {

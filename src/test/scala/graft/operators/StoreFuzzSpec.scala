@@ -34,6 +34,8 @@ class StoreFuzzSpec extends SparkSpec {
   private def root(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"storefuzz-$tag").toString
 
+  private def pick[A](r: java.util.Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
   // ---------------------------------------------------------------- substr
 
   /** ≥ 32 chars each (the window length), lowercase-ASCII. */
@@ -95,14 +97,18 @@ class StoreFuzzSpec extends SparkSpec {
       }
       while (done < deltas.size) {
         r.nextInt(4) match {
-          case 0 | 1 => // ingest the next delta
+          case 0 | 1 => // ingest the next delta, random report route (the
+            // refresh/recompute router must agree at every interleaving)
+            val route = pick(r, Seq("auto", "refresh", "recompute"))
             IncrementalSubstr.ingest(spark, rt, substrDocs(ingestedIds ++ deltas(done), seed),
-              substrDocs(deltas(done), seed), maintainBloom = r.nextBoolean())
-            done += 1; steps ::= s"ingest$done"
+              substrDocs(deltas(done), seed), maintainBloom = r.nextBoolean(),
+              route = route)
+            done += 1; steps ::= s"ingest$done($route)"
             checkReport()
           case 2 if done > 0 => // replay an arbitrary EARLIER delta verbatim
             val j = r.nextInt(done)
-            IncrementalSubstr.ingest(spark, rt, corpus, substrDocs(deltas(j), seed))
+            IncrementalSubstr.ingest(spark, rt, corpus, substrDocs(deltas(j), seed),
+              route = pick(r, Seq("auto", "refresh", "recompute")))
             steps ::= s"replay$j"
             checkReport()
           case _ if done < deltas.size => // read-only probe of future docs
