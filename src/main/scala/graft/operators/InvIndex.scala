@@ -1,0 +1,294 @@
+package graft.operators
+
+import graft.functions.{Hashing, Text}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted INVERTED INDEX with incremental maintenance and
+  * bucket-pruned online search — the retrieval family's STORE, completing
+  * the same batch / incremental / online / streaming matrix the LSH
+  * family ([[BandIndex]], `streaming/BandIndexStream`) and the
+  * exact-substring family ([[IncrementalSubstr]], `streaming/SubstrStream`)
+  * already have: batch statistics (q181) and BM25 ranking (q183) are the
+  * batch legs; this store is the incremental leg (q213 — gated under
+  * q181's oracle VERBATIM, the q101/q201/q211 equivalence discipline) and
+  * the online leg (q214 — BM25 served from the store, gated under q183's
+  * oracle verbatim); `streaming/IndexStream` is the streaming leg.
+  *
+  * Reference scope: the reference's saved-query surface exposes full-table
+  * text filtering only (`lib/webhookdb/customer.rb`-style LIKE scans);
+  * ranked retrieval over indexed postings is part of this library's
+  * LLM-pipeline extension surface (SURVEY §2.12 family).
+  *
+  * Layout — three parquet stores under one root, every partition stamped
+  * by `ingest_batch`:
+  *
+  *  - `post/` (word, doc_id, tf), partitioned by (ingest_batch, bucket)
+  *    where bucket = [[Hashing.hash32]](word) % [[Buckets]] — a query's
+  *    terms prune the postings read to their own buckets (the
+  *    [[BandIndex]] partition-prune discipline), so a k-term search reads
+  *    at most k/[[Buckets]] of the postings regardless of corpus size;
+  *  - `dl/` (doc_id, dl), partitioned by (ingest_batch, dbucket) with
+  *    dbucket = doc_id % [[Buckets]] — BM25's length normalization joins
+  *    only the candidate docs' buckets;
+  *  - `meta/` one (t, n) totals row per batch — corpus token/doc counts
+  *    are a per-batch SUM, never a corpus rescan.
+  *
+  * Commit protocol — MARKER-based, not rename-based: a batch is visible
+  * iff its `meta/ingest_batch=N` partition exists, and ingest writes meta
+  * LAST (uncommitting first: delete meta, rewrite post/dl, re-commit).
+  * Readers take committed batches from the meta listing and prune every
+  * scan to them, so a crash at ANY point inside ingest leaves the batch
+  * merely invisible — never half-indexed — and the healing move is a
+  * plain redelivery. Unlike the rename-committed stores (the SCALE.md
+  * "durable-commit primitives" note), nothing here depends on atomic
+  * directory rename, which makes this the layout to copy onto object
+  * stores where rename is copy+delete.
+  *
+  * Correctness under the family's contracts:
+  *  - every index statistic is a commutative monoid over DISJOINT doc
+  *    sets (df/cf/t/n sum, postings checksum xor), so merged partials
+  *    equal the batch build bit-for-bit (q186's property, here persisted);
+  *  - batches must carry disjoint doc_ids: a doc_id already committed
+  *    under a DIFFERENT batch is rejected before any mutation (the
+  *    insert-only contract of [[IncrementalSubstr]]/[[IncrementalSplit]];
+  *    re-index changed content under a new doc_id). The check prunes the
+  *    dl read by the delta's dbuckets — admission-sized deltas touch a
+  *    few directories, never O(store);
+  *  - a redelivered batch (same id) REPLACES its own partitions — the
+  *    uncommit-first sequence means even a content-CHANGING redelivery
+  *    cannot strand stale buckets (the [[BandIndexStream]] bloat source
+  *    this layout closes by construction).
+  */
+object InvIndex {
+
+  /** Postings/doc-length partition width: a 3-term query reads <= 3/64 of
+    * the postings; raise for larger stores (directories are cheap). */
+  val Buckets = 64
+
+  private def postDir(root: String) = s"$root/post"
+  private def dlDir(root: String) = s"$root/dl"
+  private def metaDir(root: String) = s"$root/meta"
+
+  private val postSchema = new StructType()
+    .add("word", StringType).add("doc_id", LongType).add("tf", LongType)
+    .add("ingest_batch", LongType).add("bucket", IntegerType)
+  private val dlSchema = new StructType()
+    .add("doc_id", LongType).add("dl", LongType)
+    .add("ingest_batch", LongType).add("dbucket", IntegerType)
+  private val metaSchema = new StructType()
+    .add("t", LongType).add("n", LongType).add("ingest_batch", LongType)
+
+  private[operators] def bucketOfWord(c: Column): Column =
+    pmod(Hashing.hash32(c), lit(Buckets.toLong)).cast(IntegerType)
+
+  /** Driver-side mirror of [[bucketOfWord]] for partition pruning from
+    * literal query terms (spec-gated equal to the executor expression):
+    * Spark's `md5` is lowercase hex over UTF-8 bytes, `conv(_, 16, 10)`
+    * parses the first 8 chars — both reproduced exactly here. */
+  private[operators] def bucketOfWordDriver(s: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => "%02x".format(b & 0xff)).mkString
+    (java.lang.Long.parseLong(hex, 16) % Buckets).toInt
+  }
+
+  private def dbucketOf(c: Column): Column =
+    pmod(c, lit(Buckets.toLong)).cast(IntegerType)
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readOr(spark: SparkSession, dir: String,
+                     schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (fsOf(spark, dir).exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Batch ids with a commit marker — a DRIVER-SIDE listing of `meta/`'s
+    * partition directories (no Spark job; bounded by rounds, not data). */
+  def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(metaDir(root))
+    val fs = fsOf(spark, metaDir(root))
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .map(_.stripPrefix("ingest_batch=").toLong).sorted
+  }
+
+  private def committedFilter(committed: Seq[Long]): Column =
+    if (committed.isEmpty) lit(false)
+    else col("ingest_batch").isin(committed: _*)
+
+  /** Index `delta` (doc_id, text) as batch `batchId`. Idempotent per
+    * batch id (redelivery replaces); insert-only across batches (a
+    * doc_id committed under another batch rejects — re-index changed
+    * content under a NEW doc_id, the family contract). Tokenization is
+    * [[Text.tokens]], identical to the batch q181/q183 legs — the
+    * equivalence gates compare against those oracles verbatim. */
+  def ingest(spark: SparkSession, root: String, delta: DataFrame,
+             batchId: Long, rejectDuplicates: Boolean = true): Unit =
+    TableLock.withLock(root) {
+      ingestLocked(spark, root, delta, batchId, rejectDuplicates)
+    }
+
+  private def ingestLocked(spark: SparkSession, root: String, delta: DataFrame,
+                           batchId: Long, rejectDuplicates: Boolean): Unit = {
+    val d0 = delta.select(col("doc_id").cast(LongType).as("doc_id"),
+      col("text")).dropDuplicates("doc_id", "text")
+    // one admission pass: empty deltas no-op (zero-row sums read NULL —
+    // the IncrementalSubstr ADVICE lesson), conflicting in-delta texts
+    // (one doc_id, two texts after the pair-distinct) reject
+    val st = d0.agg(count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("nid")).head()
+    if (st.getLong(0) == 0L) return
+    if (st.getLong(0) != st.getLong(1))
+      sys.error(s"InvIndex.ingest at $root: delta carries one doc_id with " +
+        "multiple texts — ambiguous; collapse the delta before ingesting")
+
+    if (rejectDuplicates) {
+      val others = committedBatches(spark, root).filterNot(_ == batchId)
+      if (others.nonEmpty) {
+        // prune the ledger read to the delta's dbuckets (<= Buckets ints
+        // collected) — admission-sized deltas touch a few directories
+        val dbuckets = d0.select(dbucketOf(col("doc_id")).as("dbucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val taken = readOr(spark, dlDir(root), dlSchema)
+          .filter(committedFilter(others) && col("dbucket").isin(dbuckets: _*))
+          .join(d0.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id")).limit(3).collect().map(_.getLong(0))
+        if (taken.nonEmpty)
+          sys.error(s"InvIndex.ingest at $root: doc_ids already committed " +
+            s"under another batch (e.g. ${taken.mkString(", ")}) — the " +
+            "store is insert-only across batches; re-index changed " +
+            "content under a new doc_id")
+      }
+    }
+
+    val fs = fsOf(spark, root)
+    def drop(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/ingest_batch=$batchId")
+      if (fs.exists(p) && !fs.delete(p, true))
+        sys.error(s"InvIndex.ingest at $root: delete $p failed")
+    }
+    // UNCOMMIT first: the marker goes away before any partition rewrite,
+    // so readers never see a half-rewritten batch and a content-changing
+    // redelivery cannot strand stale bucket directories
+    drop(metaDir(root)); drop(postDir(root)); drop(dlDir(root))
+
+    // postings: tf per (word, doc_id), landed bucket-partitioned; the
+    // repartition keeps it to one file per bucket per owning task
+    // (the BandIndex small-files lesson). explode_outer + isNotNull is
+    // the InferFiltersFromGenerate discipline (q179/q181).
+    val toks = d0.select(col("doc_id"),
+      explode_outer(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+    toks.groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("ingest_batch", lit(batchId))
+      .withColumn("bucket", bucketOfWord(col("word")))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("ingest_batch", "bucket").parquet(postDir(root))
+
+    // doc lengths DERIVED FROM the landed postings partition — the staged
+    // write is the spill (the IncrementalSubstr bulk-delta discipline:
+    // never re-run or pin a corpus-sized tokenization lineage)
+    val landed = spark.read.schema(postSchema).parquet(postDir(root))
+      .filter(col("ingest_batch") === batchId)
+    val dl = landed.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .withColumn("ingest_batch", lit(batchId))
+      .withColumn("dbucket", dbucketOf(col("doc_id")))
+    dl.repartition(col("dbucket"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("ingest_batch", "dbucket").parquet(dlDir(root))
+
+    // COMMIT: the totals row is the marker, written last. Summary-sized
+    // by construction (one row per batch).
+    val tot = spark.read.schema(dlSchema).parquet(dlDir(root))
+      .filter(col("ingest_batch") === batchId)
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("t"),
+        count(lit(1)).as("n")).head()
+    import spark.implicits._
+    Seq((tot.getLong(0), tot.getLong(1))).toDF("t", "n")
+      .withColumn("ingest_batch", lit(batchId))
+      .coalesce(1)
+      .write.mode(SaveMode.Append).partitionBy("ingest_batch")
+      .parquet(metaDir(root))
+  }
+
+  /** Index statistics from the store — q181's report (word, df, cf,
+    * postings_sig), equal to the batch build bit-for-bit because every
+    * statistic is a commutative monoid over the committed batches'
+    * disjoint doc sets. The postings checksum keeps q181's scale
+    * decision: an xor fold, map-side-combinable, constant reducer state
+    * per word at any corpus size. */
+  def stats(spark: SparkSession, root: String): DataFrame = {
+    val committed = committedBatches(spark, root)
+    readOr(spark, postDir(root), postSchema)
+      .filter(committedFilter(committed))
+      .select(col("word"), col("tf"),
+        Hashing.hash32(concat_ws(":", col("doc_id"), col("tf"))).as("sig"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).cast(LongType).as("df"),
+        sum(col("tf")).cast(LongType).as("cf"),
+        expr("bit_xor(sig)").cast(LongType).as("postings_sig"))
+  }
+
+  private def ilog64(x: String) =
+    s"64 * (length(bin($x)) - 1) + ($x * 64) DIV CAST(pow(2.0D, length(bin($x)) - 1) AS BIGINT) - 64"
+
+  /** BM25 top-k served FROM the store — q183's exact integer scoring
+    * (same rationals, same ilog64 idf quantizer, same overflow ordering),
+    * with the reads the store's layout buys:
+    *
+    *  - postings prune to the query terms' buckets (<= terms/[[Buckets]]
+    *    of the store, any corpus size) via partition filter from the
+    *    driver-side bucket mirror;
+    *  - totals are a sum over meta's per-batch rows — no corpus scan;
+    *  - doc lengths prune to the CANDIDATE docs' dbuckets (<= [[Buckets]]
+    *    ints collected) before the per-doc join.
+    *
+    * The query-sized df/idf frame broadcasts, exactly as in the batch
+    * leg. */
+  def search(spark: SparkSession, root: String, terms: Seq[String],
+             k: Int): DataFrame = {
+    val committed = committedBatches(spark, root)
+    val termBuckets = terms.map(bucketOfWordDriver).distinct
+    val qtf = readOr(spark, postDir(root), postSchema)
+      .filter(committedFilter(committed) &&
+        col("bucket").isin(termBuckets: _*) && col("word").isin(terms: _*))
+      .select(col("word"), col("doc_id"), col("tf"))
+    val totals = readOr(spark, metaDir(root), metaSchema)
+      .filter(committedFilter(committed))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("t"),
+        coalesce(sum(col("n")), lit(0L)).as("n"))
+    val df_ = qtf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val idf = df_.crossJoin(broadcast(totals))
+      .withColumn("x",
+        expr("greatest(((2*n - 2*df + 1) * 1048576) DIV (2*df + 1), 1)"))
+      .select(col("word"), expr(ilog64("x")).as("idf"))
+    val dbuckets = qtf.select(dbucketOf(col("doc_id")).as("dbucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val dl = readOr(spark, dlDir(root), dlSchema)
+      .filter(committedFilter(committed) && col("dbucket").isin(dbuckets: _*))
+      .select(col("doc_id"), col("dl"))
+    qtf.join(broadcast(idf), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      // q183's overflow ordering: divide the corpus-sized product through
+      // FIRST, then scale by the small idf — headroom to ~1e12-token
+      // corpora (q188's documented bound)
+      .withColumn("term_score",
+        expr("idf * ((44 * t * tf * 1000) DIV (20 * t * tf + 6 * t + 18 * dl * n))"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).cast(LongType).as("score"),
+        count(lit(1)).cast(LongType).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

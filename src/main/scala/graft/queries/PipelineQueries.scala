@@ -1520,6 +1520,51 @@ object PipelineQueries {
     WHERE b.dist > mean_dist ORDER BY vec_id"""
   }
 
+  /** q213 — index statistics from the PERSISTED inverted-index store
+    * ([[graft.operators.InvIndex]]): the corpus arrives as three disjoint
+    * deltas (q186's doc_id mod 3 convention), each marker-committed as
+    * its own batch; the report is read FROM the store. The oracle is
+    * q181's batch SQL VERBATIM — the q101/q201/q211 equivalence
+    * discipline, fourth family member: incrementally-maintained state
+    * must equal the batch recompute bit-for-bit.
+    *
+    * Scale shape: each ingest is O(delta) (tokenize, two keyed aggs, a
+    * bucket-partitioned write); the report is one pruned-to-committed
+    * postings scan with a map-side-combinable xor fold — constant
+    * reducer state per word at any corpus size. */
+  def q213(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("invidx").toString
+    val docs = Tables.documents(spark, d)
+    (0 until 3).foreach { i =>
+      graft.operators.InvIndex.ingest(spark, root,
+        docs.filter(col("doc_id") % 3 === i), i.toLong)
+    }
+    graft.operators.InvIndex.stats(spark, root).orderBy(col("word"))
+  }
+
+  /** Same oracle as q181: store-maintained == batch is the claim. */
+  lazy val q213Sql: String = q181Sql
+
+  /** q214 — BM25 ranked retrieval SERVED FROM the store: q183's exact
+    * integer scoring, but the postings read prunes to the query terms'
+    * hash buckets (partition filter from the driver-side bucket mirror),
+    * totals come from meta's per-batch rows instead of a corpus rescan,
+    * and doc lengths prune to the candidates' dbuckets. The oracle is
+    * q183's batch SQL VERBATIM — the online leg of the retrieval family's
+    * batch/incremental/online/streaming matrix. */
+  def q214(spark: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("invidxbm").toString
+    val docs = Tables.documents(spark, d)
+    (0 until 3).foreach { i =>
+      graft.operators.InvIndex.ingest(spark, root,
+        docs.filter(col("doc_id") % 3 === i), i.toLong)
+    }
+    graft.operators.InvIndex.search(spark, root, BmQuery, BmTopK)
+  }
+
+  /** Same oracle as q183: search-from-store == batch search. */
+  lazy val q214Sql: String = q183Sql
+
   val defs: Map[String, Q] = Map(
     "q46_pii_redaction" -> (q46 _),
     "q47_repetition_signals" -> (q47 _),
@@ -1547,6 +1592,8 @@ object PipelineQueries {
     "q188_pmi_associations" -> (q188 _),
     "q182_graph_importance" -> (q182 _),
     "q183_bm25_search" -> (q183 _),
+    "q213_index_from_store" -> (q213 _),
+    "q214_bm25_from_store" -> (q214 _),
     "q96_semantic_dedup" -> (q96 _))
 
   val oracles: Map[String, String] = Map(
@@ -1578,6 +1625,11 @@ object PipelineQueries {
     "q188_pmi_associations" -> q188Sql,
     "q182_graph_importance" -> q182Sql,
     "q183_bm25_search" -> q183Sql,
+    // q213/q214's oracles ARE the batch legs' SQL: store-maintained state
+    // and store-served search must equal the batch recompute (the
+    // q101/q201/q211 verbatim-oracle discipline)
+    "q213_index_from_store" -> q213Sql,
+    "q214_bm25_from_store" -> q214Sql,
     "q96_semantic_dedup" -> q96Sql)
 }
 
