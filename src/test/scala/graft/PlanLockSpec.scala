@@ -143,6 +143,24 @@ class PlanLockSpec extends SparkSpec {
                              // but the repo rule is "lock the official
                              // board"; pins the two-level cumsum shape
                              // (no single-partition window)
+    "q213_index_from_store", // locked at birth (q207/q211 rationale —
+                             // lifecycle query: three marker-committed
+                             // ingests run eagerly at construction); the
+                             // golden pins the STATS read off the store —
+                             // the committed-batch partition filter + the
+                             // xor-fold aggregate; loop drift is covered
+                             // by InvIndexSpec
+    "q214_bm25_from_store",  // locked at birth: pins the SEARCH shape —
+                             // the bucket-pruned postings scan, broadcast
+                             // idf/totals, dbucket-pruned dl join; a lost
+                             // bucket filter would quietly read the whole
+                             // postings store
+    "q192_source_median",    // the last unlocked top-22 board member
+                             // (q108 stays exempt: driver-built
+                             // LocalTableScan, zero plan surface): q190's
+                             // rationale — the counting rounds are
+                             // driver-orchestrated, the golden pins the
+                             // per-source output contract
     "q134_cdc_chunk_dedup",  // 136-board top-10 entrants: CDC chunk
     "q136_waiting_supplier", // shuffle shape; Q21 decorrelated join-back
     "q123_histogram_quantiles", // 137-board top-10 (sketch bin pipeline)
