@@ -96,7 +96,9 @@ import java.nio.file.{Files, Paths}
   * (CASE expressions as group keys and as pivot-style aggregate
   * arguments — round-13 axis), `nestedsetops` (three predicate slices
   * composed through TWO set operators with explicit parentheses,
-  * e.g. INTERSECT of EXCEPTs — round-13 axis), default `mixed`. */
+  * e.g. INTERSECT of EXCEPTs — round-13 axis), `aggfilters` (ANSI
+  * aggregate FILTER clauses over the subquery-free predicate pool —
+  * round-13 axis, second wave), default `mixed`. */
 object FuzzRun {
 
   private final case class Table(name: String, longs: Seq[String],
@@ -454,6 +456,25 @@ object FuzzRun {
         s"CAST(sum(CASE WHEN ${pred()} THEN ${intExpr(1)} ELSE 0 END) AS BIGINT)"
       else
         s"CAST(count(CASE WHEN ${pred()} THEN 1 END) AS BIGINT)"
+    // aggregate FILTER clause (round-13 axis, second wave): ANSI
+    // `agg(expr) FILTER (WHERE p)` — both engines keep exactly the rows
+    // where p IS TRUE, so an empty kept set yields NULL for sum/min/max
+    // and 0 for the counts, identically. The filter predicate draws from
+    // the plain predicate pool MINUS subquery forms (whether subqueries
+    // may appear inside FILTER differs by engine) via rejection —
+    // deterministic per seed. DISTINCT aggregates stay out of FILTER for
+    // the same reason.
+    def filteredAgg(): String = {
+      var p = pred()
+      while (p.contains("SELECT")) p = pred()
+      r.nextInt(4) match {
+        case 0 => s"CAST(count(*) FILTER (WHERE $p) AS BIGINT)"
+        case 1 => s"CAST(sum(${intExpr(1)}) FILTER (WHERE $p) AS BIGINT)"
+        case 2 => s"CAST(min(${intExpr(1)}) FILTER (WHERE $p) AS BIGINT)"
+        case _ =>
+          s"CAST(count(${pick(longCols ++ intCols ++ strCols)}) FILTER (WHERE $p) AS BIGINT)"
+      }
+    }
     // day-level date arithmetic, normalized back to DATE: the engines
     // disagree on the type of date + interval (timestamp vs date), not on
     // the calendar day, so every arithmetic result passes through
@@ -536,6 +557,9 @@ object FuzzRun {
          (mode == "mixed" && r.nextInt(15) == 0)) caseKey() +: genKeys
        else genKeys).distinct
     val aggs: Seq[String] = ((if (mode == "casekeys") Seq(casePivotAgg()) else Nil) ++
+      (if (mode == "aggfilters") Seq(filteredAgg(), filteredAgg()).distinct
+       else if (mode == "mixed" && r.nextInt(15) == 0) Seq(filteredAgg())
+       else Nil) ++
       (0 to r.nextInt(2)).map { _ =>
       r.nextInt(9) match {
         case 8 if textCols.nonEmpty =>
