@@ -25,15 +25,26 @@ import org.apache.spark.sql.types._
   * by `ingest_batch`:
   *
   *  - `post/` (word, doc_id, tf), partitioned by (ingest_batch, bucket)
-  *    where bucket = [[Hashing.hash32]](word) % [[Buckets]] — a query's
-  *    terms prune the postings read to their own buckets (the
+  *    where bucket = [[Hashing.hash32]](word) % the root's bucket width —
+  *    a query's terms prune the postings read to their own buckets (the
   *    [[BandIndex]] partition-prune discipline), so a k-term search reads
-  *    at most k/[[Buckets]] of the postings regardless of corpus size;
+  *    at most k/width of the postings regardless of corpus size;
   *  - `dl/` (doc_id, dl), partitioned by (ingest_batch, dbucket) with
-  *    dbucket = doc_id % [[Buckets]] — BM25's length normalization joins
+  *    dbucket = doc_id % width — BM25's length normalization joins
   *    only the candidate docs' buckets;
   *  - `meta/` one (t, n) totals row per batch — corpus token/doc counts
   *    are a per-batch SUM, never a corpus rescan.
+  *
+  * Bucket width is STORE-LEVEL GEOMETRY, fixed at root creation and
+  * persisted under `_buckets` (the [[IncrementalSubstr]] meta discipline;
+  * underscore-prefixed, so Spark's file source never reads it as data).
+  * It is SIZED FROM THE FIRST DELTA ([[autoBuckets]]): a sandbox-scale
+  * corpus gets few buckets (one ~MB-scale file per partition instead of a
+  * 64-way spray of KB slivers — guide §6's output-file-sizing rule), a
+  * warehouse-scale first batch gets up to 4096 (sharper pruning than the
+  * old fixed 64). Every reader resolves the persisted width, so pruning
+  * math stays consistent across the root's life; a meta-less root that
+  * already has postings predates this change and pins the legacy 64.
   *
   * Commit protocol — MARKER-based, not rename-based: a batch is visible
   * iff its `meta/ingest_batch=N` partition exists, and ingest writes meta
@@ -43,8 +54,10 @@ import org.apache.spark.sql.types._
   * merely invisible — never half-indexed — and the healing move is a
   * plain redelivery. Unlike the rename-committed stores (the SCALE.md
   * "durable-commit primitives" note), nothing here depends on atomic
-  * directory rename, which makes this the layout to copy onto object
-  * stores where rename is copy+delete.
+  * directory rename for DATA (the one rename is the tiny `_buckets`
+  * sidecar, whose loss merely re-derives the same value), which makes
+  * this the layout to copy onto object stores where rename is
+  * copy+delete.
   *
   * Correctness under the family's contracts:
   *  - every index statistic is a commutative monoid over DISJOINT doc
@@ -63,13 +76,15 @@ import org.apache.spark.sql.types._
   */
 object InvIndex {
 
-  /** Postings/doc-length partition width: a 3-term query reads <= 3/64 of
-    * the postings; raise for larger stores (directories are cheap). */
-  val Buckets = 64
+  /** Legacy / fallback partition width — the pre-geometry constant, still
+    * pinned for meta-less roots that already carry postings. New roots
+    * size their width from the first delta ([[autoBuckets]]). */
+  val DefaultBuckets = 64
 
   private def postDir(root: String) = s"$root/post"
   private def dlDir(root: String) = s"$root/dl"
   private def metaDir(root: String) = s"$root/meta"
+  private def bucketsFile(root: String) = s"$root/_buckets"
 
   private val postSchema = new StructType()
     .add("word", StringType).add("doc_id", LongType).add("tf", LongType)
@@ -80,22 +95,78 @@ object InvIndex {
   private val metaSchema = new StructType()
     .add("t", LongType).add("n", LongType).add("ingest_batch", LongType)
 
-  private[operators] def bucketOfWord(c: Column): Column =
-    pmod(Hashing.hash32(c), lit(Buckets.toLong)).cast(IntegerType)
+  /** Creation-time width from the first delta's text bytes: ~1 MiB of
+    * source text per bucket (postings compress below that), power of two,
+    * clamped to [8, 4096]. Scale-adaptive in BOTH directions (guide §2.5/
+    * §6): a sandbox corpus writes 8 well-filled files per store instead
+    * of 64 slivers; a warehouse-scale first batch gets finer pruning than
+    * the old fixed 64. */
+  private[operators] def autoBuckets(textBytes: Long): Int = {
+    val targetPerBucket = 1L << 20
+    var b = 8
+    while (b < 4096 && b.toLong * targetPerBucket < textBytes) b <<= 1
+    b
+  }
+
+  private def readBuckets(spark: SparkSession, root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(bucketsFile(root))
+    val fs = fsOf(spark, root)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    try Some(raw.trim.toInt)
+    catch {
+      case _: NumberFormatException =>
+        sys.error(s"InvIndex at $root: bucket meta $p is unparsable " +
+          s"(${raw.trim.take(32)}); it is written atomically, so this " +
+          "indicates external corruption — restore it or rebuild the root")
+    }
+  }
+
+  private def writeBucketsMeta(spark: SparkSession, root: String, b: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(bucketsFile(root))
+    val tmp = new org.apache.hadoop.fs.Path(bucketsFile(root) + ".tmp")
+    val fs = fsOf(spark, root)
+    val out = fs.create(tmp, true)
+    try out.write(s"$b\n".getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p) && !fs.delete(p, false))
+      sys.error(s"bucket meta: could not replace $p")
+    if (!fs.rename(tmp, p))
+      sys.error(s"bucket meta: rename $tmp -> $p failed")
+  }
+
+  /** The root's persisted width; for a meta-less root, the legacy
+    * [[DefaultBuckets]] when postings already exist (those can only be
+    * laid out at the old hardcoded width), else the `create` choice —
+    * persisted only when `create` is given (ingest), never by readers. */
+  private def bucketsOf(spark: SparkSession, root: String,
+                        create: Option[Int] = None): Int =
+    readBuckets(spark, root).getOrElse {
+      val legacy = {
+        val p = new org.apache.hadoop.fs.Path(postDir(root))
+        fsOf(spark, root).exists(p)
+      }
+      val b = if (legacy) DefaultBuckets else create.getOrElse(DefaultBuckets)
+      create.foreach(_ => writeBucketsMeta(spark, root, b))
+      b
+    }
+
+  private[operators] def bucketOfWord(c: Column, nb: Int): Column =
+    pmod(Hashing.hash32(c), lit(nb.toLong)).cast(IntegerType)
 
   /** Driver-side mirror of [[bucketOfWord]] for partition pruning from
     * literal query terms (spec-gated equal to the executor expression):
     * Spark's `md5` is lowercase hex over UTF-8 bytes, `conv(_, 16, 10)`
     * parses the first 8 chars — both reproduced exactly here. */
-  private[operators] def bucketOfWordDriver(s: String): Int = {
+  private[operators] def bucketOfWordDriver(s: String, nb: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => "%02x".format(b & 0xff)).mkString
-    (java.lang.Long.parseLong(hex, 16) % Buckets).toInt
+    (java.lang.Long.parseLong(hex, 16) % nb).toInt
   }
 
-  private def dbucketOf(c: Column): Column =
-    pmod(c, lit(Buckets.toLong)).cast(IntegerType)
+  private def dbucketOf(c: Column, nb: Int): Column =
+    pmod(c, lit(nb.toLong)).cast(IntegerType)
 
   private def fsOf(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -124,6 +195,14 @@ object InvIndex {
     if (committed.isEmpty) lit(false)
     else col("ingest_batch").isin(committed: _*)
 
+  /** Unpersist an eager localCheckpoint's blocks deterministically (the
+    * [[IncrementalSubstr]] freeCheckpoint discipline). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(true)
+      case _ => ()
+    }
+
   /** Index `delta` (doc_id, text) as batch `batchId`. Idempotent per
     * batch id (redelivery replaces); insert-only across batches (a
     * doc_id committed under another batch rejects — re-index changed
@@ -131,36 +210,65 @@ object InvIndex {
     * [[Text.tokens]], identical to the batch q181/q183 legs — the
     * equivalence gates compare against those oracles verbatim. */
   def ingest(spark: SparkSession, root: String, delta: DataFrame,
-             batchId: Long, rejectDuplicates: Boolean = true): Unit =
+             batchId: Long, rejectDuplicates: Boolean = true,
+             buckets: Int = 0): Unit =
     TableLock.withLock(root) {
-      ingestLocked(spark, root, delta, batchId, rejectDuplicates)
+      ingestLocked(spark, root, delta, batchId, rejectDuplicates, buckets)
+    }
+
+  private val profile = sys.env.contains("GRAFT_PROF_INVIDX")
+  private def prof[A](tag: String)(f: => A): A =
+    if (!profile) f else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROFX   $tag%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
 
   private def ingestLocked(spark: SparkSession, root: String, delta: DataFrame,
-                           batchId: Long, rejectDuplicates: Boolean): Unit = {
+                           batchId: Long, rejectDuplicates: Boolean,
+                           buckets: Int): Unit = {
     val d0 = delta.select(col("doc_id").cast(LongType).as("doc_id"),
       col("text")).dropDuplicates("doc_id", "text")
-    // one admission pass: empty deltas no-op (zero-row sums read NULL —
+    // width BEFORE the admission agg so the delta's dbuckets ride along in
+    // the same pass; None exactly when no prior batch can exist (fresh
+    // root), where the dup check below never fires
+    val nbPre: Option[Int] = readBuckets(spark, root).orElse {
+      val p = new org.apache.hadoop.fs.Path(postDir(root))
+      if (fsOf(spark, root).exists(p)) Some(DefaultBuckets) else None
+    }
+    // ONE admission pass: empty deltas no-op (zero-row sums read NULL —
     // the IncrementalSubstr ADVICE lesson), conflicting in-delta texts
-    // (one doc_id, two texts after the pair-distinct) reject
-    val st = d0.agg(count(lit(1)).as("n"),
-      countDistinct(col("doc_id")).as("nid")).head()
+    // (one doc_id, two texts after the pair-distinct) reject, the text
+    // byte count feeds creation-time geometry, and the delta's dbucket
+    // list (<= width ints, summary-sized) feeds the dup check's partition
+    // prune without its own job
+    val st = prof("admission")(d0.agg(count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("nid"),
+      coalesce(sum(length(col("text"))), lit(0L)).as("bytes"),
+      collect_set(dbucketOf(col("doc_id"), nbPre.getOrElse(1)))
+        .as("dbuckets")).head())
     if (st.getLong(0) == 0L) return
     if (st.getLong(0) != st.getLong(1))
       sys.error(s"InvIndex.ingest at $root: delta carries one doc_id with " +
         "multiple texts — ambiguous; collapse the delta before ingesting")
+    // geometry: persisted at creation — an explicit caller width (specs
+    // gating the pruning claim; operators matching a known workload) or
+    // the delta-sized default — read back, and the creation choice
+    // ignored, on every later round
+    val nb = bucketsOf(spark, root, create =
+      Some(if (buckets > 0) buckets else autoBuckets(st.getLong(2))))
 
     if (rejectDuplicates) {
       val others = committedBatches(spark, root).filterNot(_ == batchId)
       if (others.nonEmpty) {
-        // prune the ledger read to the delta's dbuckets (<= Buckets ints
-        // collected) — admission-sized deltas touch a few directories
-        val dbuckets = d0.select(dbucketOf(col("doc_id")).as("dbucket"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        val taken = readOr(spark, dlDir(root), dlSchema)
+        // prune the ledger read to the delta's dbuckets (collected in the
+        // admission pass above) — admission-sized deltas touch a few
+        // directories, never O(store)
+        val dbuckets = st.getSeq[Int](3)
+        val taken = prof("dup check")(readOr(spark, dlDir(root), dlSchema)
           .filter(committedFilter(others) && col("dbucket").isin(dbuckets: _*))
           .join(d0.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .select(col("doc_id")).limit(3).collect().map(_.getLong(0))
+          .select(col("doc_id")).limit(3).collect().map(_.getLong(0)))
         if (taken.nonEmpty)
           sys.error(s"InvIndex.ingest at $root: doc_ids already committed " +
             s"under another batch (e.g. ${taken.mkString(", ")}) — the " +
@@ -187,38 +295,45 @@ object InvIndex {
     val toks = d0.select(col("doc_id"),
       explode_outer(Text.tokens(col("text"))).as("word"))
       .filter(col("word").isNotNull)
-    toks.groupBy(col("word"), col("doc_id"))
+    prof("post write")(toks.groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("ingest_batch", lit(batchId))
-      .withColumn("bucket", bucketOfWord(col("word")))
+      .withColumn("bucket", bucketOfWord(col("word"), nb))
       .repartition(col("bucket"))
       .write.mode(SaveMode.Append)
-      .partitionBy("ingest_batch", "bucket").parquet(postDir(root))
+      .partitionBy("ingest_batch", "bucket").parquet(postDir(root)))
 
     // doc lengths DERIVED FROM the landed postings partition — the staged
     // write is the spill (the IncrementalSubstr bulk-delta discipline:
-    // never re-run or pin a corpus-sized tokenization lineage)
+    // never re-run or pin a corpus-sized tokenization lineage). The
+    // per-doc rollup is checkpointed ONCE (doc-count-sized rows) and
+    // feeds BOTH the dl write and the commit totals, replacing the old
+    // second read of the just-written dl partition (guide §1.2: one pass,
+    // not two reads of the same tiny table).
     val landed = spark.read.schema(postSchema).parquet(postDir(root))
       .filter(col("ingest_batch") === batchId)
-    val dl = landed.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dl0 = prof("dl rollup")(landed.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl")).localCheckpoint(true))
+    prof("dl write")(dl0
       .withColumn("ingest_batch", lit(batchId))
-      .withColumn("dbucket", dbucketOf(col("doc_id")))
-    dl.repartition(col("dbucket"))
+      .withColumn("dbucket", dbucketOf(col("doc_id"), nb))
+      .repartition(col("dbucket"))
       .write.mode(SaveMode.Append)
-      .partitionBy("ingest_batch", "dbucket").parquet(dlDir(root))
+      .partitionBy("ingest_batch", "dbucket").parquet(dlDir(root)))
 
     // COMMIT: the totals row is the marker, written last. Summary-sized
-    // by construction (one row per batch).
-    val tot = spark.read.schema(dlSchema).parquet(dlDir(root))
-      .filter(col("ingest_batch") === batchId)
+    // by construction (one row per batch); the sums come off the pinned
+    // rollup, not a re-read of the dl store.
+    val tot = prof("totals")(dl0
       .agg(coalesce(sum(col("dl")), lit(0L)).as("t"),
-        count(lit(1)).as("n")).head()
+        count(lit(1)).as("n")).head())
+    freeCheckpoint(dl0)
     import spark.implicits._
-    Seq((tot.getLong(0), tot.getLong(1))).toDF("t", "n")
+    prof("meta write")(Seq((tot.getLong(0), tot.getLong(1))).toDF("t", "n")
       .withColumn("ingest_batch", lit(batchId))
       .coalesce(1)
       .write.mode(SaveMode.Append).partitionBy("ingest_batch")
-      .parquet(metaDir(root))
+      .parquet(metaDir(root)))
   }
 
   /** Index statistics from the store — q181's report (word, df, cf,
@@ -246,11 +361,11 @@ object InvIndex {
     * (same rationals, same ilog64 idf quantizer, same overflow ordering),
     * with the reads the store's layout buys:
     *
-    *  - postings prune to the query terms' buckets (<= terms/[[Buckets]]
+    *  - postings prune to the query terms' buckets (<= terms/width
     *    of the store, any corpus size) via partition filter from the
-    *    driver-side bucket mirror;
+    *    driver-side bucket mirror at the root's persisted width;
     *  - totals are a sum over meta's per-batch rows — no corpus scan;
-    *  - doc lengths prune to the CANDIDATE docs' dbuckets (<= [[Buckets]]
+    *  - doc lengths prune to the CANDIDATE docs' dbuckets (<= width
     *    ints collected) before the per-doc join.
     *
     * The query-sized df/idf frame broadcasts, exactly as in the batch
@@ -258,7 +373,8 @@ object InvIndex {
   def search(spark: SparkSession, root: String, terms: Seq[String],
              k: Int): DataFrame = {
     val committed = committedBatches(spark, root)
-    val termBuckets = terms.map(bucketOfWordDriver).distinct
+    val nb = bucketsOf(spark, root)
+    val termBuckets = terms.map(bucketOfWordDriver(_, nb)).distinct
     val qtf = readOr(spark, postDir(root), postSchema)
       .filter(committedFilter(committed) &&
         col("bucket").isin(termBuckets: _*) && col("word").isin(terms: _*))
@@ -272,7 +388,7 @@ object InvIndex {
       .withColumn("x",
         expr("greatest(((2*n - 2*df + 1) * 1048576) DIV (2*df + 1), 1)"))
       .select(col("word"), expr(ilog64("x")).as("idf"))
-    val dbuckets = qtf.select(dbucketOf(col("doc_id")).as("dbucket"))
+    val dbuckets = qtf.select(dbucketOf(col("doc_id"), nb).as("dbucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val dl = readOr(spark, dlDir(root), dlSchema)
       .filter(committedFilter(committed) && col("dbucket").isin(dbuckets: _*))

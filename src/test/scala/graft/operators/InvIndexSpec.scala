@@ -17,10 +17,15 @@ class InvIndexSpec extends SparkSpec {
   private def root() =
     java.nio.file.Files.createTempDirectory("invidxspec").toString
 
+  // explicit width 64: the pruning-claim gate below needs enough buckets
+  // for a one-term read to be a small slice at spec scale (the default
+  // delta-sized geometry correctly picks a handful of buckets for a
+  // KB-scale corpus, where pruning has nothing to buy)
   private def ingestThirds(r: String): Unit = {
     val docs = Tables.documents(spark, sfDir)
     (0 until 3).foreach { i =>
-      InvIndex.ingest(spark, r, docs.filter(col("doc_id") % 3 === i), i.toLong)
+      InvIndex.ingest(spark, r, docs.filter(col("doc_id") % 3 === i), i.toLong,
+        buckets = 64)
     }
   }
 
@@ -49,9 +54,9 @@ class InvIndexSpec extends SparkSpec {
       .select(explode(graft.functions.Text.tokens(col("text"))).as("word"))
       .distinct().limit(200)
     val mismatches = words
-      .select(col("word"), InvIndex.bucketOfWord(col("word")).as("b"))
+      .select(col("word"), InvIndex.bucketOfWord(col("word"), 64).as("b"))
       .collect()
-      .filter(r => InvIndex.bucketOfWordDriver(r.getString(0)) != r.getInt(1))
+      .filter(r => InvIndex.bucketOfWordDriver(r.getString(0), 64) != r.getInt(1))
     assert(mismatches.isEmpty,
       s"driver/executor bucket divergence: ${mismatches.take(3).mkString(",")}")
   }
