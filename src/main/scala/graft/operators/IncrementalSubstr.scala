@@ -62,16 +62,24 @@ object IncrementalSubstr {
     *  - ADMISSION roots (probed online) want FINE bucketing: a one-doc
     *    dup probe's ~30 positive windows prune to 30/256 of the ledger
     *    (BENCH_sf1_substr_probe.json "100x"."dup", 5.5 s at the
-    *    165M-row point) but to 30/64 > the prune gate at width 64,
-    *    degrading to the full semi-joined scan (the same sidecar's
-    *    "100x"."dup_nobloom" shape, 8.4-12 s across runs);
+    *    165M-row point) but degrade toward the full semi-joined scan at
+    *    coarse widths (the same sidecar's "100x"."dup_nobloom" shape,
+    *    8.4-12 s across runs);
     *  - REFRESH-ONLY roots (bulk deltas, never probed) want COARSE
     *    bucketing: the partitioned write pays one file per bucket per
-    *    round, ~1 s/round slower at 256 for pruning no bulk delta can
-    *    use (a multi-doc delta touches every bucket at any width).
+    *    round for pruning no bulk delta can use (a multi-doc delta
+    *    touches every bucket at any width).
     *
-    * Probes and later ingests read the persisted width, so pruning math
-    * stays consistent across the root's life at either choice. */
+    * The DEFAULT creation width is delta-sized ([[autoBuckets]]): ~4 MiB
+    * of delta text per bucket, clamped to [8, 4096] — a KB-scale store
+    * gets 8 well-filled ledger files per round (where a probe's full
+    * semi-joined scan is the cheaper plan anyway) and a warehouse-scale
+    * first delta gets finer pruning than any fixed constant. Admission
+    * roots that must prune at SMALL store sizes pass an explicit fine
+    * width (the probe-tier spec pins the claim at 256). Probes and later
+    * ingests read the persisted width, so pruning math stays consistent
+    * across the root's life at any choice; meta-less roots with existing
+    * rounds pin the legacy [[DefaultBuckets]]. */
   val DefaultBuckets = 256
   private def metaFile(root: String) = s"$root/meta/buckets"
 
@@ -180,12 +188,23 @@ object IncrementalSubstr {
   // ------------------------------------------------------------------
 
   /** Stride-1 char L-gram windows: (doc_id, p, w). `docs` must carry
-    * (doc_id, text, len); docs shorter than L contribute none. */
+    * (doc_id, text, len); docs shorter than L contribute none.
+    *
+    * Shape (guide §1.2 step 2, the family's hottest expression): explode
+    * the POSITION sequence (an int array) and slice the window in the
+    * projection above it, instead of materializing a per-doc array of
+    * len-L+1 32-char strings and exploding that — the old form allocated
+    * ~L x text bytes of strings per document before the generator even
+    * ran. explode_outer, not explode: the len >= L filter makes the
+    * sequence provably non-empty, and outer-explode skips the
+    * InferFiltersFromGenerate rewrite that would inline the sequence
+    * into a pushed filter (the round-7 lesson); rows are identical. */
   def windows(docs: DataFrame): DataFrame =
     docs.filter(col("len") >= L)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, len - $L), i -> substring(text, i + 1, $L))")))
-      .select(col("doc_id"), col("pos").as("p"), col("col").as("w"))
+      .select(col("doc_id"), col("text"),
+        explode_outer(expr(s"sequence(0, len - $L)")).as("p"))
+      .select(col("doc_id"), col("p"),
+        expr(s"substring(text, p + 1, $L)").as("w"))
 
   /** Maximal duplicated spans (doc_id, s, e), e exclusive, from the
     * covered-position set (doc_id, p). Gaps-and-islands: windows are all
@@ -337,10 +356,19 @@ object IncrementalSubstr {
         writeBloom(spark, root, BloomSidecar(sc.m, sc.k, sc.nKeys + deltaCount, merged))
       case _ =>
         val hasLedger = exists(spark, winsDir(root))
+        // ledger row count from parquet FOOTERS (the BandIndex
+        // footerRowCount discipline) — a driver-side listing walk, not a
+        // Spark job: the rebuild already pays one full ledger SCAN below,
+        // it must not pay a second one just to size the geometry
         val nLedger =
-          if (hasLedger) readWins(spark, root).count() else 0L
+          if (hasLedger) BandIndex.footerRowCount(spark, winsDir(root)) else 0L
         val n = nLedger + deltaCount
-        val m = bloomBitsFor(n)
+        // x4 headroom (two doublings) at creation/rebuild: fill starts
+        // ~6% instead of ~22% and the NEXT rebuild — each one a full
+        // ledger scan — lands after the ledger quadruples rather than
+        // doubles. Geometric growth stays O(log n) rebuilds over a
+        // root's life, with half the scans; bloomBitsFor caps unchanged.
+        val m = bloomBitsFor(4L * n)
         val src =
           if (hasLedger)
             readWins(spark, root).select(xxhash64(col("w")).as("h"))
@@ -410,7 +438,17 @@ object IncrementalSubstr {
     val docs = probeDocs.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
     val wProbe = windows(docs)
+    // ONE window extraction for every count-side consumer: the per-window
+    // probe counts are pinned (distinct-window-sized — bounded by probe
+    // chars, the same bound as ingest's staged round) so the screen
+    // collect, the bucket list, the ledger semi-join's key side and the
+    // dup union all read the materialized rows instead of each re-paying
+    // the explode + aggregation (a bulk probe re-ran that lineage three
+    // times — guide §1.2: don't recompute what you already have). The
+    // final covered-position join below is the one remaining re-explode:
+    // it needs positions, which the counts deliberately drop.
     val probeCounts = wProbe.groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val ledger = readWins(spark, root)
     val nb = bucketsOf(spark, root)
     // tier 1 — DRIVER-SIDE bloom screen for admission-sized probes: the
@@ -425,9 +463,9 @@ object IncrementalSubstr {
     // semi-join never ships the sidecar anywhere.
     val probeChars = docs.agg(coalesce(sum(col("len")), lit(0L)))
       .head().getLong(0)
+    val admissionSized = probeChars <= ScreenMaxChars
     val screened: Option[(Seq[String], Seq[Int])] = readBloom(spark, root) match {
-      case Some(sc) if exists(spark, winsDir(root)) &&
-          probeChars <= ScreenMaxChars =>
+      case Some(sc) if exists(spark, winsDir(root)) && admissionSized =>
         val rows = probeCounts
           .select(col("w"), xxhash64(col("w")).as("h")).collect()
         Some(screenRows(rows, sc, nb))
@@ -435,27 +473,38 @@ object IncrementalSubstr {
     }
     // tier 2 — bucket pruning works with or WITHOUT the bloom (the probe
     // windows themselves bound the candidate buckets); the bloom just
-    // shrinks the set further, down to zero for a clean document
+    // shrinks the set further, down to zero for a clean document. BULK
+    // probes skip the bucket listing outright: a corpus-fraction window
+    // set touches every bucket, so the distinct-bucket job could only
+    // spend a pass to conclude "no pruning" (guide §2.4).
     val maybeW = screened match {
       case Some((ws, _)) =>
         import spark.implicits._
         ws.toDF("w") // LocalRelation: survivors broadcast into the semi-join
       case None => probeCounts.select(col("w"))
     }
-    val buckets: Array[Int] = screened match {
-      case Some((_, bks)) => bks.toArray // computed during the screen, no job
-      case None => maybeW.select(bucketOf(col("w"), nb).as("b"))
-        .distinct().collect().map(_.getInt(0)).sorted
+    val buckets: Option[Array[Int]] = screened match {
+      case Some((_, bks)) => Some(bks.toArray) // from the screen, no job
+      case None if admissionSized => Some(maybeW
+        .select(bucketOf(col("w"), nb).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted)
+      case None => None // bulk: straight to the full semi-joined scan
     }
     val ledgerCounts =
-      if (buckets.isEmpty)
+      if (buckets.exists(_.isEmpty))
         probeCounts.limit(0).select(col("w"), col("n")) // fast negative
       else {
-        val src =
-          if (exists(spark, winsDir(root)) && buckets.length <= nb / 4)
+        // prune gate at HALF the width: a span-carrying probe doc's
+        // positive windows include the span's boundary overlaps (s-1, s,
+        // e+1 slices all match the stored doc), so even a one-span probe
+        // touches a few buckets — partition pruning still pays whenever
+        // it skips at least half the directories
+        val src = buckets match {
+          case Some(bks) if exists(spark, winsDir(root)) && bks.length <= nb / 2 =>
             spark.read.schema(winsFileSchema).parquet(winsDir(root))
-              .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
-          else ledger
+              .filter(col("bucket").isin(bks.map(Integer.valueOf): _*))
+          case _ => ledger
+        }
         src.join(maybeW, Seq("w"), "left_semi")
           .groupBy("w").agg(sum(col("n")).as("n"))
       }
@@ -493,10 +542,26 @@ object IncrementalSubstr {
     * against ONE ledger state and the same state is extended. */
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
              delta: DataFrame, maintainBloom: Boolean = true,
-             buckets: Int = DefaultBuckets, route: String = "auto"): Unit =
+             buckets: Int = 0, route: String = "auto"): Unit =
     TableLock.withLock(root) {
       ingestLocked(spark, root, corpus, delta, maintainBloom, buckets, route)
     }
+
+  /** Creation-time default width from the first delta's text bytes
+    * (window count ~ chars): ~4 MiB of source text per bucket, power of
+    * two, clamped to [8, 4096] — the InvIndex sizing discipline. A
+    * sandbox-scale root writes 8 well-filled ledger files per round
+    * instead of a fixed-width spray of KB slivers; a warehouse-scale
+    * first delta gets finer pruning than the old constant (guide §2.5:
+    * scale-adaptive partitioning, §6: output file sizing). Explicit
+    * widths are still honored at creation ([[DefaultBuckets]] semantics
+    * for meta-less legacy roots unchanged). */
+  private[operators] def autoBuckets(textBytes: Long): Int = {
+    val targetPerBucket = 4L << 20
+    var b = 8
+    while (b < 4096 && b.toLong * targetPerBucket < textBytes) b <<= 1
+    b
+  }
 
   /** Refresh-vs-recompute routing for the post-ledger report phase (the
     * [[IncrementalSplit]] byte-arithmetic discipline): the window LEDGER
@@ -532,6 +597,30 @@ object IncrementalSubstr {
 
   private[operators] val RecomputeMaxLedgerBytes = 1L << 27
 
+  /** Broadcast bound for the recompute route's duplicated-window set:
+    * post-round wins/ parquet bytes under this make the dup subset safely
+    * broadcast-sized (single string column of a 64 MB-max store — well
+    * inside Spark's 8 GB relation cap and a production driver's memory;
+    * parameterize via driver sizing, not this constant, at the edge). */
+  private[operators] val BroadcastDupWMaxLedgerBytes = 1L << 26
+
+  /** The docs ledger is the round's COMMIT point: written last, so any
+    * crash above replays the whole round idempotently. `fresh` rows are
+    * PROVABLY absent from the store — that is the definition of fresh
+    * (fingerprint-classified against the current ledger at round start,
+    * one row per doc_id after the conflict rejections) — so this is a
+    * plain append: the keyed fold's dedup window, classify join and
+    * changed-row probe could never fire here (guide §2.4: an exchange
+    * whose outcome is structurally known is an exchange removed). */
+  private def writeDocsLedger(spark: SparkSession, root: String,
+                              fresh: DataFrame): Unit = {
+    val docRows = fresh.select(col("doc_id"), col("fp"), col("len"))
+    prof("docs append")(if (exists(spark, docsDir(root))) {
+      KeyedStore.recover(spark, docsDir(root))
+      docRows.write.mode(SaveMode.Append).parquet(docsDir(root))
+    } else docRows.write.parquet(docsDir(root)))
+  }
+
   /** Unpersist the block-manager blocks behind an eager localCheckpoint
     * (the BpeTrainer discipline): the ContextCleaner only reclaims them
     * after a driver GC notices the dropped reference, so a multi-round
@@ -557,9 +646,6 @@ object IncrementalSubstr {
                            corpus: DataFrame, delta: DataFrame,
                            maintainBloom: Boolean, buckets: Int,
                            route: String): Unit = {
-    // geometry: persisted at creation, read back (and the param ignored)
-    // on every later round — pruning math must match the written layout
-    val nb = bucketsOf(spark, root, create = Some(buckets))
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val d0 = delta.select(col("doc_id"), col("text"),
@@ -588,7 +674,9 @@ object IncrementalSubstr {
         1L).otherwise(0L)).as("nChanged"),
       sum(when(col("__fp_cur").isNull, 1L).otherwise(0L)).as("nFresh"),
       expr("bit_xor(CASE WHEN __fp_cur IS NULL THEN xxhash64(doc_id, fp) " +
-        "ELSE 0L END)").as("rid")).head())
+        "ELSE 0L END)").as("rid"),
+      coalesce(sum(when(col("__fp_cur").isNull, col("len"))
+        .otherwise(lit(0L))), lit(0L)).as("freshBytes")).head())
     // an EMPTY delta (e.g. a caller filter matching no rows) is a
     // graceful no-op: every sum/bit_xor above is NULL over zero rows, so
     // reading them as Long would NPE — short-circuit before touching any
@@ -615,6 +703,12 @@ object IncrementalSubstr {
     if (st.getLong(3) == 0L) { freeCheckpoint(cls); return }
     val fresh = cls.filter(col("__fp_cur").isNull)
       .select(col("doc_id"), col("text"), col("len"), col("fp"))
+    // geometry: persisted at creation — an explicit caller width or the
+    // delta-sized default, the fresh byte count riding the admission agg
+    // — read back (and the creation choice ignored) on every later
+    // round: pruning math must match the written layout
+    val nb = bucketsOf(spark, root, create =
+      Some(if (buckets > 0) buckets else autoBuckets(st.getLong(5))))
     // deterministic round id: a replay of the same delta lands on the
     // same wins partition and overwrites it (idempotent), never appends
     val rid = "r" + java.lang.Long.toHexString(st.getLong(4))
@@ -697,18 +791,36 @@ object IncrementalSubstr {
         .unionByName(fresh.select(col("doc_id"))).distinct()
       val all = corpus.join(allIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      val dupW = readWins(spark, root).groupBy("w")
+      val dupW0 = readWins(spark, root).groupBy("w")
         .agg(sum(col("n")).as("nT")).filter(col("nT") >= 2).select("w")
+      // broadcast the duplicated-window set when the WHOLE post-round
+      // ledger is provably small on disk (dupW is a single-column subset
+      // of its distinct windows): the corpus-wide (doc_id, p, w) explode
+      // then joins map-side instead of paying its only exchange — at this
+      // route's ledger sizes that exchange was the recompute's dominant
+      // shuffle (guide §3.1: pick the strategy from what you know, not
+      // from the planner's estimate, which has none for a fresh agg).
+      // Bound: parquet bytes of wins/, window strings dominating; past it
+      // the plain shuffle join stands — broadcasting an unbounded dup set
+      // would be the real scale bug.
+      val dupW = if (preLedgerBytes + fs.getContentSummary(dest).getLength
+          <= BroadcastDupWMaxLedgerBytes) broadcast(dupW0) else dupW0
       val rep = prof("report recompute(all)")(reportFor(all,
         windows(all).join(dupW, Seq("w")).select(col("doc_id"), col("p")))
         .localCheckpoint(true))
-      prof("asg fold")(if (exists(spark, asgDir(root)))
-        KeyedStore.fold(spark, asgDir(root), rep, "doc_id")
+      // rep carries EVERY ingested doc (ledger ids ∪ fresh ids — exactly
+      // the asg store's key set plus this round's arrivals), so the fold
+      // here is definitionally a whole-store replacement: write it as one
+      // through the crash-recoverable swap instead of paying the keyed
+      // fold's classify join + pin + changed-probe over rows we already
+      // know we are replacing (guide §1.2: don't compute a decision whose
+      // answer is structural).
+      prof("asg rewrite")(if (exists(spark, asgDir(root)))
+        KeyedStore.rewriteSwap(spark, asgDir(root)) { tmp =>
+          rep.write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
       else rep.write.parquet(asgDir(root)))
-      val docRows = fresh.select(col("doc_id"), col("fp"), col("len"))
-      prof("docs fold")(if (exists(spark, docsDir(root)))
-        KeyedStore.fold(spark, docsDir(root), docRows, "doc_id")
-      else docRows.write.parquet(docsDir(root)))
+      writeDocsLedger(spark, root, fresh)
       Seq(cls, rep).foreach(freeCheckpoint)
       return
     }
@@ -757,7 +869,7 @@ object IncrementalSubstr {
       val src = screened match {
         case Some((_, bks)) =>
           if (bks.isEmpty) readWins(spark, root).limit(0)
-          else if (bks.length <= nb / 4)
+          else if (bks.length <= nb / 2)
             spark.read.schema(winsFileSchema).parquet(winsDir(root))
               .filter(col("bucket").isin(bks.map(Integer.valueOf(_)): _*))
               .select(col("w"), col("n"), col("holder"),
@@ -817,12 +929,7 @@ object IncrementalSubstr {
     prof("asg fold")(if (exists(spark, asgDir(root)))
       KeyedStore.fold(spark, asgDir(root), rep, "doc_id")
     else rep.write.parquet(asgDir(root)))
-    // the docs ledger is the round's COMMIT point: written last, so any
-    // crash above replays the whole round idempotently
-    val docRows = fresh.select(col("doc_id"), col("fp"), col("len"))
-    prof("docs fold")(if (exists(spark, docsDir(root)))
-      KeyedStore.fold(spark, docsDir(root), docRows, "doc_id")
-    else docRows.write.parquet(docsDir(root)))
+    writeDocsLedger(spark, root, fresh)
     // every store is folded — free the round's pinned snapshots NOW so
     // the next round (or a probe right after) doesn't run against a
     // block manager full of this round's dead texts

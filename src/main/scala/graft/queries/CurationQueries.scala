@@ -1035,12 +1035,12 @@ object CurationQueries {
       // refresh-only root, corpus-fraction deltas: the bloom's screen
       // only pays when bucket pruning can fire (admission-sized deltas);
       // a corpus-fraction delta touches every bucket, so the fold would
-      // be pure ingest overhead — and coarse bucketing (64) keeps the
-      // per-round file count down for the same reason (see the geometry
-      // scaladoc on the operator)
+      // be pure ingest overhead — and the delta-sized default geometry
+      // keeps the per-round file count down for the same reason (see
+      // autoBuckets on the operator)
       graft.operators.IncrementalSubstr.ingest(spark, root, docs,
         docs.filter(pmod(col("doc_id"), lit(3L)) === k),
-        maintainBloom = false, buckets = 64)
+        maintainBloom = false)
     }
     graft.operators.IncrementalSubstr.report(spark, root)
       .orderBy(col("doc_id"))

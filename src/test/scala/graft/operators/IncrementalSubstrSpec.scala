@@ -158,7 +158,12 @@ class IncrementalSubstrSpec extends SparkSpec {
     import graft.plans.QueryMetrics
     val r = root()
     val store = df(corpus.take(2))
-    IncrementalSubstr.ingest(spark, r, store, store)
+    // explicit FINE width: this test gates the admission-root pruning
+    // claim, which needs enough buckets that a shared span's ~9 boundary
+    // windows stay a small bucket fraction; the delta-sized default
+    // correctly picks a coarse width for a KB-scale store (where a full
+    // scan is the cheaper plan) and grows to 4096 at warehouse scale
+    IncrementalSubstr.ingest(spark, r, store, store, buckets = 256)
     val ledgerRecords = spark.read.parquet(s"$r/wins").count()
     // tier 1 — bloom fast-negative: a document sharing nothing with the
     // store must not read the ledger at all (the common admission case)
