@@ -99,7 +99,12 @@ object DupClusters {
     var rounds = 0
     var star = isStarForest(edges)
     while (!star && rounds < maxIters) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      // largeStarRaw: the inter-step dedup is skipped — smallStar's
+      // neighborhood minima are duplicate-insensitive and its own
+      // trailing distinct restores canonical edges, so the intermediate
+      // exchange bought nothing (guide §2.4; the loop edges stay
+      // distinct where isStarForest needs them)
+      edges = smallStar(largeStarRaw(edges)).localCheckpoint(true)
       rounds += 1
       star = isStarForest(edges)
     }
@@ -119,8 +124,12 @@ object DupClusters {
 
   /** Large-star: every node attaches its strictly-LARGER neighbors to the
     * minimum of its closed neighborhood. Connectivity-preserving; edges
-    * stay canonical (u < v) because m <= center < larger neighbor. */
-  private def largeStar(edges: DataFrame): DataFrame = {
+    * stay canonical (u < v) because m <= center < larger neighbor.
+    * No trailing dedup — it is composed directly into
+    * [[smallStar]], whose per-neighborhood minima ignore duplicates and
+    * whose own trailing distinct re-canonicalizes. Output may carry
+    * duplicate edges (bounded by 2|E|), never wrong ones. */
+  private def largeStarRaw(edges: DataFrame): DataFrame = {
     val nbrs = edges.select(col("u").as("a"), col("v").as("b"))
       .union(edges.select(col("v").as("a"), col("u").as("b")))
     val mins = nbrs.groupBy("a")
@@ -130,7 +139,6 @@ object DupClusters {
       .filter(col("b") > col("a"))
       .select(col("m").as("u"), col("b").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: every node attaches its SMALLER neighbors (and itself) to

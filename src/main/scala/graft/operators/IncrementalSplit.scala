@@ -138,7 +138,8 @@ object IncrementalSplit {
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
              delta: DataFrame, threshold: Double = 0.5,
              maintainIndex: Boolean = false,
-             indexProbeMaxFrac: Double = 1.0 / 16): DataFrame =
+             indexProbeMaxFrac: Double = 1.0 / 16,
+             indexBuckets: Int = 0): DataFrame =
     // whole-round writer lock: pairs are discovered against ONE store
     // state and folded back into the same one — two interleaved rounds
     // would band against signatures mid-fold and fold reps computed from
@@ -148,13 +149,22 @@ object IncrementalSplit {
     // deltas is discovered in whichever round runs second.
     TableLock.withLock(root) {
       ingestLocked(spark, root, corpus, delta, threshold, maintainIndex,
-        indexProbeMaxFrac)
+        indexProbeMaxFrac, indexBuckets)
+    }
+
+  private val profile = sys.env.contains("GRAFT_PROF_SPLIT")
+  private def prof[A](tag: String)(f: => A): A =
+    if (!profile) f else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROFS   $tag%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
 
   private def ingestLocked(spark: SparkSession, root: String, corpus: DataFrame,
                            delta: DataFrame, threshold: Double,
                            maintainIndex: Boolean,
-                           indexProbeMaxFrac: Double): DataFrame = {
+                           indexProbeMaxFrac: Double,
+                           indexBuckets: Int): DataFrame = {
     val deltaSigs = IncrementalDedup.signatures(delta).cache()
     val hasStore = exists(spark, sigDir(root))
     val storeSigs =
@@ -168,11 +178,11 @@ object IncrementalSplit {
       // append-only pair ledger cannot represent — reject BEFORE any
       // store mutates. Map-side: the delta leg is broadcast, the store
       // scan is the same narrow read the fold below pays anyway.
-      val changed = storeSigs
+      val changed = prof("changed guard")(storeSigs
         .join(broadcast(deltaSigs.select(col("doc_id"), col("sig").as("__sig_new"))),
           Seq("doc_id"))
         .filter(!(col("sig") <=> col("__sig_new")))
-        .select(col("doc_id")).limit(3).collect().map(_.getLong(0))
+        .select(col("doc_id")).limit(3).collect().map(_.getLong(0)))
       if (changed.nonEmpty)
         sys.error(s"IncrementalSplit.ingest at $root: delta re-ingests stored " +
           s"doc_ids with CHANGED content (e.g. ${changed.mkString(", ")}); the " +
@@ -189,21 +199,25 @@ object IncrementalSplit {
     // way (IncrementalSplitSpec + BandIndexSpec gate it).
     val useIndex = maintainIndex || exists(spark, bandDir(root))
     val viaProbe = useIndex && hasStore &&
-      BandIndex.probeBucketCount(deltaSigs) <=
-        (BandIndex.Buckets * indexProbeMaxFrac).toLong
+      prof("probe bucket count")(
+        BandIndex.probeBucketCount(spark, bandDir(root), deltaSigs)) <=
+        (BandIndex.bucketWidth(spark, bandDir(root)) * indexProbeMaxFrac).toLong
     val candidates =
       if (viaProbe) {
         if (!exists(spark, bandDir(root)))
-          BandIndex.build(spark, bandDir(root), storeSigs) // one-time catch-up
+          // one-time catch-up (explicit width honored at creation)
+          BandIndex.build(spark, bandDir(root), storeSigs, indexBuckets)
         val storeCands = BandIndex.probe(spark, bandDir(root), deltaSigs)
           .select(least(col("q_id"), col("cand_id")).as("doc_a"),
             greatest(col("q_id"), col("cand_id")).as("doc_b"))
         val deltaCands = IncrementalDedup.candidatePairs(deltaSigs.limit(0), deltaSigs)
         storeCands.unionByName(deltaCands).distinct()
       } else IncrementalDedup.candidatePairs(storeSigs, deltaSigs)
-    val newPairs = IncrementalDedup.verifyPairs(candidates, corpus, threshold)
-      .localCheckpoint(true) // pin BEFORE the stores mutate under the lineage
-    newPairs.write.mode(SaveMode.Append).parquet(pairsDir(root))
+    val newPairs = prof("verify checkpoint")(
+      IncrementalDedup.verifyPairs(candidates, corpus, threshold)
+      .localCheckpoint(true)) // pin BEFORE the stores mutate under the lineage
+    prof("pairs append")(
+      newPairs.write.mode(SaveMode.Append).parquet(pairsDir(root)))
 
     // rep-level merge graph: each new pair connects its endpoints' CURRENT
     // clusters (self for first-seen docs). Contracting only this graph —
@@ -216,8 +230,8 @@ object IncrementalSplit {
       .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
         coalesce(col("rb"), col("doc_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
-    if (!repEdges.isEmpty) {
-      val relabel = DupClusters.assignStar(repEdges)
+    if (!prof("repEdges isEmpty")(repEdges.isEmpty)) {
+      val relabel = prof("assignStar")(DupClusters.assignStar(repEdges))
         .select(col("doc_id").as("rep"), col("cluster_id").as("new_rep"))
         .filter(col("rep") =!= col("new_rep"))
       // upserts: ONLY touched rows — store rows whose rep merged away,
@@ -233,24 +247,27 @@ object IncrementalSplit {
         .select(col("doc_id"), coalesce(col("new_rep"), col("rep")).as("rep"))
       val upserts = changedStore.unionByName(endpointRows)
         .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
-      if (exists(spark, repDir(root)))
+      prof("rep fold")(if (exists(spark, repDir(root)))
         KeyedStore.fold(spark, repDir(root), upserts, "doc_id")
-      else upserts.write.parquet(repDir(root))
+      else upserts.write.parquet(repDir(root)))
     }
-    if (hasStore)
+    prof("sig fold")(if (hasStore)
       KeyedStore.fold(spark, sigDir(root), deltaSigs, "doc_id")
-    else deltaSigs.write.parquet(sigDir(root))
+    else deltaSigs.write.parquet(sigDir(root)))
     if (useIndex) {
       if (!exists(spark, bandDir(root)))
         // first index-carrying round (or catch-up skipped by a wide
         // delta): build from the POST-FOLD store so coverage is total
-        BandIndex.build(spark, bandDir(root), spark.read.parquet(sigDir(root)))
+        prof("index build")(
+          BandIndex.build(spark, bandDir(root), spark.read.parquet(sigDir(root)),
+            indexBuckets))
       else {
-        BandIndex.append(spark, bandDir(root), deltaSigs)
+        prof("index append")(BandIndex.append(spark, bandDir(root), deltaSigs))
         // replay bloat trigger: footer-count check (no job); rebuilds
         // from the just-folded signature store through the atomic swap
-        BandIndex.maybeCompact(spark, bandDir(root), sigDir(root),
-          spark.read.parquet(sigDir(root)))
+        prof("index compact?")(
+          BandIndex.maybeCompact(spark, bandDir(root), sigDir(root),
+          spark.read.parquet(sigDir(root))))
       }
     }
     deltaSigs.unpersist()

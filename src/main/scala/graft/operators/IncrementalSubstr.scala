@@ -224,9 +224,15 @@ object IncrementalSubstr {
   /** Per-doc span report (doc_id, n_spans, dup_chars, kept_chars) for
     * `docs` given their duplicated-window covered set. Docs with no
     * spans report zeros. */
-  def reportFor(docs: DataFrame, cov: DataFrame): DataFrame = {
-    val perDoc = spansOfCov(cov).groupBy("doc_id")
+  def reportFor(docs: DataFrame, cov: DataFrame,
+                broadcastPerDoc: Boolean = false): DataFrame = {
+    val perDoc0 = spansOfCov(cov).groupBy("doc_id")
       .agg(count(lit(1)).as("ns"), sum(col("e") - col("s")).as("dc"))
+    // span-carrying docs are a sparse subset; when the caller can BOUND
+    // them (recompute route's ledger cap, admission-sized probes) the
+    // rollup broadcasts and the corpus leg keeps its partitioning
+    // instead of paying a doc_id exchange (guide §3.1)
+    val perDoc = if (broadcastPerDoc) broadcast(perDoc0) else perDoc0
     docs.select(col("doc_id"), col("len"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -511,7 +517,9 @@ object IncrementalSubstr {
     val dupW = probeCounts.unionByName(ledgerCounts)
       .groupBy("w").agg(sum(col("n")).as("nTot"))
       .filter(col("nTot") >= 2).select("w")
-    reportFor(docs, wProbe.join(dupW, Seq("w")).select(col("doc_id"), col("p")))
+    // admission-sized probes bound the span rollup by their own docs
+    reportFor(docs, wProbe.join(dupW, Seq("w")).select(col("doc_id"), col("p")),
+      broadcastPerDoc = admissionSized)
   }
 
   /** One ingest round. `corpus` must serve (doc_id, text) for every doc
@@ -787,8 +795,11 @@ object IncrementalSubstr {
       // (spec-gated with the force flags); cheaper while the corpus is
       // small because none of the transition machinery's fixed costs
       // are paid.
+      // ledger rows are one-per-doc and fresh is ledger-disjoint by
+      // construction — the union IS distinct; the old dedup exchange
+      // answered a structurally-known question (guide §2.4)
       val allIds = ledger.select(col("doc_id"))
-        .unionByName(fresh.select(col("doc_id"))).distinct()
+        .unionByName(fresh.select(col("doc_id")))
       val all = corpus.join(allIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       val dupW0 = readWins(spark, root).groupBy("w")
@@ -803,10 +814,15 @@ object IncrementalSubstr {
       // Bound: parquet bytes of wins/, window strings dominating; past it
       // the plain shuffle join stands — broadcasting an unbounded dup set
       // would be the real scale bug.
-      val dupW = if (preLedgerBytes + fs.getContentSummary(dest).getLength
-          <= BroadcastDupWMaxLedgerBytes) broadcast(dupW0) else dupW0
+      val smallLedger = preLedgerBytes + fs.getContentSummary(dest).getLength <=
+        BroadcastDupWMaxLedgerBytes
+      val dupW = if (smallLedger) broadcast(dupW0) else dupW0
       val rep = prof("report recompute(all)")(reportFor(all,
-        windows(all).join(dupW, Seq("w")).select(col("doc_id"), col("p")))
+        windows(all).join(dupW, Seq("w")).select(col("doc_id"), col("p")),
+        // span docs are bounded by the ledger's dup windows, the same
+        // cap that just gated dupW — and the rollup's 4-long rows are
+        // lighter than dupW's strings
+        broadcastPerDoc = smallLedger)
         .localCheckpoint(true))
       // rep carries EVERY ingested doc (ledger ids ∪ fresh ids — exactly
       // the asg store's key set plus this round's arrivals), so the fold

@@ -39,8 +39,12 @@ object BandIndexStream {
   def appendBatch(spark: SparkSession, deltaSigs: DataFrame, batchId: Long,
                   dir: String): Unit = {
     KeyedStore.recover(spark, dir)
+    // width: the dir's persisted geometry (the legacy default for a
+    // fresh streaming dir — appendBatch writes no meta, so probe's
+    // reader resolves the same default; one width for the dir's life)
+    val nb = BandIndex.bucketWidth(spark, dir)
     BandIndex.banded(deltaSigs)
-      .withColumn("bucket", BandIndex.bucketOf(col("band")))
+      .withColumn("bucket", BandIndex.bucketOf(col("band"), nb))
       .withColumn("ingest_batch", lit(batchId))
       .repartition(col("bucket")) // one file per owning task, not tasks x buckets
       .write.mode(SaveMode.Overwrite)
@@ -99,7 +103,8 @@ object BandIndexStream {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     val rebuilt = BandIndex.banded(latest.select(col("doc_id"), col("sig")))
       .join(latest.select(col("doc_id"), col("ingest_batch")), Seq("doc_id"))
-      .withColumn("bucket", BandIndex.bucketOf(col("band")))
+      .withColumn("bucket", BandIndex.bucketOf(col("band"),
+        BandIndex.bucketWidth(spark2, dir)))
       .repartition(col("bucket"))
     val idxPath = new org.apache.hadoop.fs.Path(dir)
     val fs = idxPath.getFileSystem(spark2.sparkContext.hadoopConfiguration)

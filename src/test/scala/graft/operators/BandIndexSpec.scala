@@ -55,7 +55,12 @@ class BandIndexSpec extends SparkSpec {
 
   test("probe reads a pruned slice of the index, not the whole store") {
     val dir = java.nio.file.Files.createTempDirectory("bandidx2").toString + "/idx"
-    BandIndex.build(spark, dir, IncrementalDedup.signatures(docs(storeIds)))
+    // explicit width: this test gates the pruning claim, which needs a
+    // one-doc probe's <= 4 band buckets to be a small slice at spec
+    // scale; the default sig-count geometry correctly picks a coarse
+    // width for a 160-doc index
+    BandIndex.build(spark, dir, IncrementalDedup.signatures(docs(storeIds)),
+      buckets = 64)
     val fullRecords = spark.read.parquet(dir).count()
     val probeSigs = IncrementalDedup.signatures(docs(Seq(41L)))
     val (_, m) = QueryMetrics.measureAction(spark) {

@@ -195,13 +195,17 @@ class IncrementalSplitSpec extends SparkSpec {
       (0 until 100).map(i => 5000L + i * 10L + 5L) // 200 stored docs
     val delta = Seq(42L) // near-dup of stored group 4
     val corpus = docs(storeIds ++ delta)
+    // explicit index width 64: this test gates the pruning claim, which
+    // needs a one-doc probe's <= 4 band buckets to be a small slice; the
+    // default sig-count geometry correctly picks a coarse width for a
+    // 200-doc index (where the probe and the scan read about the same)
     def measuredIngest(maintain: Boolean): Long = {
       val root = java.nio.file.Files.createTempDirectory("incsplitRG").toString
       IncrementalSplit.ingest(spark, root, docs(storeIds), docs(storeIds),
-        maintainIndex = maintain)
+        maintainIndex = maintain, indexBuckets = 64)
       val (_, m) = graft.plans.QueryMetrics.measureAction(spark) {
         IncrementalSplit.ingest(spark, root, corpus, docs(delta),
-          maintainIndex = maintain)
+          maintainIndex = maintain, indexBuckets = 64)
       }
       m.inputRecords
     }
