@@ -111,13 +111,12 @@ object Bench {
       "\"q201_incremental_split\":" +
       "\"wall is the WHOLE incremental lifecycle by construction — store " +
       "init over the 90% historical corpus (the one-time sunk cost) PLUS " +
-      "the 10% delta refresh, and since r12 the candidate join is " +
-      "FORCE-routed through the band index (frac 1.0, the equivalence " +
-      "gate) which the sidecar shows costs MORE than the store scan at " +
-      "this delta width; the recurring per-snapshot cost is refresh " +
-      "alone — see BENCH_sf1_inc_split_100x.json (500-doc delta refresh " +
-      "10.4 s scanned / 13.1 s force-probed under a 100x corpus whose " +
-      "batch recompute is 22.4 s)\"," +
+      "the 10% delta refresh, through the SHIPPING adaptive band-index " +
+      "router (r13: the force-probe equivalence moved to " +
+      "IncrementalSplitSpec, per the r12 verdict); the recurring " +
+      "per-snapshot cost is refresh alone — see " +
+      "BENCH_sf1_inc_split_100x.json (500-doc delta refresh 10.4 s " +
+      "scanned under a 100x corpus whose batch recompute is 22.4 s)\"," +
       "\"q203_incremental_flip_audit\":" +
       "\"same lifecycle shape as q201 (two ingest rounds inside the " +
       "timer); the flip report itself is two store reads + one keyed " +
@@ -145,14 +144,14 @@ object Bench {
       "docs' windows\"," +
       "\"q211_incremental_substring\":" +
       "\"wall is the WHOLE ledger lifecycle by construction — three " +
-      "ingest rounds (window extraction, transition detection, holder " +
-      "recompute, store folds, and a 256-bucket-partitioned round write " +
-      "whose small-file overhead is sandbox-specific: real round sizes " +
-      "amortize the directory spray) INSIDE the timer; the maintained " +
-      "report read itself is one asg-store scan, and the bloom sidecar " +
-      "is OFF for this refresh-only root. The recurring per-snapshot " +
-      "cost is one ingest round — see BENCH_sf1_substr_inc.json for " +
-      "the refresh-vs-batch split\"," +
+      "ingest rounds (window extraction, routed report maintenance, " +
+      "store writes, and a delta-sized bucket-partitioned round write — " +
+      "r13's adaptive geometry replaced the fixed-width directory " +
+      "spray) INSIDE the timer; the maintained report read itself is " +
+      "one asg-store scan, and the bloom sidecar is OFF for this " +
+      "refresh-only root. The recurring per-snapshot cost is one ingest " +
+      "round — see BENCH_sf1_substr_inc.json for the refresh-vs-batch " +
+      "split\"," +
       "\"q208_substring_dedup\":" +
       "\"the board's count() wall under-measures q208 AND q210: Spark 4's " +
       "optimizer drops the span pipeline from a pure row count (the " +

@@ -1331,9 +1331,16 @@ object TextQueries {
       .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
     val tri = occ3.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(sum(col("k")).as("c3"))
+    // pinned: the bigram table feeds three legs (two s3 self-joins + s2)
+    // and the unigram table four (s3, s2 twice, s1) plus the total — each
+    // reference would otherwise re-run its explode + aggregation over the
+    // cached corpus (guide §1.2: one pass per n-gram order, as the scale
+    // note promises). Both are vocabulary-sized, the scaladoc's bound.
     val bi = bgOcc.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
+      .localCheckpoint(true)
     val uni = toks.select(explode(col("t")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+      .localCheckpoint(true)
     val total = uni.agg(sum(col("ucnt")).as("total"))
 
     val s3 = occ3
@@ -1933,7 +1940,13 @@ object TextQueries {
     def ilog64(x: String) =
       s"64 * (length(bin($x)) - 1) + ($x * 64) DIV CAST(pow(2.0D, length(bin($x)) - 1) AS BIGINT) - 64"
     val occ = train.select(col("lang"), explode(col("bgs")).as("bg"))
+    // pinned: the (lang, bigram) count table is model-sized (langs x
+    // charset^2) and feeds FOUR derived legs (totals, vocab size, the
+    // weight broadcast, the default-weight broadcast) — each an eager
+    // broadcast build that would otherwise re-run the train explode +
+    // aggregation from the cached corpus (guide §1.2: one pass)
     val cnt = occ.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
     val vv = cnt.agg(count_distinct(col("bg")).as("v"))
     val weights = cnt.join(tot, Seq("lang")).crossJoin(broadcast(vv))
