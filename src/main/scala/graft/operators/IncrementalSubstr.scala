@@ -797,9 +797,19 @@ object IncrementalSubstr {
       // are paid.
       // ledger rows are one-per-doc and fresh is ledger-disjoint by
       // construction — the union IS distinct; the old dedup exchange
-      // answered a structurally-known question (guide §2.4)
-      val allIds = ledger.select(col("doc_id"))
+      // answered a structurally-known question (guide §2.4). The id set
+      // broadcasts under a provable bound (docs-ledger parquet bytes —
+      // ~40 B/doc on disk, so 32 MB covers ~1M docs at ~8 MB of ids in
+      // the relation), making the corpus restriction map-side: with the
+      // span rollup also broadcast below, the report job runs
+      // exchange-free over the corpus scan (guide §2.4/§3.1).
+      val docsBytes =
+        if (exists(spark, docsDir(root)))
+          fs.getContentSummary(new org.apache.hadoop.fs.Path(docsDir(root))).getLength
+        else 0L
+      val allIds0 = ledger.select(col("doc_id"))
         .unionByName(fresh.select(col("doc_id")))
+      val allIds = if (docsBytes <= (32L << 20)) broadcast(allIds0) else allIds0
       val all = corpus.join(allIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       val dupW0 = readWins(spark, root).groupBy("w")
