@@ -173,6 +173,19 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","notes":$notes,"queries":$fullQs,"sf":"$sfDir"}\n"""
         .getBytes("UTF-8"))
     println(line)
+    // Driver parse contract hardening (r13 verdict "What's wrong #1"): the
+    // one-line JSON above has been present in every round's tail yet parsed
+    // as null by the driver — sbt interleaves [error]-channel log noise
+    // after it inside the captured window. Make the line reachable two
+    // more ways, without touching the timing or the line itself:
+    //  - write it VERBATIM to a top-level BENCH_LINE.json beside
+    //    bench_detail.json (a file survives any log interleaving);
+    //  - re-print it as the absolute last stdout line after spark.stop(),
+    //    when no executor/log thread can write over it.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LINE.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(line)
   }
 }

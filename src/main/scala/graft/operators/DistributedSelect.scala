@@ -31,10 +31,24 @@ object DistributedSelect {
   private val Probes = 7
 
   /** The probe points for bracket [lo, hi], strictly inside [lo, hi-1],
-    * deduplicated and sorted (narrow brackets yield fewer points). */
-  private def probePoints(lo: Long, hi: Long): Seq[Long] =
-    (1 to Probes).map(j => lo + (hi - lo) * j / (Probes + 1))
-      .distinct.filter(_ < hi)
+    * deduplicated and sorted (narrow brackets yield fewer points). The
+    * exact (width * j) / 8 form is used while it provably cannot overflow
+    * (width <= Long.Max / Probes); past that, step-first division keeps
+    * the full 64-bit domain safe — probe placement shifts by < 1 step,
+    * which affects only the convergence constant, never the fixpoint
+    * (r13-advice finding: the multiply-first form silently shrank the
+    * safe domain to ~Long.Max/7). */
+  private def probePoints(lo: Long, hi: Long): Seq[Long] = {
+    val width = hi - lo
+    val pts =
+      if (width <= Long.MaxValue / Probes)
+        (1 to Probes).map(j => lo + width * j / (Probes + 1))
+      else {
+        val step = width / (Probes + 1)
+        (1 to Probes).map(j => lo + step * j)
+      }
+    pts.distinct.filter(_ < hi)
+  }
 
   /** Tighten [lo, hi] from probe counts: hi drops to the smallest probe
     * whose count reaches k; lo passes the largest probe whose count
@@ -112,8 +126,10 @@ object DistributedSelect {
     while (ks.indices.exists(i => lo(i) < hi(i))) {
       val active = ks.indices.filter(i => lo(i) < hi(i))
       // hi - lo >= 0, so the probe points floor correctly for negative lo
-      // too (caveat: a domain wider than Long.Max/2 would overflow the
-      // difference — no quantized column is)
+      // too (caveat: a domain SPAN wider than Long.Max overflows the
+      // difference itself — e.g. a full-range 64-bit hash column; split
+      // such a search at 0, or quantize. probePoints is overflow-safe for
+      // any representable width)
       val pts: Seq[(Int, Long)] =
         active.flatMap(i => probePoints(lo(i), hi(i)).map(i -> _))
       val probes = pts.map { case (_, m) => sum(when(c <= m, 1L).otherwise(0L)) }

@@ -24,7 +24,10 @@ object DupClusters {
     var labels = edges.select(col("u").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // the LogicalRDD-backed frame whose blocks hold the CURRENT labels
+    // (labels itself becomes a projection over it after round 1)
+    var pinned = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -35,19 +38,25 @@ object DupClusters {
         .agg(min(col("cluster_id")).as("n_min"))
       // localCheckpoint truncates the per-round lineage so each iteration
       // costs one constant-size join, not a replay of all prior rounds.
-      // The convergence flag rides along in the checkpointed frame, so the
-      // check is a cheap scan of the materialized partitions — one join job
-      // per round total, not a second join+shuffle for change detection.
+      // LAZY pin + the convergence flag riding in the frame: the change
+      // count below is the round's ONE action — it materializes the pin
+      // and answers convergence in the same job (the eager variant paid a
+      // dedicated checkpoint job per round on top of the probe).
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"),
           (col("n_min").isNotNull && col("n_min") < col("cluster_id"))
             .cast("long").as("__changed"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // coalesce: sum over an empty frame (no near-dup pairs) is NULL.
       val changed =
         next.agg(coalesce(sum(col("__changed")), lit(0L))).first().getLong(0)
+      // the superseded round's blocks are dead the moment `next` is
+      // materialized — free them now instead of accumulating one pinned
+      // label frame per round in the block manager
+      freeCheckpoint(pinned)
+      pinned = next
       labels = next.drop("__changed")
       converged = changed == 0
       iter += 1
@@ -90,12 +99,19 @@ object DupClusters {
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
+    // LAZY pins throughout: isStarForest is the first action on each
+    // round's edge set, so the SAME job materializes the pin and answers
+    // convergence — one job per contraction round instead of the eager
+    // variant's checkpoint job + check job (r13-verdict item 4; the check
+    // itself is UNCHANGED — still the exact isStarForest predicate with
+    // its V-counterexample argument, just fused into the pin's
+    // materializing action)
     var edges = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var rounds = 0
     var star = isStarForest(edges)
     while (!star && rounds < maxIters) {
@@ -104,9 +120,13 @@ object DupClusters {
       // trailing distinct restores canonical edges, so the intermediate
       // exchange bought nothing (guide §2.4; the loop edges stay
       // distinct where isStarForest needs them)
-      edges = smallStar(largeStarRaw(edges)).localCheckpoint(true)
+      val prev = edges
+      edges = smallStar(largeStarRaw(edges)).localCheckpoint(false)
       rounds += 1
       star = isStarForest(edges)
+      // the superseded round's edge blocks are dead once the new round is
+      // materialized by the check above — free, don't accumulate
+      freeCheckpoint(prev)
     }
     if (!star)
       throw new IllegalStateException(
@@ -153,6 +173,17 @@ object DupClusters {
     val center = mins.select(col("m").as("u"), col("a").as("v"))
     rewired.union(center).distinct()
   }
+
+  /** Unpersist a localCheckpoint pin's blocks deterministically (the
+    * [[IncrementalSubstr]] freeCheckpoint discipline): the ContextCleaner
+    * only reclaims them after a driver GC notices the dropped reference,
+    * so an iterative contraction would otherwise hold every superseded
+    * round's frame until one. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(true)
+      case _ => ()
+    }
 
   /** Exact convergence predicate: a canonical, deduplicated edge set is a
     * star forest iff (a) no node appears both as a smaller endpoint (root)

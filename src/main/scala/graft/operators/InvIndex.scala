@@ -108,6 +108,25 @@ object InvIndex {
     b
   }
 
+  /** Writer-task fanout per bucket for the postings write (guide §2.5
+    * hot-key salting, applied to the WRITE side): `repartition(bucket)`
+    * alone funnels each bucket — including a hot word's, which is hot at
+    * any modulus — through ONE writer task, so a Zipfian head word makes
+    * its bucket's writer the straggler of every ingest at scale. The salt
+    * is deterministic ((word, doc_id) hash — guide §2.5's rand() retry
+    * warning) and splits each bucket across up to `spread` tasks, sized
+    * so an AVERAGE task carries ~64 MiB of source text with the cap
+    * keeping per-bucket file counts bounded; 1 at sandbox scale (the
+    * write path is byte-identical there). Read-side pruning is untouched:
+    * the salt never reaches the layout — files still land under their
+    * bucket directory, just several per bucket from distinct tasks. */
+  private[operators] def writerSpread(textBytes: Long, nb: Int): Int = {
+    val targetPerTask = 64L << 20
+    var s = 1
+    while (s < 32 && s.toLong * nb * targetPerTask < textBytes) s <<= 1
+    s
+  }
+
   private def readBuckets(spark: SparkSession, root: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(bucketsFile(root))
     val fs = fsOf(spark, root)
@@ -211,9 +230,10 @@ object InvIndex {
     * equivalence gates compare against those oracles verbatim. */
   def ingest(spark: SparkSession, root: String, delta: DataFrame,
              batchId: Long, rejectDuplicates: Boolean = true,
-             buckets: Int = 0): Unit =
+             buckets: Int = 0, spread: Int = 0): Unit =
     TableLock.withLock(root) {
-      ingestLocked(spark, root, delta, batchId, rejectDuplicates, buckets)
+      ingestLocked(spark, root, delta, batchId, rejectDuplicates, buckets,
+        spread)
     }
 
   private val profile = sys.env.contains("GRAFT_PROF_INVIDX")
@@ -226,7 +246,7 @@ object InvIndex {
 
   private def ingestLocked(spark: SparkSession, root: String, delta: DataFrame,
                            batchId: Long, rejectDuplicates: Boolean,
-                           buckets: Int): Unit = {
+                           buckets: Int, spread: Int): Unit = {
     val d0 = delta.select(col("doc_id").cast(LongType).as("doc_id"),
       col("text")).dropDuplicates("doc_id", "text")
     // width BEFORE the admission agg so the delta's dbuckets ride along in
@@ -295,11 +315,28 @@ object InvIndex {
     val toks = d0.select(col("doc_id"),
       explode_outer(Text.tokens(col("text"))).as("word"))
       .filter(col("word").isNotNull)
-    prof("post write")(toks.groupBy(col("word"), col("doc_id"))
+    val postRows = toks.groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("ingest_batch", lit(batchId))
       .withColumn("bucket", bucketOfWord(col("word"), nb))
-      .repartition(col("bucket"))
+    // hot-word skew (guide §2.5): a head word is hot at ANY modulus, so
+    // repartition(bucket) alone makes its bucket's single writer task the
+    // ingest straggler at scale — salt the write shuffle (deterministic,
+    // see writerSpread; spread stays 1 at sandbox scale, where the plan
+    // is unchanged). The layout itself keeps one directory per bucket:
+    // partition pruning, the driver-side bucket mirror and every reader
+    // are untouched, so there is no hot-word sidecar to lose.
+    val sp = if (spread > 0) spread else writerSpread(st.getLong(2), nb)
+    val placed =
+      if (sp > 1) postRows.repartition(col("bucket"),
+        pmod(xxhash64(col("word"), col("doc_id")), lit(sp.toLong)))
+      else postRows.repartition(col("bucket"))
+    // word-sorted within each writer task (guide §6: sort by the filtered
+    // high-cardinality column so parquet row-group min/max prune): a
+    // probe for a word co-bucketed with a Zipfian head word skips the hot
+    // word's row groups instead of decoding the whole bucket
+    prof("post write")(placed
+      .sortWithinPartitions(col("bucket"), col("word"))
       .write.mode(SaveMode.Append)
       .partitionBy("ingest_batch", "bucket").parquet(postDir(root)))
 

@@ -57,8 +57,13 @@ object KeyedStore {
         valueCols.map(c => col(c).as(s"__cur_$c")): _*)
     // ONE store-scanning join feeds the changed? flag, the append set AND
     // the rewrite's replacement rows (its output is delta-sized, pinned by
-    // the checkpoint — the delta lineage runs exactly once).
-    val folded = oneRowPerKey.join(cur, Seq(key), "left").localCheckpoint(eager = true)
+    // the checkpoint — the delta lineage runs exactly once). LAZY pin: the
+    // changed probe right below is the fold's first action and
+    // materializes it in the same job — the eager variant paid a
+    // dedicated checkpoint job per fold, and folds run twice per
+    // lifecycle ingest round (r13-verdict item 1: job count is the
+    // lifecycle operators' bill).
+    val folded = oneRowPerKey.join(cur, Seq(key), "left").localCheckpoint(eager = false)
     val unchanged = valueCols.map(c => col(c) <=> col(s"__cur_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val anyChanged = !folded

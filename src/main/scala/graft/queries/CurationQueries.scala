@@ -545,6 +545,11 @@ object CurationQueries {
     * (measured: BENCH_sf1_inc_split.json). */
   def q201(spark: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("incsplit").toString
+    // measured WITHOUT Tables.parallel (r14): the ingest re-scans the
+    // corpus several times per round (signatures, verify shingles), and
+    // at sandbox scale the per-scan repartition shuffles cost more than
+    // the single-task signature pass they would parallelize (8.0 s with
+    // vs 7.3 s without at sf0.1/32c)
     val docs = Tables.documents(spark, d)
     val v1 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
     val delta = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
@@ -664,6 +669,7 @@ object CurationQueries {
     * ingest's fold), one doc_id-keyed join, 9-row output. */
   def q203(spark: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("incflip").toString
+    // no Tables.parallel: see q201's measured note
     val docs = Tables.documents(spark, d)
     val v1 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
     val delta = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
@@ -791,6 +797,7 @@ object CurationQueries {
     * is the gated equivalence chain. */
   def q207(spark: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("admitprobe").toString
+    // no Tables.parallel: see q201's measured note
     val docs = Tables.documents(spark, d)
     val store = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
     val s1 = store.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
@@ -1030,7 +1037,14 @@ object CurationQueries {
     * bit for bit — the q101/q201 equivalence discipline, third member. */
   def q211(spark: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("incsubstr").toString
-    val docs = Tables.documents(spark, d)
+    // Tables.parallel (the q208/q210 discipline, guide §2.5 input skew):
+    // the sandbox corpus is ONE small parquet file, so without the
+    // repartition every pre-exchange stage of the ingest — the window
+    // explode over the recompute corpus above all — runs as a single
+    // task on one core regardless of SPARK_GRAFT_CPUS (the r13-verdict
+    // 8c≈32c signature). At warehouse scale the scan is naturally
+    // parallel and a caller would not pay this shuffle.
+    val docs = Tables.parallel(Tables.documents(spark, d))
     Seq(1L, 2L, 0L).foreach { k =>
       // refresh-only root, corpus-fraction deltas: the bloom's screen
       // only pays when bucket pruning can fire (admission-sized deltas);
@@ -1061,7 +1075,9 @@ object CurationQueries {
     * probe rows. */
   def q212(spark: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("substrprobe").toString
-    val docs = Tables.documents(spark, d)
+    // Tables.parallel: see q211 — the probe's window explode is otherwise
+    // a single task over the one-file sandbox scan
+    val docs = Tables.parallel(Tables.documents(spark, d))
     val store = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
     Seq(1L, 0L).foreach { k =>
       graft.operators.IncrementalSubstr.ingest(spark, root, store,

@@ -1534,6 +1534,11 @@ object PipelineQueries {
     * reducer state per word at any corpus size. */
   def q213(spark: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("invidx").toString
+    // measured WITHOUT Tables.parallel (r14): three ingests each re-scan
+    // the corpus for admission + postings, and at sandbox scale the
+    // per-scan repartition shuffles cost more than the ~300 KB/batch
+    // single-task tokenize they would parallelize (5.0 s with vs 3.5 s
+    // without at sf0.1/32c)
     val docs = Tables.documents(spark, d)
     (0 until 3).foreach { i =>
       graft.operators.InvIndex.ingest(spark, root,
@@ -1554,6 +1559,7 @@ object PipelineQueries {
     * batch/incremental/online/streaming matrix. */
   def q214(spark: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("invidxbm").toString
+    // no Tables.parallel: see q213's measured note
     val docs = Tables.documents(spark, d)
     (0 until 3).foreach { i =>
       graft.operators.InvIndex.ingest(spark, root,
