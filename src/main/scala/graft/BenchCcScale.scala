@@ -37,7 +37,10 @@ object BenchCcScale {
       pairs.cache().count()
 
       val t0 = System.nanoTime()
-      val (starLabels, starRounds) = DupClusters.assignStarWithRounds(pairs)
+      // force the distributed tier: the rounds-vs-diameter claim is about
+      // the star contraction, not the driver union-find fast path
+      val (starLabels, starRounds) =
+        DupClusters.assignStarWithRounds(pairs, driverMaxEdges = 0)
       val starRows = starLabels.as[(Long, Long)].collect().sortBy(_._1)
       val starSec = (System.nanoTime() - t0) / 1e9
       require(starRows.length == n + 1 && starRows.forall(_._2 == 0L),

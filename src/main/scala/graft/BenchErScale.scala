@@ -56,7 +56,10 @@ object BenchErScale {
       val nCands = cands.count()
       val pairs = ver.select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
       val t1 = System.nanoTime()
-      val (labels, rounds) = DupClusters.assignStarWithRounds(pairs)
+      // force the distributed tier: this sidecar's star_rounds field IS
+      // the log^2 evidence, which the driver union-find tier would absorb
+      val (labels, rounds) =
+        DupClusters.assignStarWithRounds(pairs, driverMaxEdges = 0)
       val nEntities = labels.select(col("cluster_id")).distinct().count()
       val sec191 = (System.nanoTime() - t1) / 1e9
       s"""{"records":$nRecords,"names":$nNames,"sigs":$nSigs,""" +

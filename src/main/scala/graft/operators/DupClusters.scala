@@ -93,9 +93,62 @@ object DupClusters {
   def assignStar(pairs: DataFrame, maxIters: Int = 64): DataFrame =
     assignStarWithRounds(pairs, maxIters)._1
 
+  /** Tier-0 bound: a canonical edge list at or under this row count is
+    * contracted DRIVER-SIDE by union-find instead of by distributed star
+    * rounds. Rationale (the probe-tier discipline — pick the plan from a
+    * provable bound, not an estimate): every contraction round is a
+    * fixed-latency multi-stage Spark job, so a dictionary-sized merge
+    * graph (entity names, touched-cluster edges of one refresh round —
+    * the common case for every caller) pays seconds of pure job latency
+    * for microseconds of actual union-find work. 2^18 edges is ~16 MB of
+    * long pairs / ~tens of MB of name strings collected transiently —
+    * driver-safe by a wide margin — and the distributed rounds stand
+    * unchanged past the bound, so corpus-scale merge graphs never touch
+    * the driver. Results are identical by construction (union-by-min =
+    * min-label components; DupClustersPropertySpec gates BOTH tiers
+    * against the same reference). */
+  private[operators] val DriverUnionFindMaxEdges: Int = 1 << 18
+
   /** As `assignStar`, also returning the round count (for specs and the
-    * scale sidecar's rounds-vs-diameter evidence). */
-  def assignStarWithRounds(pairs: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
+    * scale sidecar's rounds-vs-diameter evidence; 0 = the driver-side
+    * union-find tier answered). `driverMaxEdges = 0` forces the
+    * distributed contraction — specs gating the star rounds and the scale
+    * sidecars measuring them pass it explicitly. */
+  def assignStarWithRounds(pairs: DataFrame, maxIters: Int = 64,
+                           driverMaxEdges: Int = DriverUnionFindMaxEdges): (DataFrame, Int) = {
+    val keyType = pairs.schema.head.dataType
+    if (driverMaxEdges > 0 &&
+        (keyType == org.apache.spark.sql.types.LongType ||
+         keyType == org.apache.spark.sql.types.StringType)) {
+      // canonical edges WITH self-loops kept: a self-loop-only doc is a
+      // node that must still label itself, and the take both probes the
+      // bound and delivers the tier-0 input in one action
+      val canon = pairs
+        .select(least(col("doc_a"), col("doc_b")).as("u"),
+          greatest(col("doc_a"), col("doc_b")).as("v"))
+        .distinct()
+      val probe = canon.take(driverMaxEdges + 1)
+      if (probe.length <= driverMaxEdges) {
+        val labels: Seq[(Any, Any)] = keyType match {
+          case org.apache.spark.sql.types.LongType =>
+            unionFindLabels(probe.map(r => (r.getLong(0), r.getLong(1))))
+              .map { case (n, m) => (n: Any, m: Any) }
+          case _ =>
+            unionFindLabels(probe.map(r => (r.getString(0), r.getString(1))))
+              .map { case (n, m) => (n: Any, m: Any) }
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", keyType),
+          org.apache.spark.sql.types.StructField("cluster_id", keyType)))
+        import scala.jdk.CollectionConverters._
+        val out = pairs.sparkSession.createDataFrame(
+          labels.map { case (n, m) => org.apache.spark.sql.Row(n, m) }.asJava,
+          schema)
+        return (out, 0)
+      }
+      // past the bound: fall through to the distributed rounds (the probe
+      // cost was one partial pass over the canonical-edge aggregation)
+    }
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -172,6 +225,32 @@ object DupClusters {
       .select(col("m").as("u"), col("b").as("v"))
     val center = mins.select(col("m").as("u"), col("a").as("v"))
     rewired.union(center).distinct()
+  }
+
+  /** Iterative union-find with union-by-min and path compression over a
+    * collected canonical edge list (self-loops allowed — they register the
+    * node). The root of every tree is its component's MINIMUM member by
+    * construction (unions always point the larger root at the smaller), so
+    * find(n) IS the min-label — exactly the distributed contraction's
+    * output contract. Iterative find: a 2^18-edge chain would overflow a
+    * recursive one's stack. */
+  private def unionFindLabels[T](edges: Array[(T, T)])
+                                (implicit ord: Ordering[T]): Seq[(T, T)] = {
+    val parent = scala.collection.mutable.Map.empty[T, T]
+    def find(x: T): T = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.map(n => n -> find(n))
   }
 
   /** Unpersist a localCheckpoint pin's blocks deterministically (the
