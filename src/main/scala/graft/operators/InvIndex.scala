@@ -349,8 +349,11 @@ object InvIndex {
     // not two reads of the same tiny table).
     val landed = spark.read.schema(postSchema).parquet(postDir(root))
       .filter(col("ingest_batch") === batchId)
-    val dl0 = prof("dl rollup")(landed.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("dl")).localCheckpoint(true))
+    // LAZY pin: the dl write below is the first action and materializes
+    // the rollup in the same job; the commit totals then read the cached
+    // doc-count-sized rows (one job, not a checkpoint job + a write job)
+    val dl0 = landed.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl")).localCheckpoint(false)
     prof("dl write")(dl0
       .withColumn("ingest_batch", lit(batchId))
       .withColumn("dbucket", dbucketOf(col("doc_id"), nb))
