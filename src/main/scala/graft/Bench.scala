@@ -161,9 +161,11 @@ object Bench {
       "live in BENCH_sf1_substr.json: salted/sparse regime ~linear in " +
       "corpus, plain/saturated regime is the all-dup worst case\"," +
       "\"q191_entity_clusters\":" +
-      "\"wall is ~9 fixed-size Spark jobs (FastSS signature build + " +
-      "star-contraction rounds over a 64-name dictionary graph), not data " +
-      "volume — BENCH_sf1_er.json shows it flat under 100x the records\"," +
+      "\"wall is the FastSS signature build plus ONE driver union-find " +
+      "over the dictionary-sized name graph (r14: canonical edge lists " +
+      "<= 2^18 rows take the driver tier; the distributed star-contraction " +
+      "rounds stand past the bound and BENCH_sf1_er.json measures them " +
+      "flat under 100x the records)\"," +
       "\"qomitted\":\"the printed one-line board keeps only the most " +
       "expensive queries within the harness's output window; dropped " +
       "cheapest entries are counted there and EVERY query is always in " +
