@@ -476,14 +476,14 @@ object IncrementalSubstr {
     // ledger IO and zero task-shipped filter state. Bulk probes (q212's
     // corpus-fraction shape past the byte bound) skip to tier 2/3, whose
     // semi-join never ships the sidecar anywhere.
-    val probeChars = docs.agg(coalesce(sum(col("len")), lit(0L)))
-      .head().getLong(0)
+    val probeChars = prof("probe chars agg")(
+      docs.agg(coalesce(sum(col("len")), lit(0L))).head().getLong(0))
     val admissionSized = probeChars <= ScreenMaxChars
     val screened: Option[(Seq[String], Seq[Int])] = readBloom(spark, root) match {
       case Some(sc) if exists(spark, winsDir(root)) && admissionSized =>
-        val rows = probeCounts
-          .select(col("w"), xxhash64(col("w")).as("h")).collect()
-        Some(screenRows(rows, sc, nb))
+        val rows = prof("probe screen collect")(probeCounts
+          .select(col("w"), xxhash64(col("w")).as("h")).collect())
+        Some(prof("probe screen")(screenRows(rows, sc, nb)))
       case _ => None
     }
     // tier 2 — bucket pruning works with or WITHOUT the bloom (the probe
