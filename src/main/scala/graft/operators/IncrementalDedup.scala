@@ -75,19 +75,58 @@ object IncrementalDedup {
     * docs that appear in some candidate pair. `corpus` must serve the text
     * of every candidate doc (store-side docs included — the store holds
     * signatures, not shingle sets: at corpus scale the shingle sets ARE the
-    * corpus, so they are fetched on demand, not persisted). */
+    * corpus, so they are fetched on demand, not persisted).
+    *
+    * PINNED subtrees (the r14b job-trace finding, guide §1.2): the
+    * candidate set is referenced by the endpoint union AND the verify join,
+    * and the fetched shingle table by BOTH join legs — under AQE each
+    * broadcast/shuffle leg materializes independently, so the un-pinned
+    * shape re-executed the LSH banding join and the corpus shingle fetch
+    * once per leg (measured: ~15 racing duplicate jobs per q201 ingest
+    * round). Both frames are candidate-sized (the operator's whole point),
+    * so eager localCheckpoints cost one small job each and every leg reads
+    * the cached blocks. LIFETIME: the returned frame depends on the pins,
+    * so they are parked in [[lastVerifyPins]] and freed at the NEXT
+    * verifyPairs call on this JVM (or a harness MemoRegistry reset) — the
+    * earliest point the previous call's frame is provably dead (the
+    * lastProbePin discipline of [[IncrementalSubstr]]). */
   def verifyPairs(candidates: DataFrame, corpus: DataFrame,
                   threshold: Double): DataFrame = {
-    val needed = candidates.select(col("doc_a").as("doc_id"))
-      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    freeVerifyPins()
+    val cand = candidates.localCheckpoint(true)
+    val needed = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shingles(corpus.join(needed, Seq("doc_id"), "left_semi"))
-    candidates
+      .localCheckpoint(true)
+    lastVerifyPins.set(Seq(cand, sh))
+    cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", Hashing.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** The last verify call's working pins (candidates + fetched shingles):
+    * freed at the next verifyPairs on this JVM or a MemoRegistry reset —
+    * consuming a verify result after a LATER verify on the same JVM is
+    * outside the call contract (every caller materializes the result
+    * before its next round). */
+  private val lastVerifyPins =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](null)
+  private def freeVerifyPins(): Unit = {
+    val dfs = lastVerifyPins.getAndSet(null)
+    if (dfs != null) dfs.foreach(freeCheckpoint)
+  }
+  graft.MemoRegistry.register(() => freeVerifyPins())
+
+  /** Unpersist a localCheckpoint pin's blocks deterministically (the
+    * [[IncrementalSubstr]] freeCheckpoint discipline). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(true)
+      case _ => ()
+    }
 
   /** One ingest round: find the delta's verified near-dups (against the
     * store and within the delta), then fold the delta's signatures into the

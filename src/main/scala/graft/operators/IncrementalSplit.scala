@@ -165,31 +165,56 @@ object IncrementalSplit {
                            maintainIndex: Boolean,
                            indexProbeMaxFrac: Double,
                            indexBuckets: Int): DataFrame = {
-    val deltaSigs = IncrementalDedup.signatures(delta).cache()
+    // ONE pinned signature computation (the r14b job-trace finding): the
+    // delta's signatures feed the guard, the router, both candidate legs
+    // and the fold — under AQE each leg materializes independently, and a
+    // .cache() does NOT dedupe CONCURRENT first computations, so the
+    // un-pinned shape race-computed the MinHash pass once per leg
+    // (measured: ten parallel single-task copies per q201 round). The
+    // eager checkpoint runs it exactly once — spread first when the
+    // delta's scan is narrower than the session (the one-file sandbox /
+    // small-delta shape, guide §2.5 input skew): the exchange moves delta
+    // text once into a pinned frame, and a warehouse-scale delta whose
+    // scan is already wide skips it.
+    val spread = spark.sparkContext.defaultParallelism
+    val deltaSrc =
+      if (delta.rdd.getNumPartitions < spread) delta.repartition(spread)
+      else delta
+    val deltaSigs = prof("delta signatures pin")(
+      IncrementalDedup.signatures(deltaSrc).localCheckpoint(true))
     val hasStore = exists(spark, sigDir(root))
     val storeSigs =
       if (hasStore) {
         KeyedStore.recover(spark, sigDir(root))
         spark.read.parquet(sigDir(root))
       } else deltaSigs.limit(0)
-    if (hasStore) {
-      // insert-only guard (see ingest's scaladoc): a stored doc_id whose
-      // delta signature differs is a content-changing re-ingest the
-      // append-only pair ledger cannot represent — reject BEFORE any
-      // store mutates. Map-side: the delta leg is broadcast, the store
-      // scan is the same narrow read the fold below pays anyway.
-      val changed = prof("changed guard")(storeSigs
-        .join(broadcast(deltaSigs.select(col("doc_id"), col("sig").as("__sig_new"))),
-          Seq("doc_id"))
-        .filter(!(col("sig") <=> col("__sig_new")))
-        .select(col("doc_id")).limit(3).collect().map(_.getLong(0)))
-      if (changed.nonEmpty)
-        sys.error(s"IncrementalSplit.ingest at $root: delta re-ingests stored " +
-          s"doc_ids with CHANGED content (e.g. ${changed.mkString(", ")}); the " +
-          "pair ledger is append-only, so superseding content would break the " +
-          "batch-equivalence guarantee. Ingest changed documents under a new " +
-          "doc_id, or rebuild the root.")
-    }
+    // the insert-only guard and the index router are BOTH read-only
+    // decisions over the pinned signatures — independent, overlapped on a
+    // driver thread (guide §2.6); nothing mutates until both return.
+    val useIndex = maintainIndex || exists(spark, bandDir(root))
+    val (changed, probeBuckets) = DriverPar.both(
+      if (hasStore) {
+        // insert-only guard (see ingest's scaladoc): a stored doc_id whose
+        // delta signature differs is a content-changing re-ingest the
+        // append-only pair ledger cannot represent — reject BEFORE any
+        // store mutates. Map-side: the delta leg is broadcast, the store
+        // scan is the same narrow read the fold below pays anyway.
+        prof("changed guard")(storeSigs
+          .join(broadcast(deltaSigs.select(col("doc_id"), col("sig").as("__sig_new"))),
+            Seq("doc_id"))
+          .filter(!(col("sig") <=> col("__sig_new")))
+          .select(col("doc_id")).limit(3).collect().map(_.getLong(0)))
+      } else Array.empty[Long],
+      if (useIndex && hasStore)
+        prof("probe bucket count")(
+          BandIndex.probeBucketCount(spark, bandDir(root), deltaSigs))
+      else Long.MaxValue)
+    if (changed.nonEmpty)
+      sys.error(s"IncrementalSplit.ingest at $root: delta re-ingests stored " +
+        s"doc_ids with CHANGED content (e.g. ${changed.mkString(", ")}); the " +
+        "pair ledger is append-only, so superseding content would break the " +
+        "batch-equivalence guarantee. Ingest changed documents under a new " +
+        "doc_id, or rebuild the root.")
     // index routing: once a root has a band index, every ingest maintains
     // it (so it always covers the whole store). The store-side candidate
     // join probes it only when pruning bites — the delta's bands touch at
@@ -197,11 +222,8 @@ object IncrementalSplit {
     // the measured crossover); delta-internal candidates band the
     // (broadcast-sized) delta alone. Candidate sets are identical either
     // way (IncrementalSplitSpec + BandIndexSpec gate it).
-    val useIndex = maintainIndex || exists(spark, bandDir(root))
-    val viaProbe = useIndex && hasStore &&
-      prof("probe bucket count")(
-        BandIndex.probeBucketCount(spark, bandDir(root), deltaSigs)) <=
-        (BandIndex.bucketWidth(spark, bandDir(root)) * indexProbeMaxFrac).toLong
+    val viaProbe = useIndex && hasStore && probeBuckets <=
+      (BandIndex.bucketWidth(spark, bandDir(root)) * indexProbeMaxFrac).toLong
     val candidates =
       if (viaProbe) {
         if (!exists(spark, bandDir(root)))
@@ -234,47 +256,71 @@ object IncrementalSplit {
       .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
         coalesce(col("rb"), col("doc_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
-    if (!prof("repEdges isEmpty")(repEdges.isEmpty)) {
-      val relabel = prof("assignStar")(DupClusters.assignStar(repEdges))
-        .select(col("doc_id").as("rep"), col("cluster_id").as("new_rep"))
-        .filter(col("rep") =!= col("new_rep"))
-      // upserts: ONLY touched rows — store rows whose rep merged away,
-      // plus this round's pair endpoints (first-seen docs enter; the legs
-      // agree where they overlap, collapsed by the keyed min)
-      val changedStore = cur.join(relabel, Seq("rep"))
-        .select(col("doc_id"), col("new_rep").as("rep"))
-      val endpointRows = newPairs.select(col("doc_a").as("doc_id"))
-        .unionByName(newPairs.select(col("doc_b").as("doc_id"))).distinct()
-        .join(cur, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
-        .join(relabel, Seq("rep"), "left")
-        .select(col("doc_id"), coalesce(col("new_rep"), col("rep")).as("rep"))
-      val upserts = changedStore.unionByName(endpointRows)
-        .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
-      prof("rep fold")(if (exists(spark, repDir(root)))
-        KeyedStore.fold(spark, repDir(root), upserts, "doc_id")
-      else upserts.write.parquet(repDir(root)))
-    }
-    prof("sig fold")(if (hasStore)
-      KeyedStore.fold(spark, sigDir(root), deltaSigs, "doc_id")
-    else deltaSigs.write.parquet(sigDir(root)))
-    if (useIndex) {
-      if (!exists(spark, bandDir(root)))
-        // first index-carrying round (or catch-up skipped by a wide
-        // delta): build from the POST-FOLD store so coverage is total
-        prof("index build")(
-          BandIndex.build(spark, bandDir(root), spark.read.parquet(sigDir(root)),
-            indexBuckets))
-      else {
-        prof("index append")(BandIndex.append(spark, bandDir(root), deltaSigs))
-        // replay bloat trigger: footer-count check (no job); rebuilds
-        // from the just-folded signature store through the atomic swap
-        prof("index compact?")(
-          BandIndex.maybeCompact(spark, bandDir(root), sigDir(root),
-          spark.read.parquet(sigDir(root))))
-      }
-    }
-    deltaSigs.unpersist()
+    // The rep-store fold and the {signature fold -> index maintenance}
+    // chain mutate DISJOINT stores from already-pinned inputs (newPairs,
+    // deltaSigs, each store's own pre-state), so they overlap on a driver
+    // thread (guide §2.6). Replay safety is unchanged by the ordering:
+    // every piece is individually idempotent under the round's replay —
+    // pairs re-append value-identically (reads distinct), both folds skip
+    // identical rows — and a crash leaving EITHER subset complete replays
+    // to the same final stores (a delta already folded into sigs/ only
+    // adds delta-vs-delta candidate orientations the distinct collapses;
+    // a rep fold against pre-round sigs re-derives the same merge).
+    // StoreFuzzSpec's crash grid covers both interleavings.
+    val repFold: () => Unit =
+      if (!prof("repEdges isEmpty")(repEdges.isEmpty)) {
+        val relabel = prof("assignStar")(DupClusters.assignStar(repEdges))
+          .select(col("doc_id").as("rep"), col("cluster_id").as("new_rep"))
+          .filter(col("rep") =!= col("new_rep"))
+        // upserts: ONLY touched rows — store rows whose rep merged away,
+        // plus this round's pair endpoints (first-seen docs enter; the legs
+        // agree where they overlap, collapsed by the keyed min)
+        val changedStore = cur.join(relabel, Seq("rep"))
+          .select(col("doc_id"), col("new_rep").as("rep"))
+        val endpointRows = newPairs.select(col("doc_a").as("doc_id"))
+          .unionByName(newPairs.select(col("doc_b").as("doc_id"))).distinct()
+          .join(cur, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+          .join(relabel, Seq("rep"), "left")
+          .select(col("doc_id"), coalesce(col("new_rep"), col("rep")).as("rep"))
+        val upserts = changedStore.unionByName(endpointRows)
+          .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+        () => prof("rep fold")(if (exists(spark, repDir(root)))
+          KeyedStore.fold(spark, repDir(root), upserts, "doc_id")
+        else upserts.write.parquet(repDir(root)))
+      } else () => ()
+    DriverPar.both(
+      repFold(),
+      {
+        prof("sig fold")(if (hasStore)
+          KeyedStore.fold(spark, sigDir(root), deltaSigs, "doc_id")
+        else deltaSigs.write.parquet(sigDir(root)))
+        if (useIndex) {
+          if (!exists(spark, bandDir(root)))
+            // first index-carrying round (or catch-up skipped by a wide
+            // delta): build from the POST-FOLD store so coverage is total
+            prof("index build")(
+              BandIndex.build(spark, bandDir(root), spark.read.parquet(sigDir(root)),
+                indexBuckets))
+          else {
+            prof("index append")(BandIndex.append(spark, bandDir(root), deltaSigs))
+            // replay bloat trigger: footer-count check (no job); rebuilds
+            // from the just-folded signature store through the atomic swap
+            prof("index compact?")(
+              BandIndex.maybeCompact(spark, bandDir(root), sigDir(root),
+              spark.read.parquet(sigDir(root))))
+          }
+        }
+      })
+    freeCheckpoint(deltaSigs)
     newPairs
   }
+
+  /** Unpersist a localCheckpoint pin's blocks deterministically (the
+    * [[IncrementalSubstr]] freeCheckpoint discipline). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(true)
+      case _ => ()
+    }
 }

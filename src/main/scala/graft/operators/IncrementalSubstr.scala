@@ -335,6 +335,49 @@ object IncrementalSubstr {
     }
   }
 
+  /** Key-count bound under which a fold's bit-setting runs DRIVER-SIDE
+    * from one collected hash column instead of through the distributed
+    * builder (the probe-tier discipline — the bound is the staged round's
+    * TRUE row count, already in hand from the parquet footers, never an
+    * estimate). Rationale: [[BloomFilter.build]]'s treeAggregate allocates
+    * and merges a full m-bit accumulator per task — a whole multi-stage
+    * job whose real work at these counts is microseconds of bit math over
+    * a few MB of longs (2^22 hashes collect as 32 MB, driver-safe by a
+    * wide margin). Past the bound the distributed build stands unchanged,
+    * so warehouse-scale rounds never pull hashes to the driver. Positions
+    * come from [[graft.functions.expressions.BloomContains.probe]], the
+    * SAME math the distributed builder and every screen use (spec-locked
+    * in BloomContainsSpec), so the written bits are identical. */
+  private val DriverBloomBuildMaxKeys = 1L << 22
+
+  /** Set all k probe bits of each hash into `bits` (driver-side mirror of
+    * the distributed builder's seqOp — identical positions by the shared
+    * probe math). */
+  private def setBitsDriver(bits: Array[Long], hs: Array[Long],
+                            m: Long, k: Int): Unit = {
+    var j = 0
+    while (j < hs.length) {
+      var i = 0
+      while (i < k) {
+        val pos = graft.functions.expressions.BloomContains.probe(hs(j), i, m)
+        bits((pos >>> 6).toInt) |= 1L << (pos & 63)
+        i += 1
+      }
+      j += 1
+    }
+  }
+
+  /** Build the bitset from a hash-column frame of `n` (known) rows: one
+    * narrow collect + driver bit math under the tier bound, the
+    * distributed builder past it. */
+  private def buildBits(hashes: DataFrame, n: Long, m: Long, k: Int): Array[Long] =
+    if (n <= DriverBloomBuildMaxKeys) {
+      val bits = new Array[Long]((m / 64).toInt)
+      setBitsDriver(bits,
+        hashes.collect().map(_.getLong(0)), m, k)
+      bits
+    } else BloomFilter.build(hashes, m, k)
+
   /** Fold the delta's window bits into the sidecar, RESIZING when the
     * cumulative count outruns the current geometry. `deltaWindowKeys`
     * must carry the delta's windows in column `w` with `deltaCount` rows
@@ -346,14 +389,18 @@ object IncrementalSubstr {
     *    count + delta and builds from ledger ∪ staged (a bloom covering
     *    only later rounds would answer false negatives for earlier ones);
     *  - resize: same rebuild, triggered when bloomBitsFor(nKeys + delta)
-    *    exceeds the current m. */
+    *    exceeds the current m.
+    * Bit-setting itself is tiered on the KNOWN key count (see
+    * [[DriverBloomBuildMaxKeys]]): the counts that size the geometry also
+    * pick the build plan, so a sandbox/admission-sized fold costs one
+    * narrow collect instead of a treeAggregate of m-bit task buffers. */
   private def foldBloom(spark: SparkSession, root: String,
                         deltaWindowKeys: DataFrame, deltaCount: Long): Unit = {
     val existing = readBloom(spark, root)
     val deltaHashes = deltaWindowKeys.select(xxhash64(col("w")).as("h"))
     existing match {
       case Some(sc) if bloomBitsFor(sc.nKeys + deltaCount) <= sc.m =>
-        val add = BloomFilter.build(deltaHashes, sc.m, sc.k)
+        val add = buildBits(deltaHashes, deltaCount, sc.m, sc.k)
         // clone: the cached (and any caller-held pre-round snapshot)
         // array must not mutate under a concurrent screen
         val merged = sc.bits.clone()
@@ -380,7 +427,7 @@ object IncrementalSubstr {
             readWins(spark, root).select(xxhash64(col("w")).as("h"))
               .unionByName(deltaHashes)
           else deltaHashes
-        writeBloom(spark, root, BloomSidecar(m, BloomK, n, BloomFilter.build(src, m, BloomK)))
+        writeBloom(spark, root, BloomSidecar(m, BloomK, n, buildBits(src, n, m, BloomK)))
     }
   }
 
@@ -461,8 +508,12 @@ object IncrementalSubstr {
     // previous probe's frame is provably dead. Block-manager state is
     // therefore bounded by ONE probe's windows instead of accumulating
     // across probes.
+    // LAZY pin (r14b): the screen collect (admission probes) or the final
+    // report action (bulk probes) is the first consumer and materializes
+    // the pin in the same job — the eager variant paid a dedicated
+    // checkpoint job per probe.
     val probeCounts = wProbe.groupBy("w").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     lastProbePin.set(probeCounts)
     val ledger = readWins(spark, root)
     val nb = bucketsOf(spark, root)
@@ -503,7 +554,13 @@ object IncrementalSubstr {
       case None if admissionSized => Some(maybeW
         .select(bucketOf(col("w"), nb).as("b"))
         .distinct().collect().map(_.getInt(0)).sorted)
-      case None => None // bulk: straight to the full semi-joined scan
+      case None =>
+        // bulk: straight to the full semi-joined scan — but materialize the
+        // lazy pin FIRST (neither the screen nor a bucket listing ran, and
+        // the report job references the counts from several AQE legs,
+        // which would otherwise race-compute the explode+aggregation)
+        probeCounts.count()
+        None
     }
     val ledgerCounts =
       if (buckets.exists(_.isEmpty))
@@ -755,6 +812,24 @@ object IncrementalSubstr {
     if (st.getLong(3) == 0L) { freeCheckpoint(cls); return }
     val fresh = cls.filter(col("__fp_cur").isNull)
       .select(col("doc_id"), col("text"), col("len"), col("fp"))
+    // Window-explode parallelism (guide §2.5 input skew, the measured r14b
+    // finding): AQE's small-input coalescing legitimately lands the
+    // classify pin in ONE partition at admission/sandbox delta sizes — and
+    // every explode fed from it (the round's hottest CPU, ~L x text bytes
+    // of generated substrings) then runs on one core regardless of the
+    // session's parallelism (~0.7 s single-task per round at sf0.1/32c).
+    // Re-spread the EXPLODE LEG only, sized by the fresh byte count the
+    // admission agg already carries (~16 KiB of text per task, capped at
+    // the session's parallelism): the exchange moves the delta text once
+    // and only fires when the pin is narrower than that arithmetic — a
+    // warehouse-scale round's pin is already wide and skips it. The
+    // store/ledger legs keep reading the unexchanged pin.
+    val explodeTasks = math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      math.max(1L, st.getLong(5) >> 14)).toInt
+    val freshWide =
+      if (cls.rdd.getNumPartitions < explodeTasks) fresh.repartition(explodeTasks)
+      else fresh
     // geometry: persisted at creation — an explicit caller width or the
     // delta-sized default, the fresh byte count riding the admission agg
     // — read back (and the creation choice ignored) on every later
@@ -788,7 +863,7 @@ object IncrementalSubstr {
     val stageParent = s"$root/wins-stage"
     val stageDir = s"$stageParent/round=$rid"
     fs.delete(new org.apache.hadoop.fs.Path(stageParent), true)
-    prof("wins stage write")(windows(fresh)
+    prof("wins stage write")(windows(freshWide)
       .select(col("doc_id"), col("w"))
       .withColumn("bucket", bucketOf(col("w"), nb))
       .repartition(col("bucket"))
@@ -859,8 +934,15 @@ object IncrementalSubstr {
       val allIds0 = ledger.select(col("doc_id"))
         .unionByName(fresh.select(col("doc_id")))
       val allIds = if (docsBytes <= (32L << 20)) broadcast(allIds0) else allIds0
+      // pinned ONCE (r14b): the restricted corpus feeds BOTH the span
+      // rollup's broadcast build (via the window explode) and the report's
+      // docs leg — separate AQE stage jobs that otherwise each re-run the
+      // corpus scan + semi-join. Recompute-route corpora are bounded by
+      // the route's own ledger byte gate, so the pin is bounded too;
+      // freed with the round's other snapshots below.
       val all = corpus.join(allIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .localCheckpoint(true)
       val dupW0 = readWins(spark, root).groupBy("w")
         .agg(sum(col("n")).as("nT")).filter(col("nT") >= 2).select("w")
       // broadcast the duplicated-window set when the WHOLE post-round
@@ -900,6 +982,7 @@ object IncrementalSubstr {
         }
       else rep.write.parquet(asgDir(root)))
       writeDocsLedger(spark, root, fresh)
+      freeCheckpoint(all)
       freeCheckpoint(cls)
       return
     }
@@ -977,9 +1060,9 @@ object IncrementalSubstr {
     // reads it first — wHold's count when transitions fired, else the asg
     // fold's own checkpoint — instead of a dedicated pass
     val redo =
-      (if (hasHolders) fresh.select(col("doc_id"), col("text"), col("len"))
+      (if (hasHolders) freshWide.select(col("doc_id"), col("text"), col("len"))
         .unionByName(holderDocs)
-      else fresh.select(col("doc_id"), col("text"), col("len")))
+      else freshWide.select(col("doc_id"), col("text"), col("len")))
         .localCheckpoint(false)
     val wRedo = windows(redo)
     // duplicated-status for the recompute docs' windows: the delta's from

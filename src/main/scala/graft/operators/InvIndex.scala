@@ -368,12 +368,51 @@ object InvIndex {
       .agg(coalesce(sum(col("dl")), lit(0L)).as("t"),
         count(lit(1)).as("n")).head())
     freeCheckpoint(dl0)
-    import spark.implicits._
-    prof("meta write")(Seq((tot.getLong(0), tot.getLong(1))).toDF("t", "n")
-      .withColumn("ingest_batch", lit(batchId))
-      .coalesce(1)
-      .write.mode(SaveMode.Append).partitionBy("ingest_batch")
-      .parquet(metaDir(root)))
+    prof("meta write")(writeMetaRow(spark, root, batchId,
+      tot.getLong(0), tot.getLong(1)))
+  }
+
+  /** The commit marker: ONE (t, n) parquet row under
+    * `meta/ingest_batch=<id>`, written DRIVER-SIDE (parquet-hadoop rides
+    * Spark's own classpath) — a whole Spark job per ingest round was spent
+    * writing a single summary row (r14b job trace: ~0.15-0.2 s of pure
+    * scheduling per batch, at any scale). The marker protocol is
+    * unchanged-or-better: the row lands in a `.stage-<id>` sibling first
+    * and the PARTITION DIRECTORY renames in whole, so the marker appears
+    * atomically — the old job commit's mkdir-then-move window (dir listed
+    * by committedBatches before its totals row lands) is gone. Layout and
+    * schema are byte-compatible with the job-written files (optional
+    * int64 t/n, snappy), so roots written by either path read identically. */
+  private def writeMetaRow(spark: SparkSession, root: String, batchId: Long,
+                           t: Long, n: Long): Unit = {
+    val fs = fsOf(spark, root)
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message meta { optional int64 t; optional int64 n; }")
+    val stage = new org.apache.hadoop.fs.Path(s"${metaDir(root)}/.stage-$batchId")
+    fs.delete(stage, true)
+    val file = new org.apache.hadoop.fs.Path(stage, "part-00000.parquet")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf)
+      .withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+        .newGroup()
+      g.add("t", t)
+      g.add("n", n)
+      writer.write(g)
+    } finally writer.close()
+    val dest = new org.apache.hadoop.fs.Path(s"${metaDir(root)}/ingest_batch=$batchId")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(metaDir(root)))
+    if (fs.exists(dest) && !fs.delete(dest, true))
+      sys.error(s"InvIndex.ingest at $root: could not replace $dest")
+    if (!fs.rename(stage, dest))
+      sys.error(s"InvIndex.ingest at $root: rename $stage -> $dest failed")
   }
 
   /** Index statistics from the store — q181's report (word, df, cf,
