@@ -11,6 +11,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Codegen class cache sized to a QUERY's working set (r14b,
+      // measured): the 100-entry default thrashes under the multi-round
+      // store lifecycles (>100 distinct codegen units per run), so every
+      // run — warmup included — re-pays 0.2-0.9 s Janino compiles per
+      // stage with all tasks herd-blocked on the loading cache (q213
+      // ingest 5.2 s -> 1.7 s at any size >= 512). The per-query warmup's
+      // whole documented purpose is that codegen lands BEFORE the timed
+      // runs; this makes the cache actually hold it. Scale-neutral (the
+      // same thrash recurs per executor JVM on a cluster) and bounded
+      // (~generated-class metadata only); env-overridable for A/B.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

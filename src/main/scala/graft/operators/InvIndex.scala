@@ -247,8 +247,15 @@ object InvIndex {
   private def ingestLocked(spark: SparkSession, root: String, delta: DataFrame,
                            batchId: Long, rejectDuplicates: Boolean,
                            buckets: Int, spread: Int): Unit = {
+    // ONE delta pass, pinned (the IncrementalSubstr cls discipline, r14b):
+    // the deduplicated delta feeds the admission agg, the dup check's key
+    // side AND the postings tokenize — un-pinned, each leg re-ran the
+    // delta scan + dedup exchange. LAZY: the admission agg right below is
+    // the round's first action and materializes the pin in the same job;
+    // freed before return.
     val d0 = delta.select(col("doc_id").cast(LongType).as("doc_id"),
       col("text")).dropDuplicates("doc_id", "text")
+      .localCheckpoint(false)
     // width BEFORE the admission agg so the delta's dbuckets ride along in
     // the same pass; None exactly when no prior batch can exist (fresh
     // root), where the dup check below never fires
@@ -267,7 +274,7 @@ object InvIndex {
       coalesce(sum(length(col("text"))), lit(0L)).as("bytes"),
       collect_set(dbucketOf(col("doc_id"), nbPre.getOrElse(1)))
         .as("dbuckets")).head())
-    if (st.getLong(0) == 0L) return
+    if (st.getLong(0) == 0L) { freeCheckpoint(d0); return }
     if (st.getLong(0) != st.getLong(1))
       sys.error(s"InvIndex.ingest at $root: delta carries one doc_id with " +
         "multiple texts — ambiguous; collapse the delta before ingesting")
@@ -312,6 +319,10 @@ object InvIndex {
     // repartition keeps it to one file per bucket per owning task
     // (the BandIndex small-files lesson). explode_outer + isNotNull is
     // the InferFiltersFromGenerate discipline (q179/q181).
+    // (measured r14b: a freshWide-style re-spread of the tokenize leg was
+    // a wash here — the pass is ~0.1 s CPU at sandbox scale, below the
+    // exchange it would add; IncrementalSubstr keeps the spread because
+    // its window explode is ~7x heavier)
     val toks = d0.select(col("doc_id"),
       explode_outer(Text.tokens(col("text"))).as("word"))
       .filter(col("word").isNotNull)
@@ -368,6 +379,7 @@ object InvIndex {
       .agg(coalesce(sum(col("dl")), lit(0L)).as("t"),
         count(lit(1)).as("n")).head())
     freeCheckpoint(dl0)
+    freeCheckpoint(d0)
     prof("meta write")(writeMetaRow(spark, root, batchId,
       tot.getLong(0), tot.getLong(1)))
   }
@@ -451,21 +463,40 @@ object InvIndex {
     * leg. */
   def search(spark: SparkSession, root: String, terms: Seq[String],
              k: Int): DataFrame = {
+    freeLastSearchPin()
     val committed = committedBatches(spark, root)
     val nb = bucketsOf(spark, root)
     val termBuckets = terms.map(bucketOfWordDriver(_, nb)).distinct
+    // LAZY pin (r14b): the pruned query-term postings feed the df/idf
+    // frame, the candidate-dbucket listing and the scoring join — three
+    // AQE legs that otherwise each re-ran the pruned scan. The dbucket
+    // collect right below is the first action and materializes the pin;
+    // parked in lastSearchPin (the lastProbePin lifetime discipline).
     val qtf = readOr(spark, postDir(root), postSchema)
       .filter(committedFilter(committed) &&
         col("bucket").isin(termBuckets: _*) && col("word").isin(terms: _*))
       .select(col("word"), col("doc_id"), col("tf"))
-    val totals = readOr(spark, metaDir(root), metaSchema)
-      .filter(committedFilter(committed))
-      .agg(coalesce(sum(col("t")), lit(0L)).as("t"),
-        coalesce(sum(col("n")), lit(0L)).as("n"))
+      .localCheckpoint(false)
+    lastSearchPin.set(qtf)
+    // corpus totals as DRIVER SCALARS: read through parquet-hadoop (no
+    // Spark job, no broadcast build) when the committed-batch count is
+    // small — one tiny summary row per batch — with a one-row Spark
+    // aggregation standing past the bound. Bit-identical either way (both
+    // are plain Long sums over the same rows; spec-gated), and the idf /
+    // score expressions then fold the totals as literals instead of
+    // riding two broadcast cross-joins through the plan.
+    val (t, n): (Long, Long) =
+      totalsDriver(spark, root, committed).getOrElse {
+        val row = readOr(spark, metaDir(root), metaSchema)
+          .filter(committedFilter(committed))
+          .agg(coalesce(sum(col("t")), lit(0L)).as("t"),
+            coalesce(sum(col("n")), lit(0L)).as("n")).head()
+        (row.getLong(0), row.getLong(1))
+      }
     val df_ = qtf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val idf = df_.crossJoin(broadcast(totals))
+    val idf = df_
       .withColumn("x",
-        expr("greatest(((2*n - 2*df + 1) * 1048576) DIV (2*df + 1), 1)"))
+        expr(s"greatest(((2*${n}L - 2*df + 1) * 1048576) DIV (2*df + 1), 1)"))
       .select(col("word"), expr(ilog64("x")).as("idf"))
     val dbuckets = qtf.select(dbucketOf(col("doc_id"), nb).as("dbucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -474,16 +505,65 @@ object InvIndex {
       .select(col("doc_id"), col("dl"))
     qtf.join(broadcast(idf), Seq("word"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(totals))
       // q183's overflow ordering: divide the corpus-sized product through
       // FIRST, then scale by the small idf — headroom to ~1e12-token
       // corpora (q188's documented bound)
       .withColumn("term_score",
-        expr("idf * ((44 * t * tf * 1000) DIV (20 * t * tf + 6 * t + 18 * dl * n))"))
+        expr(s"idf * ((44 * ${t}L * tf * 1000) DIV " +
+          s"(20 * ${t}L * tf + 6 * ${t}L + 18 * dl * ${n}L))"))
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).cast(LongType).as("score"),
         count(lit(1)).cast(LongType).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Driver-side sum of the per-batch (t, n) meta rows — the search path's
+    * totals without a Spark job. Bounded by batch count (each batch's
+    * marker holds ONE summary row); None past the bound or on any
+    * unreadable file, where the Spark aggregation stands. */
+  private[operators] val DriverMetaReadMaxBatches = 256
+  private[operators] def totalsDriver(spark: SparkSession, root: String,
+                                      committed: Seq[Long]): Option[(Long, Long)] = {
+    if (committed.isEmpty) return Some((0L, 0L))
+    if (committed.size > DriverMetaReadMaxBatches) return None
+    val fs = fsOf(spark, metaDir(root))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    var t = 0L; var n = 0L
+    try {
+      committed.foreach { b =>
+        val dir = new org.apache.hadoop.fs.Path(s"${metaDir(root)}/ingest_batch=$b")
+        fs.listStatus(dir).filter { s =>
+          val nm = s.getPath.getName
+          s.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+        }.foreach { s =>
+          val reader = org.apache.parquet.hadoop.ParquetReader
+            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              s.getPath)
+            .withConf(conf).build()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              t += g.getLong("t", 0)
+              n += g.getLong("n", 0)
+              g = reader.read()
+            }
+          } finally reader.close()
+        }
+      }
+      Some((t, n))
+    } catch { case _: Exception => None }
+  }
+
+  /** The last search's pruned-postings pin (the lastProbePin lifetime
+    * discipline): the returned frame depends on it, so it is freed at the
+    * NEXT search on this JVM or a harness MemoRegistry reset. */
+  private val lastSearchPin =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def freeLastSearchPin(): Unit = {
+    val df = lastSearchPin.getAndSet(null)
+    if (df != null) freeCheckpoint(df)
+  }
+  graft.MemoRegistry.register(() => freeLastSearchPin())
 }

@@ -182,4 +182,20 @@ class InvIndexSpec extends SparkSpec {
     assert(InvIndex.search(spark, s"$r/nothere", Seq("join"), 5).count() == 0L)
     assert(InvIndex.stats(spark, s"$r/nothere").count() == 0L)
   }
+
+  test("driver-side totals read equals the Spark meta aggregation") {
+    val r = root(); ingestThirds(r)
+    val committed = InvIndex.committedBatches(spark, r)
+    val driver = InvIndex.totalsDriver(spark, r, committed)
+    assert(driver.isDefined, "three tiny batches are inside the driver bound")
+    val agg = spark.read.parquet(s"$r/meta")
+      .filter(col("ingest_batch").isin(committed: _*))
+      .agg(coalesce(sum(col("t")), lit(0L)), coalesce(sum(col("n")), lit(0L)))
+      .head()
+    assert(driver.get == ((agg.getLong(0), agg.getLong(1))))
+    // past the bound the tier declines and the Spark aggregation stands
+    assert(InvIndex.totalsDriver(spark, r,
+      (0L to InvIndex.DriverMetaReadMaxBatches.toLong).toSeq).isEmpty)
+    assert(InvIndex.totalsDriver(spark, r, Seq.empty) == Some((0L, 0L)))
+  }
 }
