@@ -904,8 +904,11 @@ object IncrementalSubstr {
     val dCounts = spark.read.schema(stageSchema).parquet(dest.toString)
 
     // ---- report phase: routed refresh vs recompute (see routeFor) ----
+    // one directory walk for every consumer of the round's staged bytes
+    // (the route decision, the broadcast gates, the refresh screen gate)
+    val stagedBytes = fs.getContentSummary(dest).getLength
     val chosen = route match {
-      case "auto" => routeFor(preLedgerBytes, fs.getContentSummary(dest).getLength)
+      case "auto" => routeFor(preLedgerBytes, stagedBytes)
       case r @ ("refresh" | "recompute") => r
       case other => sys.error(
         s"IncrementalSubstr.ingest at $root: unknown route '$other' " +
@@ -955,7 +958,7 @@ object IncrementalSubstr {
       // Bound: parquet bytes of wins/, window strings dominating; past it
       // the plain shuffle join stands — broadcasting an unbounded dup set
       // would be the real scale bug.
-      val smallLedger = preLedgerBytes + fs.getContentSummary(dest).getLength <=
+      val smallLedger = preLedgerBytes + stagedBytes <=
         BroadcastDupWMaxLedgerBytes
       val dupW = if (smallLedger) broadcast(dupW0) else dupW0
       val rep = reportFor(all,
@@ -1011,7 +1014,6 @@ object IncrementalSubstr {
     // buckets come back from one small collect, no checkpoint, no job
     // for the bucket list. Bulk rounds skip the screen (their windows
     // touch every bucket; the semi-join below is the right tool).
-    val stagedBytes = fs.getContentSummary(dest).getLength
     val screened: Option[(DataFrame, Seq[Int])] = preBloom match {
       case Some(sc) if stagedBytes <= (16L << 20) =>
         val rows = dCounts
